@@ -1,13 +1,208 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Oracle conventions (keep Spark and DuckDB hash-identical):
+  *  - money/float aggregates: exact decimal sum, cast to double LAST;
+  *  - integer conditional counts via COUNT(CASE …) (DuckDB SUM(int)
+  *    returns HUGEINT, which would break the schema compare);
+  *  - integer sums wrapped in CAST(… AS BIGINT) on the DuckDB side;
+  *  - every ORDER BY under a LIMIT carries a unique tiebreaker;
+  *  - column names aliased identically on both sides.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.q1Agg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // core ETL (etly-derived)
+    "etl_transform" -> (Etl.transform _),
+    "etl_filter" -> (Etl.filterOp _),
+    "etl_enrich" -> (Etl.enrich _),
+    "etl_route_mod" -> (Etl.routeMod _),
+    "etl_route_date" -> (Etl.routeDate _),
+    "etl_var_extract" -> (Etl.varExtract _),
+    "etl_meta" -> (Etl.meta _),
+    "etl_schema_map" -> (Etl.schemaMap _),
+    "etl_ndjson_roundtrip" -> (Etl.ndjsonRoundtrip _),
+    "etl_csv_roundtrip" -> (Etl.csvRoundtrip _),
+    "etl_error_tolerance" -> (Etl.errorTolerance _),
+    "etl_dynamic_partition_write" -> (Etl.dynamicPartitionWrite _),
+    // query engine
+    "q1_agg" -> (Analytics.q1Agg _),
+    "q3_join" -> (Analytics.q3Join _),
+    "q5_multijoin" -> (Analytics.q5MultiJoin _),
+    "q_filter_pushdown" -> (Analytics.qFilterPushdown _),
+    "q_topk" -> (Analytics.qTopK _),
+    "q_window" -> (Analytics.qWindow _),
+    "q_having" -> (Analytics.qHaving _),
+    "q_distinct" -> (Analytics.qDistinct _),
+    "q_approx_distinct" -> (Analytics.qApproxDistinct _),
+    "q_rollup" -> (Analytics.qRollup _),
+    "q_semi_join" -> (Analytics.qSemiJoin _),
+    "q_anti_join" -> (Analytics.qAntiJoin _),
+    "q_union" -> (Analytics.qUnion _),
+    "q_case_expr" -> (Analytics.qCaseExpr _),
+    "q_string_funcs" -> (Analytics.qStringFuncs _),
+    "q_date_funcs" -> (Analytics.qDateFuncs _),
+    "q_scalar_subquery" -> (Analytics.qScalarSubquery _),
+    "q_pivot" -> (Analytics.qPivot _),
+    "q_range_join" -> (Analytics.qRangeJoin _),
+  )
+
+  private val decSum = (c: String) => s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+  private val revenue =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "etl_transform" ->
+      """SELECT event_id, user_id, UPPER(event_type) AS event_type_uc,
+        | CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents,
+        | CAST(regexp_extract(props, '[0-9]+') AS INTEGER) AS prop_k
+        |FROM events""".stripMargin,
+    "etl_filter" ->
+      "SELECT event_id, user_id, value FROM events WHERE event_type = 'click' AND value > 5.0",
+    "etl_enrich" ->
+      """SELECT o_orderkey, o_custkey, c_mktsegment, n_name AS nation_name
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderkey <= 2000""".stripMargin,
+    "etl_route_mod" ->
+      s"""SELECT CAST(user_id % 8 AS INTEGER) AS shard, COUNT(*) AS n_records,
+        | ${decSum("value")} AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "etl_route_date" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type, COUNT(*) AS n_records
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "etl_var_extract" ->
+      """SELECT CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INTEGER) AS src_num,
+        | COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    "etl_meta" ->
+      """SELECT event_type, COUNT(*) AS record_total,
+        | COUNT(CASE WHEN event_type <> 'error' THEN 1 END) AS record_processed,
+        | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS record_skipped
+        |FROM events GROUP BY event_type""".stripMargin,
+    "etl_schema_map" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS order_id, CAST(l_linenumber AS BIGINT) AS line_no,
+        | CAST(l_quantity AS INTEGER) AS qty,
+        | CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
+        | l_returnflag AS flag
+        |FROM lineitem WHERE l_orderkey <= 500""".stripMargin,
+    "etl_ndjson_roundtrip" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n_rows, ${decSum("l_quantity")} AS sum_qty
+        |FROM lineitem WHERE l_orderkey <= 1000 GROUP BY l_returnflag""".stripMargin,
+    "etl_csv_roundtrip" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_customers, ${decSum("c_acctbal")} AS sum_acctbal
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "etl_error_tolerance" ->
+      """SELECT CASE WHEN event_id % 7 = 0 THEN 'corrupt' ELSE 'ok' END AS status,
+        | COUNT(*) AS n
+        |FROM events WHERE event_id < 1000 GROUP BY 1""".stripMargin,
+    "etl_dynamic_partition_write" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, CAST(user_id % 4 AS INTEGER) AS shard,
+        | COUNT(*) AS n_records
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+        | ${decSum("l_quantity")} AS sum_qty,
+        | ${decSum("l_extendedprice")} AS sum_base_price,
+        | $revenue AS sum_disc_price,
+        | ${decSum("l_quantity")} / COUNT(*) AS avg_qty,
+        | ${decSum("l_discount")} / COUNT(*) AS avg_disc,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join" ->
+      s"""SELECT l_orderkey, $revenue AS revenue,
+        | CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        | AND l_orderkey = o_orderkey AND o_orderdate < '1997-03-15'
+        | AND l_shipdate > '1997-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_multijoin" ->
+      s"""SELECT n_name, $revenue AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        | AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        | AND r_name = 'ASIA' AND o_orderdate >= '1996-01-01'
+        | AND o_orderdate < '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q_filter_pushdown" ->
+      "SELECT p_partkey, p_brand, p_size FROM part WHERE p_size = 15 AND p_type LIKE '%DARD'",
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    "q_window" ->
+      """SELECT * FROM (
+        | SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_spend,
+        |  LAG(o_orderkey, 1) OVER w AS prev_orderkey
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |) t WHERE order_seq <= 3""".stripMargin,
+    "q_having" ->
+      s"""SELECT l_suppkey, ${decSum("l_quantity")} AS total_qty, COUNT(*) AS n_items
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING ${decSum("l_quantity")} > 3000.0""".stripMargin,
+    "q_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS distinct_parts,
+        | COUNT(DISTINCT l_suppkey) AS distinct_supps
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_rollup" ->
+      s"""SELECT o_orderstatus, o_orderpriority, ${decSum("o_totalprice")} AS total_price,
+        | COUNT(*) AS n_orders
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_semi_join" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49)""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+    "q_union" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM (
+        | SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        | UNION ALL
+        | SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') t""".stripMargin,
+    "q_case_expr" ->
+      """SELECT o_orderstatus,
+        | COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_large,
+        | COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
+        | COUNT(*) AS n_total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT p_partkey, UPPER(p_brand) AS brand_upper, CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+        | SUBSTRING(p_type, 1, 5) AS type_prefix,
+        | CONCAT_WS('|', p_brand, p_type) AS brand_type
+        |FROM part WHERE p_partkey <= 200""".stripMargin,
+    "q_date_funcs" ->
+      s"""SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+        | CAST(QUARTER(o_orderdate) AS INTEGER) AS order_quarter,
+        | COUNT(*) AS n_orders, ${decSum("o_totalprice")} AS total_price
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q_scalar_subquery" ->
+      s"""SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT ${decSum("o_totalprice")} / COUNT(*) FROM orders) * 1.5""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        | COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        | COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        | COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_range_join" ->
+      """SELECT bucket, event_type, COUNT(*) AS n_events FROM (
+        | SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) + d.off AS bucket, event_type
+        | FROM events, (SELECT 0 AS off UNION ALL SELECT -1) d) t
+        |WHERE bucket % 7 = 0 GROUP BY bucket, event_type""".stripMargin,
+  )
 }

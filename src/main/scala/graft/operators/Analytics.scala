@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Query-engine surface: the Spark re-expression of the reference's
+  * `datastore` SQL sources (reference: config.go:115 Source.Type ==
+  * "datastore", test/transfer_config2.json "SELECT * FROM apps").
+  *
+  * Oracle-exactness convention: every floating aggregate is computed as
+  * an EXACT decimal sum (order-independent) and only then cast to
+  * double, so Spark and DuckDB produce bit-identical doubles regardless
+  * of aggregation order. Counts/min/max need no care. All top-k ORDER
+  * BYs include a unique tiebreaker so the selected set is deterministic.
+  */
+object Analytics {
+
+  private val dec = "decimal(18,2)"
+
+  /** Exact money sum: cast to decimal, sum (exact), cast back to double. */
+  private def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+
+  /** Exact average: exact decimal sum cast to double, single IEEE divide. */
+  private def davg(c: Column): Column =
+    sum(c.cast(dec)).cast("double") / count(lit(1))
+
+  /** TPC-H Q1-style pricing summary: grouped agg with derived measures.
+    * Scale: single shuffle on (returnflag, linestatus) — 6 groups; all
+    * aggregation is partial map-side first.
+    */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    l.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
+          .cast("double").as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q3-style shipping priority: selective filters on both sides
+    * of a fact-fact join, then top-k.
+    * Scale: customer filter broadcast into orders; orders⋈lineitem
+    * shuffles on orderkey with AQE; top-k is a TakeOrdered, no full sort.
+    */
+  def q3Join(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1997-03-15"))
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1997-03-15"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style 6-way star join.
+    * Scale: region/nation/supplier/customer are dims → broadcast;
+    * only orders⋈lineitem shuffles.
+    */
+  def q5MultiJoin(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, dir)
+    val c = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+    val l = Tables.lineitem(s, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c),
+        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
+        .cast("double").as("revenue"))
+  }
+
+  /** Selective scan — filters + projection reach the parquet reader
+    * (PushedFilters + pruned ReadSchema; asserted in AnalyticsSpec). */
+  def qFilterPushdown(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .filter(col("p_size") === 15 && col("p_type").endsWith("DARD"))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+
+  /** Top-k with unique tiebreaker (deterministic set). */
+  def qTopK(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+
+  /** Window functions: rank within partition, running sum, lag. */
+  def qWindow(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val byCust = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    o.select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"),
+        row_number().over(byCust).cast("long").as("order_seq"),
+        sum(col("o_totalprice").cast(dec)).over(byCust).cast("double").as("running_spend"),
+        lag(col("o_orderkey"), 1).over(byCust).as("prev_orderkey"))
+      .filter(col("order_seq") <= 3)
+  }
+
+  /** Post-aggregation HAVING filter. */
+  def qHaving(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(col("l_quantity")).as("total_qty"), count(lit(1)).as("n_items"))
+      .filter(col("total_qty") > 3000.0)
+
+  /** Exact distinct counting. */
+  def qDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"))
+
+  /** HLL approximate distinct — rows-only oracle (approx value engine-
+    * specific). Scale: HLL sketch merges beat exact distinct at 100 TB. */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+
+  /** ROLLUP hierarchy aggregation. */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(dsum(col("o_totalprice")).as("total_price"), count(lit(1)).as("n_orders"))
+
+  /** Left-semi join (EXISTS). */
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir).filter(col("l_quantity") >= 49)
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no large order. */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+    Tables.customer(s, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+  }
+
+  /** Union of two branches + distinct. */
+  def qUnion(s: SparkSession, dir: String): DataFrame = {
+    val hi = Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey"))
+    val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    hi.union(urgent).distinct().withColumnRenamed("o_custkey", "custkey")
+  }
+
+  /** Conditional expressions (CASE WHEN). */
+  def qCaseExpr(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(when(col("o_totalprice") > 200000, 1)).as("n_large"),
+        count(when(col("o_orderpriority") === "1-URGENT", 1)).as("n_urgent"),
+        count(lit(1)).as("n_total"))
+
+  /** String functions. */
+  def qStringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_type"), 1, 5).as("type_prefix"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+      .filter(col("p_partkey") <= 200)
+
+  /** Date/time functions on the orders timeline. */
+  def qDateFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(
+        year(col("o_orderdate")).as("order_year"),
+        quarter(col("o_orderdate")).as("order_quarter"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+
+  /** Scalar subquery: orders above the global average price. */
+  def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val avgPrice = o.agg(davg(col("o_totalprice")).as("a"))
+    o.join(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("a") * 1.5)
+      .select(col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** Pivot (conditional aggregation) of order counts by status. */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+        count(when(col("o_orderstatus") === "P", 1)).as("n_p"))
+
+  /** As-of join: for each order, the latest event at-or-before the order
+    * date for user (o_custkey % 50) — nearest-past semantics the
+    * reference cannot express but an event-log ETL needs.
+    * Spark-first: equi-join on the derived user key (shuffle on a
+    * well-distributed key), then max_by over the time predicate — no
+    * windowed explode, single shuffle each side, AQE-safe at scale.
+    */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).filter(col("o_orderkey") % 100 === 0)
+      .withColumn("user_key", col("o_custkey") % 50)
+    val e = Tables.events(s, dir)
+    o.join(e, col("user_key") === col("user_id") && col("ts") <= col("o_orderdate"), "left")
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(max(col("ts")).cast("string").as("asof_ts"),
+           max_by(col("event_id"), struct(col("ts"), col("event_id"))).as("asof_event_id"))
+  }
+
+  /** Range join: events within a fixed interval around each hour bucket —
+    * count of events per (hour-bucket, type) in [start, start+2h).
+    * Scale: bucketize then equi-join on bucket (turns the range predicate
+    * into an equi-shuffle; each event lands in exactly 2 buckets).
+    */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("h", (unix_timestamp(col("ts")) / 3600L).cast("long"))
+    // each event contributes to its own hour and the previous hour's 2h window
+    val exploded = e.select(col("event_type"), col("value"),
+        explode(array(col("h"), col("h") - 1)).as("bucket"))
+    exploded.groupBy(col("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("bucket") % 7 === 0)
+  }
+}

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** The Spark re-expression of the reference's transfer pipeline
+  * (reference: transfer.go:15 transferRecord — decode → enrich →
+  * filter → transform → route-by-target-key → encode).
+  *
+  * In Spark each stage is a narrow, codegen'd DataFrame op — no
+  * per-record callbacks, no driver loops. Routing keys (`<mod:N>`,
+  * `<dateFormat:…>` — reference util.go:18-20) become computed columns
+  * consumed by `write.partitionBy`, so "dynamic targets" are dynamic
+  * partition dirs written in one distributed job.
+  */
+object Etl {
+
+  /** Transformer analog (reference transformer.go:7): a record-level
+    * projection Log1→Log2. Narrow op, stays in WholeStageCodegen. */
+  def transform(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      col("user_id"),
+      upper(col("event_type")).as("event_type_uc"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("value_cents"),
+      get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
+
+  /** Filter analog (reference filter.go, README SourceLogFilter: keep
+    * only "click" logs). Pushed to the parquet scan. */
+  def filterOp(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") === "click" && col("value") > 5.0)
+      .select(col("event_id"), col("user_id"), col("value"))
+
+  /** ContentEnricher analog (reference content_enricher.go:9): enrich
+    * each record with reference data — broadcast join, no shuffle of
+    * the fact side. */
+  def enrich(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val enrichedDim = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("n_name").as("nation_name"))
+    Tables.orders(s, dir)
+      .join(broadcast(enrichedDim), col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"), col("nation_name"))
+      .filter(col("o_orderkey") <= 2000)
+  }
+
+  /** `<mod:N>` routing (reference util.go:19 modVarableExpr,
+    * transfer.go getTargetKey): hash-mod routing key as a column.
+    * Uses a portable mod (key % N) rather than an engine-specific hash
+    * so the oracle can reproduce it; pmod keeps it non-negative. */
+  def routeMod(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("shard", pmod(col("user_id"), lit(8)).cast("int"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_records"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  /** `<dateFormat:yyyy-MM-dd>` routing (reference util.go:18): date
+    * partition key derived from the record timestamp. */
+  def routeDate(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy(col("dt"), col("event_type"))
+      .agg(count(lit(1)).as("n_records"))
+
+  /** VariableExtraction analog (reference config.go:26,
+    * variable_provider.go): extract a variable from a record field via
+    * regex and use it downstream. */
+  def varExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("src_num", regexp_extract(col("source"), "src(\\d+)", 1).cast("int"))
+      .groupBy(col("src_num"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+
+  /** Meta/progress analog (reference meta.go ObjectMeta: per-source
+    * RecordProcessed / RecordSkipped): one aggregation computing both
+    * counters, instead of mutexed driver-side counters. */
+  def meta(s: SparkSession, dir: String): DataFrame = {
+    val processedPred = col("event_type") =!= "error"
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("record_total"),
+        count(when(processedPred, 1)).as("record_processed"),
+        count(when(!processedPred, 1)).as("record_skipped"))
+  }
+
+  /** Schema mapping analog (reference pkg/bigquery/big_query_schema.go:
+    * app type → table schema): explicit cast/rename projection. */
+  def schemaMap(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(
+        col("l_orderkey").cast("long").as("order_id"),
+        col("l_linenumber").cast("long").as("line_no"),
+        col("l_quantity").cast("int").as("qty"),
+        col("l_extendedprice").cast("decimal(18,2)").cast("string").as("price_str"),
+        col("l_returnflag").as("flag"))
+      .filter(col("order_id") <= 500)
+
+  /** ndjson source+sink roundtrip (reference encoding.go ndjson +
+    * gzip): write a slice of lineitem as gzipped ndjson, read it back,
+    * aggregate. The aggregate matches the oracle's direct parquet
+    * aggregate, proving the codec path is lossless. */
+  def ndjsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_ndjson_rt"
+    val src = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") <= 1000)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+    src.write.mode("overwrite").option("compression", "gzip").json(tmp)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_quantity", DoubleType),
+      StructField("l_returnflag", StringType)))
+    s.read.schema(schema).json(tmp)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+  }
+
+  /** csv datastore source roundtrip (reference dsc csv driver,
+    * test/transfer_config2.json). */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt"
+    val src = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+    src.write.mode("overwrite").option("header", "true").csv(tmp)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_mktsegment", StringType), StructField("c_acctbal", DoubleType)))
+    s.read.schema(schema).option("header", "true").csv(tmp)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+           sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_acctbal"))
+  }
+
+  /** MaxErrorCounts analog (reference config.go:27, transfer.go:19
+    * decodingError): corrupt records tolerated up to a budget — in
+    * Spark, PERMISSIVE json parsing + a corrupt-record column, with the
+    * clean/corrupt split computed distributed. */
+  def errorTolerance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lines = Tables.events(s, dir).filter(col("event_id") < 1000)
+      .select(col("event_id"), col("props"))
+      .withColumn("raw",
+        // every 7th record gets corrupted json, mirroring a dirty feed
+        when(col("event_id") % 7 === 0, concat(lit("{bad"), col("props")))
+          .otherwise(col("props")))
+    val parsed = lines.select(col("event_id"),
+      from_json(col("raw"), StructType(Seq(StructField("k", IntegerType))),
+        Map.empty[String, String]).as("p"))
+    parsed.select(
+        when(col("p").isNull || col("p.k").isNull, lit("corrupt"))
+          .otherwise(lit("ok")).as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Dynamic-partitioned sink (reference transfer.go getTargetKey →
+    * per-key target files): one distributed write, partition dirs are
+    * the dynamic targets. Returns the read-back per-partition counts so
+    * the oracle can verify content placement. */
+  def dynamicPartitionWrite(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_dynpart"
+    Tables.events(s, dir)
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("shard", pmod(col("user_id"), lit(4)).cast("int"))
+      .write.mode("overwrite").partitionBy("dt", "shard").parquet(tmp)
+    s.read.parquet(tmp)
+      .groupBy(col("dt").cast("string").as("dt"), col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_records"))
+  }
+}
