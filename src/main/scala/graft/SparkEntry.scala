@@ -52,6 +52,29 @@ object SparkEntry {
     "q_scalar_subquery" -> (Analytics.qScalarSubquery _),
     "q_pivot" -> (Analytics.qPivot _),
     "q_range_join" -> (Analytics.qRangeJoin _),
+    "q_asof_join" -> (Windows.asofJoin _),
+    // streaming batch-equivalents (TimeWindow/Frequency transfers)
+    "stream_tumbling" -> (Windows.tumbling _),
+    "stream_sliding" -> (Windows.sliding _),
+    "stream_session" -> (Windows.session _),
+    // dedup
+    "dedup_exact" -> (Dedup.exact _),
+    "dedup_exact_keyed" -> (Dedup.exactKeyed _),
+    "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
+    "dedup_simhash" -> (Dedup.simhash _),
+    "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "dedup_lsh_verified" -> (Dedup.lshVerified _),
+    "dedup_embedding" -> (Dedup.embedding _),
+    // similarity search
+    "sim_brute_topk" -> (Similarity.bruteTopK _),
+    "sim_lsh_topk" -> (Similarity.lshTopK _),
+    "sim_ivf_topk" -> (Similarity.ivfTopK _),
+    // text analysis
+    "text_quality" -> (TextAnalysis.quality _),
+    "text_tokens" -> (TextAnalysis.tokens _),
+    "text_langid" -> (TextAnalysis.langid _),
+    "text_ngrams" -> (TextAnalysis.ngrams _),
+    "text_fingerprint" -> (TextAnalysis.fingerprint _),
   )
 
   private val decSum = (c: String) => s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
@@ -204,5 +227,133 @@ object SparkEntry {
         | SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) + d.off AS bucket, event_type
         | FROM events, (SELECT 0 AS off UNION ALL SELECT -1) d) t
         |WHERE bucket % 7 = 0 GROUP BY bucket, event_type""".stripMargin,
+    "q_asof_join" ->
+      """SELECT event_id, user_id, prior_click_id, prior_click_us,
+        | epoch_us(ts) - prior_click_us AS gap_us
+        |FROM (
+        | SELECT *,
+        |  last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER w AS prior_click_id,
+        |  last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS) OVER w AS prior_click_us
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |) t WHERE event_type = 'error'""".stripMargin,
+    "stream_tumbling" ->
+      s"""SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start_s, event_type,
+        | COUNT(*) AS n_events, ${decSum("value")} AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_sliding" ->
+      """SELECT win_start_s, COUNT(*) AS n_events FROM (
+        | SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) - d.off AS win_start_s
+        | FROM events, (SELECT 0 AS off UNION ALL SELECT 3600) d) t
+        |GROUP BY win_start_s""".stripMargin,
+    "stream_session" ->
+      s"""WITH g AS (
+        | SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        | SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        | FROM g)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        | epoch_us(MIN(ts)) AS session_start_us, epoch_us(MAX(ts)) AS session_end_us,
+        | ${decSum("value")} AS sum_value
+        |FROM s GROUP BY user_id, session_seq""".stripMargin,
+    "dedup_exact" ->
+      "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents GROUP BY text",
+    "dedup_exact_keyed" ->
+      """SELECT user_id, event_type, event_id AS first_event_id, epoch_us(ts) AS first_ts_us
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |  ORDER BY ts, event_id) AS rn FROM events) t
+        |WHERE rn = 1""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   range(1, len(string_split(text, ' ')) - 1),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        | FROM s a, s b WHERE a.doc_id < b.doc_id) t
+        |WHERE jaccard >= 0.3""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |  list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS nsq
+        | FROM embeddings)
+        |SELECT vec_a, vec_b, cosine FROM (
+        | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_sum(list_transform(list_zip(a.emb, b.emb), x -> x[1] * x[2]))
+        |    / sqrt(a.nsq * b.nsq) AS cosine
+        | FROM e a, e b WHERE a.vec_id < b.vec_id) t
+        |WHERE cosine >= 0.4""".stripMargin,
+    "sim_brute_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |  list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS nsq
+        | FROM embeddings),
+        |scored AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |  list_sum(list_transform(list_zip(q.emb, c.emb), x -> x[1] * x[2]))
+        |    / sqrt(q.nsq * c.nsq) AS cosine
+        | FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id >= 10)
+        |SELECT query_id, cand_id, cosine,
+        | CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS BIGINT) AS rank
+        |FROM scored
+        |QUALIFY rank <= 5""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        | CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits,
+        | CAST(len(list_filter(string_split(text, ' '),
+        |   w -> w IN ('the', 'a', 'of', 'and', 'in'))) AS BIGINT) AS n_stopwords,
+        | CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / LENGTH(text) AS digit_ratio,
+        | CAST(len(list_filter(string_split(text, ' '),
+        |   w -> w IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)
+        |   / len(string_split(text, ' ')) AS stopword_ratio,
+        | CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |   / len(string_split(text, ' ')) AS avg_token_len
+        |FROM documents""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_bpeish_tokens
+        |FROM documents""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, lang AS lang_true,
+        | CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','hash','order','table'))) AS BIGINT) AS score_en,
+        | CAST(len(list_filter(string_split(text,' '), w -> w IN ('slow','agg','merge'))) AS BIGINT) AS score_es,
+        | CAST(len(list_filter(string_split(text,' '), w -> w IN ('join','small','row'))) AS BIGINT) AS score_zh,
+        | CAST(len(list_filter(string_split(text,' '), w -> w IN ('scan','data','batch'))) AS BIGINT) AS score_fr,
+        | CAST(len(list_filter(string_split(text,' '), w -> w IN ('customer','window','group'))) AS BIGINT) AS score_de
+        |FROM documents)
+        |SELECT doc_id, lang_true,
+        | CASE WHEN score_en = GREATEST(score_en, score_es, score_zh, score_fr, score_de) THEN 'en'
+        |      WHEN score_es = GREATEST(score_en, score_es, score_zh, score_fr, score_de) THEN 'es'
+        |      WHEN score_zh = GREATEST(score_en, score_es, score_zh, score_fr, score_de) THEN 'zh'
+        |      WHEN score_fr = GREATEST(score_en, score_es, score_zh, score_fr, score_de) THEN 'fr'
+        |      ELSE 'de' END AS pred_lang,
+        | GREATEST(score_en, score_es, score_zh, score_fr, score_de) AS pred_score
+        |FROM t""".stripMargin,
+    "text_ngrams" ->
+      """SELECT bigram, COUNT(*) AS n FROM (
+        | SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bigram
+        | FROM documents WHERE len(string_split(text, ' ')) >= 2) t
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+        | list_min(list_transform(range(1, LENGTH(text) - 6), i ->
+        |   (${(0 until 8).map(j => s"CAST(ascii(substr(text, CAST(i AS BIGINT) + $j, 1)) AS BIGINT) * ${math.pow(131, 7 - j).toLong}").mkString(" + ")})
+        |   % 2147483647)) AS fingerprint,
+        | CAST(len(list_distinct(list_transform(range(1, LENGTH(text) - 6), i ->
+        |   (${(0 until 8).map(j => s"CAST(ascii(substr(text, CAST(i AS BIGINT) + $j, 1)) AS BIGINT) * ${math.pow(131, 7 - j).toLong}").mkString(" + ")})
+        |   % 2147483647))) AS BIGINT) AS n_distinct_grams
+        |FROM documents WHERE LENGTH(text) >= 8""".stripMargin,
   )
 }

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.functions.VectorOps
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+  *
+  * Scale shape: every candidate-generation step is an equi-join on a
+  * bucket key (band hash / simhash band / exact key), never an O(n²)
+  * cross join; pair verification only runs inside buckets. Signature
+  * computation is a narrow map + partial-aggregatable group-by.
+  */
+object Dedup {
+
+  /** Exact dedup by full text: survivor = min doc_id per distinct text.
+    * At 100 TB this is a single hash shuffle on a 64-bit text hash
+    * (group by the hash, not the text, to keep shuffle rows small —
+    * here we also group the raw text to make collisions impossible). */
+  def exact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(xxhash64(col("text")).as("text_hash"), col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+
+  /** Keyed dedup: first event per (user_id, event_type) by event time.
+    * The etly analog is idempotent re-transfer collapsing. */
+  def exactKeyed(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"),
+        unix_micros(col("ts")).as("first_ts_us"))
+  }
+
+  /** Word 3-gram shingle array for a document (distinct, unsorted). */
+  private def shingles(text: Column): Column = {
+    val w = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(0), size(w) - 3),
+      i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
+  }
+
+  val MinhashK = 64          // signature length
+  val LshBands = 32          // bands of r = 2 → collision thresh ≈ 0.18
+  val LshRows: Int = MinhashK / LshBands
+
+  /** Deterministic affine permutation params (a odd, b) via splitmix64. */
+  private def splitmix(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  private val perms: Seq[(Long, Long)] =
+    (0 until MinhashK).map(i => (splitmix(2 * i) | 1L, splitmix(2 * i + 1)))
+
+  /** MinHash signature per doc: base shingle hash via xxhash64, then k
+    * affine transforms min-reduced inside one partial-aggregatable
+    * group-by (k min() columns — map-side combine keeps shuffle tiny). */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(Long.MaxValue))).as(s"m$i")
+    }
+    sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** MinHash LSH candidate pairs: band the signature, equi-join on
+    * (band index, band hash), estimate jaccard from signature overlap. */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(s, dir).cache()
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(LshBands - 1)),
+          b => hash(slice(col("sig"), b * LshRows + 1, lit(LshRows))))))
+      .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (seqSumInt(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")))
+          .cast("double") / MinhashK).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= 0.15)
+  }
+
+  private def seqSumInt(arr: Column): Column =
+    aggregate(arr, lit(0), (acc, v) => acc + v)
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.3). All-pairs here
+    * so the DuckDB oracle can replicate it exactly (integer set ops +
+    * one divide → bit-exact); the production 100 TB path runs the same
+    * verify arithmetic on minhashLsh candidates instead of all pairs. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_inter"),
+        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+  }
+
+  /** Scale-path near-dup dedup: MinHash-LSH candidates verified with
+    * exact shingle Jaccard — candidates only, never all pairs. */
+  def lshVerified(s: SparkSession, dir: String): DataFrame = {
+    val cands = minhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    cands
+      .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_inter"),
+        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.7)
+  }
+
+  /** 64-bit SimHash per doc from word-unigram xxhash64: per bit, sum of
+    * ±1 weighted by bit presence; sign → bit. Wide 64-column agg keeps
+    * it partial-aggregatable. */
+  def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val bitCols = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$i")
+    }
+    val agged = toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    val sig = (0 until 64).map { i =>
+      shiftleft(when(col(s"b$i") > 0, 1L).otherwise(0L), i)
+    }.reduce(_.bitwiseOR(_))
+    agged.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: 4×16-bit bands; docs agreeing on any
+    * band are candidates (catches hamming ≤ 3 pairs fully); report true
+    * hamming distance. */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val sigs = simhashSignatures(s, dir).cache()
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(i =>
+          shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("band", "bucket")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 16)
+  }
+
+  /** Embedding-cosine near-dup pairs (exact arithmetic → exact oracle).
+    * Brute pair join at test SF; at scale the same verify stage runs on
+    * LSH-bucketed candidates (see Similarity.lshTopK). */
+  def embedding(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), VectorOps.normSq(col("embedding")).as("nsq"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("nsq").as("nsq_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("nsq").as("nsq_b"))
+    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        VectorOps.cosinePre(VectorOps.dot(col("emb_a"), col("emb_b")),
+          col("nsq_a"), col("nsq_b")).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+  }
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table — the text side
+  * of a training-data pipeline (quality filtering, token accounting,
+  * language ID, fingerprinting). All are narrow per-row maps (no
+  * shuffle) except the n-gram frequency aggregation; all arithmetic is
+  * integer or single-step double ops so the DuckDB oracle is exact.
+  */
+object TextAnalysis {
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** Quality scoring: length / token stats / digit ratio / stopword
+    * ratio, combined into a deterministic quality score. */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val w = words(col("text"))
+    val nTokens = size(w).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val nDigits = length(regexp_replace(col("text"), "[^0-9]", "")).cast("long")
+    val stop = Seq("the", "a", "of", "and", "in")
+    val nStop = size(filter(w, x => x.isInCollection(stop.map(lit)))).cast("long")
+    d.select(
+        col("doc_id"), nChars.as("n_chars_calc"), nTokens.as("n_tokens"),
+        nDigits.as("n_digits"), nStop.as("n_stopwords"),
+        (nDigits.cast("double") / nChars).as("digit_ratio"),
+        (nStop.cast("double") / nTokens).as("stopword_ratio"),
+        // mean token length: chars minus separators over token count
+        ((nChars - (nTokens - 1)).cast("double") / nTokens).as("avg_token_len"))
+  }
+
+  /** Token counting: whitespace tokens + BPE-ish regex pieces
+    * (letter runs / digit runs as separate tokens). */
+  def tokens(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val w = words(col("text"))
+    d.select(
+        col("doc_id"),
+        size(w).cast("long").as("n_ws_tokens"),
+        size(array_distinct(w)).cast("long").as("n_distinct_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+          .cast("long").as("n_bpeish_tokens"))
+  }
+
+  /** Language ID: marker-word scoring against fixed per-language word
+    * lists, argmax with a fixed preference order. A deterministic
+    * heuristic (integer counts → exact oracle); real corpora would use
+    * char-n-gram profiles, same shape. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "hash", "order", "table"),
+    "es" -> Seq("slow", "agg", "merge"),
+    "zh" -> Seq("join", "small", "row"),
+    "fr" -> Seq("scan", "data", "batch"),
+    "de" -> Seq("customer", "window", "group"))
+
+  def langid(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val w = words(col("text"))
+    val scores = langMarkers.map { case (lang, ms) =>
+      lang -> size(filter(w, x => x.isInCollection(ms.map(lit)))).cast("long")
+    }
+    val withScores = d.select(col("doc_id") +: col("lang").as("lang_true") +:
+      scores.map { case (l, c) => c.as(s"score_$l") }: _*)
+    // argmax with fixed preference order (seq order breaks ties)
+    val best = scores.map(_._1).foldLeft((lit(""), lit(-1L))) { case ((bl, bs), l) =>
+      val sc = col(s"score_$l")
+      (when(sc > bs, lit(l)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
+    }
+    withScores.select(col("doc_id"), col("lang_true"),
+      best._1.as("pred_lang"), best._2.as("pred_score"))
+  }
+
+  /** Word-bigram extraction + global top-50 frequencies.
+    * Scale: explode → partial-agg count; top-50 via TakeOrdered. */
+  def ngrams(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val w = words(col("text"))
+    val bigrams = transform(
+      sequence(lit(0), size(w) - 2),
+      i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2)))
+    d.filter(size(w) >= 2)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(50)
+  }
+
+  /** Rolling-hash document fingerprint: polynomial hash of every char
+    * 8-gram (base 131 mod 2^31-1, unrolled so DuckDB reproduces the
+    * exact int64 arithmetic), document fingerprint = min gram hash
+    * (winnowing-style), plus distinct-gram cardinality. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val p = 2147483647L
+    // expression built via SQL text for exact structural parity with the oracle
+    val pow = (0 until 8).map(j => math.pow(131, 7 - j).toLong)
+    val termSql = (0 until 8).map { j =>
+      s"CAST(ascii(substr(text, CAST(i AS INT) + $j, 1)) AS BIGINT) * ${pow(j)}L"
+    }.mkString(" + ")
+    val grams = expr(
+      s"transform(sequence(1, length(text) - 7), i -> ($termSql) % ${p}L)")
+    d.filter(length(col("text")) >= 8)
+      .select(col("doc_id"), grams.as("g"))
+      .select(col("doc_id"),
+        array_min(col("g")).as("fingerprint"),
+        size(array_distinct(col("g"))).cast("long").as("n_distinct_grams"))
+  }
+}
