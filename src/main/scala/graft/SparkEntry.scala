@@ -69,6 +69,25 @@ object SparkEntry {
     "sim_brute_topk" -> (Similarity.bruteTopK _),
     "sim_lsh_topk" -> (Similarity.lshTopK _),
     "sim_ivf_topk" -> (Similarity.ivfTopK _),
+    // multimodal
+    "mm_meta_extract" -> (Multimodal.metaExtract _),
+    "mm_frame_sample" -> (Multimodal.frameSample _),
+    "mm_decode_features" -> (Multimodal.decodeFeatures _),
+    // declarative pipeline config + real structured streaming
+    "etl_pipeline_config" -> ((s, dir) => {
+      import graft.plans.Pipeline._
+      val spec = TransferSpec(
+        source = SourceSpec(s"$dir/orders.parquet", Parquet),
+        filterExpr = Some("o_totalprice > 100000"),
+        transforms = Seq("priority_class" -> "substring(o_orderpriority, 1, 1)"),
+        enrich = Some(EnrichSpec(
+          graft.sources.Tables.customer(s, dir),
+          "o_custkey" -> "c_custkey", Seq("c_mktsegment" -> "segment"))),
+        routes = Seq(ModKey("shard", "o_custkey", 4), DateKey("dt", "o_orderdate", "yyyy-MM")),
+        select = Seq("o_orderkey", "priority_class", "segment", "shard", "dt"))
+      plan(s, spec)
+    }),
+    "stream_file_transfer" -> (graft.streaming.Streams.streamFileTransfer _),
     // text analysis
     "text_quality" -> (TextAnalysis.quality _),
     "text_tokens" -> (TextAnalysis.tokens _),
@@ -261,6 +280,39 @@ object SparkEntry {
         | epoch_us(MIN(ts)) AS session_start_us, epoch_us(MAX(ts)) AS session_end_us,
         | ${decSum("value")} AS sum_value
         |FROM s GROUP BY user_id, session_seq""".stripMargin,
+    "mm_meta_extract" ->
+      """SELECT doc_id,
+        | CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'wav' END AS format,
+        | CAST(32 + (doc_id % 8) * 16 AS INTEGER) AS width,
+        | CAST(32 + (doc_id % 5) * 16 AS INTEGER) AS height,
+        | CAST(2 * LENGTH(text) AS BIGINT) AS n_bytes,
+        | CAST((32 + (doc_id % 8) * 16) * (32 + (doc_id % 5) * 16) AS BIGINT) AS n_pixels
+        |FROM documents""".stripMargin,
+    "mm_frame_sample" ->
+      s"""WITH m AS (SELECT doc_id, text || text AS txt2,
+        |  CAST(2 * LENGTH(text) AS BIGINT) AS n_bytes FROM documents
+        | WHERE 2 * LENGTH(text) >= 64)
+        |SELECT doc_id, off // 128 AS frame_id, off,
+        | (${(0 until 8).map(j => s"CAST(ascii(substr(txt2, CAST(off AS BIGINT) + 1 + $j, 1)) AS BIGINT) * ${math.pow(131, 7 - j).toLong}").mkString(" + ")})
+        |   % 2147483647 AS frame_fp
+        |FROM (SELECT doc_id, txt2, unnest(range(0, n_bytes - 63, 128)) AS off FROM m) t""".stripMargin,
+    "mm_decode_features" ->
+      """SELECT doc_id, CAST(2 * LENGTH(text) AS BIGINT) AS n_bytes,
+        | CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+        | CAST(ascii(substr(text, LENGTH(text), 1)) AS INTEGER) AS last_byte,
+        | CAST((2 * list_sum(list_transform(string_split(text, ''), c -> ascii(c)))) % 1000003 AS BIGINT) AS byte_sum_mod
+        |FROM documents""".stripMargin,
+    "etl_pipeline_config" ->
+      """SELECT o_orderkey, substring(o_orderpriority, 1, 1) AS priority_class,
+        | c_mktsegment AS segment, CAST(o_custkey % 4 AS INTEGER) AS shard,
+        | strftime(o_orderdate, '%Y-%m') AS dt
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 100000""".stripMargin,
+    "stream_file_transfer" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events WHERE event_id < 2000 AND event_type <> 'error'
+        |GROUP BY event_type""".stripMargin,
     "dedup_exact" ->
       "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents GROUP BY text",
     "dedup_exact_keyed" ->

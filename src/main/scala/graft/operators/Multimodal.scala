@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, decoded/feature-extracted in
+  * batch-shaped partition functions.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * deterministic fake (documented stub); everything Spark-side — binary
+  * schema, metadata struct, frame offsets, partition batch shape — is
+  * real and oracle-checked. Payload bytes are synthesized from the
+  * documents table (ascii text doubled), which keeps byte-level
+  * arithmetic reproducible in the oracle.
+  */
+object Multimodal {
+
+  /** Synthetic media corpus: one binary payload + metadata per doc. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      concat(col("text"), col("text")).cast("binary").as("payload"),
+      struct(
+        element_at(lit(Array("jpeg", "png", "wav")), (col("doc_id") % 3 + 1).cast("int"))
+          .as("format"),
+        (lit(32) + (col("doc_id") % 8) * 16).cast("int").as("width"),
+        (lit(32) + (col("doc_id") % 5) * 16).cast("int").as("height"))
+        .as("meta"))
+
+  /** Metadata extraction over binary columns (the "probe" stage of a
+    * media pipeline): byte length + typed metadata fields. */
+  def metaExtract(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir).select(
+      col("doc_id"),
+      col("meta.format").as("format"),
+      col("meta.width").as("width"),
+      col("meta.height").as("height"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      (col("meta.width") * col("meta.height")).cast("long").as("n_pixels"))
+
+  /** Frame sampling: fixed-stride frame offsets over the payload
+    * (every 128 bytes, 64-byte frames), one row per sampled frame with
+    * a deterministic frame fingerprint (polynomial hash of the frame's
+    * first 8 bytes — stands in for the stubbed decode). */
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    val pow = (0 until 8).map(j => math.pow(131, 7 - j).toLong)
+    val termSql = (0 until 8).map { j =>
+      s"CAST(ascii(substr(txt2, CAST(off AS INT) + 1 + $j, 1)) AS BIGINT) * ${pow(j)}L"
+    }.mkString(" + ")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), concat(col("text"), col("text")).as("txt2"))
+      .withColumn("n_bytes", length(col("txt2")).cast("long"))
+      .filter(col("n_bytes") >= 64)
+      .select(col("doc_id"), col("txt2"),
+        explode(sequence(lit(0L), col("n_bytes") - 64, lit(128L))).as("off"))
+      .select(col("doc_id"), expr("off div 128").as("frame_id"), col("off"),
+        expr(s"($termSql) % 2147483647L").as("frame_fp"))
+  }
+
+  /** Case classes for the typed decode path. */
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class MediaFeatures(doc_id: Long, n_bytes: Long,
+    first_byte: Int, last_byte: Int, byte_sum_mod: Long)
+
+  /** DECODE STUB — batch-shaped partition decode, the Scala analog of
+    * mapInPandas: each partition iterates its rows once, "decodes" the
+    * payload, emits a fixed-shape feature row. A real deployment swaps
+    * `fakeDecode` for a codec call; schema, partitioning, and batch
+    * shape are unchanged. */
+  def decodeFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = mediaTable(s, dir).select(col("doc_id"), col("payload")).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.payload
+        val sum = b.foldLeft(0L)((acc, x) => (acc + (x & 0xff)) % 1000003L)
+        MediaFeatures(r.doc_id, b.length.toLong, b.head & 0xff, b.last & 0xff, sum)
+      }
+    }.toDF()
+  }
+}

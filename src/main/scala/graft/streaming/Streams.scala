@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import java.sql.Timestamp
+
+/** Structured Streaming transfers — the streaming form of the
+  * reference's scheduled Transfer loop (reference: config.go:20-21
+  * TimeWindow/Frequency; service.go scheduling). Where the reference
+  * polls sources on a timer, Spark incrementalizes the same
+  * declarative plan: file sources discover new objects per
+  * micro-batch, watermarks bound state, and the sink is transactional.
+  */
+final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+  event_type: String, value: Double)
+
+final case class SessionAgg(user_id: Long, n_events: Long,
+  start_us: Long, end_us: Long)
+
+final case class SessionState(n: Long, startUs: Long, lastUs: Long)
+
+object Streams {
+
+  /** Streaming file transfer: ndjson in → filter/transform → parquet
+    * out, Trigger.AvailableNow (process-everything-then-stop — the
+    * batch-parity mode used by the correctness gate). */
+  def fileTransferAvailableNow(s: SparkSession, srcDir: String, schemaDdl: String,
+      dstDir: String, checkpoint: String): Unit = {
+    val in = s.readStream.schema(schemaDdl).json(srcDir)
+    val out = in.filter(col("event_type") =!= "error")
+      .withColumn("value_cents", (col("value").cast("decimal(18,2)") * 100).cast("long"))
+    val q = out.writeStream
+      .format("parquet")
+      .option("path", dstDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** End-to-end streaming transfer for the correctness gate: stage a
+    * slice of events as ndjson, stream it through the transfer with
+    * Trigger.AvailableNow, read the sink back and aggregate to a
+    * stable oracle-comparable shape. */
+  def streamFileTransfer(s: SparkSession, dir: String): DataFrame = {
+    val base = System.getProperty("java.io.tmpdir") + "/graft_stream_" + System.nanoTime
+    graft.sources.Tables.events(s, dir).filter(col("event_id") < 2000)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .write.json(s"$base/src")
+    fileTransferAvailableNow(s, s"$base/src",
+      "event_id LONG, user_id LONG, event_type STRING, value DOUBLE",
+      s"$base/dst", s"$base/cp")
+    s.read.parquet(s"$base/dst")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_cents"))
+  }
+
+  /** Watermarked tumbling-window aggregation (streaming q analog of
+    * operators.Windows.tumbling). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start_s"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Custom stateful sessionization with flatMapGroupsWithState —
+    * 30-minute inactivity gap, emits a session row when the gap closes.
+    * The streaming twin of Windows.session's gaps-and-islands. */
+  def sessionize(events: Dataset[Event]): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    val gapUs = 30L * 60 * 1000000
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAgg](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[SessionState]) =>
+          // deterministic order within the group for batch-mode parity
+          def micros(t: Timestamp): Long =
+            t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0, 0, Long.MinValue))
+          val closed = scala.collection.mutable.ArrayBuffer[SessionAgg]()
+          sorted.foreach { e =>
+            val us = micros(e.ts)
+            if (st.n == 0) st = SessionState(1, us, us)
+            else if (us - st.lastUs > gapUs) {
+              closed += SessionAgg(uid, st.n, st.startUs, st.lastUs)
+              st = SessionState(1, us, us)
+            } else st = SessionState(st.n + 1, st.startUs, us)
+          }
+          state.update(st)
+          closed.iterator
+      }
+  }
+}

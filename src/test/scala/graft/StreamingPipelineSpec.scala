@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.operators.Windows
+import graft.sources.Tables
+import graft.streaming.Streams
+import graft.streaming.Event
+
+class StreamingPipelineSpec extends AnyFunSuite {
+  import SharedSpark.{spark, sf}
+
+  private def eventSlice(n: Int): Seq[Event] = {
+    import spark.implicits._
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id").limit(n).as[Event].collect().toSeq
+  }
+
+  test("streaming windowed counts match the batch tumbling aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = eventSlice(500)
+    val mem = MemoryStream[Event]
+    mem.addData(events)
+    val q = Streams.windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("win_counts")
+      .select("win_start_s", "event_type", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    // recompute batch on the same 500-event slice for exact comparison
+    val sliceDf = events.toDF()
+    val batchSlice = sliceDf
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("win.start")).as("win_start_s"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batchSlice)
+  }
+
+  test("flatMapGroupsWithState sessionization matches batch gaps-and-islands (closed sessions)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = eventSlice(2000)
+    val mem = MemoryStream[Event]
+    mem.addData(events)
+    val q = Streams.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sessions")
+      .select("user_id", "n_events", "start_us", "end_us")
+      .collect().map(_.toSeq).toSet
+
+    // batch truth on the same slice: all sessions minus each user's last
+    // (still open in streaming state)
+    val sliceDf = events.toDF()
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = sliceDf
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_micros(min(col("ts"))).as("start_us"),
+        unix_micros(max(col("ts"))).as("end_us"))
+    val lastPerUser = sessions.groupBy("user_id")
+      .agg(max("session_seq").as("session_seq"))
+    val closed = sessions.join(lastPerUser, Seq("user_id", "session_seq"), "left_anti")
+      .select("user_id", "n_events", "start_us", "end_us")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == closed)
+  }
+
+  test("pipeline run() writes dynamic partitions routed by mod and date keys") {
+    import graft.plans.Pipeline._
+    val out = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+    val spec = TransferSpec(
+      source = SourceSpec(s"$sf/orders.parquet", Parquet),
+      filterExpr = Some("o_totalprice > 100000"),
+      routes = Seq(ModKey("shard", "o_custkey", 4), DateKey("yr", "o_orderdate", "yyyy")))
+    graft.plans.Pipeline.run(spark, spec, out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("shard=")))
+    val back = spark.read.parquet(out)
+    assert(back.count() == plan(spark, spec).count())
+    assert(back.columns.contains("yr"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.sources.Tables
+
+class TextMultimodalSpec extends AnyFunSuite {
+  import SharedSpark.{spark, sf}
+
+  test("quality ratios are well-formed") {
+    val rows = TextAnalysis.quality(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val sw = r.getAs[Double]("stopword_ratio")
+      val dg = r.getAs[Double]("digit_ratio")
+      assert(sw >= 0 && sw <= 1 && dg >= 0 && dg <= 1)
+      assert(r.getAs[Long]("n_tokens") > 0)
+    }
+  }
+
+  test("token counts: distinct <= whitespace <= bpe-ish") {
+    TextAnalysis.tokens(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_distinct_tokens") <= r.getAs[Long]("n_ws_tokens"))
+      // letter/digit runs can only split ws tokens further
+      assert(r.getAs[Long]("n_bpeish_tokens") >= r.getAs[Long]("n_ws_tokens"))
+    }
+  }
+
+  test("langid picks the argmax marker score deterministically") {
+    val a = TextAnalysis.langid(spark, sf).orderBy("doc_id").collect()
+    val b = TextAnalysis.langid(spark, sf).orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+    assert(a.forall(r => Set("en", "es", "zh", "fr", "de")(r.getAs[String]("pred_lang"))))
+  }
+
+  test("fingerprint is deterministic and collision-bounded") {
+    val fp1 = TextAnalysis.fingerprint(spark, sf).orderBy("doc_id").collect()
+    val fp2 = TextAnalysis.fingerprint(spark, sf).orderBy("doc_id").collect()
+    assert(fp1.sameElements(fp2))
+    fp1.foreach { r =>
+      assert(r.getAs[Long]("fingerprint") >= 0 && r.getAs[Long]("fingerprint") < 2147483647L)
+      assert(r.getAs[Long]("n_distinct_grams") > 0)
+    }
+  }
+
+  test("media metadata is consistent with the typed decode stub") {
+    val meta = Multimodal.metaExtract(spark, sf)
+      .select(col("doc_id"), col("n_bytes"))
+    val feat = Multimodal.decodeFeatures(spark, sf)
+      .select(col("doc_id"), col("n_bytes").as("n_bytes_decoded"))
+    val joined = meta.join(feat, "doc_id")
+    assert(joined.filter(col("n_bytes") =!= col("n_bytes_decoded")).count() == 0)
+    assert(meta.count() == feat.count())
+  }
+
+  test("frame sampling covers every payload at the declared stride") {
+    val frames = Multimodal.frameSample(spark, sf)
+    val perDoc = frames.groupBy("doc_id").agg(count(lit(1)).as("n_frames"),
+      max(col("off")).as("max_off"))
+    val media = Multimodal.metaExtract(spark, sf).select(col("doc_id"), col("n_bytes"))
+    val j = perDoc.join(media, "doc_id").collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      val expected = (r.getAs[Long]("n_bytes") - 64) / 128 + 1
+      assert(r.getAs[Long]("n_frames") == expected)
+      assert(r.getAs[Long]("max_off") + 64 <= r.getAs[Long]("n_bytes"))
+    }
+  }
+}
