@@ -1,0 +1,205 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSession
+
+/** Native Catalyst expressions for the vector/hash hot paths. These
+  * replace higher-order-function pipelines (zip_with + aggregate) with
+  * single fused loops inside whole-stage codegen — no intermediate
+  * array allocation per row/pair.
+  *
+  * Determinism contract: each accumulator is summed sequentially in
+  * element order, exactly like functions.aggregate and DuckDB's
+  * list_sum, so results stay bit-identical to the oracle.
+  */
+
+/** cosine(a, b) over array<float> — fused dot + norms + divide. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      s"""
+       |int $n = $a.numElements() < $b.numElements() ? $a.numElements() : $b.numElements();
+       |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double x = (double) $a.getFloat($i);
+       |  double y = (double) $b.getFloat($i);
+       |  $dot += x * y; $na += x * x; $nb += y * y;
+       |}
+       |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object HashParams {
+  private def splitmix(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  /** Affine minhash permutation params, identical to Dedup.perms. */
+  def minhashA(k: Int): Array[Long] = Array.tabulate(k)(i => splitmix(2L * i) | 1L)
+  def minhashB(k: Int): Array[Long] = Array.tabulate(k)(i => splitmix(2L * i + 1))
+}
+
+/** graft_minhash(hashes, k): k-permutation MinHash signature from an
+  * array of 64-bit element hashes — one pass per row, no explode, no
+  * shuffle. pmod semantics match pmod(h*a+b, Long.MaxValue). */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  @transient private lazy val pa = HashParams.minhashA(k)
+  @transient private lazy val pb = HashParams.minhashB(k)
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = h * pa(j) + pb(j)
+        val m = v % Long.MaxValue
+        val mm = if (m < 0) m + Long.MaxValue else m
+        if (mm < sig(j)) sig(j) = mm
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val paRef = ctx.addReferenceObj("minhashA", pa, "long[]")
+      val pbRef = ctx.addReferenceObj("minhashB", pb, "long[]")
+      val sig = ctx.freshName("sig"); val n = ctx.freshName("n")
+      s"""
+       |int $n = $c.numElements();
+       |long[] $sig = new long[$k];
+       |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+       |for (int i = 0; i < $n; i++) {
+       |  long h = $c.getLong(i);
+       |  for (int j = 0; j < $k; j++) {
+       |    long v = h * $paRef[j] + $pbRef[j];
+       |    long m = v % Long.MAX_VALUE;
+       |    if (m < 0) m += Long.MAX_VALUE;
+       |    if (m < $sig[j]) $sig[j] = m;
+       |  }
+       |}
+       |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** graft_simhash64(hashes): 64-bit SimHash from an array of element
+  * hashes — per-bit ±1 vote, sign → bit; one pass per row. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val votes = ctx.freshName("votes"); val n = ctx.freshName("n")
+      val sig = ctx.freshName("sig")
+      s"""
+       |int $n = $c.numElements();
+       |int[] $votes = new int[64];
+       |for (int i = 0; i < $n; i++) {
+       |  long h = $c.getLong(i);
+       |  for (int j = 0; j < 64; j++) {
+       |    if (((h >>> j) & 1L) == 1L) $votes[j]++; else $votes[j]--;
+       |  }
+       |}
+       |long $sig = 0L;
+       |for (int j = 0; j < 64; j++) { if ($votes[j] > 0) $sig |= (1L << j); }
+       |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Registration: via extensions (GraftExtensions) or imperatively on a
+  * live session (registry is idempotent — re-register overwrites). */
+object GraftFunctions {
+  type Builder = Seq[Expression] => Expression
+  val all: Seq[(String, Builder)] = Seq(
+    "graft_cosine" -> ((args: Seq[Expression]) => CosineSim(args(0), args(1))),
+    "graft_minhash" -> ((args: Seq[Expression]) => args(1) match {
+      case Literal(k: Int, IntegerType) => MinHashSig(args(0), k)
+      case other => throw new IllegalArgumentException(
+        s"graft_minhash k must be an int literal, got $other")
+    }),
+    "graft_simhash64" -> ((args: Seq[Expression]) => SimHash64(args(0))))
+
+  def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name),
+      new ExpressionInfo(getClass.getName, name),
+      builder)
+  }
+}
+
+/** SparkSessionExtensions entry point:
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
+    }
+}

@@ -50,28 +50,16 @@ object Dedup {
   val LshBands = 32          // bands of r = 2 → collision thresh ≈ 0.18
   val LshRows: Int = MinhashK / LshBands
 
-  /** Deterministic affine permutation params (a odd, b) via splitmix64. */
-  private def splitmix(seed: Long): Long = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-  private val perms: Seq[(Long, Long)] =
-    (0 until MinhashK).map(i => (splitmix(2 * i) | 1L, splitmix(2 * i + 1)))
-
-  /** MinHash signature per doc: base shingle hash via xxhash64, then k
-    * affine transforms min-reduced inside one partial-aggregatable
-    * group-by (k min() columns — map-side combine keeps shuffle tiny). */
+  /** MinHash signature per doc via the native graft_minhash expression:
+    * ONE narrow map — no explode, no wide agg, no shuffle. (The affine
+    * params in functions.HashParams equal `perms`, so signatures are
+    * bit-identical to the explode+agg formulation.) */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-    val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * a + b, lit(Long.MaxValue))).as(s"m$i")
-    }
-    sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"), array((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"))
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .selectExpr("doc_id",
+        s"graft_minhash(transform(sh, x -> xxhash64(x)), $MinhashK) AS sig")
   }
 
   /** MinHash LSH candidate pairs: band the signature, equi-join on
@@ -132,21 +120,14 @@ object Dedup {
       .filter(col("jaccard") >= 0.7)
   }
 
-  /** 64-bit SimHash per doc from word-unigram xxhash64: per bit, sum of
-    * ±1 weighted by bit presence; sign → bit. Wide 64-column agg keeps
-    * it partial-aggregatable. */
+  /** 64-bit SimHash per doc via the native graft_simhash64 expression:
+    * per-bit ±1 vote over word-unigram xxhash64, ONE narrow map — no
+    * explode, no 64-column agg, no shuffle. */
   def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
-    val bitCols = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$i")
-    }
-    val agged = toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-    val sig = (0 until 64).map { i =>
-      shiftleft(when(col(s"b$i") > 0, 1L).otherwise(0L), i)
-    }.reduce(_.bitwiseOR(_))
-    agged.select(col("doc_id"), sig.as("simhash"))
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .selectExpr("doc_id", "graft_simhash64(transform(w, x -> xxhash64(x))) AS simhash")
   }
 
   /** SimHash near-dup candidates: 4×16-bit bands; docs agreeing on any
@@ -171,14 +152,13 @@ object Dedup {
     * Brute pair join at test SF; at scale the same verify stage runs on
     * LSH-bucketed candidates (see Similarity.lshTopK). */
   def embedding(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"), VectorOps.normSq(col("embedding")).as("nsq"))
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("nsq").as("nsq_a"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("nsq").as("nsq_b"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        VectorOps.cosinePre(VectorOps.dot(col("emb_a"), col("emb_b")),
-          col("nsq_a"), col("nsq_b")).as("cosine"))
+        expr("graft_cosine(emb_a, emb_b)").as("cosine"))
       .filter(col("cosine") >= 0.4)
   }
 }

@@ -21,15 +21,17 @@ object Similarity {
 
   val K = 5
 
-  private def queries(s: SparkSession, dir: String): DataFrame =
+  private def queries(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, dir).filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        VectorOps.normSq(col("embedding")).as("q_nsq"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+  }
 
-  private def corpus(s: SparkSession, dir: String): DataFrame =
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
-        VectorOps.normSq(col("embedding")).as("c_nsq"))
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+  }
 
   private def topKPerQuery(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
@@ -43,8 +45,7 @@ object Similarity {
   def bruteTopK(s: SparkSession, dir: String): DataFrame = {
     val scored = broadcast(queries(s, dir)).crossJoin(corpus(s, dir))
       .select(col("query_id"), col("cand_id"),
-        VectorOps.cosinePre(VectorOps.dot(col("q_emb"), col("c_emb")),
-          col("q_nsq"), col("c_nsq")).as("cosine"))
+        expr("graft_cosine(q_emb, c_emb)").as("cosine"))
     topKPerQuery(scored)
   }
 
@@ -85,12 +86,10 @@ object Similarity {
     val q = withSigs(queries(s, dir), "q_emb")
     val c = withSigs(corpus(s, dir), "c_emb")
     val cands = broadcast(q).join(c, Seq("table", "sig"))
-      .select(col("query_id"), col("cand_id"),
-        col("q_emb"), col("c_emb"), col("q_nsq"), col("c_nsq"))
+      .select(col("query_id"), col("cand_id"), col("q_emb"), col("c_emb"))
       .dropDuplicates("query_id", "cand_id")
     val scored = cands.select(col("query_id"), col("cand_id"),
-      VectorOps.cosinePre(VectorOps.dot(col("q_emb"), col("c_emb")),
-        col("q_nsq"), col("c_nsq")).as("cosine"))
+      expr("graft_cosine(q_emb, c_emb)").as("cosine"))
     topKPerQuery(scored)
   }
 
@@ -101,30 +100,26 @@ object Similarity {
     * centroid, queries probe the nprobe nearest centroid lists. */
   def ivfTopK(s: SparkSession, dir: String): DataFrame = {
     val cents = Tables.embeddings(s, dir).filter(col("vec_id") % 25 === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
-        VectorOps.normSq(col("embedding")).as("cent_nsq"))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
     // assign corpus vectors to nearest centroid
     val assignW = Window.partitionBy(col("cand_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
     val assigned = corpus(s, dir).crossJoin(broadcast(cents))
-      .select(col("cand_id"), col("c_emb"), col("c_nsq"), col("cent_id"),
-        VectorOps.cosinePre(VectorOps.dot(col("c_emb"), col("cent_emb")),
-          col("c_nsq"), col("cent_nsq")).as("cent_cos"))
+      .select(col("cand_id"), col("c_emb"), col("cent_id"),
+        expr("graft_cosine(c_emb, cent_emb)").as("cent_cos"))
       .withColumn("rn", row_number().over(assignW)).filter(col("rn") === 1)
-      .select(col("cand_id"), col("c_emb"), col("c_nsq"), col("cent_id"))
+      .select(col("cand_id"), col("c_emb"), col("cent_id"))
     // queries pick nprobe nearest centroids
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
     val probes = queries(s, dir).crossJoin(broadcast(cents))
-      .select(col("query_id"), col("q_emb"), col("q_nsq"), col("cent_id"),
-        VectorOps.cosinePre(VectorOps.dot(col("q_emb"), col("cent_emb")),
-          col("q_nsq"), col("cent_nsq")).as("cent_cos"))
+      .select(col("query_id"), col("q_emb"), col("cent_id"),
+        expr("graft_cosine(q_emb, cent_emb)").as("cent_cos"))
       .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= IvfProbes)
-      .select(col("query_id"), col("q_emb"), col("q_nsq"), col("cent_id"))
+      .select(col("query_id"), col("q_emb"), col("cent_id"))
     val scored = broadcast(probes).join(assigned, Seq("cent_id"))
       .select(col("query_id"), col("cand_id"),
-        VectorOps.cosinePre(VectorOps.dot(col("q_emb"), col("c_emb")),
-          col("q_nsq"), col("c_nsq")).as("cosine"))
+        expr("graft_cosine(q_emb, c_emb)").as("cosine"))
     topKPerQuery(scored)
   }
 }
