@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** User-facing session factory: one place that wires the graft
+  * extensions (native expressions) and the confs the engine is
+  * designed around. On a real cluster the same builder is used minus
+  * `master`; AQE handles runtime re-planning (partition coalescing,
+  * skew-join splitting) at 100 TB.
+  */
+object GraftSession {
+  def builder(appName: String = "graft", master: Option[String] = None,
+      shufflePartitions: Int = 32): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.extensions", classOf[graft.functions.GraftExtensions].getName)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // hash-mixing expressions (minhash/simhash) use wrapping int64 math
+      .config("spark.sql.ansi.enabled", "false")
+    master.map(b.master).getOrElse(b)
+  }
+
+  def local(cpus: Int = 4): SparkSession = {
+    val s = builder(master = Some(s"local[$cpus]"), shufflePartitions = cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -47,8 +47,11 @@ object Dedup {
   }
 
   val MinhashK = 64          // signature length
-  val LshBands = 32          // bands of r = 2 → collision thresh ≈ 0.18
-  val LshRows: Int = MinhashK / LshBands
+  // 21 bands × 3 rows (63 of 64 sig slots): band-collision prob 1-(1-j³)^21
+  // → ~2% of random pairs (j≈0.1) vs ~99.98% of true near-dups (j≥0.7).
+  // r=2 was ~100× more permissive on small-vocab corpora.
+  val LshBands = 21
+  val LshRows = 3
 
   /** MinHash signature per doc via the native graft_minhash expression:
     * ONE narrow map — no explode, no wide agg, no shuffle. (The affine
@@ -56,7 +59,7 @@ object Dedup {
     * bit-identical to the explode+agg formulation.) */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    Tables.documents(s, dir)
+    Tables.documentsParallel(s, dir)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .selectExpr("doc_id",
         s"graft_minhash(transform(sh, x -> xxhash64(x)), $MinhashK) AS sig")
@@ -66,17 +69,24 @@ object Dedup {
     * (band index, band hash), estimate jaccard from signature overlap. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSignatures(s, dir).cache()
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    // band join carries ONLY (band, bucket, doc_id) — the 512-byte
+    // signature arrays are joined back per distinct pair afterwards,
+    // not shuffled through the candidate-pair explosion.
+    val banded = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(LshBands - 1)),
           b => hash(slice(col("sig"), b * LshRows + 1, lit(LshRows))))))
-      .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (seqSumInt(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")))
           .cast("double") / MinhashK).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= 0.15)
   }
 
@@ -88,7 +98,7 @@ object Dedup {
     * one divide → bit-exact); the production 100 TB path runs the same
     * verify arithmetic on minhashLsh candidates instead of all pairs. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = Tables.documentsParallel(s, dir)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
     val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
@@ -106,7 +116,7 @@ object Dedup {
     * exact shingle Jaccard — candidates only, never all pairs. */
   def lshVerified(s: SparkSession, dir: String): DataFrame = {
     val cands = minhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
-    val d = Tables.documents(s, dir)
+    val d = Tables.documentsParallel(s, dir)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
     cands
       .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -125,7 +135,7 @@ object Dedup {
     * explode, no 64-column agg, no shuffle. */
   def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    Tables.documents(s, dir)
+    Tables.documentsParallel(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .selectExpr("doc_id", "graft_simhash64(transform(w, x -> xxhash64(x))) AS simhash")
   }
@@ -153,7 +163,7 @@ object Dedup {
     * LSH-bucketed candidates (see Similarity.lshTopK). */
   def embedding(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val e = Tables.embeddings(s, dir)
+    val e = Tables.embeddingsParallel(s, dir)
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     a.crossJoin(b).filter(col("vec_a") < col("vec_b"))

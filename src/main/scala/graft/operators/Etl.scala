@@ -166,6 +166,9 @@ object Etl {
     Tables.events(s, dir)
       .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
       .withColumn("shard", pmod(col("user_id"), lit(4)).cast("int"))
+      // co-locate rows with their partition dir: 1 file per (dt, shard)
+      // instead of tasks × dirs small files
+      .repartition(col("dt"), col("shard"))
       .write.mode("overwrite").partitionBy("dt", "shard").parquet(tmp)
     s.read.parquet(tmp)
       .groupBy(col("dt").cast("string").as("dt"), col("shard").cast("int").as("shard"))

@@ -29,7 +29,7 @@ object Similarity {
 
   private def corpus(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
+    Tables.embeddingsParallel(s, dir).filter(col("vec_id") >= 10)
       .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
   }
 

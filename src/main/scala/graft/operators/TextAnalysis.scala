@@ -17,7 +17,7 @@ object TextAnalysis {
   /** Quality scoring: length / token stats / digit ratio / stopword
     * ratio, combined into a deterministic quality score. */
   def quality(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = Tables.documentsParallel(s, dir)
     val w = words(col("text"))
     val nTokens = size(w).cast("long")
     val nChars = length(col("text")).cast("long")
@@ -36,7 +36,7 @@ object TextAnalysis {
   /** Token counting: whitespace tokens + BPE-ish regex pieces
     * (letter runs / digit runs as separate tokens). */
   def tokens(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = Tables.documentsParallel(s, dir)
     val w = words(col("text"))
     d.select(
         col("doc_id"),
@@ -58,7 +58,7 @@ object TextAnalysis {
     "de" -> Seq("customer", "window", "group"))
 
   def langid(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = Tables.documentsParallel(s, dir)
     val w = words(col("text"))
     val scores = langMarkers.map { case (lang, ms) =>
       lang -> size(filter(w, x => x.isInCollection(ms.map(lit)))).cast("long")
@@ -77,7 +77,7 @@ object TextAnalysis {
   /** Word-bigram extraction + global top-50 frequencies.
     * Scale: explode → partial-agg count; top-50 via TakeOrdered. */
   def ngrams(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = Tables.documentsParallel(s, dir)
     val w = words(col("text"))
     val bigrams = transform(
       sequence(lit(0), size(w) - 2),
@@ -95,7 +95,7 @@ object TextAnalysis {
     * exact int64 arithmetic), document fingerprint = min gram hash
     * (winnowing-style), plus distinct-gram cardinality. */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = Tables.documentsParallel(s, dir)
     val p = 2147483647L
     // expression built via SQL text for exact structural parity with the oracle
     val pow = (0 until 8).map(j => math.pow(131, 7 - j).toLong)

@@ -36,5 +36,17 @@ object Tables {
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+
+  /** documents fanned out across the cluster: the table is a single
+    * small parquet file (1 input split), which would serialize
+    * compute-dense per-doc ops (signatures, shingles, n-grams) onto one
+    * core. At 100 TB real file splits give this for free. */
+  def documentsParallel(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(s.sparkContext.defaultParallelism)
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** embeddings fanned out — same single-input-split concern as
+    * documentsParallel, for the vector-math-dense ops. */
+  def embeddingsParallel(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
 }
