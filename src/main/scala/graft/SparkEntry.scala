@@ -53,6 +53,19 @@ object SparkEntry {
     "q_pivot" -> (Analytics.qPivot _),
     "q_range_join" -> (Analytics.qRangeJoin _),
     "q_asof_join" -> (Windows.asofJoin _),
+    "q6_selective" -> (Analytics2.q6Selective _),
+    "q10_returns" -> (Analytics2.q10Returns _),
+    "q14_promo_share" -> (Analytics2.q14PromoShare _),
+    "q16_supplier_counts" -> (Analytics2.q16SupplierCounts _),
+    "q18_large_orders" -> (Analytics2.q18LargeOrders _),
+    "q19_disjunctive" -> (Analytics2.q19Disjunctive _),
+    "q21_late_suppliers" -> (Analytics2.q21LateSuppliers _),
+    "q22_dormant" -> (Analytics2.q22Dormant _),
+    // distributed-execution patterns (oracle-equal results)
+    "pat_skew_agg" -> (Patterns.skewAgg _),
+    "pat_typed_agg" -> (Patterns.typedAgg _),
+    "pat_bucketed_join" -> (Patterns.bucketedJoin _),
+    "pat_codec_roundtrip" -> (Patterns.codecRoundtrip _),
     // streaming batch-equivalents (TimeWindow/Frequency transfers)
     "stream_tumbling" -> (Windows.tumbling _),
     "stream_sliding" -> (Windows.sliding _),
@@ -287,6 +300,74 @@ object SparkEntry {
         | epoch_us(MIN(ts)) AS session_start_us, epoch_us(MAX(ts)) AS session_end_us,
         | ${decSum("value")} AS sum_value
         |FROM s GROUP BY user_id, session_seq""".stripMargin,
+    "q6_selective" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        | AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q10_returns" ->
+      s"""SELECT c_custkey, c_name, c_mktsegment, $revenue AS revenue
+        |FROM lineitem, orders, customer
+        |WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name, c_mktsegment
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT
+        | CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |   THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_share,
+        | COUNT(*) AS n_items
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey AND l_shipdate >= '1997-01-01' AND l_shipdate < '1997-07-01'""".stripMargin,
+    "q16_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey AND p_brand <> 'Brand#1' AND p_size IN (5, 10, 15, 20)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, total_qty FROM orders JOIN (
+        | SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        | FROM lineitem GROUP BY l_orderkey
+        | HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 200) t
+        |ON o_orderkey = l_orderkey""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross,
+        | COUNT(*) AS n_items
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey AND (
+        | (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10) OR
+        | (p_brand = 'Brand#9' AND p_size BETWEEN 10 AND 30 AND l_quantity < 10))""".stripMargin,
+    "q21_late_suppliers" ->
+      """SELECT l_suppkey, COUNT(*) AS n_items,
+        | COUNT(CASE WHEN l_shipdate > '2000-01-01' THEN 1 END) AS n_late
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING COUNT(CASE WHEN l_shipdate > '2000-01-01' THEN 1 END) * 2 > COUNT(*)""".stripMargin,
+    "q22_dormant" ->
+      """WITH ab AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+        | FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, COUNT(*) AS n_customers,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer, ab
+        |WHERE c_acctbal > avg_bal
+        | AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |   AND o_orderdate >= '1999-01-01')
+        |GROUP BY c_mktsegment""".stripMargin,
+    "pat_skew_agg" ->
+      s"""SELECT l_returnflag, ${decSum("l_quantity")} AS sum_qty, COUNT(*) AS n_items
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "pat_typed_agg" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100 / COUNT(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "pat_bucketed_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_items, ${decSum("l_quantity")} AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "pat_codec_roundtrip" ->
+      s"""SELECT s_nationkey, COUNT(*) AS n_suppliers, ${decSum("s_acctbal")} AS sum_bal
+        |FROM supplier GROUP BY s_nationkey""".stripMargin,
     "mm_meta_extract" ->
       """SELECT doc_id,
         | CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'wav' END AS format,

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Second wave of query-engine coverage: the remaining TPC-H-style
+  * shapes (selective scan agg, group-filtered IN subqueries,
+  * disjunctive predicates, ratio aggregates, distinct-count rollups,
+  * top-k by revenue). Same oracle-exactness conventions as Analytics.
+  */
+object Analytics2 {
+
+  private val dec = "decimal(18,2)"
+  private def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+
+  /** Q6-style: single-scan selective aggregate — the pushdown stress
+    * test (filters + 3-column ReadSchema reach the scan). */
+  def q6Selective(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01")
+        && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast(dec) * col("l_discount").cast(dec))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Q10-style: top 20 customers by returned-item revenue. */
+  def q10Returns(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .agg(sum(col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q14-style ratio aggregate: promo revenue share (one division at
+    * the very end → bit-exact). */
+  def q14PromoShare(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-07-01"))
+    val p = Tables.part(s, dir)
+    val joined = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val rev = col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec))
+    joined.agg(
+      (sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(dec))).cast("double") /
+        sum(rev).cast("double")).as("promo_share"),
+      count(lit(1)).as("n_items"))
+  }
+
+  /** Q16-style: distinct supplier count per (brand, type) bucket. */
+  def q16SupplierCounts(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(col("p_brand") =!= "Brand#1" && col("p_size").isin(5, 10, 15, 20))
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** Q18-style: large-volume orders via aggregated IN-subquery. */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(dec)).cast("double").as("total_qty"))
+      .filter(col("total_qty") > 200)
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("total_qty"))
+  }
+
+  /** Q19-style disjunctive predicates across a join. */
+  def q19Disjunctive(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) && col("l_quantity") >= 10) ||
+        (col("p_brand") === "Brand#9" && col("p_size").between(10, 30) && col("l_quantity") < 10))
+      .agg(dsum(col("l_extendedprice")).as("gross"), count(lit(1)).as("n_items"))
+
+  }
+
+  /** Q22-style: high-balance customers with no orders in a window —
+    * scalar subquery + anti join combined. */
+  def q22Dormant(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast(dec)).cast("double") / count(lit(1))).as("avg_bal"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1999-01-01"))
+    c.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_bal"))
+  }
+
+  /** Correlated EXISTS with aggregate (Q21 flavor): suppliers whose
+    * items are always shipped late relative to a cutoff. */
+  def q21LateSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    l.groupBy(col("l_suppkey"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        count(when(col("l_shipdate") > lit("2000-01-01"), 1)).as("n_late"))
+      .filter(col("n_late") * 2 > col("n_items"))
+      .select(col("l_suppkey"), col("n_items"), col("n_late"))
+  }
+}

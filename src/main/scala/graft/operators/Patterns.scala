@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+import graft.sources.Tables
+
+/** Distributed-execution patterns that matter at 100 TB, each with an
+  * oracle-equal result so correctness is provable, and a spec asserting
+  * the plan shape that makes it scale.
+  */
+object Patterns {
+
+  /** Salted two-stage aggregation for skewed keys: partial agg on
+    * (key, salt) spreads a hot key over N reducers, final agg merges.
+    * Result is EXACTLY the plain group-by (decimal sums are
+    * order-independent). */
+  def skewAgg(s: SparkSession, dir: String): DataFrame = {
+    val salted = Tables.lineitem(s, dir)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("part_qty"),
+        count(lit(1)).as("part_n"))
+    salted.groupBy(col("l_returnflag"))
+      .agg(sum(col("part_qty")).cast("double").as("sum_qty"),
+        sum(col("part_n")).as("n_items"))
+  }
+
+  final case class QtyStats(var cents: Long, var n: Long)
+
+  /** Typed Dataset Aggregator (the type-safe custom-agg API): exact
+    * integer-cents accumulation, double divisions only at the end. */
+  val qtyAgg: Aggregator[(String, Double), QtyStats, Double] =
+    new Aggregator[(String, Double), QtyStats, Double] {
+      def zero: QtyStats = QtyStats(0L, 0L)
+      def reduce(b: QtyStats, a: (String, Double)): QtyStats = {
+        b.cents += math.round(a._2 * 100); b.n += 1; b
+      }
+      def merge(x: QtyStats, y: QtyStats): QtyStats = {
+        x.cents += y.cents; x.n += y.n; x
+      }
+      def finish(r: QtyStats): Double = r.cents.toDouble / 100.0 / r.n
+      def bufferEncoder: Encoder[QtyStats] = Encoders.product[QtyStats]
+      def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    }
+
+  def typedAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .agg(qtyAgg.toColumn.name("avg_qty"))
+      .toDF("l_returnflag", "avg_qty")
+  }
+
+  /** Bucketed co-located join: both sides persisted bucketed by the
+    * join key → the join needs NO Exchange (verified in PatternsSpec).
+    * The 100 TB pattern for repeatedly-joined fact tables. */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val db = "graft_buckets"
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$wh'")
+    val oT = s"$db.orders_b"
+    val lT = s"$db.lineitem_b"
+    // drop stale tables AND their dirs (a previous session may have left
+    // the location behind without catalog entries in this session)
+    Seq(oT, lT).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq("orders_b", "lineitem_b").foreach { d =>
+      val p = java.nio.file.Paths.get(wh, d)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    Tables.orders(s, dir).write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(oT)
+    Tables.lineitem(s, dir).write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lT)
+    s.table(lT).join(s.table(oT), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+  }
+
+  /** Codec coverage beyond gzip ndjson: zstd parquet + gzip csv
+    * roundtrip, aggregate must survive both hops. */
+  def codecRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_codec"
+    val src = Tables.supplier(s, dir)
+    src.write.mode("overwrite").option("compression", "zstd").parquet(s"$tmp/zstd")
+    val back = s.read.parquet(s"$tmp/zstd")
+    back.write.mode("overwrite").option("compression", "gzip")
+      .option("header", "true").csv(s"$tmp/gz")
+    s.read.option("header", "true")
+      .schema("s_suppkey LONG, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+      .csv(s"$tmp/gz")
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+  }
+}
