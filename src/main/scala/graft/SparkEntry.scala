@@ -343,7 +343,7 @@ object SparkEntry {
       """SELECT l_suppkey, COUNT(*) AS n_items,
         | COUNT(CASE WHEN l_shipdate > '2000-01-01' THEN 1 END) AS n_late
         |FROM lineitem GROUP BY l_suppkey
-        |HAVING COUNT(CASE WHEN l_shipdate > '2000-01-01' THEN 1 END) * 2 > COUNT(*)""".stripMargin,
+        |HAVING COUNT(CASE WHEN l_shipdate > '2000-01-01' THEN 1 END) * 4 > COUNT(*)""".stripMargin,
     "q22_dormant" ->
       """WITH ab AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
         | FROM customer WHERE c_acctbal > 0)

@@ -40,13 +40,14 @@ case class CosineSim(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
       s"""
        |int $n = $a.numElements() < $b.numElements() ? $a.numElements() : $b.numElements();
        |double $dot = 0.0, $na = 0.0, $nb = 0.0;
        |for (int $i = 0; $i < $n; $i++) {
-       |  double x = (double) $a.getFloat($i);
-       |  double y = (double) $b.getFloat($i);
-       |  $dot += x * y; $na += x * x; $nb += y * y;
+       |  double $xv = (double) $a.getFloat($i);
+       |  double $yv = (double) $b.getFloat($i);
+       |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
        |}
        |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
        """.stripMargin
@@ -104,17 +105,19 @@ case class MinHashSig(child: Expression, k: Int)
       val paRef = ctx.addReferenceObj("minhashA", pa, "long[]")
       val pbRef = ctx.addReferenceObj("minhashB", pb, "long[]")
       val sig = ctx.freshName("sig"); val n = ctx.freshName("n")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val h = ctx.freshName("h"); val v = ctx.freshName("v"); val m = ctx.freshName("m")
       s"""
        |int $n = $c.numElements();
        |long[] $sig = new long[$k];
        |java.util.Arrays.fill($sig, Long.MAX_VALUE);
-       |for (int i = 0; i < $n; i++) {
-       |  long h = $c.getLong(i);
-       |  for (int j = 0; j < $k; j++) {
-       |    long v = h * $paRef[j] + $pbRef[j];
-       |    long m = v % Long.MAX_VALUE;
-       |    if (m < 0) m += Long.MAX_VALUE;
-       |    if (m < $sig[j]) $sig[j] = m;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  long $h = $c.getLong($i);
+       |  for (int $j = 0; $j < $k; $j++) {
+       |    long $v = $h * $paRef[$j] + $pbRef[$j];
+       |    long $m = $v % Long.MAX_VALUE;
+       |    if ($m < 0) $m += Long.MAX_VALUE;
+       |    if ($m < $sig[$j]) $sig[$j] = $m;
        |  }
        |}
        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
@@ -155,17 +158,18 @@ case class SimHash64(child: Expression)
     nullSafeCodeGen(ctx, ev, c => {
       val votes = ctx.freshName("votes"); val n = ctx.freshName("n")
       val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j"); val h = ctx.freshName("h")
       s"""
        |int $n = $c.numElements();
        |int[] $votes = new int[64];
-       |for (int i = 0; i < $n; i++) {
-       |  long h = $c.getLong(i);
-       |  for (int j = 0; j < 64; j++) {
-       |    if (((h >>> j) & 1L) == 1L) $votes[j]++; else $votes[j]--;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  long $h = $c.getLong($i);
+       |  for (int $j = 0; $j < 64; $j++) {
+       |    if ((($h >>> $j) & 1L) == 1L) $votes[$j]++; else $votes[$j]--;
        |  }
        |}
        |long $sig = 0L;
-       |for (int j = 0; j < 64; j++) { if ($votes[j] > 0) $sig |= (1L << j); }
+       |for (int $j = 0; $j < 64; $j++) { if ($votes[$j] > 0) $sig |= (1L << $j); }
        |${ev.value} = $sig;
        """.stripMargin
     })

@@ -107,7 +107,7 @@ object Analytics2 {
       .agg(
         count(lit(1)).as("n_items"),
         count(when(col("l_shipdate") > lit("2000-01-01"), 1)).as("n_late"))
-      .filter(col("n_late") * 2 > col("n_items"))
+      .filter(col("n_late") * 4 > col("n_items"))
       .select(col("l_suppkey"), col("n_items"), col("n_late"))
   }
 }

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Blanket gate over the whole driver contract: every SparkEntry query
+  * must (a) plan without error, (b) return rows at the smoke SF, and
+  * (c) avoid accidental cartesian products — only the deliberately
+  * all-pairs oracle twins may cross join.
+  */
+class AllQueriesSpec extends AnyFunSuite {
+  import SharedSpark.{spark, sf}
+
+  private val allowedCrossJoin = Set(
+    "dedup_ngram_jaccard", "dedup_embedding", // all-pairs BY DESIGN (oracle twins)
+    "sim_brute_topk",                          // brute baseline (broadcast nested loop)
+    "sim_ivf_topk",                            // vectors × centroids (tiny broadcast side)
+    "q_scalar_subquery", "q22_dormant")        // scalar-subquery broadcast joins
+
+  test("every query returns rows at sf0.001 and has a sane join plan") {
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sf)
+        val plan = df.queryExecution.executedPlan.toString
+        if (!allowedCrossJoin(name) &&
+            (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin")))
+          failures += s"$name: unexpected cross join in plan"
+        if (df.count() == 0) failures += s"$name: empty result at sf0.001"
+      } catch {
+        case e: Throwable => failures += s"$name: ${e.getMessage.linesIterator.next()}"
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val extra = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
+    assert(extra.isEmpty, s"oracle entries without queries: $extra")
+  }
+
+  test("approx distinct tracks exact distinct within 5%") {
+    val approx = graft.operators.Analytics.qApproxDistinct(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.operators.Analytics.qDistinct(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e).toDouble / e <= 0.05, s"$k: ${approx(k)} vs $e")
+    }
+  }
+}
