@@ -38,13 +38,21 @@ object Dedup {
         unix_micros(col("ts")).as("first_ts_us"))
   }
 
-  /** Word 3-gram shingle array for a document (distinct, unsorted). */
-  private def shingles(text: Column): Column = {
-    val w = split(text, " ")
+  /** Word 3-gram shingle array from a PRE-SPLIT word array column.
+    * The split must be materialized in its own projection first:
+    * higher-order-function lambdas are interpreted (not codegen'd), so
+    * a `split(text)` referenced inside the lambda would re-split the
+    * document once per element access — O(words²) per doc. */
+  private def shinglesFromWords(w: Column): Column =
     array_distinct(transform(
       sequence(lit(0), size(w) - 3),
       i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
-  }
+
+  /** doc_id + shingle array, with the word split materialized. */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documentsParallel(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), shinglesFromWords(col("w")).as("sh"))
 
   val MinhashK = 64          // signature length
   // 21 bands × 3 rows (63 of 64 sig slots): band-collision prob 1-(1-j³)^21
@@ -59,8 +67,7 @@ object Dedup {
     * bit-identical to the explode+agg formulation.) */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    Tables.documentsParallel(s, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    docShingles(s, dir)
       .selectExpr("doc_id",
         s"graft_minhash(transform(sh, x -> xxhash64(x)), $MinhashK) AS sig")
   }
@@ -98,8 +105,7 @@ object Dedup {
     * one divide → bit-exact); the production 100 TB path runs the same
     * verify arithmetic on minhashLsh candidates instead of all pairs. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documentsParallel(s, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val d = docShingles(s, dir)
     val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
@@ -116,8 +122,7 @@ object Dedup {
     * exact shingle Jaccard — candidates only, never all pairs. */
   def lshVerified(s: SparkSession, dir: String): DataFrame = {
     val cands = minhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
-    val d = Tables.documentsParallel(s, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val d = docShingles(s, dir)
     cands
       .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")

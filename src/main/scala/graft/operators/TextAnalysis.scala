@@ -78,11 +78,14 @@ object TextAnalysis {
     * Scale: explode → partial-agg count; top-50 via TakeOrdered. */
   def ngrams(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documentsParallel(s, dir)
-    val w = words(col("text"))
+    // materialize the split: HOF lambdas are interpreted and would
+    // otherwise re-split the text per element access
+    val withW = d.select(split(col("text"), " ").as("w")).filter(size(col("w")) >= 2)
+    val w = col("w")
     val bigrams = transform(
       sequence(lit(0), size(w) - 2),
       i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2)))
-    d.filter(size(w) >= 2)
+    withW
       .select(explode(bigrams).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
