@@ -70,6 +70,7 @@ object SparkEntry {
     "stream_tumbling" -> (Windows.tumbling _),
     "stream_sliding" -> (Windows.sliding _),
     "stream_session" -> (Windows.session _),
+    "stream_session_native" -> (Windows.sessionNative _),
     // dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_exact_keyed" -> (Dedup.exactKeyed _),
@@ -78,6 +79,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_lsh_verified" -> (Dedup.lshVerified _),
     "dedup_embedding" -> (Dedup.embedding _),
+    "dedup_components" -> (Dedup.components _),
     // similarity search
     "sim_brute_topk" -> (Similarity.bruteTopK _),
     "sim_lsh_topk" -> (Similarity.lshTopK _),
@@ -107,6 +109,7 @@ object SparkEntry {
     "text_langid" -> (TextAnalysis.langid _),
     "text_ngrams" -> (TextAnalysis.ngrams _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "text_top_terms" -> (TextAnalysis.topTerms _),
   )
 
   /** Headline bench set: everything except the deliberately-quadratic
@@ -401,6 +404,52 @@ object SparkEntry {
         | CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events WHERE event_id < 2000 AND event_type <> 'error'
         |GROUP BY event_type""".stripMargin,
+    "stream_session_native" ->
+      s"""WITH g AS (
+        | SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        | SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        | FROM g)
+        |SELECT user_id, COUNT(*) AS n_events,
+        | epoch_us(MIN(ts)) AS session_start_us, epoch_us(MAX(ts)) AS session_end_us,
+        | ${decSum("value")} AS sum_value
+        |FROM s GROUP BY user_id, session_seq""".stripMargin,
+    "text_top_terms" ->
+      """WITH tf AS (
+        | SELECT doc_id, term, COUNT(*) AS tf FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+        | GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term)
+        |SELECT doc_id, term, tf, df, rank FROM (
+        | SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |  CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |    ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS BIGINT) AS rank
+        | FROM tf JOIN df USING (term)) r
+        |WHERE rank <= 3""".stripMargin,
+    "dedup_components" ->
+      """WITH RECURSIVE s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   range(1, len(string_split(text, ' ')) - 1),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents),
+        |p AS (
+        | SELECT doc_a, doc_b FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |  FROM s a, s b WHERE a.doc_id < b.doc_id) t
+        | WHERE jaccard >= 0.7),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+        |r(a, b) AS (
+        | SELECT a, b FROM e
+        | UNION
+        | SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
+        |SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp FROM r GROUP BY a""".stripMargin,
     "dedup_exact" ->
       "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents GROUP BY text",
     "dedup_exact_keyed" ->

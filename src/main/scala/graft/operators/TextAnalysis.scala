@@ -93,6 +93,26 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** TF-IDF-style salient terms without floats: top-3 terms per doc
+    * ranked by (term frequency desc, document frequency asc, term asc)
+    * — the same ordering TF-IDF induces on this corpus, in pure integer
+    * arithmetic so the oracle is exact. Two shuffles: (doc, term) agg +
+    * broadcast df join. */
+  def topTerms(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documentsParallel(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(broadcast(df), "term")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
+  }
+
   /** Rolling-hash document fingerprint: polynomial hash of every char
     * 8-gram (base 131 mod 2^31-1, unrolled so DuckDB reproduces the
     * exact int64 arithmetic), document fingerprint = min gram hash

@@ -50,6 +50,19 @@ object Windows {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
   }
 
+  /** Session windows via Spark's native session_window — same
+    * semantics as the gaps-and-islands formulation (30 min gap), one
+    * shuffle, mergeable session state at scale. */
+  def sessionNative(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("win"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_micros(min(col("ts"))).as("session_start_us"),
+        unix_micros(max(col("ts"))).as("session_end_us"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("n_events"),
+        col("session_start_us"), col("session_end_us"), col("sum_value"))
+
   /** Event→event as-of join: for each 'error' event, the latest
     * preceding 'click' by the same user — last-observation-carried-
     * forward via one window pass (single shuffle on user_id; no join,
