@@ -6,13 +6,11 @@ import org.apache.spark.sql.SparkSession
   * JVM; re-creating sessions per-suite triples test wall time). */
 object SharedSpark {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
+    // GraftSession wiring → the extensions (functions + optimizer rule)
+    // are active in every suite
+    val s = GraftSession.builder(appName = "graft-test", master = Some("local[4]"),
+        shufflePartitions = 4)
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
