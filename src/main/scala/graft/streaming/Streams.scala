@@ -67,6 +67,27 @@ object Streams {
       .select(unix_timestamp(col("window.start")).as("win_start_s"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join: each error event joined to the click
+    * events of the same user in the preceding 30 minutes. Watermarks on
+    * BOTH sides bound the join state — without them a stream-stream
+    * join buffers forever at 100 TB/day rates. */
+  def clickErrorIntervalJoin(clicks: DataFrame, errors: DataFrame): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+      col("ts").as("c_ts")).withWatermark("c_ts", "1 hour")
+    val e = errors.select(col("event_id").as("error_id"), col("user_id").as("e_user"),
+      col("ts").as("e_ts")).withWatermark("e_ts", "1 hour")
+    e.join(c, expr(
+      "c_user = e_user AND c_ts >= e_ts - interval 30 minutes AND c_ts <= e_ts"))
+      .select(col("error_id"), col("click_id"), col("e_user").as("user_id"),
+        unix_micros(col("e_ts")).as("error_us"), unix_micros(col("c_ts")).as("click_us"))
+  }
+
+  /** Streaming exact dedup bounded by watermark: the streaming form of
+    * Dedup.exactKeyed (idempotent re-delivery collapsing). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Custom stateful sessionization with flatMapGroupsWithState —
     * 30-minute inactivity gap, emits a session row when the gap closes.
     * The streaming twin of Windows.session's gaps-and-islands. */

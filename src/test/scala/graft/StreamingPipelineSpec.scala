@@ -84,6 +84,47 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(streamed == closed)
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = eventSlice(1500)
+    val memC = MemoryStream[Event]; val memE = MemoryStream[Event]
+    memC.addData(events.filter(_.event_type == "click"))
+    memE.addData(events.filter(_.event_type == "error"))
+    val q = Streams.clickErrorIntervalJoin(memC.toDF(), memE.toDF())
+      .writeStream.format("memory").queryName("ij")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ij").collect().map(_.toSeq).toSet
+
+    val all = events.toDF()
+    val bc = all.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val be = all.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
+    val batch = be.join(bc, expr(
+        "c_user = e_user AND c_ts >= e_ts - interval 30 minutes AND c_ts <= e_ts"))
+      .select(col("error_id"), col("click_id"), col("e_user").as("user_id"),
+        unix_micros(col("e_ts")).as("error_us"), unix_micros(col("c_ts")).as("click_us"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("watermarked streaming dedup collapses duplicate deliveries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = eventSlice(300)
+    val mem = MemoryStream[Event]
+    mem.addData(events ++ events.take(100)) // re-deliver a prefix
+    val q = Streams.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_s")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_s").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.length == 300 && got.toSet == events.map(_.event_id).toSet)
+  }
+
   test("pipeline run() writes dynamic partitions routed by mod and date keys") {
     import graft.plans.Pipeline._
     val out = java.nio.file.Files.createTempDirectory("graft_pipe").toString
