@@ -61,6 +61,9 @@ object SparkEntry {
     "q19_disjunctive" -> (Analytics2.q19Disjunctive _),
     "q21_late_suppliers" -> (Analytics2.q21LateSuppliers _),
     "q22_dormant" -> (Analytics2.q22Dormant _),
+    "q_cube" -> (Analytics2.qCube _),
+    "q_null_semantics" -> (Analytics2.qNullSemantics _),
+    "q_percentile" -> (Analytics2.qPercentile _),
     // distributed-execution patterns (oracle-equal results)
     "pat_skew_agg" -> (Patterns.skewAgg _),
     "pat_typed_agg" -> (Patterns.typedAgg _),
@@ -357,6 +360,24 @@ object SparkEntry {
         | AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |   AND o_orderdate >= '1999-01-01')
         |GROUP BY c_mktsegment""".stripMargin,
+    "q_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        | ${decSum("o_totalprice")} AS total_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_null_semantics" ->
+      """SELECT o_orderstatus,
+        | COUNT(maybe_priority) AS n_nonnull,
+        | COUNT(CASE WHEN maybe_priority IS NULL THEN 1 END) AS n_null,
+        | COUNT(CASE WHEN maybe_priority IS NOT DISTINCT FROM '1-URGENT' THEN 1 END) AS n_urgent_nullsafe,
+        | COUNT(DISTINCT COALESCE(maybe_priority, '(none)')) AS n_distinct_coalesced
+        |FROM (SELECT o_orderstatus, NULLIF(o_orderpriority, '3-MEDIUM') AS maybe_priority
+        | FROM orders) t
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS med_qty,
+        | quantile_cont(l_extendedprice, 0.9) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "pat_skew_agg" ->
       s"""SELECT l_returnflag, ${decSum("l_quantity")} AS sum_qty, COUNT(*) AS n_items
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,

@@ -99,6 +99,33 @@ object Analytics2 {
       .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_bal"))
   }
 
+  /** CUBE over two dimensions (all grouping-set combinations). */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+
+  /** Null semantics: NULLIF / COALESCE / null-safe equality. */
+  def qNullSemantics(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .withColumn("maybe_priority", nullif(col("o_orderpriority"), lit("3-MEDIUM")))
+    o.groupBy(col("o_orderstatus"))
+      .agg(
+        count(col("maybe_priority")).as("n_nonnull"),
+        count(when(col("maybe_priority").isNull, 1)).as("n_null"),
+        count(when(col("maybe_priority") <=> lit("1-URGENT"), 1)).as("n_urgent_nullsafe"),
+        countDistinct(coalesce(col("maybe_priority"), lit("(none)"))).as("n_distinct_coalesced"))
+  }
+
+  /** Exact percentiles (linear interpolation — matches DuckDB's
+    * quantile_cont definition). */
+  def qPercentile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("med_qty"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90_price"))
+
   /** Correlated EXISTS with aggregate (Q21 flavor): suppliers whose
     * items are always shipped late relative to a cutoff. */
   def q21LateSuppliers(s: SparkSession, dir: String): DataFrame = {
