@@ -28,6 +28,7 @@ object SparkEntry {
     "etl_var_extract" -> (Etl.varExtract _),
     "etl_meta" -> (Etl.meta _),
     "etl_schema_map" -> (Etl.schemaMap _),
+    "etl_sql_text_source" -> (Etl.sqlTextSource _),
     "etl_ndjson_roundtrip" -> (Etl.ndjsonRoundtrip _),
     "etl_csv_roundtrip" -> (Etl.csvRoundtrip _),
     "etl_error_tolerance" -> (Etl.errorTolerance _),
@@ -163,6 +164,12 @@ object SparkEntry {
         | CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
         | l_returnflag AS flag
         |FROM lineitem WHERE l_orderkey <= 500""".stripMargin,
+    "etl_sql_text_source" ->
+      s"""SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n_orders,
+        | ${decSum("o_totalprice")} AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderdate >= '1998-01-01'
+        |GROUP BY c_mktsegment, o_orderstatus""".stripMargin,
     "etl_ndjson_roundtrip" ->
       s"""SELECT l_returnflag, COUNT(*) AS n_rows, ${decSum("l_quantity")} AS sum_qty
         |FROM lineitem WHERE l_orderkey <= 1000 GROUP BY l_returnflag""".stripMargin,

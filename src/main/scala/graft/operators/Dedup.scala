@@ -151,20 +151,23 @@ object Dedup {
       .distinct().cache()
     var labels = edges.select(col("doc_a").as("doc_id"))
       .distinct().withColumn("comp", col("doc_id"))
-    var changed = true
+    // labels only ever decrease → sum(comp) is a cheap monotone
+    // convergence witness (one scalar agg per iteration, no self-join)
+    var prevSum = Long.MaxValue
     var iter = 0
-    while (changed && iter < 20) {
+    var converged = false
+    while (!converged && iter < 20) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("comp", "n_comp"), "doc_b")
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min(col("n_comp")).as("min_n_comp"))
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+      labels = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("comp"), coalesce(col("min_n_comp"), col("comp"))).as("comp"))
         .localCheckpoint()
-      changed = updated.join(labels.withColumnRenamed("comp", "old_comp"), "doc_id")
-        .filter(col("comp") =!= col("old_comp")).limit(1).count() > 0
-      labels = updated
+      val sumNow = labels.agg(sum(col("comp"))).collect()(0).getLong(0)
+      converged = sumNow == prevSum
+      prevSum = sumNow
       iter += 1
     }
     labels.select(col("doc_id"), col("comp"))

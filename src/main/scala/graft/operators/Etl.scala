@@ -89,6 +89,22 @@ object Etl {
         count(when(!processedPred, 1)).as("record_skipped"))
   }
 
+  /** `datastore` SQL-text source (reference config.go:115 Source.Type
+    * "datastore", test/transfer_config2.json `"Name": "SELECT * FROM
+    * apps"`): the source IS a SQL string — in Spark, tables register as
+    * views and the query goes through spark.sql, fully optimized by
+    * Catalyst like any DataFrame plan. */
+  def sqlTextSource(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    s.sql("""
+      SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+      WHERE o_orderdate >= '1998-01-01'
+      GROUP BY c_mktsegment, o_orderstatus""")
+  }
+
   /** Schema mapping analog (reference pkg/bigquery/big_query_schema.go:
     * app type → table schema): explicit cast/rename projection. */
   def schemaMap(s: SparkSession, dir: String): DataFrame =
