@@ -29,6 +29,7 @@ object SparkEntry {
     "etl_meta" -> (Etl.meta _),
     "etl_schema_map" -> (Etl.schemaMap _),
     "etl_sql_text_source" -> (Etl.sqlTextSource _),
+    "etl_upsert_merge" -> (Etl.upsertMerge _),
     "etl_ndjson_roundtrip" -> (Etl.ndjsonRoundtrip _),
     "etl_csv_roundtrip" -> (Etl.csvRoundtrip _),
     "etl_error_tolerance" -> (Etl.errorTolerance _),
@@ -164,6 +165,17 @@ object SparkEntry {
         | CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
         | l_returnflag AS flag
         |FROM lineitem WHERE l_orderkey <= 500""".stripMargin,
+    "etl_upsert_merge" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM (
+        | SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0
+        |   THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1 AS DOUBLE)
+        |   ELSE o_totalprice END AS o_totalprice
+        | FROM orders) t
+        |GROUP BY o_orderstatus""".stripMargin,
     "etl_sql_text_source" ->
       s"""SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n_orders,
         | ${decSum("o_totalprice")} AS total_price

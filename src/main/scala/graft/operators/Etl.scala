@@ -173,6 +173,31 @@ object Etl {
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
   }
 
+  /** Incremental upsert-merge: a changes batch overrides the base per
+    * key — latest-wins by (version, key) row_number. The idempotent
+    * incremental-load primitive every scheduled transfer needs
+    * (reference transfer.go re-runs a window; this collapses re-runs).
+    * Changes batch derived deterministically so the oracle can rebuild
+    * the same merge. */
+  def upsertMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        lit(0).as("version"))
+    val changes = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(18,2)") + 1).cast("double").as("o_totalprice"),
+        lit(1).as("version"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderkey")).orderBy(col("version").desc)
+    base.union(changes)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+  }
+
   /** Dynamic-partitioned sink (reference transfer.go getTargetKey →
     * per-key target files): one distributed write, partition dirs are
     * the dynamic targets. Returns the read-back per-partition counts so
