@@ -85,6 +85,7 @@ object SparkEntry {
     "dedup_lsh_verified" -> (Dedup.lshVerified _),
     "dedup_embedding" -> (Dedup.embedding _),
     "dedup_components" -> (Dedup.components _),
+    "dedup_prefix_join" -> (Dedup.prefixJoin _),
     // similarity search
     "sim_brute_topk" -> (Similarity.bruteTopK _),
     "sim_lsh_topk" -> (Similarity.lshTopK _),
@@ -122,7 +123,12 @@ object SparkEntry {
     * BY DESIGN so DuckDB can replicate them exactly; their production
     * scale paths — dedup_lsh_verified, sim_lsh_topk — are benched). */
   def benchQueries: Seq[String] =
-    queries.keys.filterNot(Set("dedup_ngram_jaccard")).toSeq.sorted
+    queries.keys.filterNot(Set(
+      "dedup_ngram_jaccard", // all-pairs oracle twin of dedup_lsh_verified
+      "dedup_prefix_join"    // exact AllPairs twin; prefix filter prunes
+                             // poorly on this tiny-vocab corpus (LSH path
+                             // is the benched production shape)
+    )).toSeq.sorted
 
   private val decSum = (c: String) => s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
   private val revenue =
@@ -490,6 +496,19 @@ object SparkEntry {
         | UNION
         | SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp FROM r GROUP BY a""".stripMargin,
+    "dedup_prefix_join" ->
+      """WITH s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   range(1, len(string_split(text, ' ')) - 1),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        | FROM s a, s b WHERE a.doc_id < b.doc_id) t
+        |WHERE jaccard >= 0.7""".stripMargin,
     "dedup_exact" ->
       "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents GROUP BY text",
     "dedup_exact_keyed" ->

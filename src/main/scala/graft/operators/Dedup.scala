@@ -135,6 +135,38 @@ object Dedup {
       .filter(col("jaccard") >= 0.7)
   }
 
+  /** Prefix-filter (AllPairs-style) EXACT similarity self-join at
+    * threshold 0.7: shingle lists in a global canonical order; a pair
+    * with J ≥ τ must share an element within each doc's first
+    * n - ceil(τ·n) + 1 shingles, so candidate generation is an
+    * equi-join on prefix tokens — no LSH approximation, no O(n²).
+    * ceil(τ·n) computed in integer arithmetic ((7n+9) div 10) to avoid
+    * float-boundary bugs. Output provably equals the all-pairs
+    * ngramJaccard ≥ 0.7 set (that SQL is the oracle). */
+  def prefixJoin(s: SparkSession, dir: String): DataFrame = {
+    val d = docShingles(s, dir)
+      .select(col("doc_id"), array_sort(col("sh")).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .withColumn("plen", col("n") - expr("(7 * n + 9) div 10") + 1)
+      .cache()
+    val pref = d.select(col("doc_id"),
+      explode(slice(col("sh"), lit(1), col("plen"))).as("tok"))
+    val cands = pref.select(col("tok"), col("doc_id").as("doc_a"))
+      .join(pref.select(col("tok"), col("doc_id").as("doc_b")), "tok")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cands
+      .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_inter"),
+        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.7)
+  }
+
   /** Near-dup cluster assignment: connected components over the
     * jaccard ≥ 0.7 pair graph via iterative min-label propagation
     * (converges in O(log n) joins; lineage cut per iteration). The

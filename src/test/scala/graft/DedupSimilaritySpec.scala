@@ -23,6 +23,14 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"LSH missed ${truth.diff(found).size} of ${truth.size} true pairs")
   }
 
+  test("prefix-filter exact join equals the LSH-verified pair set") {
+    val prefix = Dedup.prefixJoin(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.lshVerified(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prefix == lsh && prefix.nonEmpty)
+  }
+
   test("simhash: true near-dups land within small hamming distance") {
     val truth = Dedup.ngramJaccard(spark, sf).filter(col("jaccard") >= 0.9)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
