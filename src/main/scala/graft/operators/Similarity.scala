@@ -94,13 +94,42 @@ object Similarity {
   }
 
   val IvfProbes = 4
+  val IvfLloydIters = 2
 
-  /** IVF ANN with deterministic centroid seeds (every 25th vector) and
-    * one Lloyd-free assignment pass: corpus partitioned by nearest
-    * centroid, queries probe the nprobe nearest centroid lists. */
+  /** Lloyd k-means refinement of the deterministic seed centroids.
+    * Centroid averaging goes through exact decimal sums so the means
+    * are order-independent (a distributed float sum would make IVF
+    * assignments nondeterministic across runs). */
+  private def kmeansCentroids(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val corpusV = Tables.embeddingsParallel(s, dir)
+      .select(col("vec_id"), col("embedding"))
+    var cents = Tables.embeddings(s, dir).filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cent_id"),
+        expr("transform(embedding, x -> CAST(x AS FLOAT))").as("cent_emb"))
+    for (_ <- 1 to IvfLloydIters) {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cent_id"))
+      val assigned = corpusV.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cent_id"),
+          expr("graft_cosine(embedding, cent_emb)").as("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      cents = assigned
+        .select(col("cent_id"), posexplode(col("embedding")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg((sum(col("col").cast("decimal(28,10)")) / count(lit(1)))
+          .cast("float").as("mean"))
+        .groupBy(col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pm"))
+        .select(col("cent_id"), expr("transform(pm, x -> x.mean)").as("cent_emb"))
+    }
+    cents
+  }
+
+  /** IVF ANN: deterministic seeds + Lloyd refinement; corpus
+    * partitioned by nearest centroid, queries probe the nprobe nearest
+    * centroid lists. */
   def ivfTopK(s: SparkSession, dir: String): DataFrame = {
-    val cents = Tables.embeddings(s, dir).filter(col("vec_id") % 25 === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val cents = kmeansCentroids(s, dir)
     // assign corpus vectors to nearest centroid
     val assignW = Window.partitionBy(col("cand_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
