@@ -86,6 +86,7 @@ object SparkEntry {
     "dedup_embedding" -> (Dedup.embedding _),
     "dedup_components" -> (Dedup.components _),
     "dedup_prefix_join" -> (Dedup.prefixJoin _),
+    "dedup_survivors" -> (Dedup.survivors _),
     // similarity search
     "sim_brute_topk" -> (Similarity.bruteTopK _),
     "sim_lsh_topk" -> (Similarity.lshTopK _),
@@ -496,6 +497,30 @@ object SparkEntry {
         | UNION
         | SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp FROM r GROUP BY a""".stripMargin,
+    "dedup_survivors" ->
+      """WITH RECURSIVE s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   range(1, len(string_split(text, ' ')) - 1),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents),
+        |p AS (
+        | SELECT doc_a, doc_b FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |  FROM s a, s b WHERE a.doc_id < b.doc_id) t
+        | WHERE jaccard >= 0.7),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+        |r(a, b) AS (
+        | SELECT a, b FROM e
+        | UNION
+        | SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+        |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp FROM r GROUP BY a),
+        |removed AS (SELECT doc_id FROM comp WHERE doc_id <> comp)
+        |SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+        |       (SELECT COUNT(*) FROM removed) AS n_removed,
+        |       (SELECT COUNT(*) FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM removed)) AS n_survivors""".stripMargin,
     "dedup_prefix_join" ->
       """WITH s AS (
         | SELECT doc_id, list_distinct(list_transform(

@@ -205,6 +205,20 @@ object Dedup {
     labels.select(col("doc_id"), col("comp"))
   }
 
+  /** End-to-end dedup policy: drop every non-minimum member of each
+    * near-dup component; report corpus sizes. The full pipeline a
+    * 100 TB text corpus runs before training: signatures → LSH →
+    * verify → components → survivor filter. */
+  def survivors(s: SparkSession, dir: String): DataFrame = {
+    val comps = components(s, dir)
+    val removed = comps.filter(col("doc_id") =!= col("comp"))
+    val total = Tables.documents(s, dir).select(col("doc_id"))
+    val kept = total.join(removed.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    total.agg(count(lit(1)).as("n_docs")).crossJoin(
+        removed.agg(count(lit(1)).as("n_removed")))
+      .crossJoin(kept.agg(count(lit(1)).as("n_survivors")))
+  }
+
   /** 64-bit SimHash per doc via the native graft_simhash64 expression:
     * per-bit ±1 vote over word-unigram xxhash64, ONE narrow map — no
     * explode, no 64-column agg, no shuffle. */
