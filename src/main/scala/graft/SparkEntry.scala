@@ -95,6 +95,7 @@ object SparkEntry {
     "mm_meta_extract" -> (Multimodal.metaExtract _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
     "mm_decode_features" -> (Multimodal.decodeFeatures _),
+    "mm_resize_meta" -> (Multimodal.resizeMeta _),
     // declarative pipeline config + real structured streaming
     "etl_pipeline_config" -> ((s, dir) => {
       import graft.plans.Pipeline._
@@ -434,6 +435,16 @@ object SparkEntry {
         | (${(0 until 8).map(j => s"CAST(ascii(substr(txt2, CAST(off AS BIGINT) + 1 + $j, 1)) AS BIGINT) * ${math.pow(131, 7 - j).toLong}").mkString(" + ")})
         |   % 2147483647 AS frame_fp
         |FROM (SELECT doc_id, txt2, unnest(range(0, n_bytes - 63, 128)) AS off FROM m) t""".stripMargin,
+    "mm_resize_meta" ->
+      """SELECT doc_id,
+        | CAST(32 + (doc_id % 8) * 16 AS INTEGER) AS width,
+        | CAST(32 + (doc_id % 5) * 16 AS INTEGER) AS height,
+        | 64 AS target_w, 64 AS target_h,
+        | CAST(64 AS DOUBLE) / (32 + (doc_id % 8) * 16) AS scale_x,
+        | CAST(64 AS DOUBLE) / (32 + (doc_id % 5) * 16) AS scale_y,
+        | (CAST(2 * LENGTH(text) AS BIGINT) * 64 * 64)
+        |   // ((32 + (doc_id % 8) * 16) * (32 + (doc_id % 5) * 16)) AS resized_bytes_est
+        |FROM documents""".stripMargin,
     "mm_decode_features" ->
       """SELECT doc_id, CAST(2 * LENGTH(text) AS BIGINT) AS n_bytes,
         | CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,

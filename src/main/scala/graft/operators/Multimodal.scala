@@ -59,6 +59,21 @@ object Multimodal {
         expr(s"($termSql) % 2147483647L").as("frame_fp"))
   }
 
+  /** Resize plumbing: target geometry + exact scale factors + the
+    * proportional payload budget after resampling. The pixel transform
+    * itself is the stubbed decode step; everything schema/arithmetic
+    * side is real and oracle-checked (single int divisions → exact). */
+  def resizeMeta(s: SparkSession, dir: String): DataFrame = {
+    val target = 64
+    metaExtract(s, dir).select(
+      col("doc_id"), col("width"), col("height"),
+      lit(target).as("target_w"), lit(target).as("target_h"),
+      (lit(target).cast("double") / col("width")).as("scale_x"),
+      (lit(target).cast("double") / col("height")).as("scale_y"),
+      expr(s"(n_bytes * ${target.toLong} * ${target.toLong}) div (width * height)")
+        .as("resized_bytes_est"))
+  }
+
   /** Case classes for the typed decode path. */
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
   final case class MediaFeatures(doc_id: Long, n_bytes: Long,
