@@ -30,6 +30,7 @@ object SparkEntry {
     "etl_schema_map" -> (Etl.schemaMap _),
     "etl_sql_text_source" -> (Etl.sqlTextSource _),
     "etl_upsert_merge" -> (Etl.upsertMerge _),
+    "etl_partition_pruning" -> (Etl.partitionPruning _),
     "etl_ndjson_roundtrip" -> (Etl.ndjsonRoundtrip _),
     "etl_csv_roundtrip" -> (Etl.csvRoundtrip _),
     "etl_error_tolerance" -> (Etl.errorTolerance _),
@@ -173,6 +174,10 @@ object SparkEntry {
         | CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
         | l_returnflag AS flag
         |FROM lineitem WHERE l_orderkey <= 500""".stripMargin,
+    "etl_partition_pruning" ->
+      s"""SELECT event_type, COUNT(*) AS n_records, ${decSum("value")} AS sum_value
+        |FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-03'
+        |GROUP BY event_type""".stripMargin,
     "etl_upsert_merge" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price

@@ -173,6 +173,24 @@ object Etl {
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
   }
 
+  /** Partition pruning on read: the payoff of dynamic-partitioned
+    * sinks — a dt-filtered read touches ONLY the matching partition
+    * directories (PartitionFilters in the scan; asserted in EtlSpec).
+    * At 100 TB this is the difference between scanning a day and
+    * scanning a decade. */
+  def partitionPruning(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_prune"
+    Tables.events(s, dir)
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .repartition(col("dt"))
+      .write.mode("overwrite").partitionBy("dt").parquet(tmp)
+    s.read.parquet(tmp)
+      .filter(col("dt") === "2024-01-03")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+  }
+
   /** Incremental upsert-merge: a changes batch overrides the base per
     * key — latest-wins by (version, key) row_number. The idempotent
     * incremental-load primitive every scheduled transfer needs

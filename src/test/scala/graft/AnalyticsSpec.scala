@@ -48,6 +48,14 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(anti > 0 && anti <= nCust)
   }
 
+  test("partition-pruned read scans only the matching dt directory") {
+    val df = operators.Etl.partitionPruning(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("dt"),
+      s"expected partition filters in:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("Observation-based transfer meta matches a direct recount (etly Meta analog)") {
     val (df, obs) = operators.Observability.observedTransfer(spark, sf)
     val processedRows = df.count() // action populates the observation
