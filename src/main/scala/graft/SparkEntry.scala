@@ -537,6 +537,19 @@ object SparkEntry {
         |SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
         |       (SELECT COUNT(*) FROM removed) AS n_removed,
         |       (SELECT COUNT(*) FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM removed)) AS n_survivors""".stripMargin,
+    "dedup_lsh_verified" ->
+      """WITH s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   range(1, len(string_split(text, ' ')) - 1),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        | FROM s a, s b WHERE a.doc_id < b.doc_id) t
+        |WHERE jaccard >= 0.7""".stripMargin,
     "dedup_prefix_join" ->
       """WITH s AS (
         | SELECT doc_id, list_distinct(list_transform(
