@@ -67,6 +67,8 @@ object SparkEntry {
     "q_cube" -> (Analytics2.qCube _),
     "q_null_semantics" -> (Analytics2.qNullSemantics _),
     "q_percentile" -> (Analytics2.qPercentile _),
+    "q_window2" -> (Analytics2.qWindow2 _),
+    "q_collect" -> (Analytics2.qCollect _),
     // distributed-execution patterns (oracle-equal results)
     "pat_skew_agg" -> (Patterns.skewAgg _),
     "pat_typed_agg" -> (Patterns.typedAgg _),
@@ -405,6 +407,20 @@ object SparkEntry {
         |FROM (SELECT o_orderstatus, NULLIF(o_orderpriority, '3-MEDIUM') AS maybe_priority
         | FROM orders) t
         |GROUP BY o_orderstatus""".stripMargin,
+    "q_window2" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | CAST(dense_rank() OVER w AS BIGINT) AS drank,
+        | percent_rank() OVER w AS prank,
+        | first_value(o_orderkey) OVER w AS first_key
+        |FROM orders WHERE o_orderkey <= 3000
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+    "q_collect" ->
+      """SELECT l_orderkey, COUNT(*) AS n_lines,
+        | string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS line_nos,
+        | CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_flags
+        |FROM lineitem WHERE l_orderkey <= 2000
+        |GROUP BY l_orderkey""".stripMargin,
     "q_percentile" ->
       """SELECT l_returnflag,
         | quantile_cont(l_quantity, 0.5) AS med_qty,

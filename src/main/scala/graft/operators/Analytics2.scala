@@ -99,6 +99,32 @@ object Analytics2 {
       .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_bal"))
   }
 
+  /** Extended window functions: ntile, dense_rank, percent_rank,
+    * first/last value over a deterministic frame. */
+  def qWindow2(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") <= 3000)
+      .select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        dense_rank().over(w).cast("long").as("drank"),
+        percent_rank().over(w).as("prank"),
+        first(col("o_orderkey")).over(w).as("first_key"))
+  }
+
+  /** Collect/array aggregation: per-order sorted line numbers as a
+    * canonical string (portable across engines' list orderings). */
+  def qCollect(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") <= 2000)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        array_join(sort_array(collect_list(col("l_linenumber"))), ",").as("line_nos"),
+        size(array_distinct(collect_list(col("l_returnflag")))).cast("long").as("n_flags"))
+
   /** CUBE over two dimensions (all grouping-set combinations). */
   def qCube(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
