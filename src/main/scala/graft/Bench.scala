@@ -14,21 +14,36 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect() // session warmup
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
     // two timed runs per query, report the min: steady-state throughput
-    // (JIT/codegen-compile and GC noise otherwise dominates small SFs)
-    val results = SparkEntry.benchQueries.map { name =>
+    // (JIT/codegen-compile and GC noise otherwise dominates small SFs).
+    // A crashing query is NOT reported as a fast success (VERDICT r1
+    // item 4) — it lands in "errors" and is excluded from the total.
+    val timed = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
-      def once(): Double = {
+      def once(): Either[String, Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+        }
       }
-      name -> math.min(once(), once())
-    }.toMap
+      name -> (once(), once())
+    }
+    val results = timed.collect { case (n, (Right(a), Right(b))) => n -> math.min(a, b) }.toMap
+    val errors = timed.collect { case (n, (r1, r2)) =>
+      (r1.left.toOption.orElse(r2.left.toOption)).map(n -> _)
+    }.flatten.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

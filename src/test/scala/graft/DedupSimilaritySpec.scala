@@ -60,27 +60,81 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("LSH ANN recall against brute force") {
+  test("LSH ANN recall against brute force (tuned tables/planes, VERDICT r1 bar)") {
     val brute = Similarity.bruteTopK(spark, sf).select("query_id", "cand_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Similarity.lshTopK(spark, sf).select("query_id", "cand_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = brute.count(lsh.contains).toDouble / brute.size
-    assert(recall >= 0.2, s"LSH recall@5 = $recall")
+    assert(recall >= 0.9, s"LSH recall@5 = $recall")
   }
 
-  test("IVF ANN recall against brute force") {
+  test("IVF ANN recall against brute force (Lloyd-refined, VERDICT r1 bar)") {
     val brute = Similarity.bruteTopK(spark, sf).select("query_id", "cand_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivf = Similarity.ivfTopK(spark, sf).select("query_id", "cand_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = brute.count(ivf.contains).toDouble / brute.size
-    assert(recall >= 0.3, s"IVF recall@5 = $recall")
+    assert(recall >= 0.8, s"IVF recall@5 = $recall")
   }
 
   test("LSH candidate generation is an equi-join, not a cross join") {
     val plan = Dedup.minhashLsh(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"LSH must bucket-join, got:\n$plan")
+  }
+
+  test("embedding LSH dedup: no cross join anywhere in the plan") {
+    val plan = Dedup.embeddingLsh(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"embeddingLsh must bucket-join, got:\n$plan")
+  }
+
+  test("embedding LSH dedup output is a subset of the all-pairs truth (exact verify)") {
+    val truth = Dedup.embedding(spark, sf)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingLsh(spark, sf)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty, "expected some verified pairs at the smoke SF")
+    assert(lsh.subsetOf(truth),
+      s"embeddingLsh emitted ${lsh.diff(truth).size} pairs outside the exact truth")
+  }
+
+  test("embedding LSH achieves full recall on planted near-dups (the dedup operating point)") {
+    // This corpus is uniform random vectors (pair cosines top out ~0.5,
+    // inside the random bulk), so LSH recall AT the 0.4 threshold is a
+    // corpus artifact. The operating point of embedding dedup is true
+    // near-dups (cosine ≥ 0.95); plant them and demand full recall.
+    import org.apache.spark.sql.functions._
+    val base = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val n = base.count()
+    val planted = base.select((col("vec_id") + lit(100000)).as("vec_id"),
+      zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+        (x, d) => (x * (lit(1.0) + lit(0.15) *
+          (pmod(hash(col("vec_id"), d), lit(2)) * 2 - 1))).cast("float")).as("embedding"))
+    val all = base.union(planted)
+    val dims = graft.functions.Planes.dimsOf(all, "embedding")
+    val banded = graft.functions.Planes
+      .withSigs(all, "embedding", Dedup.EmbLshTables, Dedup.EmbLshPlanes, dims)
+      .select(col("table"), col("sig"), col("vec_id"))
+    val cands = banded.select(col("table"), col("sig"), col("vec_id").as("vec_a"))
+      .join(banded.select(col("table"), col("sig"), col("vec_id").as("vec_b")),
+        Seq("table", "sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = (0L until n).filterNot(v => cands.contains((v, v + 100000)))
+    assert(missed.isEmpty, s"LSH bands missed ${missed.size}/$n planted near-dup pairs")
+  }
+
+  test("minhash audit: every true j>=0.7 pair is covered by LSH candidates") {
+    val r = Dedup.minhashAudit(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_truth") > 0)
+    assert(r.getAs[Long]("n_covered") == r.getAs[Long]("n_truth"))
+  }
+
+  test("simhash audit: 4x16 bands cover every hamming<=3 pair found by 8x8 bands") {
+    val r = Dedup.simhashAudit(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_missed") == 0L)
   }
 }
