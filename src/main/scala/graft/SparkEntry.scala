@@ -35,6 +35,9 @@ object SparkEntry {
     "etl_csv_roundtrip" -> (Etl.csvRoundtrip _),
     "etl_error_tolerance" -> (Etl.errorTolerance _),
     "etl_dynamic_partition_write" -> (Etl.dynamicPartitionWrite _),
+    "etl_jdbc_roundtrip" -> (Etl.jdbcRoundtrip _),
+    "etl_policy_route" -> (Etl.policyRoute _),
+    "etl_meta_incremental" -> (Etl.metaIncremental _),
     // query engine
     "q1_agg" -> (Analytics.q1Agg _),
     "q3_join" -> (Analytics.q3Join _),
@@ -115,6 +118,7 @@ object SparkEntry {
       plan(s, spec)
     }),
     "stream_file_transfer" -> (graft.streaming.Streams.streamFileTransfer _),
+    "stream_scheduled" -> (graft.streaming.Streams.streamScheduledTransfer _),
     // text analysis
     "text_quality" -> (TextAnalysis.quality _),
     "text_tokens" -> (TextAnalysis.tokens _),
@@ -697,6 +701,25 @@ object SparkEntry {
         |    / sqrt(a.nsq * b.nsq) AS cosine
         | FROM e a, e b WHERE a.vec_id < b.vec_id) t
         |WHERE cosine >= 0.4""".stripMargin,
+    "etl_jdbc_roundtrip" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_customers, ${decSum("c_acctbal")} AS sum_acctbal
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "etl_policy_route" ->
+      """SELECT CASE WHEN o_orderkey % 7 <> 0 THEN 'ok' ELSE 'quarantined' END AS status,
+        | COUNT(*) AS n
+        |FROM orders WHERE o_orderkey <= 2000 GROUP BY 1""".stripMargin,
+    "etl_meta_incremental" ->
+      """SELECT
+        | (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 1000) AS rows_run1,
+        | (SELECT COUNT(*) FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 2000) AS rows_run2,
+        | CAST(0 AS BIGINT) AS files_run3,
+        | CAST(0 AS BIGINT) AS rows_run3,
+        | (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 2000) AS n_total""".stripMargin,
+    "stream_scheduled" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events WHERE event_id < 2000 AND event_type <> 'error'
+        |GROUP BY event_type""".stripMargin,
     "q_approx_distinct" ->
       "SELECT l_returnflag, CAST(1 AS BOOLEAN) AS within_2pct FROM lineitem GROUP BY l_returnflag",
     "dedup_minhash_lsh" ->

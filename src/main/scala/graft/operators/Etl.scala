@@ -122,7 +122,7 @@ object Etl {
     * aggregate. The aggregate matches the oracle's direct parquet
     * aggregate, proving the codec path is lossless. */
   def ndjsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_ndjson_rt"
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_ndjson_rt_${ProcessHandle.current().pid()}"
     val src = Tables.lineitem(s, dir)
       .filter(col("l_orderkey") <= 1000)
       .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
@@ -139,7 +139,7 @@ object Etl {
   /** csv datastore source roundtrip (reference dsc csv driver,
     * test/transfer_config2.json). */
   def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt"
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt_${ProcessHandle.current().pid()}"
     val src = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
     src.write.mode("overwrite").option("header", "true").csv(tmp)
@@ -179,7 +179,7 @@ object Etl {
     * At 100 TB this is the difference between scanning a day and
     * scanning a decade. */
   def partitionPruning(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_prune"
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_prune_${ProcessHandle.current().pid()}"
     Tables.events(s, dir)
       .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
       .repartition(col("dt"))
@@ -216,12 +216,81 @@ object Etl {
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
   }
 
+  /** JDBC datastore roundtrip (reference config.go:115 "datastore"
+    * source; pkg/bigquery/big_query.go DB target with schema mapping +
+    * post-load verify): schema-mapped load into an embedded Derby
+    * database, loaded TWICE to prove the idempotent-retry contract
+    * (truncate-overwrite converges instead of duplicating), then a
+    * partitioned parallel JDBC read back and an aggregate that must
+    * match the oracle's direct parquet aggregate. */
+  def jdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Jdbc
+    val dbDir = s"${System.getProperty("java.io.tmpdir")}/graft_derby_${ProcessHandle.current().pid()}"
+    val url = Jdbc.derbyUrl(dbDir)
+    val src = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+    val types = "c_name VARCHAR(64), c_mktsegment VARCHAR(16)"
+    Jdbc.load(src, url, "customer_t", Some(types))
+    Jdbc.load(src, url, "customer_t", Some(types)) // retried load: same state
+    Jdbc.read(s, url, "customer_t", Some(("c_custkey", 0L, 1000000L, 4)))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_acctbal"))
+  }
+
+  /** Declarative error-policy transfer (reference config.go:27
+    * MaxErrorCounts + quarantine routing): rows failing the spec's
+    * validity predicate are diverted to a quarantine sink while good
+    * rows flow to the target; the error count is observed on the write
+    * job and checked against the budget. Output: per-disposition counts
+    * read back from BOTH sinks, so the oracle verifies placement. */
+  def policyRoute(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Pipeline._
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_policy_${ProcessHandle.current().pid()}"
+    val spec = TransferSpec(
+      source = SourceSpec(s"$dir/orders.parquet", Parquet),
+      filterExpr = Some("o_orderkey <= 2000"),
+      validExpr = Some("o_orderkey % 7 != 0"),
+      policy = ErrorPolicy(maxErrors = Long.MaxValue,
+        onError = RouteQuarantine(s"$base/quarantine")))
+    run(s, spec, s"$base/target")
+    val ok = s.read.parquet(s"$base/target")
+      .agg(count(lit(1)).as("n")).select(lit("ok").as("status"), col("n"))
+    val quarantined = s.read.parquet(s"$base/quarantine")
+      .agg(count(lit(1)).as("n")).select(lit("quarantined").as("status"), col("n"))
+    ok.union(quarantined)
+  }
+
+  /** Persisted-meta incremental transfer (reference meta.go +
+    * service.go:201 getMetaObject): three runs over a growing source —
+    * batch 1, batch 1+2, then nothing new. Run 3 must process ZERO new
+    * rows purely from the persisted `_graft_meta.json`, and the target
+    * must hold each batch exactly once (no reprocessing duplicates). */
+  def metaIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{Pipeline, TransferMeta}
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_meta_${System.nanoTime}"
+    val spec = Pipeline.TransferSpec(
+      source = Pipeline.SourceSpec(s"$base/src", Pipeline.Parquet))
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderkey") <= 1000).repartition(2)
+      .write.mode("append").parquet(s"$base/src")
+    val (_, rows1) = TransferMeta.runIncremental(s, spec, s"$base/target")
+    o.filter(col("o_orderkey") > 1000 && col("o_orderkey") <= 2000).repartition(2)
+      .write.mode("append").parquet(s"$base/src")
+    val (_, rows2) = TransferMeta.runIncremental(s, spec, s"$base/target")
+    val (files3, rows3) = TransferMeta.runIncremental(s, spec, s"$base/target")
+    val total = s.read.parquet(s"$base/target").count()
+    import s.implicits._
+    Seq((rows1, rows2, files3.toLong, rows3, total))
+      .toDF("rows_run1", "rows_run2", "files_run3", "rows_run3", "n_total")
+  }
+
   /** Dynamic-partitioned sink (reference transfer.go getTargetKey →
     * per-key target files): one distributed write, partition dirs are
     * the dynamic targets. Returns the read-back per-partition counts so
     * the oracle can verify content placement. */
   def dynamicPartitionWrite(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_dynpart"
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_dynpart_${ProcessHandle.current().pid()}"
     Tables.events(s, dir)
       .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
       .withColumn("shard", pmod(col("user_id"), lit(4)).cast("int"))

@@ -60,7 +60,7 @@ object Patterns {
     * The 100 TB pattern for repeatedly-joined fact tables. */
   def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val db = "graft_buckets"
-    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse_${ProcessHandle.current().pid()}"
     s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$wh'")
     val oT = s"$db.orders_b"
     val lT = s"$db.lineitem_b"
@@ -88,7 +88,7 @@ object Patterns {
   /** Codec coverage beyond gzip ndjson: zstd parquet + gzip csv
     * roundtrip, aggregate must survive both hops. */
   def codecRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_codec"
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_codec_${ProcessHandle.current().pid()}"
     val src = Tables.supplier(s, dir)
     src.write.mode("overwrite").option("compression", "zstd").parquet(s"$tmp/zstd")
     val back = s.read.parquet(s"$tmp/zstd")

@@ -43,13 +43,32 @@ object Pipeline {
   final case class EnrichSpec(dim: DataFrame, joinKey: (String, String),
     pick: Seq[(String, String)])
 
+  /** Error-budget policy (reference config.go:27 MaxErrorCounts,
+    * config.go:34-40 FailRetry): what to do with rows failing the
+    * spec's validity predicate, how many are tolerable, and how often
+    * a failed transfer is retried. */
+  sealed trait OnError
+  case object KeepGood extends OnError        // drop invalid rows (within budget)
+  final case class RouteQuarantine(path: String) extends OnError // invalid rows → quarantine sink
+
+  final case class ErrorPolicy(
+    maxErrors: Long = 0L,                      // exceeding ALWAYS fails the transfer
+    onError: OnError = KeepGood,
+    failRetries: Int = 0)                      // FailRetry.Max analog
+
   final case class TransferSpec(
     source: SourceSpec,
     filterExpr: Option[String] = None,            // Filter registry analog
     transforms: Seq[(String, String)] = Nil,      // Transformer: name -> SQL expr
     enrich: Option[EnrichSpec] = None,            // ContentEnricher analog
     routes: Seq[RouteKey] = Nil,                  // VariableExtraction + target key
-    select: Seq[String] = Nil)                    // final projection (Nil = all)
+    select: Seq[String] = Nil,                    // final projection (Nil = all)
+    validExpr: Option[String] = None,             // rows failing this are "errors"
+    policy: ErrorPolicy = ErrorPolicy())
+
+  final class ErrorBudgetExceeded(val nErrors: Long, val budget: Long)
+    extends RuntimeException(
+      s"transfer exceeded error budget: $nErrors invalid rows > maxErrors=$budget")
 
   def read(s: SparkSession, src: SourceSpec): DataFrame = {
     val r = s.read
@@ -61,9 +80,10 @@ object Pipeline {
     }
   }
 
-  /** Compile a TransferSpec to a single declarative plan. */
-  def plan(s: SparkSession, spec: TransferSpec): DataFrame = {
-    var df = read(s, spec.source)
+  /** Apply a spec's declarative stages to an already-read source frame
+    * (shared by the full plan and the incremental TransferMeta path). */
+  def applyStages(df0: DataFrame, spec: TransferSpec): DataFrame = {
+    var df = df0
     spec.filterExpr.foreach(f => df = df.filter(expr(f)))
     spec.transforms.foreach { case (name, e) => df = df.withColumn(name, expr(e)) }
     spec.enrich.foreach { en =>
@@ -77,13 +97,60 @@ object Pipeline {
     if (spec.select.nonEmpty) df.select(spec.select.map(col): _*) else df
   }
 
+  /** Compile a TransferSpec to a single declarative plan. */
+  def plan(s: SparkSession, spec: TransferSpec): DataFrame =
+    applyStages(read(s, spec.source), spec)
+
   /** Execute: plan → dynamic-partitioned target write (the reference's
     * per-target-key files become partition directories, written by one
-    * distributed job). */
-  def run(s: SparkSession, spec: TransferSpec, targetPath: String): Unit = {
+    * distributed job). Enforces the spec's error policy:
+    *  - invalid rows (validExpr false/null) are counted via observe()
+    *    riding the write job — no second pass over the source;
+    *  - RouteQuarantine also writes them to the quarantine sink;
+    *  - error count > maxErrors throws ErrorBudgetExceeded (the target
+    *    may be partially written — transfers are overwrite-idempotent,
+    *    so the retry wrapper converges, same contract as the
+    *    reference's re-runnable transfers).
+    * Returns (rowsWritten, errorRows). */
+  def run(s: SparkSession, spec: TransferSpec, targetPath: String): (Long, Long) = {
     val df = plan(s, spec)
-    val writer = df.write.mode("overwrite")
+    val (good, nErr) = spec.validExpr match {
+      case None => (df, () => 0L)
+      case Some(v) =>
+        val valid = coalesce(expr(v), lit(false))
+        val obs = org.apache.spark.sql.Observation()
+        val observed = df.observe(obs, count(when(!valid, 1)).as("n_errors"))
+        spec.policy.onError match {
+          case RouteQuarantine(qPath) =>
+            // separate pass for the (rare) invalid rows; the negated
+            // predicate pushes to the scan just like the positive one
+            df.filter(!valid).write.mode("overwrite").parquet(qPath)
+          case KeepGood => ()
+        }
+        (observed.filter(valid), () => obs.get("n_errors").asInstanceOf[Long])
+    }
+    val writer = good.write.mode("overwrite")
     (if (spec.routes.nonEmpty) writer.partitionBy(spec.routes.map(_.name): _*)
      else writer).parquet(targetPath)
+    val errs = nErr()
+    if (errs > spec.policy.maxErrors)
+      throw new ErrorBudgetExceeded(errs, spec.policy.maxErrors)
+    (s.read.parquet(targetPath).count(), errs)
+  }
+
+  /** FailRetry analog (reference config.go:34-40): re-run the transfer
+    * up to `spec.policy.failRetries` extra times on failure. Transfers
+    * are idempotent (overwrite semantics), so a retry converges.
+    * `onAttempt` is a test/metrics hook invoked before each try. */
+  def runWithRetry(s: SparkSession, spec: TransferSpec, targetPath: String,
+      onAttempt: Int => Unit = _ => ()): (Long, Long) = {
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt <= spec.policy.failRetries) {
+      onAttempt(attempt)
+      try return run(s, spec, targetPath)
+      catch { case e: Throwable => last = e; attempt += 1 }
+    }
+    throw last
   }
 }

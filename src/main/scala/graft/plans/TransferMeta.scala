@@ -1,0 +1,101 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.fs.Path
+
+/** Persisted per-source transfer meta — the batch analog of streaming
+  * checkpoints (reference meta.go ObjectMeta: processed-object state
+  * persisted next to the target; service.go:201 getMetaObject consults
+  * it so re-runs skip done work).
+  *
+  * The meta is a JSON file `_graft_meta.json` inside the target
+  * directory listing every processed source file with its row count.
+  * `runIncremental` lists the source, subtracts processed files, reads
+  * ONLY the new ones (an explicit file list → Spark plans a scan over
+  * just those splits), appends to the target, and rewrites the meta
+  * via write-temp-then-rename. A re-run with no new files is a no-op
+  * that touches zero data files.
+  */
+object TransferMeta {
+
+  final case class FileMeta(path: String, rows: Long)
+
+  private def metaPath(target: String) = new Path(target, "_graft_meta.json")
+
+  /** Minimal JSON codec (flat schema, no nesting — avoids pulling a
+    * JSON library onto the driver for a 2-field record). */
+  private def render(metas: Seq[FileMeta]): String =
+    metas.sortBy(_.path).map { m =>
+      val p = m.path.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"path":"$p","rows":${m.rows}}"""
+    }.mkString("[", ",", "]")
+
+  private val entryRe = """\{"path":"((?:[^"\\]|\\.)*)","rows":(\d+)\}""".r
+
+  private def parse(json: String): Seq[FileMeta] =
+    entryRe.findAllMatchIn(json).map { m =>
+      FileMeta(m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"),
+        m.group(2).toLong)
+    }.toSeq
+
+  def readMeta(s: SparkSession, target: String): Seq[FileMeta] = {
+    val p = metaPath(target)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else {
+      val in = fs.open(p)
+      try parse(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  private def writeMeta(s: SparkSession, target: String, metas: Seq[FileMeta]): Unit = {
+    val p = metaPath(target)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new Path(target, s"._graft_meta.${System.nanoTime}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(render(metas).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new IllegalStateException(s"could not commit transfer meta at $p")
+  }
+
+  private def normalize(p: String): String = new Path(p).toUri.toString
+
+  /** Incremental transfer: apply `spec`'s stages to the not-yet-
+    * processed source files only, append to `target`, persist the
+    * updated meta. Returns (newFilesProcessed, newRowsWritten). */
+  def runIncremental(s: SparkSession, spec: Pipeline.TransferSpec,
+      target: String): (Int, Long) = {
+    val done = readMeta(s, target)
+    val doneSet = done.map(m => normalize(m.path)).toSet
+    val allFiles = Pipeline.read(s, spec.source).inputFiles.toSeq.sorted
+    val newFiles = allFiles.filterNot(f => doneSet(normalize(f)))
+    if (newFiles.isEmpty) return (0, 0L)
+
+    // explicit file list: the scan covers ONLY the new splits
+    val r = s.read
+    val withSchema = spec.source.schemaDdl.map(r.schema).getOrElse(r)
+    val src = spec.source.format match {
+      case Pipeline.Parquet => withSchema.parquet(newFiles: _*)
+      case Pipeline.NdJson  => withSchema.json(newFiles: _*)
+      case Pipeline.Csv     => withSchema.option("header", "true").csv(newFiles: _*)
+    }
+    // per-source-file processed counts for the meta (ObjectMeta
+    // .RecordProcessed analog) — one small agg over the new files only
+    val perFile = src.groupBy(input_file_name().as("p"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(row => normalize(row.getString(0)) -> row.getLong(1)).toMap
+    val obs = org.apache.spark.sql.Observation()
+    Pipeline.applyStages(src, spec)
+      .observe(obs, count(lit(1)).as("rows"))
+      .write.mode("append").parquet(target)
+    val rows = obs.get("rows").asInstanceOf[Long]
+    val newMetas = newFiles.map(f => FileMeta(f, perFile.getOrElse(normalize(f), 0L)))
+    writeMeta(s, target, done ++ newMetas)
+    (newFiles.size, rows)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** JDBC datastore source/target — the Spark analog of the reference's
+  * `datastore` source type and database-target package (reference:
+  * config.go:115 Source.Type "datastore"; pkg/bigquery/big_query.go
+  * load-job + post-load verification). Spark's JDBC relation provider
+  * gives predicate pushdown and partitioned parallel reads for free;
+  * the embedded Apache Derby engine (already on Spark's classpath for
+  * the Hive metastore) stands in for the external warehouse in tests.
+  *
+  * Load contract, mirroring the reference's load semantics:
+  *  - schema-mapped write (explicit target column DDL);
+  *  - idempotent: `overwrite` + truncate — a retried load converges to
+  *    the same table state instead of appending duplicates;
+  *  - post-load verification: the loaded row count must equal the
+  *    source count, else the transfer FAILS (big_query.go checks the
+  *    job's output rows the same way).
+  */
+object Jdbc {
+
+  val DerbyDriver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+  /** Embedded single-JVM database under `dbDir` (created on demand).
+    * Paths are pid-scoped by callers so concurrent suites don't fight
+    * over Derby's db.lck. */
+  def derbyUrl(dbDir: String): String = s"jdbc:derby:$dbDir;create=true"
+
+  /** Idempotent schema-mapped load + post-load verify. */
+  def load(df: DataFrame, url: String, table: String,
+      columnTypes: Option[String] = None): Unit = {
+    val w = df.write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("driver", DerbyDriver)
+      .option("truncate", "true")
+      .mode("overwrite")
+    columnTypes.foreach(w.option("createTableColumnTypes", _))
+    w.save()
+    val loaded = read(df.sparkSession, url, table).count()
+    val expected = df.count()
+    if (loaded != expected) throw new IllegalStateException(
+      s"post-load verify failed for $table: loaded $loaded, expected $expected")
+  }
+
+  /** JDBC read; with a partition column the scan parallelizes across
+    * `numPartitions` range predicates (the 100 TB read path against a
+    * real warehouse — each executor pulls one slice). */
+  def read(s: SparkSession, url: String, table: String,
+      partitionCol: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    val r = s.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("driver", DerbyDriver)
+    partitionCol.foreach { case (c, lo, hi, n) =>
+      r.option("partitionColumn", c).option("lowerBound", lo)
+        .option("upperBound", hi).option("numPartitions", n)
+    }
+    r.load()
+  }
+}

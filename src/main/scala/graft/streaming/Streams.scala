@@ -56,6 +56,57 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_cents"))
   }
 
+  /** Scheduled (Frequency) transfer — the reference's periodic Run loop
+    * (reference config.go:21 Frequency; service.go:131) as a
+    * Trigger.ProcessingTime streaming query: the source is re-polled
+    * every interval, each discovered batch flows through the same
+    * declarative transform, and the sink commits transactionally.
+    * Registers in TaskRegistry via the listener bus; runs until all
+    * currently-available data is processed (processAllAvailable), then
+    * stops — so the gate output is deterministic while the trigger
+    * mechanics are the real periodic scheduler. */
+  def scheduledTransfer(s: SparkSession, srcDir: String, schemaDdl: String,
+      dstDir: String, checkpoint: String, queryName: String,
+      intervalMs: Long = 100L): Unit = {
+    val in = s.readStream.schema(schemaDdl).json(srcDir)
+    val out = in.filter(col("event_type") =!= "error")
+      .withColumn("value_cents", (col("value").cast("decimal(18,2)") * 100).cast("long"))
+    val q = out.writeStream
+      .queryName(queryName)
+      .format("parquet")
+      .option("path", dstDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .start()
+    try {
+      q.processAllAvailable()
+      // the progress event for the final batch is posted by the stream
+      // thread just after its commit; give the post a beat so stop()
+      // doesn't tear the thread down between commit and post (listener
+      // counters would undercount the final batch)
+      val deadline = System.currentTimeMillis() + 5000
+      while (q.lastProgress == null && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      Thread.sleep(300)
+    } finally q.stop()
+  }
+
+  /** Gate query: scheduled transfer end-to-end (staged ndjson slice →
+    * ProcessingTime stream → parquet sink → stable aggregate). Same
+    * oracle shape as streamFileTransfer, different trigger mechanics. */
+  def streamScheduledTransfer(s: SparkSession, dir: String): DataFrame = {
+    val base = System.getProperty("java.io.tmpdir") + "/graft_sched_" + System.nanoTime
+    graft.sources.Tables.events(s, dir).filter(col("event_id") < 2000)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .write.json(s"$base/src")
+    scheduledTransfer(s, s"$base/src",
+      "event_id LONG, user_id LONG, event_type STRING, value DOUBLE",
+      s"$base/dst", s"$base/cp", s"graft_sched_${System.nanoTime}")
+    s.read.parquet(s"$base/dst")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_cents"))
+  }
+
   /** Watermarked tumbling-window aggregation (streaming q analog of
     * operators.Windows.tumbling). */
   def windowedCounts(events: DataFrame): DataFrame =

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener.{
+  QueryStartedEvent, QueryProgressEvent, QueryTerminatedEvent}
+import java.util.UUID
+import scala.collection.concurrent.TrieMap
+
+/** Task/status registry — the reference's REST status surface
+  * (reference server.go:20, service.go:32-263: Status, GetTasksList,
+  * ProcessingStatus, GetErrors; task_registry.go) re-expressed as a
+  * StreamingQueryListener: every scheduled transfer registers itself by
+  * running, status transitions ride Spark's listener bus (no polling,
+  * no mutexed counters in user code), and the registry answers the same
+  * queries the reference's HTTP endpoints serve.
+  */
+object TaskRegistry {
+
+  sealed trait State
+  case object Running extends State
+  case object Finished extends State
+  final case class Failed(error: String) extends State
+
+  final case class TaskStatus(
+    name: String,
+    id: UUID,
+    state: State,
+    batches: Long,
+    rowsProcessed: Long,
+    lastProgressMs: Long)
+
+  final class Listener extends StreamingQueryListener {
+    private val tasks = TrieMap.empty[UUID, TaskStatus]
+
+    override def onQueryStarted(e: QueryStartedEvent): Unit =
+      tasks.put(e.id, TaskStatus(Option(e.name).getOrElse(e.id.toString),
+        e.id, Running, 0L, 0L, System.currentTimeMillis()))
+
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val p = e.progress
+      tasks.updateWith(p.id) {
+        case Some(t) => Some(t.copy(
+          batches = t.batches + 1,
+          rowsProcessed = t.rowsProcessed + p.numInputRows,
+          lastProgressMs = System.currentTimeMillis()))
+        case None => Some(TaskStatus(Option(p.name).getOrElse(p.id.toString),
+          p.id, Running, 1L, p.numInputRows, System.currentTimeMillis()))
+      }
+    }
+
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+      tasks.updateWith(e.id) {
+        case Some(t) => Some(t.copy(state =
+          e.exception.map(Failed(_): State).getOrElse(Finished)))
+        case None => None
+      }
+
+    /** service.go GetTasksList analog. */
+    def tasksList(): Seq[TaskStatus] = tasks.values.toSeq.sortBy(_.name)
+
+    /** service.go Status analog (single task by name). */
+    def status(name: String): Option[TaskStatus] =
+      tasks.values.find(_.name == name)
+
+    /** service.go GetErrors analog. */
+    def errors(): Seq[(String, String)] = tasks.values.collect {
+      case TaskStatus(n, _, Failed(err), _, _, _) => n -> err
+    }.toSeq
+  }
+}

@@ -1,0 +1,139 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.plans.{Pipeline, TransferMeta}
+import graft.plans.Pipeline._
+import graft.sources.Tables
+
+/** Error policy, retry, persisted meta, scheduled transfers, and the
+  * task registry — the serving/operability surface added in round 2. */
+class PipelineOpsSpec extends AnyFunSuite {
+  import SharedSpark.{spark, sf}
+
+  private def tmp(name: String) =
+    s"${System.getProperty("java.io.tmpdir")}/graft_spec_${name}_${System.nanoTime}"
+
+  test("error budget: transfer FAILS when invalid rows exceed maxErrors") {
+    val spec = TransferSpec(
+      source = SourceSpec(s"$sf/orders.parquet", Parquet),
+      validExpr = Some("o_orderkey % 7 != 0"),
+      policy = ErrorPolicy(maxErrors = 0))
+    val e = intercept[ErrorBudgetExceeded] { Pipeline.run(spark, spec, tmp("budget")) }
+    assert(e.nErrors > 0 && e.budget == 0)
+  }
+
+  test("error budget: within budget the transfer keeps good rows only") {
+    val target = tmp("keepgood")
+    val spec = TransferSpec(
+      source = SourceSpec(s"$sf/orders.parquet", Parquet),
+      validExpr = Some("o_orderkey % 7 != 0"),
+      policy = ErrorPolicy(maxErrors = Long.MaxValue))
+    val (written, errs) = Pipeline.run(spark, spec, target)
+    val all = Tables.orders(spark, sf).count()
+    val bad = Tables.orders(spark, sf).filter(col("o_orderkey") % 7 === 0).count()
+    assert(errs == bad && written == all - bad)
+    assert(spark.read.parquet(target)
+      .filter(col("o_orderkey") % 7 === 0).count() == 0)
+  }
+
+  test("quarantine routing lands exactly the invalid rows") {
+    val target = tmp("route"); val q = tmp("quar")
+    val spec = TransferSpec(
+      source = SourceSpec(s"$sf/orders.parquet", Parquet),
+      validExpr = Some("o_orderkey % 7 != 0"),
+      policy = ErrorPolicy(maxErrors = Long.MaxValue, onError = RouteQuarantine(q)))
+    Pipeline.run(spark, spec, target)
+    val quarantined = spark.read.parquet(q)
+    assert(quarantined.filter(col("o_orderkey") % 7 =!= 0).count() == 0)
+    assert(quarantined.count() ==
+      Tables.orders(spark, sf).filter(col("o_orderkey") % 7 === 0).count())
+  }
+
+  test("FailRetry: retries the configured number of times, then rethrows") {
+    val spec = TransferSpec(
+      source = SourceSpec(s"$sf/orders.parquet", Parquet),
+      validExpr = Some("o_orderkey % 7 != 0"),
+      policy = ErrorPolicy(maxErrors = 0, failRetries = 2))
+    var attempts = 0
+    intercept[ErrorBudgetExceeded] {
+      Pipeline.runWithRetry(spark, spec, tmp("retry"), _ => attempts += 1)
+    }
+    assert(attempts == 3, s"expected 1 try + 2 retries, saw $attempts")
+  }
+
+  test("persisted meta: re-run processes zero new files and zero rows") {
+    val base = tmp("meta")
+    val spec = TransferSpec(source = SourceSpec(s"$base/src", Parquet))
+    val o = Tables.orders(spark, sf)
+    o.filter(col("o_orderkey") <= 500).repartition(2)
+      .write.mode("append").parquet(s"$base/src")
+    val (f1, r1) = TransferMeta.runIncremental(spark, spec, s"$base/target")
+    assert(f1 == 2 && r1 == o.filter(col("o_orderkey") <= 500).count())
+    val (f2, r2) = TransferMeta.runIncremental(spark, spec, s"$base/target")
+    assert(f2 == 0 && r2 == 0, "second run must skip all processed files")
+    // meta row counts sum to the processed total (ObjectMeta analog)
+    val meta = TransferMeta.readMeta(spark, s"$base/target")
+    assert(meta.map(_.rows).sum == r1)
+    // new batch → only the delta processed, target holds each row once
+    o.filter(col("o_orderkey") > 500 && col("o_orderkey") <= 800).repartition(2)
+      .write.mode("append").parquet(s"$base/src")
+    val (f3, r3) = TransferMeta.runIncremental(spark, spec, s"$base/target")
+    assert(f3 == 2 && r3 == o.filter(col("o_orderkey") > 500 && col("o_orderkey") <= 800).count())
+    assert(spark.read.parquet(s"$base/target").count() == r1 + r3)
+    assert(spark.read.parquet(s"$base/target")
+      .groupBy(col("o_orderkey")).count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("scheduled transfer registers in the task registry with batch + row counters") {
+    val reg = new graft.streaming.TaskRegistry.Listener
+    spark.streams.addListener(reg)
+    try {
+      val base = tmp("sched")
+      val src = Tables.events(spark, sf).filter(col("event_id") < 500)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      src.write.json(s"$base/src")
+      val name = s"spec_sched_${System.nanoTime}"
+      graft.streaming.Streams.scheduledTransfer(spark, s"$base/src",
+        "event_id LONG, user_id LONG, event_type STRING, value DOUBLE",
+        s"$base/dst", s"$base/cp", name)
+      // listener bus is async — wait for the terminal transition AND
+      // for the trailing progress counters to drain. numInputRows is
+      // measured AFTER pushed-down filters (the error-row filter
+      // reaches the json scan), so "records processed" = non-error rows
+      // — the same RecordProcessed semantics as the reference's meta.
+      val expected = src.filter(col("event_type") =!= "error").count()
+      val deadline = System.currentTimeMillis() + 30000
+      var st = reg.status(name)
+      while ((st.isEmpty || st.get.state == graft.streaming.TaskRegistry.Running
+            || st.get.rowsProcessed < expected)
+          && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); st = reg.status(name)
+      }
+      assert(st.nonEmpty, "scheduled transfer never registered")
+      assert(st.get.state == graft.streaming.TaskRegistry.Finished)
+      assert(st.get.batches >= 1)
+      assert(st.get.rowsProcessed == expected)
+      assert(reg.errors().isEmpty)
+      assert(reg.tasksList().exists(_.name == name))
+      // sink parity with the batch transform
+      val sunk = spark.read.parquet(s"$base/dst").count()
+      assert(sunk == src.filter(col("event_type") =!= "error").count())
+    } finally spark.streams.removeListener(reg)
+  }
+
+  test("jdbc load is idempotent and schema-mapped (Derby embedded)") {
+    import graft.sources.Jdbc
+    val dbDir = tmp("derby")
+    val url = Jdbc.derbyUrl(dbDir)
+    val src = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    Jdbc.load(src, url, "cust_spec", Some("c_mktsegment VARCHAR(16)"))
+    Jdbc.load(src, url, "cust_spec", Some("c_mktsegment VARCHAR(16)"))
+    val back = Jdbc.read(spark, url, "cust_spec")
+    assert(back.count() == src.count(), "retried load must not duplicate rows")
+    val a = back.agg(sum(col("c_acctbal").cast("decimal(18,2)"))).collect()(0).getDecimal(0)
+    val b = src.agg(sum(col("c_acctbal").cast("decimal(18,2)"))).collect()(0).getDecimal(0)
+    assert(a == b, "acctbal must survive the JDBC roundtrip exactly")
+  }
+}
