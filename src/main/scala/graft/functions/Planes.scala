@@ -49,7 +49,9 @@ object Planes {
 
   /** table-t signature over P planes: bit j = [dot(v, plane_{t*P+j}) > 0].
     * The dot folds sequentially (functions.aggregate), so the sign of a
-    * near-zero dot is bit-identical to DuckDB's list_sum fold. */
+    * near-zero dot is bit-identical to DuckDB's list_sum fold. This is
+    * the REFERENCE formulation — production uses the fused LshSigs
+    * expression (bit-equality asserted in PlanesSpec). */
   def lshSig(emb: Column, table: Int, planesPerTable: Int, dims: Int): Column =
     (0 until planesPerTable).map { j =>
       val p = table * planesPerTable + j
@@ -58,12 +60,17 @@ object Planes {
       shiftleft(when(VectorOps.seqSum(signed) > 0, 1L).otherwise(0L), j)
     }.reduce(_.bitwiseOR(_))
 
-  /** (vec_id, table, sig) — one row per vector per table. */
+  /** (vec_id, table, sig) — one row per vector per table, via the fused
+    * native kernel (one pass over the vector computes every table's
+    * signature; the HOF form re-walks the vector once per plane). dims
+    * is validated by dimsOf; the kernel derives it per row. */
   def withSigs(df: DataFrame, embCol: String, tables: Int, planesPerTable: Int,
-      dims: Int): DataFrame =
-    df.select(col("*"), posexplode(array(
-        (0 until tables).map(t => lshSig(col(embCol), t, planesPerTable, dims)): _*)))
+      dims: Int): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.select(col("*"),
+        posexplode(expr(s"graft_lsh_sigs($embCol, $tables, $planesPerTable)")))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "sig")
+  }
 
   // ---------------------------------------------------------------------
   // DuckDB oracle generators (ANSI SQL the driver runs on the same

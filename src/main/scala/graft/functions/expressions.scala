@@ -191,6 +191,67 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Shared sign-matrix cache + fused kernel for LshSigs: sign rows are
+  * deterministic in (plane, dim) (Planes.sign), so one matrix per
+  * (tables, planesPerTable, dims) serves every task thread. */
+object LshSigsKernel {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+
+  private def signs(tables: Int, planes: Int, dims: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((tables, planes, dims), { case (t, p, d) =>
+      Array.tabulate(t * p)(pi => Planes.signRow(pi, d))
+    })
+
+  /** All table signatures in ONE pass over the vector. Each plane's dot
+    * accumulates in element order — bit-identical to the zip_with +
+    * aggregate formulation and to DuckDB's list_sum fold, so the
+    * signature bits (sign of each dot) match the SQL oracle exactly. */
+  def compute(emb: ArrayData, tables: Int, planes: Int): ArrayData = {
+    val dims = emb.numElements()
+    val s = signs(tables, planes, dims)
+    val nPlanes = tables * planes
+    val dots = new Array[Double](nPlanes)
+    var d = 0
+    while (d < dims) {
+      val x = emb.getFloat(d).toDouble
+      var p = 0
+      while (p < nPlanes) { dots(p) += x * s(p)(d); p += 1 }
+      d += 1
+    }
+    val sigs = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L; var j = 0
+      while (j < planes) {
+        if (dots(t * planes + j) > 0) sig |= (1L << j)
+        j += 1
+      }
+      sigs(t) = sig; t += 1
+    }
+    new GenericArrayData(sigs)
+  }
+}
+
+/** graft_lsh_sigs(emb, tables, planesPerTable): the per-table
+  * random-hyperplane signatures as array<long> — the fused form of
+  * Planes.lshSig (interpreted HOF lambdas cost ~dims×planes expression-
+  * node evals per row; this is one tight loop inside codegen). */
+case class LshSigs(child: Expression, tables: Int, planesPerTable: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_sigs"
+
+  override def nullSafeEval(input: Any): Any =
+    LshSigsKernel.compute(input.asInstanceOf[ArrayData], tables, planesPerTable)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.LshSigsKernel.compute($c, $tables, $planesPerTable);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Registration: via extensions (GraftExtensions) or imperatively on a
   * live session (registry is idempotent — re-register overwrites). */
 object GraftFunctions {
@@ -202,7 +263,13 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"graft_minhash k must be an int literal, got $other")
     }),
-    "graft_simhash64" -> ((args: Seq[Expression]) => SimHash64(args(0))))
+    "graft_simhash64" -> ((args: Seq[Expression]) => SimHash64(args(0))),
+    "graft_lsh_sigs" -> ((args: Seq[Expression]) => (args(1), args(2)) match {
+      case (Literal(t: Int, IntegerType), Literal(p: Int, IntegerType)) =>
+        LshSigs(args(0), t, p)
+      case other => throw new IllegalArgumentException(
+        s"graft_lsh_sigs tables/planes must be int literals, got $other")
+    }))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.registerFunction(

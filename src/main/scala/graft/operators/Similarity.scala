@@ -128,6 +128,10 @@ object Similarity {
         .groupBy(col("cent_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pm"))
         .select(col("cent_id"), expr("transform(pm, x -> x.mean)").as("cent_emb"))
+        // materialize each sweep: without the lineage cut every later
+        // iteration (and both downstream consumers) re-executes the
+        // whole chain — the k-means loop goes quadratic in plan depth
+        .localCheckpoint()
     }
     cents
   }

@@ -39,6 +39,24 @@ object Pipeline {
       extends RouteKey {
     def toColumn: Column = regexp_extract(col(src), regex, group)
   }
+  /** `##env.VAR##` target variable (reference util.go:20): an
+    * environment value becomes a constant routing column — at write
+    * time that is a single partition directory carrying the value. */
+  final case class EnvKey(name: String, envVar: String, default: String = "")
+      extends RouteKey {
+    def toColumn: Column = lit(sys.env.getOrElse(envVar, default))
+  }
+  /** `$thread` / `$batchCount`-style runtime variable (reference
+    * transfer.go:54-76): the caller supplies the value at run time. */
+  final case class RuntimeKey(name: String, value: String) extends RouteKey {
+    def toColumn: Column = lit(value)
+  }
+
+  /** Expand `##env.VAR##` occurrences in a target path itself
+    * (reference util.go:18-20 path templates). */
+  def expandTarget(path: String): String =
+    "##env\\.([A-Za-z_][A-Za-z0-9_]*)##".r.replaceAllIn(path,
+      m => java.util.regex.Matcher.quoteReplacement(sys.env.getOrElse(m.group(1), "")))
 
   final case class EnrichSpec(dim: DataFrame, joinKey: (String, String),
     pick: Seq[(String, String)])

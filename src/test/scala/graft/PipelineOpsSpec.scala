@@ -122,6 +122,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally spark.streams.removeListener(reg)
   }
 
+  test("env/runtime target variables expand into routing partitions and paths") {
+    val target = tmp("envkey")
+    // HOME is in any test environment; RuntimeKey carries $thread/$batchCount-style values
+    val spec = TransferSpec(
+      source = SourceSpec(s"$sf/orders.parquet", Parquet),
+      filterExpr = Some("o_orderkey <= 100"),
+      routes = Seq(EnvKey("run_user", "USER", default = "unknown"),
+        RuntimeKey("thread", "t7")))
+    Pipeline.run(spark, spec, target)
+    val back = spark.read.parquet(target)
+    assert(back.select("thread").distinct().collect().map(_.getString(0)).toSeq == Seq("t7"))
+    assert(back.select("run_user").distinct().count() == 1)
+    assert(Pipeline.expandTarget("/data/##env.GRAFT_NOPE##/x") == "/data//x")
+    assert(Pipeline.expandTarget("a ##env.HOME## b") ==
+      s"a ${sys.env.getOrElse("HOME", "")} b")
+  }
+
   test("jdbc load is idempotent and schema-mapped (Derby embedded)") {
     import graft.sources.Jdbc
     val dbDir = tmp("derby")

@@ -29,6 +29,21 @@ class PlanesSpec extends AnyFunSuite {
     }
   }
 
+  test("fused graft_lsh_sigs equals the HOF reference formulation bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, SharedSpark.sf)
+    val dims = Planes.dimsOf(e, "embedding")
+    val (tables, planes) = (16, 8)
+    graft.functions.GraftFunctions.register(spark)
+    val hof = e.select(col("vec_id"), array(
+      (0 until tables).map(t => Planes.lshSig(col("embedding"), t, planes, dims)): _*).as("s"))
+    val fused = e.select(col("vec_id"),
+      expr(s"graft_lsh_sigs(embedding, $tables, $planes)").as("s"))
+    val h = hof.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val f = fused.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(h == f)
+  }
+
   test("dimsOf fails fast on mixed embedding dims (ADVICE r1)") {
     import spark.implicits._
     val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(1.0f, 2.0f, 3.0f)))
