@@ -126,6 +126,9 @@ object SparkEntry {
     "text_ngrams" -> (TextAnalysis.ngrams _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_top_terms" -> (TextAnalysis.topTerms _),
+    "text_redact" -> (TextAnalysis.redact _),
+    "text_repetition" -> (TextAnalysis.repetition _),
+    "stream_enrich" -> (graft.streaming.Streams.streamEnrichTransfer _),
   )
 
   /** Headline bench set: everything except the deliberately-quadratic
@@ -720,6 +723,31 @@ object SparkEntry {
         | CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events WHERE event_id < 2000 AND event_type <> 'error'
         |GROUP BY event_type""".stripMargin,
+    "text_redact" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(raw, '[0-9]{4,}')) AS BIGINT) AS n_digit_runs,
+        | CAST(LENGTH(regexp_replace(regexp_replace(raw, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+        |   '[0-9]{4,}', '<NUM>', 'g')) AS BIGINT) AS redacted_len
+        |FROM (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com id '
+        |    || (doc_id * 1000000 + 123456) AS raw
+        | FROM documents) t""".stripMargin,
+    "text_repetition" ->
+      """WITH bg AS (
+        | SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bigram
+        | FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |c AS (SELECT doc_id, bigram, COUNT(*) AS n FROM bg GROUP BY doc_id, bigram)
+        |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+        | COUNT(*) AS n_distinct_bigrams, CAST(MAX(n) AS BIGINT) AS max_repeat,
+        | CAST(MAX(n) AS DOUBLE) / SUM(n) AS repetition_ratio
+        |FROM c GROUP BY doc_id""".stripMargin,
+    "stream_enrich" ->
+      """SELECT COALESCE(c_mktsegment, '(none)') AS segment, event_type, COUNT(*) AS n
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |WHERE event_id < 2000
+        |GROUP BY 1, 2""".stripMargin,
     "q_approx_distinct" ->
       "SELECT l_returnflag, CAST(1 AS BOOLEAN) AS within_2pct FROM lineitem GROUP BY l_returnflag",
     "dedup_minhash_lsh" ->

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Grouped top-k as a partial-aggregatable bounded buffer.
+  *
+  * The window formulation (`row_number() over (partition by q order by
+  * score desc)` then `rank <= k`) shuffles and sorts EVERY scored row —
+  * at 100 TB of candidates that sort is the dominant cost of an ANN
+  * query. This Aggregator keeps a k-bounded buffer per group, combines
+  * map-side (ObjectHashAggregate keeps the buffer as a live object, no
+  * per-row serialization), and ships only k rows per group per
+  * partition across the shuffle.
+  *
+  * Selection order is EXACTLY (score desc, id asc) — the same total
+  * order the window formulation uses — so results are bit-identical
+  * and the DuckDB row_number oracle still applies.
+  */
+object TopK {
+
+  /** (score, id) ordered by score desc then id asc. */
+  private def better(aScore: Double, aId: Long, bScore: Double, bId: Long): Boolean =
+    aScore > bScore || (aScore == bScore && aId < bId)
+
+  final case class Buf(var scores: Array[Double], var ids: Array[Long])
+
+  /** Insertion-sorted bounded buffer; k is small (top-k), so O(k)
+    * insertion beats heap constant factors and keeps the buffer sorted
+    * for free. */
+  private def insert(b: Buf, k: Int, score: Double, id: Long): Buf = {
+    val n = b.scores.length
+    if (n == k && !better(score, id, b.scores(n - 1), b.ids(n - 1))) return b
+    var pos = n
+    while (pos > 0 && better(score, id, b.scores(pos - 1), b.ids(pos - 1))) pos -= 1
+    val m = math.min(n + 1, k)
+    val ns = new Array[Double](m); val ni = new Array[Long](m)
+    System.arraycopy(b.scores, 0, ns, 0, pos)
+    System.arraycopy(b.ids, 0, ni, 0, pos)
+    ns(pos) = score; ni(pos) = id
+    val tail = m - pos - 1
+    if (tail > 0) {
+      System.arraycopy(b.scores, pos, ns, pos + 1, tail)
+      System.arraycopy(b.ids, pos, ni, pos + 1, tail)
+    }
+    Buf(ns, ni)
+  }
+
+  def aggregator(k: Int): Aggregator[(Double, Long), Buf, Seq[(Long, Double)]] =
+    new Aggregator[(Double, Long), Buf, Seq[(Long, Double)]] {
+      def zero: Buf = Buf(Array.empty, Array.empty)
+      def reduce(b: Buf, a: (Double, Long)): Buf = insert(b, k, a._1, a._2)
+      def merge(x: Buf, y: Buf): Buf = {
+        var acc = x
+        var i = 0
+        while (i < y.scores.length) { acc = insert(acc, k, y.scores(i), y.ids(i)); i += 1 }
+        acc
+      }
+      def finish(b: Buf): Seq[(Long, Double)] =
+        b.ids.toSeq.zip(b.scores.toSeq)
+      def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+      def outputEncoder: Encoder[Seq[(Long, Double)]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
+    }
+
+  /** `scored(groupCol, idCol, scoreCol)` → one row per (group, rank) for
+    * the k best ids per group; output columns (groupCol, idCol,
+    * scoreCol, rank) match the window formulation exactly. */
+  def perGroup(scored: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    val topk = udaf(aggregator(k))
+    scored.groupBy(col(groupCol))
+      .agg(topk(col(scoreCol), col(idCol)).as("_top"))
+      .select(col(groupCol), posexplode(col("_top")))
+      .select(col(groupCol),
+        col("col._1").as(idCol),
+        col("col._2").as(scoreCol),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+}

@@ -44,13 +44,14 @@ object Similarity {
       .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
   }
 
-  private def topKPerQuery(scored: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"))
-  }
+  /** Per-query top-k via the partial-aggregatable bounded buffer
+    * (functions.TopK): map-side top-k per partition, only k rows per
+    * (query, partition) cross the shuffle — the window formulation
+    * would sort EVERY scored candidate. Output is bit-identical to
+    * row_number over (cosine desc, cand_id), which remains the oracle
+    * formulation. */
+  private def topKPerQuery(scored: DataFrame): DataFrame =
+    graft.functions.TopK.perGroup(scored, "query_id", "cand_id", "cosine", K)
 
   /** Exact brute-force cosine top-k (oracle-able: bit-exact cosine). */
   def bruteTopK(s: SparkSession, dir: String): DataFrame = {

@@ -116,6 +116,52 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
   }
 
+  /** PII-style redaction: email addresses and long digit runs replaced
+    * with typed placeholder tokens — the scrubbing pass every training
+    * corpus runs before tokenization. Narrow map (regexp_replace is
+    * codegen'd); the synthetic corpus has no real emails, so each doc
+    * gets a deterministic one planted from its id, proving the
+    * pattern actually fires. Counts + redacted length are exact
+    * integers → hash-exact oracle (same RE in DuckDB's RE2). */
+  def redact(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    val digitsRe = "[0-9]{4,}"
+    val d = Tables.documentsParallel(s, dir)
+      .withColumn("raw",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com id "), col("doc_id") * 1000000 + 123456))
+    d.select(
+        col("doc_id"),
+        size(regexp_extract_all(col("raw"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(digitsRe), lit(0)))
+          .cast("long").as("n_digit_runs"),
+        length(regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+          digitsRe, "<NUM>")).cast("long").as("redacted_len"))
+  }
+
+  /** Repetition detection (a Gopher-style quality signal): share of the
+    * document taken by its single most-repeated word bigram. Explode →
+    * two partial-agg group-bys — the scale shape for any corpus size —
+    * then one final divide (exact integers until then). */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documentsParallel(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    val bigrams = d.select(col("doc_id"), explode(transform(
+      sequence(lit(0), size(col("w")) - 2),
+      i => concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2)))).as("bigram"))
+    bigrams.groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max(col("n")).as("max_repeat"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
+        col("max_repeat"),
+        (col("max_repeat").cast("double") / col("n_bigrams")).as("repetition_ratio"))
+  }
+
   /** Rolling-hash document fingerprint: polynomial hash of every char
     * 8-gram (base 131 mod 2^31-1, unrolled so DuckDB reproduces the
     * exact int64 arithmetic), document fingerprint = min gram hash

@@ -156,6 +156,34 @@ object Pipeline {
     (s.read.parquet(targetPath).count(), errs)
   }
 
+  /** MaxParallelTransfers analog (reference config.go:18): run several
+    * transfers concurrently from one driver. Spark's scheduler
+    * interleaves the jobs; each transfer runs in its own thread with
+    * its own job group so it can be cancelled independently. Returns
+    * per-transfer (rowsWritten, errorRows) in input order; the FIRST
+    * failure is rethrown after all transfers settle (no half-awaited
+    * futures left running). */
+  def runAll(s: SparkSession, transfers: Seq[(TransferSpec, String)],
+      maxParallel: Int): Seq[(Long, Long)] = {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(math.max(1, maxParallel))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = transfers.zipWithIndex.map { case ((spec, target), i) =>
+        Future {
+          s.sparkContext.setJobGroup(s"graft-transfer-$i", target, true)
+          try runWithRetry(s, spec, target)
+          finally s.sparkContext.clearJobGroup()
+        }
+      }
+      val settled = futures.map(f => Await.ready(f, Duration.Inf).value.get)
+      settled.collectFirst { case scala.util.Failure(e) => throw e }
+      settled.map(_.get)
+    } finally pool.shutdown()
+  }
+
   /** FailRetry analog (reference config.go:34-40): re-run the transfer
     * up to `spec.policy.failRetries` extra times on failure. Transfers
     * are idempotent (overwrite semantics), so a retry converges.

@@ -107,6 +107,34 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_cents"))
   }
 
+  /** Stream-static enrichment join — the ContentEnricher analog inside
+    * a streaming transfer (reference content_enricher.go applied per
+    * polled batch): each micro-batch joins the static dim table; Spark
+    * re-plans the static side per batch, so a small dim broadcasts.
+    * Gate query: staged events stream ⋈ customer, AvailableNow,
+    * aggregated per segment from the sink. */
+  def streamEnrichTransfer(s: SparkSession, dir: String): DataFrame = {
+    val base = System.getProperty("java.io.tmpdir") + "/graft_senrich_" + System.nanoTime
+    graft.sources.Tables.events(s, dir).filter(col("event_id") < 2000)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .write.json(s"$base/src")
+    val dim = graft.sources.Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val in = s.readStream
+      .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+      .json(s"$base/src")
+    val enriched = in.join(dim, col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("event_type"),
+        coalesce(col("c_mktsegment"), lit("(none)")).as("segment"))
+    val q = enriched.writeStream.format("parquet")
+      .option("path", s"$base/dst").option("checkpointLocation", s"$base/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/dst")
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Watermarked tumbling-window aggregation (streaming q analog of
     * operators.Windows.tumbling). */
   def windowedCounts(events: DataFrame): DataFrame =

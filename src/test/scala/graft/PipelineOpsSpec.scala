@@ -139,6 +139,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"a ${sys.env.getOrElse("HOME", "")} b")
   }
 
+  test("MaxParallelTransfers: concurrent transfers equal their sequential runs") {
+    val specs = Seq("'F'", "'O'", "'P'").zipWithIndex.map { case (status, i) =>
+      (TransferSpec(
+        source = SourceSpec(s"$sf/orders.parquet", Parquet),
+        filterExpr = Some(s"o_orderstatus = $status"),
+        transforms = Seq("price_band" -> "CAST(o_totalprice / 100000 AS INT)")),
+        tmp(s"par$i"))
+    }
+    val results = Pipeline.runAll(spark, specs, maxParallel = 3)
+    specs.zip(results).foreach { case ((spec, target), (written, errs)) =>
+      assert(errs == 0)
+      assert(written == Pipeline.plan(spark, spec).count(),
+        s"parallel transfer to $target diverged from its sequential plan")
+      assert(spark.read.parquet(target).count() == written)
+    }
+    assert(results.map(_._1).sum == Tables.orders(spark, sf).count())
+  }
+
   test("jdbc load is idempotent and schema-mapped (Derby embedded)") {
     import graft.sources.Jdbc
     val dbDir = tmp("derby")
