@@ -36,6 +36,7 @@ object SparkEntry {
     "etl_error_tolerance" -> (Etl.errorTolerance _),
     "etl_dynamic_partition_write" -> (Etl.dynamicPartitionWrite _),
     "etl_jdbc_roundtrip" -> (Etl.jdbcRoundtrip _),
+    "etl_time_window" -> (Etl.timeWindow _),
     "etl_policy_route" -> (Etl.policyRoute _),
     "etl_meta_incremental" -> (Etl.metaIncremental _),
     // query engine
@@ -707,6 +708,10 @@ object SparkEntry {
     "etl_jdbc_roundtrip" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n_customers, ${decSum("c_acctbal")} AS sum_acctbal
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "etl_time_window" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders FROM orders
+        |WHERE o_orderkey > 1000 AND o_orderkey <= 2000
+        |GROUP BY o_orderstatus""".stripMargin,
     "etl_policy_route" ->
       """SELECT CASE WHEN o_orderkey % 7 <> 0 THEN 'ok' ELSE 'quarantined' END AS status,
         | COUNT(*) AS n

@@ -119,7 +119,16 @@ object Dedup {
   }
 
   /** Scale-path near-dup dedup: MinHash-LSH candidates verified with
-    * exact shingle Jaccard — candidates only, never all pairs. */
+    * exact shingle Jaccard — candidates only, never all pairs.
+    *
+    * Oracle note (ADVICE r1): this op is hash-gated against the exact
+    * all-pairs truth, which holds iff LSH recall at j ≥ 0.7 is complete
+    * on the corpus. The band parameters (21×3) give ~99.98% per-pair
+    * collision probability at j = 0.7 (higher above), and completeness
+    * is explicitly gated twice: the `dedup_minhash_lsh` audit row
+    * (truth ⊆ candidates, recomputed by DuckDB) and the
+    * DedupSimilaritySpec full-recall test. A recall break therefore
+    * fails loudly in the gate rather than silently dropping pairs. */
   def lshVerified(s: SparkSession, dir: String): DataFrame = {
     val cands = minhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
     val d = docShingles(s, dir)

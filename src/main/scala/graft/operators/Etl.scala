@@ -238,6 +238,40 @@ object Etl {
         sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_acctbal"))
   }
 
+  /** TimeWindow source selection (reference config.go:20 TimeWindow:
+    * only source objects whose modification time falls in the window
+    * are transferred): Spark's file sources take `modifiedAfter` /
+    * `modifiedBefore`, which prune at FILE LISTING time — out-of-window
+    * objects are never opened, the exact semantics of the reference's
+    * windowed polling. The gate stages two batches with controlled
+    * mtimes and transfers only the in-window one. */
+  def timeWindow(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_tw_${System.nanoTime}"
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderkey") > 1000 && col("o_orderkey") <= 2000).coalesce(1)
+      .write.parquet(s"$base/src")
+    o.filter(col("o_orderkey") <= 1000).coalesce(1)
+      .write.parquet(s"$base/old")
+    def parquets(d: String) = Files.list(Paths.get(d)).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    // in-window batch: mtime 2025-01-01
+    parquets(s"$base/src").foreach(
+      Files.setLastModifiedTime(_, FileTime.fromMillis(1735689600000L)))
+    // out-of-window batch: back-dated to 2024-01-01, then moved in
+    parquets(s"$base/old").foreach { p =>
+      Files.setLastModifiedTime(p, FileTime.fromMillis(1704067200000L))
+      Files.move(p, Paths.get(s"$base/src", "old_" + p.getFileName.toString))
+    }
+    s.read
+      .option("modifiedAfter", "2024-06-01T00:00:00")
+      .parquet(s"$base/src")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
   /** Declarative error-policy transfer (reference config.go:27
     * MaxErrorCounts + quarantine routing): rows failing the spec's
     * validity predicate are diverted to a quarantine sink while good
