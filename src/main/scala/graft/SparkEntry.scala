@@ -49,6 +49,7 @@ object SparkEntry {
     "q_having" -> (Analytics.qHaving _),
     "q_distinct" -> (Analytics.qDistinct _),
     "q_approx_distinct" -> (Analytics.qApproxDistinctCheck _),
+    "q_approx_percentile" -> (Analytics.qApproxPercentileCheck _),
     "q_rollup" -> (Analytics.qRollup _),
     "q_semi_join" -> (Analytics.qSemiJoin _),
     "q_anti_join" -> (Analytics.qAntiJoin _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "sim_brute_topk" -> (Similarity.bruteTopK _),
     "sim_lsh_topk" -> (Similarity.lshTopK _),
     "sim_ivf_topk" -> (Similarity.ivfTopK _),
+    "sim_quantize" -> (Similarity.quantize _),
     // multimodal
     "mm_meta_extract" -> (Multimodal.metaExtract _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
@@ -129,6 +131,7 @@ object SparkEntry {
     "text_top_terms" -> (TextAnalysis.topTerms _),
     "text_redact" -> (TextAnalysis.redact _),
     "text_repetition" -> (TextAnalysis.repetition _),
+    "text_chunk" -> (TextAnalysis.chunk _),
     "stream_enrich" -> (graft.streaming.Streams.streamEnrichTransfer _),
   )
 
@@ -755,6 +758,33 @@ object SparkEntry {
         |GROUP BY 1, 2""".stripMargin,
     "q_approx_distinct" ->
       "SELECT l_returnflag, CAST(1 AS BOOLEAN) AS within_2pct FROM lineitem GROUP BY l_returnflag",
+    "q_approx_percentile" ->
+      "SELECT l_returnflag, CAST(1 AS BOOLEAN) AS within_5pct FROM lineitem GROUP BY l_returnflag",
+    "sim_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |  list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS amax
+        | FROM embeddings),
+        |q AS (SELECT vec_id, amax, emb,
+        |  list_transform(emb, x -> CAST(floor(x / amax * 127 + 0.5) AS BIGINT)) AS codes
+        | FROM e WHERE amax > 0)
+        |SELECT vec_id, amax,
+        | CAST(len(list_filter(codes, c -> c != 0)) AS BIGINT) AS n_nonzero,
+        | list_max(list_transform(list_zip(emb, codes),
+        |   p -> abs(p[1] - p[2] * amax / 127))) AS max_abs_err,
+        | list_sum(list_transform(list_zip(emb, codes),
+        |   p -> (p[1] - p[2] * amax / 127) * (p[1] - p[2] * amax / 127))) / len(codes) AS mse
+        |FROM q""".stripMargin,
+    "text_chunk" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        | CAST(i * 40 AS BIGINT) AS start_token,
+        | CAST(LEAST(50, n - i * 40) AS BIGINT) AS n_chunk_tokens,
+        | w[i * 40 + 1] AS head_token
+        |FROM (
+        | SELECT doc_id, string_split(text, ' ') AS w,
+        |  len(string_split(text, ' ')) AS n,
+        |  unnest(range(0, (len(string_split(text, ' ')) - 1) // 40 + 1)) AS i
+        | FROM documents) t
+        |WHERE LEAST(50, n - i * 40) > 0""".stripMargin,
     "dedup_minhash_lsh" ->
       """WITH s AS (
         | SELECT doc_id, list_distinct(list_transform(

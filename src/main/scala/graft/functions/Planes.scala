@@ -72,6 +72,33 @@ object Planes {
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "sig")
   }
 
+  /** Distinct candidate pairs from a banded (table, sig, id) frame,
+    * optionally dropping "stop buckets" larger than `maxBucketSize`.
+    * A hot bucket produces |bucket|² pairs — real corpora have
+    * degenerate signatures (empty docs, common templates) whose buckets
+    * would dominate the join; production LSH removes them like stop
+    * words (recall loss is confined to members of the dropped bucket,
+    * which other tables still cover). None = exact semantics, used by
+    * every oracled op. */
+  def candidatePairs(banded: DataFrame, idCol: String,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val pruned = maxBucketSize match {
+      case None => banded
+      case Some(cap) =>
+        val sizes = banded.groupBy(col("table"), col("sig"))
+          .agg(count(lit(1)).as("_bsz"))
+          .filter(col("_bsz") <= cap)
+          .select(col("table"), col("sig"))
+        banded.join(sizes, Seq("table", "sig"))
+    }
+    val a = pruned.select(col("table"), col("sig"), col(idCol).as("_a"))
+    val b = pruned.select(col("table"), col("sig"), col(idCol).as("_b"))
+    a.join(b, Seq("table", "sig"))
+      .filter(col("_a") < col("_b"))
+      .select(col("_a").as(s"${idCol}_a"), col("_b").as(s"${idCol}_b"))
+      .distinct()
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracle generators (ANSI SQL the driver runs on the same
   // parquet). Same fmix chain via xor()/>>/& — DuckDB's ^ is POWER, so

@@ -154,6 +154,23 @@ object Analytics {
           col("exact_parts") <= 0.02).as("within_2pct"))
   }
 
+  /** Tolerance-oracled sketch percentile (same pattern as the HLL
+    * gate): the KLL/GK-style approx_percentile must land within 5% of
+    * the exact per-group median — mergeable sketch state is the 100 TB
+    * path, the oracle pins its accuracy as a hard gate. */
+  def qApproxPercentileCheck(s: SparkSession, dir: String): DataFrame = {
+    val approx = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_med"))
+    val exact = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("exact_med"))
+    approx.join(exact, "l_returnflag")
+      .select(col("l_returnflag"),
+        (abs(col("approx_med") - col("exact_med")) / col("exact_med") <= 0.05)
+          .as("within_5pct"))
+  }
+
   /** ROLLUP hierarchy aggregation. */
   def qRollup(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)

@@ -328,11 +328,10 @@ object Dedup {
     val banded = graft.functions.Planes
       .withSigs(e, "embedding", EmbLshTables, EmbLshPlanes, dims)
       .select(col("table"), col("sig"), col("vec_id"))
-    val a = banded.select(col("table"), col("sig"), col("vec_id").as("vec_a"))
-    val b = banded.select(col("table"), col("sig"), col("vec_id").as("vec_b"))
-    val cands = a.join(b, Seq("table", "sig"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b")).distinct()
+    // no stop-bucket cap here (exact oracle semantics); at corpus scale
+    // pass maxBucketSize to drop degenerate hot buckets (Planes doc)
+    val cands = graft.functions.Planes.candidatePairs(banded, "vec_id")
+      .select(col("vec_id_a").as("vec_a"), col("vec_id_b").as("vec_b"))
     cands
       .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
       .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")

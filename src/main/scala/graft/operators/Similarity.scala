@@ -85,6 +85,30 @@ object Similarity {
     topKPerQuery(scored)
   }
 
+  /** Symmetric int8 quantization of the embedding store — at 100 TB the
+    * embedding column is the bulk of the bytes, and 4×-smaller codes
+    * change the scan/shuffle economics of every ANN query. Per-vector
+    * absmax scale, code = floor(x/scale·127 + 0.5); reports code
+    * occupancy and exact reconstruction-error stats (all arithmetic
+    * sequential/ordered → hash-exact oracle). */
+  def quantize(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddingsParallel(s, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .withColumn("amax", array_max(expr("transform(emb, x -> abs(x))")))
+      .filter(col("amax") > 0)
+    e.select(col("vec_id"), col("amax"),
+        expr("transform(emb, x -> CAST(floor(x / amax * 127 + 0.5) AS BIGINT))").as("codes"),
+        col("emb"))
+      .select(col("vec_id"), col("amax"),
+        size(filter(col("codes"), c => c =!= 0)).cast("long").as("n_nonzero"),
+        array_max(expr(
+          "zip_with(emb, codes, (x, c) -> abs(x - c * amax / 127))")).as("max_abs_err"),
+        (graft.functions.VectorOps.seqSum(expr(
+          "zip_with(emb, codes, (x, c) -> (x - c * amax / 127) * (x - c * amax / 127))"))
+          / size(col("codes"))).as("mse"))
+  }
+
   val IvfProbes = 10
   val IvfLloydIters = 3
 

@@ -162,6 +162,25 @@ object TextAnalysis {
         (col("max_repeat").cast("double") / col("n_bigrams")).as("repetition_ratio"))
   }
 
+  /** Context-window chunking: split each document into 50-token chunks
+    * with stride 40 (10-token overlap) — how a training pipeline shapes
+    * documents to a model's context window. Pure integer index
+    * arithmetic (exact oracle); narrow map + explode, no shuffle. */
+  def chunk(s: SparkSession, dir: String): DataFrame = {
+    val window = 50
+    val stride = 40
+    val d = Tables.documentsParallel(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")))
+    d.select(col("doc_id"), col("w"), col("n"),
+        posexplode(sequence(lit(0), expr(s"(n - 1) div $stride").cast("int"))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        (col("pos") * stride).cast("long").as("start_token"),
+        least(lit(window), col("n") - col("pos") * stride).cast("long").as("n_chunk_tokens"),
+        element_at(col("w"), col("pos") * stride + 1).as("head_token"))
+      .filter(col("n_chunk_tokens") > 0)
+  }
+
   /** Rolling-hash document fingerprint: polynomial hash of every char
     * 8-gram (base 131 mod 2^31-1, unrolled so DuckDB reproduces the
     * exact int64 arithmetic), document fingerprint = min gram hash

@@ -44,6 +44,22 @@ class PlanesSpec extends AnyFunSuite {
     assert(h == f)
   }
 
+  test("stop-bucket cap bounds the candidate explosion and stays a subset") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, SharedSpark.sf)
+      .select(col("vec_id"), col("embedding"))
+    val dims = Planes.dimsOf(e, "embedding")
+    val banded = Planes.withSigs(e, "embedding", 8, 4, dims)
+      .select(col("table"), col("sig"), col("vec_id"))
+    def pairs(cap: Option[Int]) = Planes.candidatePairs(banded, "vec_id", cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(None)
+    val capped = pairs(Some(5))
+    assert(capped.subsetOf(uncapped))
+    assert(capped.size < uncapped.size,
+      "a 5-member bucket cap should drop some hot-bucket pairs on this corpus")
+  }
+
   test("dimsOf fails fast on mixed embedding dims (ADVICE r1)") {
     import spark.implicits._
     val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(1.0f, 2.0f, 3.0f)))
