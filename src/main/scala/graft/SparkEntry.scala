@@ -76,6 +76,7 @@ object SparkEntry {
     "q_collect" -> (Analytics2.qCollect _),
     // distributed-execution patterns (oracle-equal results)
     "pat_skew_agg" -> (Patterns.skewAgg _),
+    "pat_skew_join" -> (Patterns.skewJoin _),
     "pat_typed_agg" -> (Patterns.typedAgg _),
     "pat_bucketed_join" -> (Patterns.bucketedJoin _),
     "pat_codec_roundtrip" -> (Patterns.codecRoundtrip _),
@@ -528,6 +529,12 @@ object SparkEntry {
     "pat_skew_agg" ->
       s"""SELECT l_returnflag, ${decSum("l_quantity")} AS sum_qty, COUNT(*) AS n_items
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "pat_skew_join" ->
+      s"""SELECT n_name AS bucket_name, COUNT(*) AS n_items, ${decSum("l_quantity")} AS sum_qty
+        |FROM lineitem
+        |JOIN (SELECT n_nationkey % 3 AS hot_key, n_name FROM nation WHERE n_nationkey < 3) d
+        |  ON l_orderkey % 3 = hot_key
+        |GROUP BY n_name""".stripMargin,
     "pat_typed_agg" ->
       """SELECT l_returnflag,
         | CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100 / COUNT(*) AS avg_qty

@@ -55,6 +55,30 @@ object Patterns {
       .toDF("l_returnflag", "avg_qty")
   }
 
+  /** Salted replicate join for skewed join keys: the fact side gets a
+    * random-ish salt, the (small) dim side is exploded once per salt, and
+    * the join key becomes (key, salt) — a hot key's rows spread over
+    * `salts` reducers instead of one. Result EXACTLY equals the unsalted
+    * join (the oracle is the plain SQL join). AQE's skew-join handles
+    * sort-merge skew automatically; this is the explicit form for when
+    * the dim is replicable and the skew is extreme (or AQE is off). */
+  def skewJoin(s: SparkSession, dir: String): DataFrame = {
+    val salts = 8
+    // synthesize a skewed key: 3 hot values over all of lineitem
+    val fact = Tables.lineitem(s, dir)
+      .withColumn("hot_key", pmod(col("l_orderkey"), lit(3)).cast("int"))
+      .withColumn("salt", pmod(col("l_linenumber") * 31 + col("l_orderkey"), lit(salts)).cast("int"))
+    val dim = Tables.nation(s, dir).filter(col("n_nationkey") < 3)
+      .select(pmod(col("n_nationkey"), lit(3)).cast("int").as("hot_key"),
+        col("n_name").as("bucket_name"))
+    val dimSalted = dim.crossJoin(
+        s.range(salts).select(col("id").cast("int").as("salt")))
+    fact.join(broadcast(dimSalted), Seq("hot_key", "salt"))
+      .groupBy(col("bucket_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+  }
+
   /** Bucketed co-located join: both sides persisted bucketed by the
     * join key → the join needs NO Exchange (verified in PatternsSpec).
     * The 100 TB pattern for repeatedly-joined fact tables. */

@@ -16,7 +16,8 @@ class AllQueriesSpec extends AnyFunSuite {
     "sim_ivf_topk",                            // vectors × centroids (tiny broadcast side)
     "q_scalar_subquery", "q22_dormant",        // scalar-subquery broadcast joins
     "dedup_survivors",                         // cross join of three 1-row aggregates
-    "dedup_minhash_lsh")                       // audit: cross join of two 1-row counts
+    "dedup_minhash_lsh",                       // audit: cross join of two 1-row counts
+    "pat_skew_join")                           // dim × salts replication (3×8 rows BY DESIGN)
 
   test("every query returns rows at sf0.001 and has a sane join plan") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()

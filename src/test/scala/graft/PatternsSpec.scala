@@ -8,6 +8,31 @@ import graft.sources.Tables
 class PatternsSpec extends AnyFunSuite {
   import SharedSpark.{spark, sf}
 
+  test("salted skew join equals the plain join exactly and spreads the hot keys") {
+    import org.apache.spark.sql.functions._
+    val salted = Patterns.skewJoin(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val plain = graft.sources.Tables.lineitem(spark, sf)
+      .withColumn("hot_key", pmod(col("l_orderkey"), lit(3)).cast("int"))
+      .join(graft.sources.Tables.nation(spark, sf)
+        .filter(col("n_nationkey") < 3)
+        .select(pmod(col("n_nationkey"), lit(3)).cast("int").as("hot_key"),
+          col("n_name").as("bucket_name")), Seq("hot_key"))
+      .groupBy(col("bucket_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("q"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(salted == plain)
+  }
+
+  test("ANN top-k aggregates via ObjectHashAggregate — no window sort of candidates") {
+    val plan = graft.operators.Similarity.bruteTopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"expected object hash agg:\n$plan")
+    assert(!plan.contains("SortAggregate") && !plan.contains("Window"),
+      "top-k must not fall back to sort-based aggregation or a window")
+  }
+
   test("salted skew agg equals plain group-by exactly") {
     val salted = Patterns.skewAgg(spark, sf)
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
