@@ -134,6 +134,7 @@ object SparkEntry {
     "text_repetition" -> (TextAnalysis.repetition _),
     "text_chunk" -> (TextAnalysis.chunk _),
     "stream_enrich" -> (graft.streaming.Streams.streamEnrichTransfer _),
+    "stream_jdbc_sink" -> (graft.streaming.Streams.streamJdbcSink _),
   )
 
   /** Headline bench set: everything except the deliberately-quadratic
@@ -763,6 +764,11 @@ object SparkEntry {
         |FROM events LEFT JOIN customer ON user_id = c_custkey
         |WHERE event_id < 2000
         |GROUP BY 1, 2""".stripMargin,
+    "stream_jdbc_sink" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events WHERE event_id < 2000 AND event_type <> 'error'
+        |GROUP BY event_type""".stripMargin,
     "q_approx_distinct" ->
       "SELECT l_returnflag, CAST(1 AS BOOLEAN) AS within_2pct FROM lineitem GROUP BY l_returnflag",
     "q_approx_percentile" ->

@@ -107,6 +107,50 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_cents"))
   }
 
+  /** Streaming → database sink with per-batch idempotency — the
+    * reference's stream-to-datastore path (pkg/bigquery load jobs per
+    * transfer window) as foreachBatch + JDBC: every micro-batch first
+    * DELETEs its own batch_id's rows then appends, so a batch REPLAYED
+    * after a failure converges instead of duplicating (exactly-once
+    * effect on an at-least-once channel). */
+  def streamJdbcSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Jdbc
+    val base = System.getProperty("java.io.tmpdir") + "/graft_sjdbc_" + System.nanoTime
+    graft.sources.Tables.events(s, dir).filter(col("event_id") < 2000)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .write.json(s"$base/src")
+    val dbDir = s"${System.getProperty("java.io.tmpdir")}/graft_derby_${ProcessHandle.current().pid()}"
+    val url = Jdbc.derbyUrl(dbDir)
+    val table = "stream_events"
+    def exec(sql: String): Unit = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try { val st = c.createStatement(); try st.execute(sql) finally st.close() }
+      catch { case _: java.sql.SQLException => () } // table-not-yet-created etc.
+      finally c.close()
+    }
+    exec(s"DROP TABLE $table")
+    val in = s.readStream
+      .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+      .json(s"$base/src")
+    val q = in.filter(col("event_type") =!= "error")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        exec(s"DELETE FROM $table WHERE batch_id = $bid") // replay-safe
+        batch.withColumn("batch_id", lit(bid))
+          .write.format("jdbc")
+          .option("url", url).option("dbtable", table)
+          .option("driver", Jdbc.DerbyDriver)
+          .mode("append").save()
+      }
+      .option("checkpointLocation", s"$base/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    Jdbc.read(s, url, table)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("sum_cents"))
+  }
+
   /** Stream-static enrichment join — the ContentEnricher analog inside
     * a streaming transfer (reference content_enricher.go applied per
     * polled batch): each micro-batch joins the static dim table; Spark
