@@ -133,6 +133,8 @@ object SparkEntry {
     "text_redact" -> (TextAnalysis.redact _),
     "text_repetition" -> (TextAnalysis.repetition _),
     "text_chunk" -> (TextAnalysis.chunk _),
+    "text_split" -> (TextAnalysis.trainValSplit _),
+    "text_pack" -> (TextAnalysis.pack _),
     "stream_enrich" -> (graft.streaming.Streams.streamEnrichTransfer _),
     "stream_jdbc_sink" -> (graft.streaming.Streams.streamJdbcSink _),
   )
@@ -769,6 +771,21 @@ object SparkEntry {
         | CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events WHERE event_id < 2000 AND event_type <> 'error'
         |GROUP BY event_type""".stripMargin,
+    "text_split" ->
+      """SELECT CASE WHEN (doc_id * 2654435761 + 104729) % 9973 % 100 < 95
+        |  THEN 'train' ELSE 'val' END AS split,
+        | COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    "text_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb FROM d)
+        |SELECT CAST(tb // 4096 AS BIGINT) AS pack_id, COUNT(*) AS n_docs,
+        | CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1""".stripMargin,
     "q_approx_distinct" ->
       "SELECT l_returnflag, CAST(1 AS BOOLEAN) AS within_2pct FROM lineitem GROUP BY l_returnflag",
     "q_approx_percentile" ->

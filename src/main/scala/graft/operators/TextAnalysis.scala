@@ -181,6 +181,41 @@ object TextAnalysis {
       .filter(col("n_chunk_tokens") > 0)
   }
 
+  /** Deterministic train/validation split: an affine integer hash of
+    * the id picks the bucket, so membership is stable across runs,
+    * machines, and engines — re-ingesting the corpus never moves a
+    * document across the split (the property that prevents eval
+    * contamination). 95/5 here; exact oracle. */
+  def trainValSplit(s: SparkSession, dir: String): DataFrame = {
+    // multiplicative mix mod a prime, kept < 2^63 (doc_id is small)
+    val bucket = pmod(col("doc_id") * 2654435761L + 104729L, lit(9973L))
+    Tables.documentsParallel(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        when(bucket % 100 < 95, "train").otherwise("val").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+  }
+
+  /** Token-budget sequence packing: documents in deterministic id order
+    * are packed greedily into 4096-token bins by running token count —
+    * the batch-shaping pass before training. Window cumsum in exact
+    * integers → exact oracle; at scale the cumsum shuffles once on the
+    * (single) ordering — production would pack per shard
+    * (partitionBy(shard) windows), same arithmetic. */
+  def pack(s: SparkSession, dir: String): DataFrame = {
+    val budget = 4096L
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    d.withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", (col("tokens_before") / budget).cast("long"))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
   /** Rolling-hash document fingerprint: polynomial hash of every char
     * 8-gram (base 131 mod 2^31-1, unrolled so DuckDB reproduces the
     * exact int64 arithmetic), document fingerprint = min gram hash
