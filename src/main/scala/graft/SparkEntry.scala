@@ -140,22 +140,33 @@ object SparkEntry {
   )
 
   /** Headline bench set: everything except the deliberately-quadratic
-    * oracle twins and audits built on them (all-pairs BY DESIGN so
-    * DuckDB can replicate them exactly; their production scale paths —
-    * dedup_lsh_verified, dedup_embedding_lsh, sim_lsh_topk — are what
-    * gets benched). */
+    * oracle twins (all-pairs BY DESIGN so DuckDB can replicate them
+    * exactly; their production scale paths — dedup_lsh_verified,
+    * dedup_embedding_lsh, sim_lsh_topk — are what gets benched). */
   def benchQueries: Seq[String] =
     queries.keys.filterNot(Set(
       "dedup_ngram_jaccard", // all-pairs oracle twin of dedup_lsh_verified
       "dedup_embedding",     // all-pairs oracle twin of dedup_embedding_lsh
                              // (VERDICT r1 item 1: was wrongly benched)
-      "dedup_prefix_join",   // exact AllPairs twin; prefix filter prunes
+      "dedup_prefix_join"    // exact AllPairs twin; prefix filter prunes
                              // poorly on this tiny-vocab corpus (LSH path
                              // is the benched production shape)
-      "dedup_minhash_lsh"    // recall audit — runs the prefix-join truth
-                             // side; the candidate stage itself is inside
-                             // benched dedup_lsh_verified
     )).toSeq.sorted
+
+  /** Where the correctness-gate query is an AUDIT or a check that also
+    * computes the exact/truth side, the bench times the PRODUCTION
+    * shape instead — otherwise the headline figure would attribute
+    * truth-recomputation cost to the operator (and the sketch ops would
+    * bench their exact twins' work). Keys must exist in `queries`. */
+  def benchOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_lsh" -> (Dedup.minhashLsh _),          // candidates, not the audit
+    "dedup_simhash" -> (Dedup.simhash _),                 // 4×16 candidates, not the audit
+    "q_approx_distinct" -> (Analytics.qApproxDistinct _), // HLL only, not the ±2% check
+    "q_approx_percentile" -> ((s: SparkSession, dir: String) =>
+      graft.sources.Tables.lineitem(s, dir)
+        .groupBy(org.apache.spark.sql.functions.col("l_returnflag"))
+        .agg(org.apache.spark.sql.functions
+          .expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_med"))))
 
   // ---------------------------------------------------------------------
   // Generated oracles for the LSH/IVF pipelines: the candidate stages

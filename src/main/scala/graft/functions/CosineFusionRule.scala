@@ -40,13 +40,19 @@ object CosineFusionRule extends Rule[LogicalPlan] {
     }
 
   /** matches aggregate(<arr>, 0.0, (acc, v) -> acc + v) — with acc and
-    * v being exactly the lambda's two arguments — and returns arr. */
+    * v being exactly the lambda's two arguments AND an identity finish
+    * lambda (a non-identity finish, e.g. acc -> -acc, transforms the
+    * sum and must block the rewrite) — and returns arr. */
   private object SeqSum {
+    private def isIdentity(finish: Expression): Boolean = finish match {
+      case LambdaFunction(body, Seq(a: NamedLambdaVariable), _) => isVar(body, a)
+      case _ => false
+    }
     def unapply(e: Expression): Option[Expression] = e match {
       case ArrayAggregate(arr, Literal(0.0, DoubleType),
           LambdaFunction(Add(l, r, _),
-            Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _), _)
-          if isVar(l, acc) && isVar(r, v) =>
+            Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _), finish)
+          if isVar(l, acc) && isVar(r, v) && isIdentity(finish) =>
         Some(arr)
       case _ => None
     }

@@ -20,9 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object TopK {
 
-  /** (score, id) ordered by score desc then id asc. */
-  private def better(aScore: Double, aId: Long, bScore: Double, bId: Long): Boolean =
-    aScore > bScore || (aScore == bScore && aId < bId)
+  /** (score, id) ordered by score desc then id asc, with NaN ranked
+    * ABOVE every number — the ordering both Spark's window `desc` and
+    * DuckDB's ORDER BY ... DESC use, so a NaN score (e.g. cosine of a
+    * zero-norm vector) ranks identically to the oracle formulation. */
+  private def better(aScore: Double, aId: Long, bScore: Double, bId: Long): Boolean = {
+    val aNaN = aScore.isNaN; val bNaN = bScore.isNaN
+    if (aNaN != bNaN) aNaN
+    else if (!aNaN && aScore != bScore) aScore > bScore
+    else aId < bId
+  }
 
   final case class Buf(var scores: Array[Double], var ids: Array[Long])
 
@@ -70,7 +77,12 @@ object TopK {
   def perGroup(scored: DataFrame, groupCol: String, idCol: String,
       scoreCol: String, k: Int): DataFrame = {
     val topk = udaf(aggregator(k))
-    scored.groupBy(col(groupCol))
+    // a null score (nullable cosine) would crash the primitive input
+    // encoder; the window formulation ranks nulls last and they can
+    // never enter a top-k that any non-null candidate fills — dropping
+    // them matches for k <= non-null candidate count
+    scored.filter(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol))
       .agg(topk(col(scoreCol), col(idCol)).as("_top"))
       .select(col(groupCol), posexplode(col("_top")))
       .select(col(groupCol),

@@ -28,6 +28,15 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_cosine expects two array<float> args, got $other")
+    }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -206,9 +215,17 @@ object LshSigsKernel {
   /** All table signatures in ONE pass over the vector. Each plane's dot
     * accumulates in element order — bit-identical to the zip_with +
     * aggregate formulation and to DuckDB's list_sum fold, so the
-    * signature bits (sign of each dot) match the SQL oracle exactly. */
+    * signature bits (sign of each dot) match the SQL oracle exactly.
+    * A null element null-poisons every dot in the HOF reference
+    * (`null > 0` is false → all bits 0), so the kernel returns all-zero
+    * signatures the same way instead of reading undefined memory. */
   def compute(emb: ArrayData, tables: Int, planes: Int): ArrayData = {
     val dims = emb.numElements()
+    var i = 0
+    while (i < dims) {
+      if (emb.isNullAt(i)) return new GenericArrayData(new Array[Long](tables))
+      i += 1
+    }
     val s = signs(tables, planes, dims)
     val nPlanes = tables * planes
     val dots = new Array[Double](nPlanes)
@@ -241,6 +258,15 @@ case class LshSigs(child: Expression, tables: Int, planesPerTable: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_lsh_sigs"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_lsh_sigs expects array<float>, got $other")
+    }
 
   override def nullSafeEval(input: Any): Any =
     LshSigsKernel.compute(input.asInstanceOf[ArrayData], tables, planesPerTable)

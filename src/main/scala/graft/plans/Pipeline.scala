@@ -41,10 +41,19 @@ object Pipeline {
   }
   /** `##env.VAR##` target variable (reference util.go:20): an
     * environment value becomes a constant routing column — at write
-    * time that is a single partition directory carrying the value. */
+    * time that is a single partition directory carrying the value.
+    * Fails fast on an empty resolved value: an empty-string partition
+    * value round-trips as __HIVE_DEFAULT_PARTITION__/NULL, silently
+    * corrupting the routing column. */
   final case class EnvKey(name: String, envVar: String, default: String = "")
       extends RouteKey {
-    def toColumn: Column = lit(sys.env.getOrElse(envVar, default))
+    def toColumn: Column = {
+      val v = sys.env.getOrElse(envVar, default)
+      require(v.nonEmpty,
+        s"EnvKey $name: $$${envVar} is unset and no non-empty default given " +
+          "(empty partition values round-trip as null)")
+      lit(v)
+    }
   }
   /** `$thread` / `$batchCount`-style runtime variable (reference
     * transfer.go:54-76): the caller supplies the value at run time. */

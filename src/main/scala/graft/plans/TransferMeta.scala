@@ -15,8 +15,16 @@ import org.apache.hadoop.fs.Path
   * `runIncremental` lists the source, subtracts processed files, reads
   * ONLY the new ones (an explicit file list → Spark plans a scan over
   * just those splits), appends to the target, and rewrites the meta
-  * via write-temp-then-rename. A re-run with no new files is a no-op
-  * that touches zero data files.
+  * via write-to-`.new`-then-swap (readMeta falls back to `.new`, so no
+  * crash point leaves the transfer meta-less). A re-run with no new
+  * files is a no-op that touches zero data files.
+  *
+  * Crash contract: the data append commits BEFORE the meta (a crash
+  * between the two re-processes those files on the next run →
+  * AT-LEAST-ONCE, the same contract as the reference's re-runnable
+  * transfers; meta-before-append would silently LOSE the batch).
+  * Exactly-once needs either a transactional sink or a downstream
+  * idempotent collapse (operators.Etl.upsertMerge / Dedup.exactKeyed).
   */
 object TransferMeta {
 
@@ -40,26 +48,37 @@ object TransferMeta {
         m.group(2).toLong)
     }.toSeq
 
+  private def newPath(target: String) = new Path(target, "_graft_meta.json.new")
+
   def readMeta(s: SparkSession, target: String): Seq[FileMeta] = {
     val p = metaPath(target)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Nil
-    else {
-      val in = fs.open(p)
-      try parse(new String(in.readAllBytes(), StandardCharsets.UTF_8))
-      finally in.close()
+    // crash recovery: if only the .new generation exists (crash between
+    // delete-old and swap), it is the latest committed state
+    val use = if (fs.exists(p)) Some(p)
+      else if (fs.exists(newPath(target))) Some(newPath(target))
+      else None
+    use match {
+      case None => Nil
+      case Some(path) =>
+        val in = fs.open(path)
+        try parse(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+        finally in.close()
     }
   }
 
   private def writeMeta(s: SparkSession, target: String, metas: Seq[FileMeta]): Unit = {
     val p = metaPath(target)
+    val np = newPath(target)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val tmp = new Path(target, s"._graft_meta.${System.nanoTime}.tmp")
-    val out = fs.create(tmp, true)
+    // 1. write the new generation in full (supersedes the old from here
+    //    on — readMeta prefers the main file but falls back to .new)
+    val out = fs.create(np, true)
     try out.write(render(metas).getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    // 2. swap: every crash point leaves a readable meta (old, or .new)
     if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
+    if (!fs.rename(np, p))
       throw new IllegalStateException(s"could not commit transfer meta at $p")
   }
 

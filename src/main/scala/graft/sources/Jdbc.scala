@@ -27,18 +27,25 @@ object Jdbc {
     * over Derby's db.lck. */
   def derbyUrl(dbDir: String): String = s"jdbc:derby:$dbDir;create=true"
 
-  /** Idempotent schema-mapped load + post-load verify. */
+  /** Idempotent schema-mapped load + post-load verify. The expected
+    * count rides the write job via observe() — the source lineage is
+    * computed exactly once per load, and only the (cheap) JDBC
+    * read-back count is an extra job. */
   def load(df: DataFrame, url: String, table: String,
       columnTypes: Option[String] = None): Unit = {
-    val w = df.write.format("jdbc")
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs,
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val w = observed.write.format("jdbc")
       .option("url", url).option("dbtable", table)
       .option("driver", DerbyDriver)
       .option("truncate", "true")
       .mode("overwrite")
     columnTypes.foreach(w.option("createTableColumnTypes", _))
     w.save()
+    val expected = obs.get("n").asInstanceOf[Long]
     val loaded = read(df.sparkSession, url, table).count()
-    val expected = df.count()
     if (loaded != expected) throw new IllegalStateException(
       s"post-load verify failed for $table: loaded $loaded, expected $expected")
   }

@@ -80,14 +80,16 @@ object Streams {
       .start()
     try {
       q.processAllAvailable()
-      // the progress event for the final batch is posted by the stream
-      // thread just after its commit; give the post a beat so stop()
-      // doesn't tear the thread down between commit and post (listener
-      // counters would undercount the final batch)
-      val deadline = System.currentTimeMillis() + 5000
-      while (q.lastProgress == null && System.currentTimeMillis() < deadline)
-        Thread.sleep(50)
-      Thread.sleep(300)
+      // the progress event for the final DATA batch is posted by the
+      // stream thread just after its commit; stopping immediately can
+      // tear the thread down between commit and post and the listener
+      // counters would undercount. An IDLE progress tick (0 input rows)
+      // proves every data batch's event was already posted — poll for
+      // one instead of sleeping a fixed interval.
+      val deadline = System.currentTimeMillis() + 10000
+      while ((q.lastProgress == null || q.lastProgress.numInputRows != 0)
+          && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
     } finally q.stop()
   }
 
@@ -122,20 +124,27 @@ object Streams {
     val dbDir = s"${System.getProperty("java.io.tmpdir")}/graft_derby_${ProcessHandle.current().pid()}"
     val url = Jdbc.derbyUrl(dbDir)
     val table = "stream_events"
-    def exec(sql: String): Unit = {
+    // ignores ONLY Derby's table-does-not-exist states (42X05 statement /
+    // 42Y55 DDL) — any real failure (lock timeout, connection error) must
+    // propagate, or a failed per-batch DELETE would silently break the
+    // replay idempotency this sink exists to provide
+    def execIgnoreMissing(sql: String): Unit = {
       val c = java.sql.DriverManager.getConnection(url)
       try { val st = c.createStatement(); try st.execute(sql) finally st.close() }
-      catch { case _: java.sql.SQLException => () } // table-not-yet-created etc.
+      catch {
+        case e: java.sql.SQLException
+            if e.getSQLState == "42X05" || e.getSQLState == "42Y55" => ()
+      }
       finally c.close()
     }
-    exec(s"DROP TABLE $table")
+    execIgnoreMissing(s"DROP TABLE $table")
     val in = s.readStream
       .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
       .json(s"$base/src")
     val q = in.filter(col("event_type") =!= "error")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
-        exec(s"DELETE FROM $table WHERE batch_id = $bid") // replay-safe
+        execIgnoreMissing(s"DELETE FROM $table WHERE batch_id = $bid") // replay-safe
         batch.withColumn("batch_id", lit(bid))
           .write.format("jdbc")
           .option("url", url).option("dbtable", table)

@@ -99,6 +99,14 @@ class PlanesSpec extends AnyFunSuite {
         sqrt(VectorOps.normSq(col("a")) * VectorOps.normSq(col("b")))).as("v"))
     assert(!notSum.queryExecution.optimizedPlan.toString.contains("graft_cosine"),
       "acc+acc aggregate must not be fused as a sum")
+    // aggregate(..., acc -> -acc): non-identity FINISH lambda must block
+    val negFinish = df.select(
+      (aggregate(zip_with(col("a"), col("b"),
+          (x, y) => x.cast("double") * y.cast("double")), lit(0.0),
+          (acc, v) => acc + v, acc => -acc) /
+        sqrt(VectorOps.normSq(col("a")) * VectorOps.normSq(col("b")))).as("v"))
+    assert(!negFinish.queryExecution.optimizedPlan.toString.contains("graft_cosine"),
+      "non-identity finish lambda must not be fused away")
     // the genuine shape on the same tiny df still fuses
     val genuine = df.select(VectorOps.cosine(col("a"), col("b")).as("v"))
     assert(genuine.queryExecution.optimizedPlan.toString.contains("graft_cosine"))
