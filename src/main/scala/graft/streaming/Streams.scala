@@ -80,16 +80,22 @@ object Streams {
       .start()
     try {
       q.processAllAvailable()
-      // the progress event for the final DATA batch is posted by the
-      // stream thread just after its commit; stopping immediately can
-      // tear the thread down between commit and post and the listener
-      // counters would undercount. An IDLE progress tick (0 input rows)
-      // proves every data batch's event was already posted — poll for
-      // one instead of sleeping a fixed interval.
-      val deadline = System.currentTimeMillis() + 10000
-      while ((q.lastProgress == null || q.lastProgress.numInputRows != 0)
-          && System.currentTimeMillis() < deadline)
-        Thread.sleep(20)
+      // the final DATA batch's progress is created (and its listener
+      // event posted) by the stream thread just after the commit that
+      // processAllAvailable waits on; stopping in that gap would lose
+      // the event. Once the batch's progress object shows up in
+      // recentProgress the post has happened — the listener bus keeps
+      // delivering after stop — so wait for the progress sum to go
+      // STABLE across two polls instead of sleeping a fixed interval
+      // (stateless streams emit no idle ticks to wait for).
+      def totalRows = q.recentProgress.map(_.numInputRows).sum
+      val deadline = System.currentTimeMillis() + 3000
+      var prev = -1L
+      var cur = totalRows
+      while ((cur != prev || q.recentProgress.isEmpty)
+          && System.currentTimeMillis() < deadline) {
+        prev = cur; Thread.sleep(50); cur = totalRows
+      }
     } finally q.stop()
   }
 
