@@ -97,6 +97,36 @@ object Pipeline {
     extends RuntimeException(
       s"transfer exceeded error budget: $nErrors invalid rows > maxErrors=$budget")
 
+  /** Batch-transfer status registry — the batch half of the reference's
+    * tasks/status API (service.go:32 Status/GetTasksList; streaming
+    * transfers report via streaming.TaskRegistry instead). Keyed by
+    * target path: re-running a transfer updates its row. */
+  object BatchTasks {
+    sealed trait State
+    case object Running extends State
+    final case class Finished(rowsWritten: Long, errorRows: Long, attempts: Int) extends State
+    final case class Failed(error: String, attempts: Int) extends State
+
+    final case class Status(target: String, state: State, startedMs: Long, updatedMs: Long)
+
+    private val tasks = scala.collection.concurrent.TrieMap.empty[String, Status]
+    private[Pipeline] def start(target: String): Unit = {
+      val now = System.currentTimeMillis()
+      tasks.put(target, Status(target, Running, now, now))
+    }
+    private[Pipeline] def finish(target: String, st: State): Unit =
+      tasks.updateWith(target) {
+        case Some(t) => Some(t.copy(state = st, updatedMs = System.currentTimeMillis()))
+        case None => Some(Status(target, st,
+          System.currentTimeMillis(), System.currentTimeMillis()))
+      }
+    def tasksList(): Seq[Status] = tasks.values.toSeq.sortBy(_.target)
+    def status(target: String): Option[Status] = tasks.get(target)
+    def errors(): Seq[(String, String)] = tasks.values.collect {
+      case Status(t, Failed(e, _), _, _) => t -> e
+    }.toSeq
+  }
+
   def read(s: SparkSession, src: SourceSpec): DataFrame = {
     val r = s.read
     val withSchema = src.schemaDdl.map(r.schema).getOrElse(r)
@@ -199,13 +229,20 @@ object Pipeline {
     * `onAttempt` is a test/metrics hook invoked before each try. */
   def runWithRetry(s: SparkSession, spec: TransferSpec, targetPath: String,
       onAttempt: Int => Unit = _ => ()): (Long, Long) = {
+    BatchTasks.start(targetPath)
     var attempt = 0
     var last: Throwable = null
     while (attempt <= spec.policy.failRetries) {
       onAttempt(attempt)
-      try return run(s, spec, targetPath)
+      try {
+        val r = run(s, spec, targetPath)
+        BatchTasks.finish(targetPath, BatchTasks.Finished(r._1, r._2, attempt + 1))
+        return r
+      }
       catch { case e: Throwable => last = e; attempt += 1 }
     }
+    BatchTasks.finish(targetPath,
+      BatchTasks.Failed(Option(last.getMessage).getOrElse(last.getClass.getName), attempt))
     throw last
   }
 }

@@ -122,6 +122,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally spark.streams.removeListener(reg)
   }
 
+  test("batch task registry records finished and failed transfers with attempts") {
+    val okTarget = tmp("bt_ok")
+    val okSpec = TransferSpec(
+      source = SourceSpec(s"$sf/orders.parquet", Parquet),
+      filterExpr = Some("o_orderkey <= 200"))
+    val (written, _) = Pipeline.runWithRetry(spark, okSpec, okTarget)
+    Pipeline.BatchTasks.status(okTarget) match {
+      case Some(Pipeline.BatchTasks.Status(_, Pipeline.BatchTasks.Finished(rows, errs, attempts), _, _)) =>
+        assert(rows == written && errs == 0 && attempts == 1)
+      case other => fail(s"expected Finished status, got $other")
+    }
+    val badTarget = tmp("bt_bad")
+    val badSpec = TransferSpec(
+      source = SourceSpec(s"$sf/orders.parquet", Parquet),
+      validExpr = Some("o_orderkey % 7 != 0"),
+      policy = ErrorPolicy(maxErrors = 0, failRetries = 1))
+    intercept[ErrorBudgetExceeded] { Pipeline.runWithRetry(spark, badSpec, badTarget) }
+    Pipeline.BatchTasks.status(badTarget) match {
+      case Some(Pipeline.BatchTasks.Status(_, Pipeline.BatchTasks.Failed(msg, attempts), _, _)) =>
+        assert(attempts == 2 && msg.contains("error budget"))
+      case other => fail(s"expected Failed status, got $other")
+    }
+    assert(Pipeline.BatchTasks.errors().exists(_._1 == badTarget))
+    assert(Pipeline.BatchTasks.tasksList().map(_.target).contains(okTarget))
+  }
+
   test("env/runtime target variables expand into routing partitions and paths") {
     val target = tmp("envkey")
     // HOME is in any test environment; RuntimeKey carries $thread/$batchCount-style values
