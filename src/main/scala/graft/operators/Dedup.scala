@@ -177,49 +177,72 @@ object Dedup {
   }
 
   /** Near-dup cluster assignment: connected components over the
-    * jaccard ≥ 0.7 pair graph via iterative min-label propagation.
-    * Plain propagation needs O(component diameter) rounds (ADVICE r1:
-    * the O(log n) claim only holds for star-contraction variants);
-    * near-dup graphs are dense clusters with tiny diameters, and the
-    * loop FAILS LOUDLY if the cap is hit rather than returning a
-    * partially-propagated labeling. Lineage cut per iteration; the
-    * convergence witness is one scalar agg (labels only decrease, so
-    * sum(comp) is monotone). Output: every doc in ≥1 near-dup pair
+    * jaccard ≥ 0.7 pair graph via alternating LARGE-STAR / SMALL-STAR
+    * contraction — O(log n) rounds INDEPENDENT of component diameter
+    * (plain min-label propagation needs O(diameter) rounds; ADVICE r1).
+    * Each round is one neighborhood-min aggregation + one equi-join;
+    * lineage cut per round; convergence = the edge set is a fixed
+    * point, checked exactly (exceptAll is empty — no checksum
+    * collisions), and the loop FAILS LOUDLY at the cap rather than
+    * returning partial labels. Output: every doc in ≥1 near-dup pair
     * with its component id (= min doc_id reachable). */
   def components(s: SparkSession, dir: String): DataFrame = {
     // scale path: LSH-verified pairs (same >=0.7 exact-Jaccard filter as
-    // the all-pairs oracle twin; LSH recall at j>=0.7 is ~99.98% and
-    // verified complete on this corpus by DedupSimilaritySpec)
-    val pairs = lshVerified(s, dir)
-      .select(col("doc_a"), col("doc_b")).cache()
-    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .distinct().cache()
-    var labels = edges.select(col("doc_a").as("doc_id"))
-      .distinct().withColumn("comp", col("doc_id"))
-    // labels only ever decrease → sum(comp) is a cheap monotone
-    // convergence witness (one scalar agg per iteration, no self-join)
-    val maxIters = 50
-    var prevSum = Long.MaxValue
+    // the all-pairs oracle twin; completeness gated by the minhash audit
+    // row + DedupSimilaritySpec full-recall test)
+    connectedComponents(lshVerified(s, dir).select(col("doc_a"), col("doc_b")))
+  }
+
+  /** Star-contraction connected components over an undirected pair
+    * list (doc_a, doc_b) → (doc_id, comp = component minimum). */
+  def connectedComponents(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.cache()
+    val members = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct().cache()
+
+    // canonical undirected edge list: (x, y) with x < y
+    var edges = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("x"),
+        greatest(col("doc_a"), col("doc_b")).as("y"))
+      .distinct().localCheckpoint()
+
+    // one contraction round over each center u's neighborhood Γ(u):
+    // m = min(Γ(u) ∪ {u}); LARGE-star rewires strictly-larger neighbors
+    // to m, SMALL-star rewires the ≤-u neighbors (and u itself) to m
+    def round(e: DataFrame, large: Boolean): DataFrame = {
+      val adj = e.select(col("x").as("u"), col("y").as("v"))
+        .union(e.select(col("y").as("u"), col("x").as("v")))
+      val mins = adj.groupBy(col("u"))
+        .agg(min(col("v")).as("minv"))
+        .select(col("u"), least(col("u"), col("minv")).as("m"))
+      val joined = adj.join(mins, "u")
+      val emitted =
+        if (large) joined.filter(col("v") > col("u")).select(col("v"), col("m"))
+        else joined.filter(col("v") <= col("u")).select(col("v"), col("m"))
+          .union(mins.select(col("u").as("v"), col("m")))
+      emitted.filter(col("v") =!= col("m"))
+        .select(least(col("v"), col("m")).as("x"), greatest(col("v"), col("m")).as("y"))
+        .distinct().localCheckpoint()
+    }
+
+    val maxRounds = 40 // ≫ 2·log2(n); contraction halves depth per ls+ss pair
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIters) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("comp", "n_comp"), "doc_b")
-        .groupBy(col("doc_a").as("doc_id"))
-        .agg(min(col("n_comp")).as("min_n_comp"))
-      labels = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("comp"), coalesce(col("min_n_comp"), col("comp"))).as("comp"))
-        .localCheckpoint()
-      val sumNow = labels.agg(sum(col("comp"))).collect()(0).getLong(0)
-      converged = sumNow == prevSum
-      prevSum = sumNow
+    while (!converged && iter < maxRounds) {
+      val next = round(round(edges, large = true), large = false)
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
-      s"components: min-label propagation did not converge in $maxIters rounds " +
-        "(component diameter exceeds the cap) — refusing to return partial labels")
-    labels.select(col("doc_id"), col("comp"))
+      s"components: star contraction did not converge in $maxRounds rounds — " +
+        "refusing to return partial labels")
+    // fixed point is a star forest: every canonical edge is
+    // (root, child) with root = component minimum
+    val comp = edges.groupBy(col("y").as("doc_id"))
+      .agg(min(col("x")).as("comp"))
+    members.join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
   }
 
   /** End-to-end dedup policy: drop every non-minimum member of each

@@ -127,6 +127,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(missed.isEmpty, s"LSH bands missed ${missed.size}/$n planted near-dup pairs")
   }
 
+  test("star-contraction components handle a long path graph (diameter >> rounds)") {
+    // a 500-node chain has diameter 499: plain min-label propagation
+    // would need ~500 rounds; star contraction must finish in O(log n)
+    import spark.implicits._
+    val chain = (0L until 499L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size == 500)
+    assert(comps.values.forall(_ == 0L), "every chain node must label to the minimum")
+    // and two disjoint cliques stay separate
+    val two = (Seq((10L, 11L), (11L, 12L), (10L, 12L)) ++
+      Seq((20L, 21L), (21L, 22L))).toDF("doc_a", "doc_b")
+    val c2 = Dedup.connectedComponents(two).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(10L, 11L, 12L).forall(c2(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(c2(_) == 20L))
+  }
+
   test("minhash audit: every true j>=0.7 pair is covered by LSH candidates") {
     val r = Dedup.minhashAudit(spark, sf).collect()(0)
     assert(r.getAs[Long]("n_truth") > 0)
