@@ -41,7 +41,7 @@ object Planes {
     * uniformity check (ADVICE: a hard-coded dims silently degenerates
     * LSH to one bucket when the real dims differ). One tiny agg job. */
   def dimsOf(df: DataFrame, embCol: String): Int = {
-    val r = df.agg(min(size(col(embCol))), max(size(col(embCol)))).head
+    val r = df.agg(min(size(col(embCol))), max(size(col(embCol)))).head()
     require(r.getInt(0) == r.getInt(1),
       s"mixed embedding dims: ${r.getInt(0)}..${r.getInt(1)}")
     r.getInt(0)
