@@ -49,4 +49,14 @@ object Tables {
     * documentsParallel, for the vector-math-dense ops. */
   def embeddingsParallel(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
+
+  /** Register every table as a temp view so the whole surface is
+    * reachable from `spark.sql(...)` — the user-facing form of the
+    * reference's `datastore` SQL sources (any SQL text over the
+    * registered schema goes through Catalyst like the DataFrame API). */
+  def registerAll(s: SparkSession, d: String): Unit =
+    all.foreach { name =>
+      val df = if (name == "events") events(s, d) else load(s, d, name)
+      df.createOrReplaceTempView(name)
+    }
 }

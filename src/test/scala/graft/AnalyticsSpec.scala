@@ -8,6 +8,21 @@ import graft.sources.Tables
 class AnalyticsSpec extends AnyFunSuite {
   import SharedSpark.{spark, sf}
 
+  test("registerAll exposes every table to spark.sql with graft functions available") {
+    Tables.registerAll(spark, sf)
+    graft.functions.GraftFunctions.register(spark)
+    val n = spark.sql(
+      """SELECT COUNT(*) AS n FROM lineitem l JOIN orders o ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 100000""".stripMargin).collect()(0).getLong(0)
+    assert(n > 0)
+    val cos = spark.sql(
+      """SELECT graft_cosine(a.embedding, b.embedding) AS c
+        |FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id = 1
+        |""".stripMargin).collect()(0).getDouble(0)
+    assert(cos >= -1.0 && cos <= 1.0)
+    assert(spark.sql("SELECT COUNT(*) FROM events").collect()(0).getLong(0) > 0)
+  }
+
   test("q1 aggregates match a direct recomputation") {
     val rows = Analytics.q1Agg(spark, sf).collect()
     assert(rows.nonEmpty)
