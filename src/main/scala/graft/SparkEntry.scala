@@ -37,6 +37,7 @@ object SparkEntry {
     "etl_dynamic_partition_write" -> (Etl.dynamicPartitionWrite _),
     "etl_jdbc_roundtrip" -> (Etl.jdbcRoundtrip _),
     "etl_time_window" -> (Etl.timeWindow _),
+    "etl_schema_evolution" -> (Etl.schemaEvolution _),
     "etl_policy_route" -> (Etl.policyRoute _),
     "etl_meta_incremental" -> (Etl.metaIncremental _),
     // query engine
@@ -70,6 +71,8 @@ object SparkEntry {
     "q21_late_suppliers" -> (Analytics2.q21LateSuppliers _),
     "q22_dormant" -> (Analytics2.q22Dormant _),
     "q_cube" -> (Analytics2.qCube _),
+    "q_intersect_except" -> (Analytics2.qIntersectExcept _),
+    "q_grouping_sets" -> (Analytics2.qGroupingSets _),
     "q_null_semantics" -> (Analytics2.qNullSemantics _),
     "q_percentile" -> (Analytics2.qPercentile _),
     "q_window2" -> (Analytics2.qWindow2 _),
@@ -512,6 +515,27 @@ object SparkEntry {
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
         | ${decSum("o_totalprice")} AS total_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_intersect_except" ->
+      """WITH large AS (SELECT o_custkey FROM orders WHERE o_totalprice > 300000),
+        |urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |tagged AS (
+        | SELECT o_custkey, 'both' AS bucket FROM (SELECT * FROM large INTERSECT SELECT * FROM urgent) a
+        | UNION ALL
+        | SELECT o_custkey, 'large_only' AS bucket FROM (SELECT * FROM large EXCEPT SELECT * FROM urgent) b)
+        |SELECT bucket, COUNT(*) AS n_customers FROM tagged GROUP BY bucket""".stripMargin,
+    "q_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+        | CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        | CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+        | COUNT(*) AS n_orders, ${decSum("o_totalprice")} AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "etl_schema_evolution" ->
+      s"""SELECT COALESCE(CASE WHEN o_orderkey > 1000 THEN 'ch' || (o_orderkey % 3) END,
+        |  '(legacy)') AS channel, o_orderstatus,
+        | COUNT(*) AS n_orders, ${decSum("o_totalprice")} AS total_price
+        |FROM orders WHERE o_orderkey <= 2000
+        |GROUP BY 1, 2""".stripMargin,
     "q_null_semantics" ->
       """SELECT o_orderstatus,
         | COUNT(maybe_priority) AS n_nonnull,

@@ -154,6 +154,32 @@ object Analytics2 {
         expr("percentile(l_quantity, 0.5)").as("med_qty"),
         expr("percentile(l_extendedprice, 0.9)").as("p90_price"))
 
+  /** Set operations: customers with both large and urgent orders
+    * (INTERSECT) and with large but no urgent orders (EXCEPT). */
+  def qIntersectExcept(s: SparkSession, dir: String): DataFrame = {
+    val large = Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey"))
+    val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val both = large.intersect(urgent).select(col("o_custkey"), lit("both").as("bucket"))
+    val only = large.except(urgent).select(col("o_custkey"), lit("large_only").as("bucket"))
+    both.union(only).groupBy(col("bucket")).agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** Explicit GROUPING SETS (the general form behind rollup/cube) with
+    * grouping() markers distinguishing the aggregation levels. */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+
   /** Correlated EXISTS with aggregate (Q21 flavor): suppliers whose
     * items are always shipped late relative to a cutoff. */
   def q21LateSuppliers(s: SparkSession, dir: String): DataFrame = {

@@ -238,6 +238,28 @@ object Etl {
         sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_acctbal"))
   }
 
+  /** Schema evolution across source batches (sources grow columns over
+    * a transfer's lifetime — the reference re-reads per window and
+    * would break on drift): an old batch without `o_channel` and a new
+    * batch with it, read together via mergeSchema; missing values
+    * surface as NULL and are handled declaratively. */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_evo_${System.nanoTime}"
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderkey") <= 1000)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.parquet(s"$base/b1")
+    o.filter(col("o_orderkey") > 1000 && col("o_orderkey") <= 2000)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        concat(lit("ch"), pmod(col("o_orderkey"), lit(3))).as("o_channel"))
+      .write.parquet(s"$base/b2")
+    s.read.option("mergeSchema", "true").parquet(s"$base/b1", s"$base/b2")
+      .groupBy(coalesce(col("o_channel"), lit("(legacy)")).as("channel"),
+        col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+  }
+
   /** TimeWindow source selection (reference config.go:20 TimeWindow:
     * only source objects whose modification time falls in the window
     * are transferred): Spark's file sources take `modifiedAfter` /
