@@ -35,15 +35,18 @@ object Etl {
       .select(col("event_id"), col("user_id"), col("value"))
 
   /** ContentEnricher analog (reference content_enricher.go:9): enrich
-    * each record with reference data — broadcast join, no shuffle of
-    * the fact side. */
+    * each record with reference data. The nation side is BOUNDED (25
+    * rows at every sf) so it carries a broadcast hint; the
+    * customer-derived dim GROWS with sf, so it carries no hint — AQE's
+    * size-based choice still broadcasts it at small SF but degrades to
+    * a shuffle join instead of an OOM at 100×. */
   def enrich(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
     val n = Tables.nation(s, dir)
     val enrichedDim = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("c_mktsegment"), col("n_name").as("nation_name"))
     Tables.orders(s, dir)
-      .join(broadcast(enrichedDim), col("o_custkey") === col("c_custkey"), "left")
+      .join(enrichedDim, col("o_custkey") === col("c_custkey"), "left")
       .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"), col("nation_name"))
       .filter(col("o_orderkey") <= 2000)
   }

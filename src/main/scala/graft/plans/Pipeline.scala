@@ -67,8 +67,14 @@ object Pipeline {
     "##env\\.([A-Za-z_][A-Za-z0-9_]*)##".r.replaceAllIn(path,
       m => java.util.regex.Matcher.quoteReplacement(sys.env.getOrElse(m.group(1), "")))
 
+  /** ContentEnricher spec. `broadcastDim` defaults to FALSE: most
+    * enrich dims (customer, part, …) grow with the data scale, and a
+    * hard broadcast() hint on a growing side forces an OOM at 100×
+    * where AQE's size-based choice would have degraded gracefully to a
+    * shuffle join. Set it true only for genuinely bounded dims
+    * (nation/region-sized reference tables). */
   final case class EnrichSpec(dim: DataFrame, joinKey: (String, String),
-    pick: Seq[(String, String)])
+    pick: Seq[(String, String)], broadcastDim: Boolean = false)
 
   /** Error-budget policy (reference config.go:27 MaxErrorCounts,
     * config.go:34-40 FailRetry): what to do with rows failing the
@@ -145,8 +151,9 @@ object Pipeline {
     spec.transforms.foreach { case (name, e) => df = df.withColumn(name, expr(e)) }
     spec.enrich.foreach { en =>
       val (l, r) = en.joinKey
-      val dim = en.dim.select((r +: en.pick.map(_._1)).distinct.map(col): _*)
-      df = df.join(broadcast(dim), col(l) === col(r), "left")
+      val dim0 = en.dim.select((r +: en.pick.map(_._1)).distinct.map(col): _*)
+      val dim = if (en.broadcastDim) broadcast(dim0) else dim0
+      df = df.join(dim, col(l) === col(r), "left")
       en.pick.foreach { case (from, to) => df = df.withColumnRenamed(from, to) }
       if (r != l) df = df.drop(r)
     }

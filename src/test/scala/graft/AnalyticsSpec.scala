@@ -80,6 +80,43 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(q5Hints == 3, s"q5 should hint exactly supplier/nation/region, saw $q5Hints")
   }
 
+  test("enrich paths never hint a broadcast on the sf-growing customer dim (VERDICT r2 #1)") {
+    import graft.plans.Pipeline
+    import graft.plans.Pipeline._
+    // Etl.enrich: the only permitted hint is the BOUNDED nation side
+    val etlEnrich = Etl.enrich(spark, sf)
+    val etlHints = "ResolvedHint".r
+      .findAllIn(etlEnrich.queryExecution.analyzed.toString).size
+    assert(etlHints == 1,
+      s"Etl.enrich may hint only the bounded nation dim, saw $etlHints hints")
+    // Pipeline.applyStages with a growing dim and the default
+    // broadcastDim=false: zero hints anywhere in the plan
+    val spec = TransferSpec(
+      source = SourceSpec(s"$sf/orders.parquet", Parquet),
+      enrich = Some(EnrichSpec(Tables.customer(spark, sf),
+        "o_custkey" -> "c_custkey", Seq("c_mktsegment" -> "segment"))))
+    val planned = Pipeline.plan(spark, spec)
+    assert(!planned.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "Pipeline enrich must not hint a broadcast on a growing dim by default")
+    // AQE's size-based choice still broadcasts both at test SF — the
+    // scale-safe plan loses nothing here
+    Seq("Etl.enrich" -> etlEnrich, "Pipeline.enrich" -> planned).foreach {
+      case (name, df) =>
+        df.count() // materialize so AQE finalizes the plan
+        assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+          s"$name should still broadcast via AQE/threshold at test SF")
+    }
+    // opt-in for genuinely bounded dims still works
+    val bounded = TransferSpec(
+      source = SourceSpec(s"$sf/customer.parquet", Parquet),
+      enrich = Some(EnrichSpec(Tables.nation(spark, sf),
+        "c_nationkey" -> "n_nationkey", Seq("n_name" -> "nation_name"),
+        broadcastDim = true)))
+    assert(Pipeline.plan(spark, bounded)
+      .queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "broadcastDim=true should hint the bounded dim")
+  }
+
   test("top-k is TakeOrdered, not a full sort") {
     val plan = Analytics.qTopK(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered in:\n$plan")
