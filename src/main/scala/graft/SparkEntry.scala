@@ -201,11 +201,14 @@ object SparkEntry {
       | CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS BIGINT) AS rank
       |FROM scored QUALIFY rank <= ${Similarity.K}""".stripMargin
 
-  /** Unrolled-Lloyd IVF oracle: seeds (vec_id % 25 = 0) → IvfLloydIters
-    * × [argmax-cosine assignment; exact per-dim mean float→double→
-    * decimal sum→double÷count→float] → probe top-IvfProbes centroids →
-    * exact cosine top-k over the probed lists. Every arithmetic step
-    * mirrors operators.Similarity bit-for-bit. */
+  /** Unrolled-Lloyd IVF oracle: seeds = deterministic stride sample
+    * sized by the √n-capped nlist policy (Similarity.ivfStrideSql is
+    * the same IEEE sqrt/ceil + floor division both engines compute) →
+    * IvfLloydIters × [argmax-cosine assignment; exact per-dim mean
+    * float→double→decimal sum→double÷count→float] → probe
+    * top-IvfProbes centroids → exact cosine top-k over the probed
+    * lists. Every arithmetic step mirrors operators.Similarity
+    * bit-for-bit. */
   private def simIvfTopkSql: String = {
     val cc = cosineSql("v.demb", "v.nsq", "CAST(c.cent AS DOUBLE[])",
       "list_sum(list_transform(CAST(c.cent AS DOUBLE[]), x -> x*x))")
@@ -213,7 +216,8 @@ object SparkEntry {
       """e AS (SELECT vec_id, embedding AS emb, CAST(embedding AS DOUBLE[]) AS demb,
         |  list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)) AS nsq
         | FROM embeddings)""".stripMargin,
-      "cents0 AS (SELECT vec_id AS cent_id, emb AS cent FROM e WHERE vec_id % 25 = 0)")
+      s"params AS (SELECT ${Similarity.ivfStrideSql} AS stride FROM embeddings)",
+      "cents0 AS (SELECT vec_id AS cent_id, emb AS cent FROM e WHERE vec_id % (SELECT stride FROM params) = 0)")
     for (it <- 0 until Similarity.IvfLloydIters) {
       parts += s"""assign$it AS (
         |  SELECT vec_id, emb, cent_id FROM (

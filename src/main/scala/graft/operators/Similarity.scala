@@ -112,6 +112,23 @@ object Similarity {
   val IvfProbes = 10
   val IvfLloydIters = 3
 
+  /** nlist policy (VERDICT r2 #2): centroid count ≈ √n with a hard cap,
+    * never n/const. The centroid table is the ONLY broadcast in the IVF
+    * path, so its size must be bounded independently of the corpus: at
+    * n = 1e9 the old every-25th policy meant 4e7 centroids (an
+    * unbroadcastable table and O(n²/25) assignment cosines); √n capped
+    * at [[IvfMaxNlist]] keeps the broadcast ≤ a few MB and assignment
+    * at O(n·nlist) forever. Seeds are a deterministic stride sample so
+    * the DuckDB oracle reproduces them exactly (both engines compute
+    * the same IEEE sqrt/ceil and the same floor division). */
+  val IvfMaxNlist = 256L
+  def ivfNlist(n: Long): Long =
+    math.max(1L, math.min(math.ceil(math.sqrt(n.toDouble)).toLong, IvfMaxNlist))
+  def ivfSeedStride(n: Long): Long = math.max(1L, n / ivfNlist(n))
+  /** DuckDB expression computing the identical stride from the corpus. */
+  val ivfStrideSql: String =
+    s"GREATEST(1, COUNT(*) // LEAST(CAST(CEIL(SQRT(COUNT(*))) AS BIGINT), $IvfMaxNlist))"
+
   /** Exact per-dimension mean: float → double (exact) → decimal sum
     * (exact, order-independent) → double → one divide → float. Both
     * engines perform the identical rounding at each step, so centroids
@@ -135,14 +152,16 @@ object Similarity {
         first(col(embCol)).as(embCol))
 
   /** Lloyd k-means refinement of the deterministic seed centroids
-    * (every 25th vector → centroid count scales with the corpus).
-    * Assignment via max_by; means via exactMean so the whole sweep is
-    * reproducible bit-for-bit by the SQL oracle. */
-  private[operators] def kmeansCentroids(s: SparkSession, dir: String): DataFrame = {
+    * (stride sample sized by the √n-capped nlist policy — the count()
+    * here is one scalar driver action, the price of a bounded
+    * broadcast). Assignment via max_by; means via exactMean so the
+    * whole sweep is reproducible bit-for-bit by the SQL oracle. */
+  private[graft] def kmeansCentroids(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val corpusV = Tables.embeddingsParallel(s, dir)
       .select(col("vec_id"), col("embedding"))
-    var cents = Tables.embeddings(s, dir).filter(col("vec_id") % 25 === 0)
+    val stride = ivfSeedStride(Tables.embeddings(s, dir).count())
+    var cents = Tables.embeddings(s, dir).filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
     for (_ <- 1 to IvfLloydIters) {
       val assigned = assignNearest(corpusV, cents, "vec_id", "embedding")
