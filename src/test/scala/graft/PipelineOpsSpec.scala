@@ -148,6 +148,62 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Pipeline.BatchTasks.tasksList().map(_.target).contains(okTarget))
   }
 
+  test("HTTP status endpoint answers tasklist/status/errors during transfers (server.go analog)") {
+    def get(port: Int, path: String): (Int, String) = {
+      val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("GET")
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = scala.io.Source.fromInputStream(is, "UTF-8").mkString
+      conn.disconnect()
+      (code, body)
+    }
+    val reg = new graft.streaming.TaskRegistry.Listener
+    spark.streams.addListener(reg)
+    val server = new graft.streaming.StatusServer(reg)
+    val port = server.start()
+    try {
+      // 1) a scheduled streaming transfer registers and finishes
+      val base = tmp("http")
+      val src = Tables.events(spark, sf).filter(col("event_id") < 300)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      src.write.json(s"$base/src")
+      val name = s"spec_http_${System.nanoTime}"
+      graft.streaming.Streams.scheduledTransfer(spark, s"$base/src",
+        "event_id LONG, user_id LONG, event_type STRING, value DOUBLE",
+        s"$base/dst", s"$base/cp", name)
+      val deadline = System.currentTimeMillis() + 30000
+      while (!reg.status(name).exists(_.state == graft.streaming.TaskRegistry.Finished)
+          && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      // 2) a failing batch transfer lands in the error feed
+      val badTarget = tmp("http_bad")
+      val badSpec = TransferSpec(
+        source = SourceSpec(s"$sf/orders.parquet", Parquet),
+        validExpr = Some("o_orderkey % 7 != 0"),
+        policy = ErrorPolicy(maxErrors = 0))
+      intercept[ErrorBudgetExceeded] { Pipeline.runWithRetry(spark, badSpec, badTarget) }
+      // --- the reference's three queries ---
+      val (lc, list) = get(port, "/graft/tasklist")
+      assert(lc == 200 && list.contains(s""""name":"$name"""")
+        && list.contains(""""state":"FINISHED"""") && list.contains(""""kind":"stream""""),
+        s"tasklist missing the finished stream task: $list")
+      assert(list.contains(""""kind":"batch""""), "tasklist must include batch tasks")
+      val (sc, status) = get(port, "/graft/status")
+      assert(sc == 200 && status.contains(""""status":"ERROR"""")
+        && status.contains(""""errors":"""), s"status must roll up the failure: $status")
+      val (ec, errs) = get(port, "/graft/errors")
+      assert(ec == 200 && errs.contains(esc(badTarget).take(20))
+        && errs.contains("error budget"), s"errors must carry the failed transfer: $errs")
+      // single-task info + 404 contract + version
+      val (ic, info) = get(port, s"/graft/info/$name")
+      assert(ic == 200 && info.contains(""""rowsProcessed":"""), s"info: $info")
+      assert(get(port, "/graft/info/no_such_task")._1 == 404)
+      assert(get(port, "/graft/version")._1 == 200)
+    } finally { server.stop(); spark.streams.removeListener(reg) }
+  }
+  private def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+
   test("env/runtime target variables expand into routing partitions and paths") {
     val target = tmp("envkey")
     // HOME is in any test environment; RuntimeKey carries $thread/$batchCount-style values
