@@ -97,12 +97,14 @@ object SparkEntry {
     "dedup_lsh_verified" -> (Dedup.lshVerified _),
     "dedup_embedding" -> (Dedup.embedding _),
     "dedup_embedding_lsh" -> (Dedup.embeddingLsh _),
+    "dedup_embedding_lsh_capped" -> (Dedup.embeddingLshCapped _),
     "dedup_components" -> (Dedup.components _),
     "dedup_prefix_join" -> (Dedup.prefixJoin _),
     "dedup_survivors" -> (Dedup.survivors _),
     // similarity search
     "sim_brute_topk" -> (Similarity.bruteTopK _),
     "sim_lsh_topk" -> (Similarity.lshTopK _),
+    "sim_multiprobe_topk" -> (Similarity.multiprobeTopK _),
     "sim_ivf_topk" -> (Similarity.ivfTopK _),
     "sim_quantize" -> (Similarity.quantize _),
     // multimodal
@@ -188,6 +190,46 @@ object SparkEntry {
       | SELECT vec_a, vec_b, ${cosineSql("ea.emb", "ea.nsq", "eb.emb", "eb.nsq")} AS cosine
       | FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b) t
       |WHERE cosine >= 0.4""".stripMargin
+
+  /** Stop-bucket-capped embedding LSH oracle: same corpus plant
+    * (EmbLshCapPlant copies of vector 0 under ids 100000+i) and the
+    * bucket-size filter as a HAVING CTE — the production knob's exact
+    * semantics, hash-gated. */
+  private def dedupEmbeddingLshCappedSql: String =
+    s"""WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT 100000 + r.i AS vec_id, e0.embedding
+      |  FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) e0,
+      |       range(0, ${Dedup.EmbLshCapPlant}) r(i)),
+      |${sigsCteSql(Dedup.EmbLshTables, Dedup.EmbLshPlanes, "corpus")},
+      |ok AS (SELECT t, sig FROM sigs GROUP BY t, sig
+      |  HAVING COUNT(*) <= ${Dedup.EmbLshBucketCap}),
+      |pruned AS (SELECT s.* FROM sigs s JOIN ok USING (t, sig)),
+      |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM pruned a JOIN pruned b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, cosine FROM (
+      | SELECT vec_a, vec_b, ${cosineSql("ea.emb", "ea.nsq", "eb.emb", "eb.nsq")} AS cosine
+      | FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b) t
+      |WHERE cosine >= 0.4""".stripMargin
+
+  /** Multiprobe LSH oracle: the probe expansion (own bucket + every
+    * 1-bit flip) over the sigs CTE, query side only. */
+  private def simMultiprobeTopkSql: String =
+    s"""WITH ${sigsCteSql(Similarity.MpTables, Similarity.LshPlanesPerTable)},
+      |qp AS (SELECT vec_id, t,
+      |  CASE WHEN j.j = ${Similarity.LshPlanesPerTable} THEN sig
+      |       ELSE xor(sig, 1 << j.j) END AS sig
+      |  FROM sigs, range(0, ${Similarity.LshPlanesPerTable + 1}) j(j)
+      |  WHERE vec_id < 10),
+      |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+      |  FROM qp q JOIN sigs c ON q.t = c.t AND q.sig = c.sig AND c.vec_id >= 10),
+      |scored AS (SELECT query_id, cand_id,
+      |  ${cosineSql("eq.emb", "eq.nsq", "ec.emb", "ec.nsq")} AS cosine
+      | FROM cand JOIN e eq ON eq.vec_id = query_id JOIN e ec ON ec.vec_id = cand_id)
+      |SELECT query_id, cand_id, cosine,
+      | CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS BIGINT) AS rank
+      |FROM scored QUALIFY rank <= ${Similarity.K}""".stripMargin
 
   private def simLshTopkSql: String =
     s"""WITH ${sigsCteSql(Similarity.LshTables, Similarity.LshPlanesPerTable)},
@@ -873,7 +915,9 @@ object SparkEntry {
     "dedup_simhash" ->
       "SELECT CAST(0 AS BIGINT) AS n_missed",
     "dedup_embedding_lsh" -> dedupEmbeddingLshSql,
+    "dedup_embedding_lsh_capped" -> dedupEmbeddingLshCappedSql,
     "sim_lsh_topk" -> simLshTopkSql,
+    "sim_multiprobe_topk" -> simMultiprobeTopkSql,
     "sim_ivf_topk" -> simIvfTopkSql,
     "sim_brute_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,

@@ -117,13 +117,16 @@ object Planes {
   }
 
   /** CTEs `e` (vec_id, emb DOUBLE[], nsq) and `sigs` (vec_id, t, sig)
-    * replicating withSigs over the embeddings table. `i` is the 1-based
-    * list index, so plane p = t*P+j and dim d = i-1 give k = p*4096+i. */
-  def sigsCteSql(tables: Int, planesPerTable: Int): String = {
+    * replicating withSigs over `source` (a table or prior CTE exposing
+    * vec_id + embedding; default the embeddings table). `i` is the
+    * 1-based list index, so plane p = t*P+j and dim d = i-1 give
+    * k = p*4096+i. */
+  def sigsCteSql(tables: Int, planesPerTable: Int,
+      source: String = "embeddings"): String = {
     val k = s"(t.t*$planesPerTable + j.j)*4096 + i"
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
        |  list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)) AS nsq
-       | FROM embeddings),
+       | FROM $source),
        |d AS (SELECT vec_id, t.t AS t, j.j AS j,
        |  list_sum(list_transform(range(1, len(emb)+1),
        |    i -> emb[i] * (1 - 2 * ${fmixBitSql(k)}))) AS dot

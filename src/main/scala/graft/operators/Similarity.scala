@@ -85,6 +85,37 @@ object Similarity {
     topKPerQuery(scored)
   }
 
+  // Multiprobe runs HALF the signature tables of lshTopK; each query
+  // compensates by probing its 1-bit-flip neighbor buckets.
+  val MpTables = 8
+
+  /** Multiprobe LSH ANN (SURVEY §8 / VERDICT r2 #7): each query probes
+    * its own bucket AND every 1-bit-flip neighbor bucket per table —
+    * the buckets a near neighbor most plausibly hashed into, since a
+    * near-miss differs in exactly the planes whose dot sits near zero.
+    * Probing trades a small fan-out on the TINY query side (P+1 probe
+    * rows per query per table) for half the signature tables on the
+    * CORPUS side — at 100 TB the corpus signature pass and its storage
+    * dominate, so fewer tables is the economical direction. Candidate
+    * stage replicated by the oracle (probe expansion over sigsCteSql),
+    * so the row is hash-exact; the recall/candidate tradeoff vs
+    * single-probe lshTopK is asserted in the spec. */
+  def multiprobeTopK(s: SparkSession, dir: String): DataFrame = {
+    val dims = Planes.dimsOf(Tables.embeddings(s, dir), "embedding")
+    val qs = Planes.withSigs(queries(s, dir), "q_emb", MpTables, LshPlanesPerTable, dims)
+    val probes = array((col("sig") +:
+      (0 until LshPlanesPerTable).map(j => col("sig").bitwiseXOR(lit(1L << j)))): _*)
+    val qp = qs.select(col("query_id"), col("q_emb"), col("table"),
+      explode(probes).as("sig"))
+    val cs = Planes.withSigs(corpus(s, dir), "c_emb", MpTables, LshPlanesPerTable, dims)
+    val cands = broadcast(qp).join(cs, Seq("table", "sig"))
+      .select(col("query_id"), col("cand_id"), col("q_emb"), col("c_emb"))
+      .dropDuplicates("query_id", "cand_id")
+    val scored = cands.select(col("query_id"), col("cand_id"),
+      expr("graft_cosine(q_emb, c_emb)").as("cosine"))
+    topKPerQuery(scored)
+  }
+
   /** Symmetric int8 quantization of the embedding store — at 100 TB the
     * embedding column is the bulk of the bytes, and 4×-smaller codes
     * change the scan/shuffle economics of every ANN query. Per-vector
