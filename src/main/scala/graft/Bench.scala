@@ -18,10 +18,13 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
-    // two timed runs per query, report the min: steady-state throughput
-    // (JIT/codegen-compile and GC noise otherwise dominates small SFs).
-    // A crashing query is NOT reported as a fast success (VERDICT r1
-    // item 4) — it lands in "errors" and is excluded from the total.
+    // min-of-N timed runs per query (N ≥ 3, VERDICT r2 #8): one
+    // loaded/GC-noisy run can no longer distort the committed artifact;
+    // the min is the steady-state figure (JIT/codegen-compile noise
+    // otherwise dominates small SFs). A crashing query is NOT reported
+    // as a fast success (VERDICT r1 item 4) — it lands in "errors" and
+    // is excluded from the total.
+    val runs = math.max(3, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val timed = SparkEntry.benchQueries.map { name =>
       // audits/tolerance checks bench their production shape instead
       val fn = SparkEntry.benchOverrides.getOrElse(name, SparkEntry.queries(name))
@@ -32,11 +35,14 @@ object Bench {
           Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
         }
       }
-      name -> (once(), once())
+      name -> Seq.fill(runs)(once())
     }
-    val results = timed.collect { case (n, (Right(a), Right(b))) => n -> math.min(a, b) }.toMap
-    val errors = timed.collect { case (n, (r1, r2)) =>
-      (r1.left.toOption.orElse(r2.left.toOption)).map(n -> _)
+    val results = timed.collect {
+      case (n, rs) if rs.forall(_.isRight) =>
+        n -> rs.collect { case Right(t) => t }.min
+    }.toMap
+    val errors = timed.collect { case (n, rs) =>
+      rs.collectFirst { case Left(e) => n -> e }
     }.flatten.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

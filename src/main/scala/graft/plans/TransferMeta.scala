@@ -30,17 +30,41 @@ object TransferMeta {
 
   final case class FileMeta(path: String, rows: Long)
 
+  /** Compaction bound (VERDICT r2 #10): beyond this many full path
+    * entries, the OLDEST entries roll up into 64-bit path digests.
+    * Membership stays per-file exact-as-written (a digest is ~16 bytes
+    * in the JSON and one Set entry on the driver — 10⁶ compacted files
+    * ≈ tens of MB, vs unbounded path strings), while per-file row
+    * counts are retained only for the recent window (aggregate
+    * durability lives in the target itself). The residual risk is the
+    * 64-bit birthday bound — a genuinely new file whose digest collides
+    * with a compacted one is skipped; at 10⁶ files that probability is
+    * ~10⁻⁸, and sources beyond ~10⁷ files should be streaming transfers
+    * (Structured Streaming's file-source log compacts natively). */
+  val MaxFullEntries = 100000
+
   private def metaPath(target: String) = new Path(target, "_graft_meta.json")
 
+  private def digest64(path: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(path.getBytes(StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+  }
+
   /** Minimal JSON codec (flat schema, no nesting — avoids pulling a
-    * JSON library onto the driver for a 2-field record). */
-  private def render(metas: Seq[FileMeta]): String =
-    metas.sortBy(_.path).map { m =>
+    * JSON library onto the driver for a 2-field record). Digest
+    * entries ({"digest":"<16 hex>"}) carry compacted history. */
+  private def render(metas: Seq[FileMeta], digests: Set[String]): String = {
+    val full = metas.sortBy(_.path).map { m =>
       val p = m.path.replace("\\", "\\\\").replace("\"", "\\\"")
       s"""{"path":"$p","rows":${m.rows}}"""
-    }.mkString("[", ",", "]")
+    }
+    val dig = digests.toSeq.sorted.map(d => s"""{"digest":"$d"}""")
+    (dig ++ full).mkString("[", ",", "]")
+  }
 
   private val entryRe = """\{"path":"((?:[^"\\]|\\.)*)","rows":(\d+)\}""".r
+  private val digestRe = """\{"digest":"([0-9a-f]{16})"\}""".r
 
   private def parse(json: String): Seq[FileMeta] =
     entryRe.findAllMatchIn(json).map { m =>
@@ -48,9 +72,12 @@ object TransferMeta {
         m.group(2).toLong)
     }.toSeq
 
+  private def parseDigests(json: String): Set[String] =
+    digestRe.findAllMatchIn(json).map(_.group(1)).toSet
+
   private def newPath(target: String) = new Path(target, "_graft_meta.json.new")
 
-  def readMeta(s: SparkSession, target: String): Seq[FileMeta] = {
+  private def readRaw(s: SparkSession, target: String): Option[String] = {
     val p = metaPath(target)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     // crash recovery: if only the .new generation exists (crash between
@@ -58,23 +85,30 @@ object TransferMeta {
     val use = if (fs.exists(p)) Some(p)
       else if (fs.exists(newPath(target))) Some(newPath(target))
       else None
-    use match {
-      case None => Nil
-      case Some(path) =>
-        val in = fs.open(path)
-        try parse(new String(in.readAllBytes(), StandardCharsets.UTF_8))
-        finally in.close()
+    use.map { path =>
+      val in = fs.open(path)
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
     }
   }
 
-  private def writeMeta(s: SparkSession, target: String, metas: Seq[FileMeta]): Unit = {
+  /** Full (recent-window) entries; compacted history is digests-only. */
+  def readMeta(s: SparkSession, target: String): Seq[FileMeta] =
+    readRaw(s, target).map(parse).getOrElse(Nil)
+
+  /** Digests of compacted (rolled-up) processed files. */
+  def readMetaDigests(s: SparkSession, target: String): Set[String] =
+    readRaw(s, target).map(parseDigests).getOrElse(Set.empty)
+
+  private def writeMeta(s: SparkSession, target: String, metas: Seq[FileMeta],
+      digests: Set[String]): Unit = {
     val p = metaPath(target)
     val np = newPath(target)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     // 1. write the new generation in full (supersedes the old from here
     //    on — readMeta prefers the main file but falls back to .new)
     val out = fs.create(np, true)
-    try out.write(render(metas).getBytes(StandardCharsets.UTF_8))
+    try out.write(render(metas, digests).getBytes(StandardCharsets.UTF_8))
     finally out.close()
     // 2. swap: every crash point leaves a readable meta (old, or .new)
     if (fs.exists(p)) fs.delete(p, false)
@@ -88,11 +122,15 @@ object TransferMeta {
     * processed source files only, append to `target`, persist the
     * updated meta. Returns (newFilesProcessed, newRowsWritten). */
   def runIncremental(s: SparkSession, spec: Pipeline.TransferSpec,
-      target: String): (Int, Long) = {
+      target: String, maxFullEntries: Int = MaxFullEntries): (Int, Long) = {
     val done = readMeta(s, target)
+    val doneDigests = readMetaDigests(s, target)
     val doneSet = done.map(m => normalize(m.path)).toSet
     val allFiles = Pipeline.read(s, spec.source).inputFiles.toSeq.sorted
-    val newFiles = allFiles.filterNot(f => doneSet(normalize(f)))
+    val newFiles = allFiles.filterNot { f =>
+      val n = normalize(f)
+      doneSet(n) || doneDigests(digest64(n))
+    }
     if (newFiles.isEmpty) return (0, 0L)
 
     // explicit file list: the scan covers ONLY the new splits
@@ -114,7 +152,14 @@ object TransferMeta {
       .write.mode("append").parquet(target)
     val rows = obs.get("rows").asInstanceOf[Long]
     val newMetas = newFiles.map(f => FileMeta(f, perFile.getOrElse(normalize(f), 0L)))
-    writeMeta(s, target, done ++ newMetas)
+    // compaction: roll the oldest full entries (in meta order — done
+    // before new) into digests once the window exceeds the bound
+    val allFull = done ++ newMetas
+    val (rolled, recent) =
+      if (allFull.size > maxFullEntries) allFull.splitAt(allFull.size - maxFullEntries)
+      else (Nil, allFull)
+    writeMeta(s, target, recent,
+      doneDigests ++ rolled.map(m => digest64(normalize(m.path))))
     (newFiles.size, rows)
   }
 }

@@ -85,6 +85,34 @@ class PipelineOpsSpec extends AnyFunSuite {
       .groupBy(col("o_orderkey")).count().filter(col("count") > 1).count() == 0)
   }
 
+  test("meta compaction bounds the full-entry window; digests still skip processed files") {
+    val base = tmp("compact")
+    val spec = TransferSpec(source = SourceSpec(s"$base/src", Parquet))
+    val o = Tables.orders(spark, sf)
+    // 12 source files, window of 5 full entries
+    o.filter(col("o_orderkey") <= 600).repartition(12)
+      .write.mode("append").parquet(s"$base/src")
+    val (f1, r1) = TransferMeta.runIncremental(spark, spec, s"$base/target",
+      maxFullEntries = 5)
+    assert(f1 == 12 && r1 == o.filter(col("o_orderkey") <= 600).count())
+    // window respected: 5 full entries, the other 7 rolled into digests
+    assert(TransferMeta.readMeta(spark, s"$base/target").size == 5)
+    assert(TransferMeta.readMetaDigests(spark, s"$base/target").size == 7)
+    // digest membership still skips every processed file
+    val (f2, r2) = TransferMeta.runIncremental(spark, spec, s"$base/target",
+      maxFullEntries = 5)
+    assert(f2 == 0 && r2 == 0, "compacted meta must still skip all processed files")
+    // a new batch is still picked up, and the window stays bounded
+    o.filter(col("o_orderkey") > 600 && col("o_orderkey") <= 700).repartition(3)
+      .write.mode("append").parquet(s"$base/src")
+    val (f3, r3) = TransferMeta.runIncremental(spark, spec, s"$base/target",
+      maxFullEntries = 5)
+    assert(f3 == 3 && r3 == o.filter(col("o_orderkey") > 600 && col("o_orderkey") <= 700).count())
+    assert(TransferMeta.readMeta(spark, s"$base/target").size == 5)
+    assert(TransferMeta.readMetaDigests(spark, s"$base/target").size == 10)
+    assert(spark.read.parquet(s"$base/target").count() == r1 + r3)
+  }
+
   test("scheduled transfer registers in the task registry with batch + row counters") {
     val reg = new graft.streaming.TaskRegistry.Listener
     spark.streams.addListener(reg)
