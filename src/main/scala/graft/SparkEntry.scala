@@ -98,6 +98,7 @@ object SparkEntry {
     "dedup_embedding" -> (Dedup.embedding _),
     "dedup_embedding_lsh" -> (Dedup.embeddingLsh _),
     "dedup_embedding_lsh_capped" -> (Dedup.embeddingLshCapped _),
+    "dedup_paragraph" -> (Dedup.paragraphs _),
     "dedup_components" -> (Dedup.components _),
     "dedup_prefix_join" -> (Dedup.prefixJoin _),
     "dedup_survivors" -> (Dedup.survivors _),
@@ -105,6 +106,7 @@ object SparkEntry {
     "sim_brute_topk" -> (Similarity.bruteTopK _),
     "sim_lsh_topk" -> (Similarity.lshTopK _),
     "sim_multiprobe_topk" -> (Similarity.multiprobeTopK _),
+    "sim_rerank_topk" -> (Similarity.rerankTopK _),
     "sim_ivf_topk" -> (Similarity.ivfTopK _),
     "sim_quantize" -> (Similarity.quantize _),
     // multimodal
@@ -140,6 +142,7 @@ object SparkEntry {
     "text_chunk" -> (TextAnalysis.chunk _),
     "text_split" -> (TextAnalysis.trainValSplit _),
     "text_pack" -> (TextAnalysis.pack _),
+    "text_decontaminate" -> (TextAnalysis.decontaminate _),
     "stream_enrich" -> (graft.streaming.Streams.streamEnrichTransfer _),
     "stream_jdbc_sink" -> (graft.streaming.Streams.streamJdbcSink _),
   )
@@ -212,6 +215,66 @@ object SparkEntry {
       | SELECT vec_a, vec_b, ${cosineSql("ea.emb", "ea.nsq", "eb.emb", "eb.nsq")} AS cosine
       | FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b) t
       |WHERE cosine >= 0.4""".stripMargin
+
+  /** Decontamination oracle: word n-grams via list slicing, eval/train
+    * split by the same id mod, semi-join on the gram string. */
+  private def textDecontaminateSql: String = {
+    val n = TextAnalysis.DecontamN
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - ${n - 2}),
+      |    i -> array_to_string(w[i:i+${n - 1}], ' '))) AS gram
+      |  FROM d WHERE len(w) >= $n),
+      |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+      |tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+      |SELECT doc_id, CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_hit_ngrams
+      |FROM tr JOIN ev USING (gram) GROUP BY doc_id""".stripMargin
+  }
+
+  /** Paragraph-dedup oracle: fixed word spans, first occurrence by
+    * (doc_id, span_idx) elected with a row_number window (the Spark
+    * side's min(struct) election is the partial-agg equivalent). */
+  private def dedupParagraphSql: String = {
+    val sw = Dedup.SpanWords
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |i AS (SELECT doc_id, unnest(range(0, CAST(ceil(len(w)/$sw.0) AS BIGINT))) AS j, w FROM d),
+      |sp AS (SELECT doc_id, CAST(j AS BIGINT) AS span_idx,
+      |  array_to_string(w[(j*$sw+1):(j*$sw+$sw)], ' ') AS span FROM i),
+      |r AS (SELECT doc_id, span_idx,
+      |  row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn FROM sp)
+      |SELECT doc_id, COUNT(*) AS n_spans,
+      | CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      | CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+      |FROM r GROUP BY doc_id""".stripMargin
+  }
+
+  /** Two-stage rerank oracle: absmax int8 codes (sim_quantize
+    * arithmetic), integer coarse dot × candidate scale, top-RerankCoarse
+    * per query, exact cosine re-rank to top-K. */
+  private def simRerankTopkSql: String = {
+    val intDot =
+      "CAST(list_sum(list_transform(list_zip(q.codes, c.codes), x -> x[1]*x[2])) AS DOUBLE)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |  list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)) AS nsq
+      | FROM embeddings),
+      |coded0 AS (SELECT vec_id, emb,
+      |  list_max(list_transform(emb, x -> abs(x))) AS amax FROM e),
+      |coded AS (SELECT vec_id, amax,
+      |  list_transform(emb, x -> CAST(floor(x / amax * 127 + 0.5) AS BIGINT)) AS codes
+      | FROM coded0 WHERE amax > 0),
+      |coarse AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |  $intDot * c.amax AS coarse
+      | FROM coded q, coded c WHERE q.vec_id < 10 AND c.vec_id >= 10),
+      |topc AS (SELECT query_id, cand_id FROM (
+      |  SELECT query_id, cand_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY coarse DESC, cand_id) AS crn
+      |  FROM coarse) t WHERE crn <= ${Similarity.RerankCoarse}),
+      |scored AS (SELECT query_id, cand_id,
+      |  ${cosineSql("eq.emb", "eq.nsq", "ec.emb", "ec.nsq")} AS cosine
+      | FROM topc JOIN e eq ON eq.vec_id = query_id JOIN e ec ON ec.vec_id = cand_id)
+      |SELECT query_id, cand_id, cosine,
+      | CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS BIGINT) AS rank
+      |FROM scored QUALIFY rank <= ${Similarity.K}""".stripMargin
+  }
 
   /** Multiprobe LSH oracle: the probe expansion (own bucket + every
     * 1-bit flip) over the sigs CTE, query side only. */
@@ -916,8 +979,11 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS n_missed",
     "dedup_embedding_lsh" -> dedupEmbeddingLshSql,
     "dedup_embedding_lsh_capped" -> dedupEmbeddingLshCappedSql,
+    "dedup_paragraph" -> dedupParagraphSql,
     "sim_lsh_topk" -> simLshTopkSql,
     "sim_multiprobe_topk" -> simMultiprobeTopkSql,
+    "sim_rerank_topk" -> simRerankTopkSql,
+    "text_decontaminate" -> textDecontaminateSql,
     "sim_ivf_topk" -> simIvfTopkSql,
     "sim_brute_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,

@@ -271,6 +271,37 @@ object Dedup {
       .crossJoin(kept.agg(count(lit(1)).as("n_survivors")))
   }
 
+  // Span width for paragraph-level dedup (words per span).
+  val SpanWords = 10
+
+  /** Paragraph/span-level dedup — the C4 recipe: the corpus is cut into
+    * fixed word spans and any span occurring more than once ANYWHERE in
+    * the corpus keeps only its first occurrence (ordered by doc_id,
+    * span_idx); boilerplate repeated across documents disappears while
+    * each doc keeps its unique content. Election is a partial-agg
+    * min(struct(doc_id, span_idx)) groupBy on the span text — map-side
+    * combine does the heavy lifting, only (span, winner) pairs cross
+    * the shuffle, no window sort of the corpus. Output: per-doc span
+    * accounting (exact integers → exact oracle). */
+  def paragraphs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documentsParallel(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val spans = d.select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CAST(ceil(size(w) / ${SpanWords}.0) AS INT) - 1),
+           |  j -> array_join(slice(w, j * $SpanWords + 1, $SpanWords), ' '))""".stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("span_idx"), col("col").as("span"))
+    val keeper = spans.groupBy(col("span"))
+      .agg(min(struct(col("doc_id"), col("span_idx"))).as("k"))
+    spans.join(keeper, "span")
+      .select(col("doc_id"), col("span_idx"),
+        (col("k.doc_id") === col("doc_id") && col("k.span_idx") === col("span_idx"))
+          .as("kept"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_removed"))
+  }
+
   /** 64-bit SimHash per doc via the native graft_simhash64 expression:
     * per-bit ±1 vote over word-unigram xxhash64, ONE narrow map — no
     * explode, no 64-column agg, no shuffle. */
@@ -394,10 +425,14 @@ object Dedup {
   def embeddingLshCapped(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val base = Tables.embeddingsParallel(s, dir).select(col("vec_id"), col("embedding"))
-    val v0 = Tables.embeddings(s, dir).filter(col("vec_id") === 0).select(col("embedding"))
+    // one bounded driver-side row: the planted vector becomes a literal,
+    // keeping the whole plan narrow (no 40×1 nested-loop join)
+    val v0 = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
     val planted = s.range(EmbLshCapPlant.toLong)
-      .select((col("id") + 100000L).as("vec_id")).crossJoin(v0)
-    val e = base.union(planted.select(col("vec_id"), col("embedding")))
+      .select((col("id") + 100000L).as("vec_id"),
+        typedLit(v0).cast("array<float>").as("embedding"))
+    val e = base.union(planted)
     val dims = graft.functions.Planes.dimsOf(Tables.embeddings(s, dir), "embedding")
     val banded = graft.functions.Planes
       .withSigs(e, "embedding", EmbLshTables, EmbLshPlanes, dims)

@@ -140,6 +140,46 @@ object Similarity {
           / size(col("codes"))).as("mse"))
   }
 
+  // Coarse candidate count for the two-stage rerank retrieval.
+  val RerankCoarse = 50
+
+  /** Two-stage retrieval — the 100 TB serving shape: a COARSE pass
+    * scores int8 codes (sim_quantize's exact absmax quantization, 4×
+    * fewer bytes scanned, integer dot products) to pick RerankCoarse
+    * candidates per query, then an EXACT graft_cosine re-rank of just
+    * those candidates yields the final top-k. Per-query exact work
+    * drops from |corpus| to RerankCoarse cosines; the coarse stage
+    * composes with any candidate generator (IVF lists, LSH buckets) —
+    * the gate shape scans the full code table to keep the oracle
+    * replication exact. Coarse ranking key = int_dot × c_amax (the
+    * query's own scale is constant per query group), one double
+    * multiply → bit-identical in DuckDB, so the row is hash-exact. */
+  def rerankTopK(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    def coded(df: DataFrame, embc: String): DataFrame = df
+      .withColumn("demb", expr(s"transform($embc, x -> CAST(x AS DOUBLE))"))
+      .withColumn("amax", array_max(expr("transform(demb, x -> abs(x))")))
+      .filter(col("amax") > 0)
+      .withColumn("codes",
+        expr("transform(demb, x -> CAST(floor(x / amax * 127 + 0.5) AS BIGINT))"))
+    val q = coded(queries(s, dir), "q_emb")
+      .select(col("query_id"), col("codes").as("q_codes"))
+    val c = coded(corpus(s, dir), "c_emb")
+      .select(col("cand_id"), col("codes").as("c_codes"), col("amax").as("c_amax"))
+    val coarse = broadcast(q).crossJoin(c)
+      .select(col("query_id"), col("cand_id"),
+        (expr("aggregate(zip_with(q_codes, c_codes, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+          .cast("double") * col("c_amax")).as("coarse"))
+    val topC = graft.functions.TopK.perGroup(
+      coarse, "query_id", "cand_id", "coarse", RerankCoarse)
+    val exact = topC
+      .join(corpus(s, dir), "cand_id")
+      .join(broadcast(queries(s, dir)), "query_id")
+      .select(col("query_id"), col("cand_id"),
+        expr("graft_cosine(q_emb, c_emb)").as("cosine"))
+    topKPerQuery(exact)
+  }
+
   val IvfProbes = 10
   val IvfLloydIters = 3
 

@@ -223,6 +223,39 @@ object TextAnalysis {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
   }
 
+  /** Eval-set decontamination n-gram width. Real pipelines use 8-13
+    * word n-grams (the GPT-3/PaLM recipe); this synthetic corpus's
+    * small vocabulary only produces meaningful overlap at 3, and the
+    * operator is width-agnostic. */
+  val DecontamN = 3
+
+  /** Eval-set decontamination — the anti-benchmark-leak pass every
+    * training corpus runs: a training document sharing any exact word
+    * n-gram with the held-out eval set is flagged (and would be dropped
+    * before training). The eval set here is a deterministic slice of
+    * the corpus (doc_id % 97 = 0), standing in for an external
+    * benchmark table. Candidate generation is an equi-join on the
+    * n-gram string — only (gram, doc_id) pairs shuffle, never text;
+    * at 100 TB the eval side is tiny and AQE broadcasts it (no hint:
+    * the operator doesn't assume which side is bounded). Output: each
+    * contaminated doc with its distinct leaked-n-gram count. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val n = DecontamN
+    val d = Tables.documentsParallel(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    def grams(df: DataFrame): DataFrame = df
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), i -> array_join(slice(w, i, $n), ' '))"))
+        .as("gram"))
+    val evalGrams = grams(d.filter(col("doc_id") % 97 === 0))
+      .select(col("gram")).distinct()
+    grams(d.filter(col("doc_id") % 97 =!= 0))
+      .join(evalGrams, "gram")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_hit_ngrams"))
+  }
+
   /** Rolling-hash document fingerprint: polynomial hash of every char
     * 8-gram (base 131 mod 2^31-1, unrolled so DuckDB reproduces the
     * exact int64 arithmetic), document fingerprint = min gram hash

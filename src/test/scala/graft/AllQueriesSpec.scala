@@ -17,7 +17,8 @@ class AllQueriesSpec extends AnyFunSuite {
     "q_scalar_subquery", "q22_dormant",        // scalar-subquery broadcast joins
     "dedup_survivors",                         // cross join of three 1-row aggregates
     "dedup_minhash_lsh",                       // audit: cross join of two 1-row counts
-    "pat_skew_join")                           // dim × salts replication (3×8 rows BY DESIGN)
+    "pat_skew_join",                           // dim × salts replication (3×8 rows BY DESIGN)
+    "sim_rerank_topk")                         // coarse int8 scan IS a broadcast full scan
 
   test("every query returns rows at sf0.001 and has a sane join plan") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()

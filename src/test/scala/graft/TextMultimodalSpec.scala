@@ -68,6 +68,30 @@ class TextMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination flags exactly the docs sharing an eval n-gram") {
+    import org.apache.spark.sql.functions._
+    val flagged = TextAnalysis.decontaminate(spark, sf)
+    val rows = flagged.collect()
+    rows.foreach { r => assert(r.getAs[Long]("n_hit_ngrams") >= 1) }
+    // no eval doc flags itself; every flagged doc is a train doc
+    assert(rows.forall(_.getAs[Long]("doc_id") % 97 != 0))
+    // brute-force recheck on one flagged doc: it really shares a gram
+    if (rows.nonEmpty) {
+      val docId = rows.head.getAs[Long]("doc_id")
+      val n = TextAnalysis.DecontamN
+      def gramsOf(filter: org.apache.spark.sql.Column) =
+        Tables.documents(spark, sf).filter(filter)
+          .select(explode(expr(
+            s"transform(sequence(1, size(split(text, ' ')) - ${n - 1}), " +
+              s"i -> array_join(slice(split(text, ' '), i, $n), ' '))")).as("g"))
+          .collect().map(_.getString(0)).toSet
+      val docGrams = gramsOf(col("doc_id") === docId)
+      val evalGrams = gramsOf(col("doc_id") % 97 === 0)
+      assert(docGrams.intersect(evalGrams).size ==
+        rows.head.getAs[Long]("n_hit_ngrams"))
+    }
+  }
+
   test("text_pack windows per shard — no global single-task sort (VERDICT r2 #3)") {
     val df = TextAnalysis.pack(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
