@@ -19,6 +19,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // multi-tenant transfers (Pipeline.runAll) share the cluster
+      // FAIRLY across per-class pools instead of FIFO head-of-line
+      // blocking; single-job workloads are unaffected (one pool). Pools
+      // are created on demand by setLocalProperty — no allocation file.
+      .config("spark.scheduler.mode", "FAIR")
       // hash-mixing expressions (minhash/simhash) use wrapping int64 math
       .config("spark.sql.ansi.enabled", "false")
     master.map(b.master).getOrElse(b)

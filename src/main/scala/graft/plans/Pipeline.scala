@@ -205,12 +205,17 @@ object Pipeline {
   /** MaxParallelTransfers analog (reference config.go:18): run several
     * transfers concurrently from one driver. Spark's scheduler
     * interleaves the jobs; each transfer runs in its own thread with
-    * its own job group so it can be cancelled independently. Returns
-    * per-transfer (rowsWritten, errorRows) in input order; the FIRST
-    * failure is rethrown after all transfers settle (no half-awaited
-    * futures left running). */
+    * its own job group so it can be cancelled independently, and in its
+    * own FAIR scheduler pool (per `poolFor`, default one shared pool)
+    * so transfer classes share executors by weight instead of FIFO
+    * head-of-line blocking — a big backfill transfer cannot starve the
+    * small scheduled ones (GraftSession sets spark.scheduler.mode=FAIR;
+    * pools are created on demand). Returns per-transfer (rowsWritten,
+    * errorRows) in input order; the FIRST failure is rethrown after all
+    * transfers settle (no half-awaited futures left running). */
   def runAll(s: SparkSession, transfers: Seq[(TransferSpec, String)],
-      maxParallel: Int): Seq[(Long, Long)] = {
+      maxParallel: Int,
+      poolFor: Int => String = _ => "transfers"): Seq[(Long, Long)] = {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
@@ -220,8 +225,12 @@ object Pipeline {
       val futures = transfers.zipWithIndex.map { case ((spec, target), i) =>
         Future {
           s.sparkContext.setJobGroup(s"graft-transfer-$i", target, true)
+          s.sparkContext.setLocalProperty("spark.scheduler.pool", poolFor(i))
           try runWithRetry(s, spec, target)
-          finally s.sparkContext.clearJobGroup()
+          finally {
+            s.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+            s.sparkContext.clearJobGroup()
+          }
         }
       }
       val settled = futures.map(f => Await.ready(f, Duration.Inf).value.get)

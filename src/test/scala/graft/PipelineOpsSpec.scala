@@ -249,6 +249,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"a ${sys.env.getOrElse("HOME", "")} b")
   }
 
+  test("FAIR pools: per-class transfers land in their own scheduler pools (SURVEY §8)") {
+    assert(spark.sparkContext.getConf.get("spark.scheduler.mode") == "FAIR",
+      "GraftSession must default to FAIR scheduling for multi-tenant transfers")
+    val specs = Seq("'F'", "'O'").zipWithIndex.map { case (status, i) =>
+      (TransferSpec(
+        source = SourceSpec(s"$sf/orders.parquet", Parquet),
+        filterExpr = Some(s"o_orderstatus = $status")),
+        tmp(s"pool$i"))
+    }
+    val classes = Seq("scheduled", "backfill")
+    val results = Pipeline.runAll(spark, specs, maxParallel = 2, poolFor = classes(_))
+    // pools were created on demand and persist on the scheduler
+    val root = spark.sparkContext.getAllPools.map(_.name)
+    classes.foreach(c => assert(root.contains(c), s"pool $c missing from $root"))
+    // and the results still equal the sequential plans
+    specs.zip(results).foreach { case ((spec, _), (written, errs)) =>
+      assert(errs == 0 && written == Pipeline.plan(spark, spec).count())
+    }
+  }
+
   test("MaxParallelTransfers: concurrent transfers equal their sequential runs") {
     val specs = Seq("'F'", "'O'", "'P'").zipWithIndex.map { case (status, i) =>
       (TransferSpec(
