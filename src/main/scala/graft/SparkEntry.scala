@@ -70,6 +70,15 @@ object SparkEntry {
     "q19_disjunctive" -> (Analytics2.q19Disjunctive _),
     "q21_late_suppliers" -> (Analytics2.q21LateSuppliers _),
     "q22_dormant" -> (Analytics2.q22Dormant _),
+    "q4_priority" -> (Analytics3.q4Priority _),
+    "q7_volume" -> (Analytics3.q7Volume _),
+    "q8_market_share" -> (Analytics3.q8MarketShare _),
+    "q9_profit" -> (Analytics3.q9Profit _),
+    "q12_priority_mix" -> (Analytics3.q12PriorityMix _),
+    "q13_custdist" -> (Analytics3.q13CustDist _),
+    "q15_top_supplier" -> (Analytics3.q15TopSupplier _),
+    "q17_small_qty" -> (Analytics3.q17SmallQty _),
+    "q20_part_suppliers" -> (Analytics3.q20PartSuppliers _),
     "q_cube" -> (Analytics2.qCube _),
     "q_intersect_except" -> (Analytics2.qIntersectExcept _),
     "q_grouping_sets" -> (Analytics2.qGroupingSets _),
@@ -620,6 +629,87 @@ object SparkEntry {
         | AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |   AND o_orderdate >= '1999-01-01')
         |GROUP BY c_mktsegment""".stripMargin,
+    "q4_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-07-01'
+        | AND EXISTS (SELECT 1 FROM lineitem
+        |   WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q7_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(YEAR(l_shipdate) AS INTEGER) AS ship_year,
+        | $revenue AS volume, COUNT(*) AS n_items
+        |FROM lineitem, supplier, orders, customer, nation n1, nation n2
+        |WHERE l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+        | AND o_custkey = c_custkey AND s_nationkey = n1.n_nationkey
+        | AND c_nationkey = n2.n_nationkey
+        | AND s_nationkey < 5 AND c_nationkey < 5 AND s_nationkey <> c_nationkey
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+        | CAST(SUM(CASE WHEN s_nationkey = 1
+        |   THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS mkt_share,
+        | COUNT(*) AS n_items
+        |FROM lineitem, part, supplier, orders, customer, nation
+        |WHERE l_partkey = p_partkey AND p_type = 'PROMO'
+        | AND l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+        | AND o_custkey = c_custkey AND c_nationkey = n_nationkey AND n_regionkey = 0
+        |GROUP BY 1""".stripMargin,
+    "q9_profit" ->
+      """SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |   - CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS profit,
+        | COUNT(*) AS n_items
+        |FROM lineitem, part, supplier, orders, nation
+        |WHERE l_partkey = p_partkey AND p_name LIKE '%red%'
+        | AND l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+        | AND s_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q12_priority_mix" ->
+      """SELECT l_linestatus,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_priority,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_priority
+        |FROM lineitem, orders
+        |WHERE l_orderkey = o_orderkey
+        | AND l_shipdate >= '1998-01-01' AND l_shipdate < '1999-01-01'
+        |GROUP BY l_linestatus""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        | SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        | FROM customer LEFT OUTER JOIN orders
+        |   ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        | GROUP BY c_custkey) t
+        |GROUP BY c_count""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH r AS (SELECT l_suppkey, $revenue AS total_revenue
+        | FROM lineitem
+        | WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+        | GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM r)""".stripMargin,
+    "q17_small_qty" ->
+      """WITH pa AS (SELECT l_partkey AS pk,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        | FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        | COUNT(*) AS n_items
+        |FROM lineitem, part, pa
+        |WHERE l_partkey = p_partkey AND p_brand = 'Brand#3'
+        | AND l_partkey = pk AND l_quantity < 0.5 * avg_qty""".stripMargin,
+    "q20_part_suppliers" ->
+      """SELECT s_suppkey, s_name, n_name AS nation
+        |FROM supplier, nation
+        |WHERE s_nationkey = n_nationkey AND s_suppkey IN (
+        | SELECT l_suppkey FROM lineitem
+        | WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1999-01-01'
+        |  AND EXISTS (SELECT 1 FROM part
+        |    WHERE p_partkey = l_partkey AND p_size < 10)
+        | GROUP BY l_suppkey
+        | HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 50)""".stripMargin,
     "q_cube" ->
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
         | ${decSum("o_totalprice")} AS total_price
