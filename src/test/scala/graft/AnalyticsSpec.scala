@@ -60,11 +60,24 @@ class AnalyticsSpec extends AnyFunSuite {
       "q14_promo_share" -> Analytics2.q14PromoShare(spark, sf),
       "q16_supplier_counts" -> Analytics2.q16SupplierCounts(spark, sf),
       "q19_disjunctive" -> Analytics2.q19Disjunctive(spark, sf),
+      "q13_custdist" -> Analytics3.q13CustDist(spark, sf),
+      "q17_small_qty" -> Analytics3.q17SmallQty(spark, sf),
       "text_top_terms" -> TextAnalysis.topTerms(spark, sf))
     unhinted.foreach { case (name, df) =>
       assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
         s"$name must not hint a broadcast on an sf-growing table")
     }
+    // the wide Analytics3 joins may hint ONLY the bounded nation copies
+    Seq("q7_volume" -> (Analytics3.q7Volume(spark, sf), 2),
+        "q8_market_share" -> (Analytics3.q8MarketShare(spark, sf), 1),
+        "q9_profit" -> (Analytics3.q9Profit(spark, sf), 1),
+        "q20_part_suppliers" -> (Analytics3.q20PartSuppliers(spark, sf), 1))
+      .foreach { case (name, (df, nBounded)) =>
+        val hints = "ResolvedHint".r
+          .findAllIn(df.queryExecution.analyzed.toString).size
+        assert(hints == nBounded,
+          s"$name may hint only its $nBounded bounded nation dim(s), saw $hints")
+      }
     // the small sides still broadcast at this SF — via the threshold,
     // not a hint
     Seq("q3_join" -> Analytics.q3Join(spark, sf),
