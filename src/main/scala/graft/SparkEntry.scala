@@ -33,6 +33,7 @@ object SparkEntry {
     "etl_partition_pruning" -> (Etl.partitionPruning _),
     "etl_ndjson_roundtrip" -> (Etl.ndjsonRoundtrip _),
     "etl_csv_roundtrip" -> (Etl.csvRoundtrip _),
+    "etl_orc_roundtrip" -> (Etl.orcRoundtrip _),
     "etl_error_tolerance" -> (Etl.errorTolerance _),
     "etl_dynamic_partition_write" -> (Etl.dynamicPartitionWrite _),
     "etl_jdbc_roundtrip" -> (Etl.jdbcRoundtrip _),
@@ -123,6 +124,7 @@ object SparkEntry {
     "mm_frame_sample" -> (Multimodal.frameSample _),
     "mm_decode_features" -> (Multimodal.decodeFeatures _),
     "mm_resize_meta" -> (Multimodal.resizeMeta _),
+    "mm_dedup" -> (Multimodal.payloadDedup _),
     // declarative pipeline config + real structured streaming
     "etl_pipeline_config" -> ((s, dir) => {
       import graft.plans.Pipeline._
@@ -438,6 +440,14 @@ object SparkEntry {
     "etl_csv_roundtrip" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n_customers, ${decSum("c_acctbal")} AS sum_acctbal
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "etl_orc_roundtrip" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_orders, ${decSum("o_totalprice")} AS sum_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "mm_dedup" ->
+      """WITH m AS (SELECT d.doc_id, md5(s.text || s.text) AS fp
+        |  FROM documents d JOIN documents s ON s.doc_id = d.doc_id - d.doc_id % 7)
+        |SELECT fp, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+        |FROM m GROUP BY fp""".stripMargin,
     "etl_error_tolerance" ->
       """SELECT CASE WHEN event_id % 7 = 0 THEN 'corrupt' ELSE 'ok' END AS status,
         | COUNT(*) AS n

@@ -155,6 +155,23 @@ object Etl {
            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_acctbal"))
   }
 
+  /** ORC datastore roundtrip — the columnar sibling of the parquet
+    * path (reference storage providers are format-agnostic URLs;
+    * Spark's ORC source gets the same pushdown/pruning treatment as
+    * parquet). Write a slice as zlib ORC, read it back, aggregate; the
+    * aggregate matches the oracle's direct parquet aggregate, proving
+    * the format path is lossless. */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_rt_${ProcessHandle.current().pid()}"
+    val src = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    src.write.mode("overwrite").option("compression", "zlib").orc(tmp)
+    s.read.orc(tmp)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+  }
+
   /** MaxErrorCounts analog (reference config.go:27, transfer.go:19
     * decodingError): corrupt records tolerated up to a budget — in
     * Spark, PERMISSIVE json parsing + a corrupt-record column, with the

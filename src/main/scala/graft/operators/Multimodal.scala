@@ -74,6 +74,25 @@ object Multimodal {
         .as("resized_bytes_est"))
   }
 
+  /** Exact payload dedup — the media-side dedup pass (identical bytes
+    * re-uploaded under different records): fingerprint = md5 of the
+    * binary payload, keep the minimum doc_id per fingerprint. The
+    * corpus here references shared payloads by construction (each run
+    * of 7 doc_ids shares one payload — the re-encode/copy pattern), so
+    * the groups are non-trivial. Only (fingerprint, id) pairs shuffle;
+    * payload bytes never leave the scan. */
+  def payloadDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"))
+      .withColumn("src_id", col("doc_id") - col("doc_id") % 7)
+    val src = Tables.documents(s, dir)
+      .select(col("doc_id").as("src_id"),
+        concat(col("text"), col("text")).cast("binary").as("payload"))
+    d.join(src, "src_id")
+      .select(col("doc_id"), md5(col("payload")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+  }
+
   /** Case classes for the typed decode path. */
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
   final case class MediaFeatures(doc_id: Long, n_bytes: Long,
