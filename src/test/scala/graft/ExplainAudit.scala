@@ -1,0 +1,25 @@
+package graft
+
+/** Manual plan-audit helper (`sbt "Test/runMain graft.ExplainAudit"`):
+  * prints the executed plan of the named gate queries so plan shape
+  * regressions are easy to eyeball beyond the automated assertions.
+  * Not a test — kept in the test tree to stay out of the library jar.
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(8)
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val targets =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("text_decontaminate", "dedup_paragraph", "sim_rerank_topk",
+        "q7_volume", "q13_custdist", "q17_small_qty", "q20_part_suppliers",
+        "mm_dedup", "text_pack")
+    targets.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.count() // materialize so AQE finalizes
+      println(s"\n===== $name =====")
+      println(df.queryExecution.executedPlan.toString.take(4000))
+    }
+    spark.stop()
+  }
+}
