@@ -156,6 +156,7 @@ object SparkEntry {
     "text_decontaminate" -> (TextAnalysis.decontaminate _),
     "stream_enrich" -> (graft.streaming.Streams.streamEnrichTransfer _),
     "stream_jdbc_sink" -> (graft.streaming.Streams.streamJdbcSink _),
+    "stream_interval_join" -> (graft.streaming.Streams.streamIntervalJoin _),
   )
 
   /** Headline bench set: everything except the deliberately-quadratic
@@ -1015,6 +1016,13 @@ object SparkEntry {
         | CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events WHERE event_id < 2000 AND event_type <> 'error'
         |GROUP BY event_type""".stripMargin,
+    "stream_interval_join" ->
+      """SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id,
+        | epoch_us(e.ts) AS error_us, epoch_us(c.ts) AS click_us
+        |FROM events e JOIN events c ON c.user_id = e.user_id
+        | AND c.ts >= e.ts - INTERVAL 30 MINUTE AND c.ts <= e.ts
+        |WHERE e.event_type = 'error' AND c.event_type = 'click'
+        | AND e.event_id < 2000 AND c.event_id < 2000""".stripMargin,
     "text_split" ->
       """SELECT CASE WHEN (doc_id * 2654435761 + 104729) % 9973 % 100 < 95
         |  THEN 'train' ELSE 'val' END AS split,

@@ -220,6 +220,34 @@ object Streams {
         unix_micros(col("e_ts")).as("error_us"), unix_micros(col("c_ts")).as("click_us"))
   }
 
+  /** Gate query: stream-stream interval join end-to-end. Clicks and
+    * errors are staged as TWO separate ndjson stream sources (ts as
+    * unix micros — the default json timestamp format drops sub-ms
+    * precision), joined with two-sided watermarks via
+    * clickErrorIntervalJoin, written AvailableNow to a parquet sink.
+    * The staged slice fits one micro-batch, so no valid match is ever
+    * beyond the watermark and the result equals the batch join the
+    * oracle runs. */
+  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = System.getProperty("java.io.tmpdir") + "/graft_sij_" + System.nanoTime
+    val ev = graft.sources.Tables.events(s, dir).filter(col("event_id") < 2000)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    ev.filter(col("event_type") === "click").write.json(s"$base/clicks")
+    ev.filter(col("event_type") === "error").write.json(s"$base/errors")
+    val schema = "event_id LONG, user_id LONG, event_type STRING, ts_us LONG"
+    def readSide(p: String): DataFrame =
+      s.readStream.schema(schema).json(p)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+    val joined = clickErrorIntervalJoin(
+      readSide(s"$base/clicks"), readSide(s"$base/errors"))
+    val q = joined.writeStream.format("parquet")
+      .option("path", s"$base/dst").option("checkpointLocation", s"$base/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/dst")
+  }
+
   /** Streaming exact dedup bounded by watermark: the streaming form of
     * Dedup.exactKeyed (idempotent re-delivery collapsing). */
   def dedupStream(events: DataFrame): DataFrame =
