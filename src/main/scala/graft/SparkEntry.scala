@@ -114,6 +114,7 @@ object SparkEntry {
     "dedup_survivors" -> (Dedup.survivors _),
     // similarity search
     "sim_brute_topk" -> (Similarity.bruteTopK _),
+    "sim_native_topk" -> (Similarity.nativeTopK _),
     "sim_lsh_topk" -> (Similarity.lshTopK _),
     "sim_multiprobe_topk" -> (Similarity.multiprobeTopK _),
     "sim_rerank_topk" -> (Similarity.rerankTopK _),
@@ -1094,6 +1095,19 @@ object SparkEntry {
     "text_decontaminate" -> textDecontaminateSql,
     "sim_ivf_topk" -> simIvfTopkSql,
     "sim_brute_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |  list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS nsq
+        | FROM embeddings),
+        |scored AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |  list_sum(list_transform(list_zip(q.emb, c.emb), x -> x[1] * x[2]))
+        |    / sqrt(q.nsq * c.nsq) AS cosine
+        | FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id >= 10)
+        |SELECT query_id, cand_id, cosine,
+        | CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS BIGINT) AS rank
+        |FROM scored
+        |QUALIFY rank <= 5""".stripMargin,
+    "sim_native_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
         |  list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS nsq
         | FROM embeddings),

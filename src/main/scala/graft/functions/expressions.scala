@@ -314,5 +314,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
     }
     ext.injectOptimizerRule(_ => CosineFusionRule)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }
 }

@@ -140,6 +140,19 @@ object Similarity {
           / size(col("codes"))).as("mse"))
   }
 
+  /** bruteTopK scored through the NATIVE whole-operator path
+    * (plans.GroupedTopK: custom LogicalPlan → injected Strategy →
+    * partial/final SparkPlans, exchange via required distribution) —
+    * the tier-(c) Catalyst extension exercised end-to-end in the gate.
+    * Output contract identical to TopK.perGroup (spec asserts
+    * bit-parity), so the brute-force SQL oracle applies unchanged. */
+  def nativeTopK(s: SparkSession, dir: String): DataFrame = {
+    val scored = broadcast(queries(s, dir)).crossJoin(corpus(s, dir))
+      .select(col("query_id"), col("cand_id"),
+        expr("graft_cosine(q_emb, c_emb)").as("cosine"))
+    graft.plans.GroupedTopK(scored, "query_id", "cand_id", "cosine", K)
+  }
+
   // Coarse candidate count for the two-stage rerank retrieval.
   val RerankCoarse = 50
 

@@ -13,6 +13,7 @@ class AllQueriesSpec extends AnyFunSuite {
   private val allowedCrossJoin = Set(
     "dedup_ngram_jaccard", "dedup_embedding", // all-pairs BY DESIGN (oracle twins)
     "sim_brute_topk",                          // brute baseline (broadcast nested loop)
+    "sim_native_topk",                         // same brute scoring, native top-k exec
     "sim_ivf_topk",                            // vectors × centroids (tiny broadcast side)
     "q_scalar_subquery", "q22_dormant",        // scalar-subquery broadcast joins
     "dedup_survivors",                         // cross join of three 1-row aggregates

@@ -112,6 +112,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "capped organic pairs must be a subset of the uncapped pair set")
   }
 
+  test("native GroupedTopK strategy: bit-identical to the Aggregator, plan has partial+final execs") {
+    import org.apache.spark.sql.functions._
+    // scored candidates from the brute path (every query × candidate)
+    val scored = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(Tables.embeddings(spark, sf).filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb")))
+      .select(col("query_id"), col("cand_id"),
+        expr("graft_cosine(q_emb, c_emb)").as("cosine"))
+    val native = graft.plans.GroupedTopK(scored, "query_id", "cand_id", "cosine", 5)
+    val viaAgg = graft.functions.TopK.perGroup(scored, "query_id", "cand_id", "cosine", 5)
+    val a = native.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val b = viaAgg.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(a == b, s"native strategy diverged from the Aggregator: ${a.diff(b)} vs ${b.diff(a)}")
+    // plan shape: strategy planned both execs with exactly one exchange between
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupedTopKFinal") && plan.contains("GroupedTopKPartial"),
+      s"expected the custom execs in:\n$plan")
+    assert(plan.contains("hashpartitioning(query_id"),
+      s"final exec must cluster by group via EnsureRequirements:\n$plan")
+    // type contract is enforced
+    intercept[IllegalArgumentException] {
+      graft.plans.GroupedTopK(
+        scored.withColumn("cosine", col("cosine").cast("float")),
+        "query_id", "cand_id", "cosine", 5)
+    }
+  }
+
   test("rerank: exact top-k from the coarse int8 candidates matches brute force closely") {
     val brute = Similarity.bruteTopK(spark, sf).select("query_id", "cand_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
