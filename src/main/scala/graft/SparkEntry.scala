@@ -80,6 +80,7 @@ object SparkEntry {
     "q15_top_supplier" -> (Analytics3.q15TopSupplier _),
     "q17_small_qty" -> (Analytics3.q17SmallQty _),
     "q20_part_suppliers" -> (Analytics3.q20PartSuppliers _),
+    "q_window3" -> (Analytics2.qWindow3 _),
     "q_cube" -> (Analytics2.qCube _),
     "q_intersect_except" -> (Analytics2.qIntersectExcept _),
     "q_grouping_sets" -> (Analytics2.qGroupingSets _),
@@ -722,6 +723,13 @@ object SparkEntry {
         |    WHERE p_partkey = l_partkey AND p_size < 10)
         | GROUP BY l_suppkey
         | HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 50)""".stripMargin,
+    "q_window3" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        | COUNT(*) OVER w AS n_within_50k,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_within_50k
+        |FROM orders WHERE o_orderkey <= 2500
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |  RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_cube" ->
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
         | ${decSum("o_totalprice")} AS total_price

@@ -116,6 +116,23 @@ object Analytics2 {
         first(col("o_orderkey")).over(w).as("first_key"))
   }
 
+  /** RANGE-frame windows: running aggregates over a VALUE range
+    * (orders within 50k price below the current row) rather than a row
+    * count — RANGE frames include all peers of the boundary values, so
+    * the result is deterministic under ties without a tiebreaker
+    * column. The frame sum is decimal-cast (order-independent). */
+  def qWindow3(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
+      .rangeBetween(-50000L, 0L)
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") <= 2500)
+      .select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        count(lit(1)).over(w).as("n_within_50k"),
+        sum(col("o_totalprice").cast(dec)).over(w).cast("double").as("sum_within_50k"))
+  }
+
   /** Collect/array aggregation: per-order sorted line numbers as a
     * canonical string (portable across engines' list orderings). */
   def qCollect(s: SparkSession, dir: String): DataFrame =
