@@ -34,6 +34,7 @@ object SparkEntry {
     "etl_ndjson_roundtrip" -> (Etl.ndjsonRoundtrip _),
     "etl_csv_roundtrip" -> (Etl.csvRoundtrip _),
     "etl_orc_roundtrip" -> (Etl.orcRoundtrip _),
+    "etl_var_extract_path" -> (Etl.varExtractPath _),
     "etl_error_tolerance" -> (Etl.errorTolerance _),
     "etl_dynamic_partition_write" -> (Etl.dynamicPartitionWrite _),
     "etl_jdbc_roundtrip" -> (Etl.jdbcRoundtrip _),
@@ -446,6 +447,11 @@ object SparkEntry {
     "etl_orc_roundtrip" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n_orders, ${decSum("o_totalprice")} AS sum_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "etl_var_extract_path" ->
+      """SELECT event_type AS src_type, COUNT(*) AS n_records,
+        | CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events WHERE event_id < 2000
+        |GROUP BY event_type""".stripMargin,
     "mm_dedup" ->
       """WITH m AS (SELECT d.doc_id, md5(s.text || s.text) AS fp
         |  FROM documents d JOIN documents s ON s.doc_id = d.doc_id - d.doc_id % 7)

@@ -79,6 +79,27 @@ object Etl {
       .groupBy(col("src_num"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
 
+  /** VariableExtraction from the source PATH (reference
+    * variable_provider.go's "source" mode + util.go:190
+    * buildVariableMasterServiceMap — variables pulled from the source
+    * object's URL, not its records). Spark analog: `input_file_name()`
+    * + regexp over the path. The staged source is written partitioned
+    * (value lives only in the directory name) and read back with
+    * recursiveFileLookup — which disables partition inference — so the
+    * ONLY way to recover the value is genuine path extraction. */
+  def varExtractPath(s: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_pathvar_${ProcessHandle.current().pid()}"
+    Tables.events(s, dir).filter(col("event_id") < 2000)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.partitionBy("event_type").mode("overwrite").parquet(base)
+    s.read.option("recursiveFileLookup", "true").parquet(base)
+      .withColumn("src_type",
+        regexp_extract(input_file_name(), "event_type=([^/]+)/", 1))
+      .groupBy(col("src_type"))
+      .agg(count(lit(1)).as("n_records"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("sum_cents"))
+  }
+
   /** Meta/progress analog (reference meta.go ObjectMeta: per-source
     * RecordProcessed / RecordSkipped): one aggregation computing both
     * counters, instead of mutexed driver-side counters. */
