@@ -35,6 +35,9 @@ object SparkEntry {
     "etl_csv_roundtrip" -> (Etl.csvRoundtrip _),
     "etl_orc_roundtrip" -> (Etl.orcRoundtrip _),
     "etl_var_extract_path" -> (Etl.varExtractPath _),
+    "etl_compact_files" -> (Etl.compactSmallFiles _),
+    "text_quality_filter" -> (TextAnalysis.qualityFilter _),
+    "text_length_hist" -> (TextAnalysis.lengthHistogram _),
     "etl_error_tolerance" -> (Etl.errorTolerance _),
     "etl_dynamic_partition_write" -> (Etl.dynamicPartitionWrite _),
     "etl_jdbc_roundtrip" -> (Etl.jdbcRoundtrip _),
@@ -452,6 +455,36 @@ object SparkEntry {
         | CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events WHERE event_id < 2000
         |GROUP BY event_type""".stripMargin,
+    "etl_compact_files" ->
+      """SELECT CAST(16 AS BIGINT) AS files_before, CAST(2 AS BIGINT) AS files_after,
+        | COUNT(*) AS n_rows
+        |FROM orders WHERE o_orderkey <= 2000""".stripMargin,
+    "text_quality_filter" ->
+      """WITH q AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  len(list_filter(string_split(text, ' '),
+        |    x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS n_stop,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS distinct_share
+        | FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |  list_filter([
+        |    CASE WHEN n_tokens < 10 THEN 'too_short' END,
+        |    CASE WHEN n_tokens > 5000 THEN 'too_long' END,
+        |    CASE WHEN n_stop = 0 THEN 'no_stopwords' END,
+        |    CASE WHEN distinct_share < 0.2 THEN 'repetitive' END],
+        |    x -> x IS NOT NULL) AS failed
+        | FROM q)
+        |SELECT doc_id, n_tokens,
+        | COALESCE(array_to_string(failed, ','), '') AS failed_rules,
+        | len(failed) = 0 AS keep
+        |FROM r""".stripMargin,
+    "text_length_hist" ->
+      """SELECT CAST(len(bin(CAST(len(string_split(text, ' ')) AS BIGINT))) - 1 AS BIGINT) AS bucket,
+        | COUNT(*) AS n_docs,
+        | CAST(MIN(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+        | CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+        |FROM documents GROUP BY 1""".stripMargin,
     "mm_dedup" ->
       """WITH m AS (SELECT d.doc_id, md5(s.text || s.text) AS fp
         |  FROM documents d JOIN documents s ON s.doc_id = d.doc_id - d.doc_id % 7)

@@ -79,6 +79,28 @@ object Etl {
       .groupBy(col("src_num"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
 
+  /** Small-file compaction — the lake-maintenance transfer every
+    * file-based pipeline runs (the reference's re-runnable transfers
+    * imply it: many per-window objects → fewer, larger ones). Stage a
+    * fragmented source (16 files), compact with repartition(2) +
+    * overwrite, report before/after file counts and the preserved row
+    * count. File counts are deterministic: repartition round-robins
+    * rows so every target partition is non-empty. */
+  def compactSmallFiles(s: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_${ProcessHandle.current().pid()}"
+    val src = Tables.orders(s, dir).filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    src.repartition(16).write.mode("overwrite").parquet(s"$base/frag")
+    val frag = s.read.parquet(s"$base/frag")
+    val nBefore = frag.inputFiles.length
+    frag.repartition(2).write.mode("overwrite").parquet(s"$base/compact")
+    val compacted = s.read.parquet(s"$base/compact")
+    val nAfter = compacted.inputFiles.length
+    compacted.agg(count(lit(1)).as("n_rows"))
+      .select(lit(nBefore.toLong).as("files_before"),
+        lit(nAfter.toLong).as("files_after"), col("n_rows"))
+  }
+
   /** VariableExtraction from the source PATH (reference
     * variable_provider.go's "source" mode + util.go:190
     * buildVariableMasterServiceMap — variables pulled from the source

@@ -33,6 +33,48 @@ object TextAnalysis {
         ((nChars - (nTokens - 1)).cast("double") / nTokens).as("avg_token_len"))
   }
 
+  /** End-to-end quality FILTER — the decision pass that consumes the
+    * scoring signals: every document gets a verdict plus the ordered
+    * list of rules it failed (length band, stopword floor, max
+    * repetition share à la Gopher). One declarative plan — Catalyst
+    * shares the token-split subexpression across rules, and the whole
+    * per-doc pass stays in one codegen stage. */
+  def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documentsParallel(s, dir)
+    val w = words(col("text"))
+    val nTokens = size(w).cast("long")
+    val nStop = size(filter(w, x => x.isInCollection(
+      Seq("the", "a", "of", "and", "in").map(lit)))).cast("long")
+    val distinctShare = size(array_distinct(w)).cast("double") / nTokens
+    val rules = Seq(
+      "too_short" -> (nTokens < 10),
+      "too_long" -> (nTokens > 5000),
+      "no_stopwords" -> (nStop === 0),
+      "repetitive" -> (distinctShare < lit(0.2)))
+    val failed = array_compact(array(rules.map { case (name, pred) =>
+      when(pred, lit(name)).otherwise(lit(null).cast("string"))
+    }: _*))
+    d.select(col("doc_id"), nTokens.as("n_tokens"),
+        array_join(failed, ",").as("failed_rules"),
+        (size(failed) === 0).as("keep"))
+  }
+
+  /** Token-length histogram: docs bucketed by floor(log2(n_tokens)) —
+    * the shape report a data pipeline checks before choosing context
+    * windows and packing budgets. The log is computed as binary digit
+    * count (length of the base-2 rendering minus one): pure integer
+    * arithmetic, no floating log whose last ulp could differ between
+    * engines. */
+  def lengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val n = size(split(col("text"), " ")).cast("long")
+    Tables.documentsParallel(s, dir)
+      .select(col("doc_id"), n.as("n_tokens"),
+        (length(conv(n, 10, 2)) - 1).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"), max(col("n_tokens")).as("max_tokens"))
+  }
+
   /** Token counting: whitespace tokens + BPE-ish regex pieces
     * (letter runs / digit runs as separate tokens). */
   def tokens(s: SparkSession, dir: String): DataFrame = {
