@@ -115,6 +115,7 @@ object SparkEntry {
     "dedup_embedding_lsh_capped" -> (Dedup.embeddingLshCapped _),
     "dedup_paragraph" -> (Dedup.paragraphs _),
     "dedup_components" -> (Dedup.components _),
+    "dedup_cluster_stats" -> (Dedup.clusterStats _),
     "dedup_prefix_join" -> (Dedup.prefixJoin _),
     "dedup_survivors" -> (Dedup.survivors _),
     // similarity search
@@ -931,6 +932,28 @@ object SparkEntry {
         | UNION
         | SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp FROM r GROUP BY a""".stripMargin,
+    "dedup_cluster_stats" ->
+      """WITH RECURSIVE s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   range(1, len(string_split(text, ' ')) - 1),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents),
+        |p AS (
+        | SELECT doc_a, doc_b FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |  FROM s a, s b WHERE a.doc_id < b.doc_id) t
+        | WHERE jaccard >= 0.7),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+        |r(a, b) AS (
+        | SELECT a, b FROM e
+        | UNION
+        | SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+        |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp FROM r GROUP BY a),
+        |sizes AS (SELECT comp, COUNT(*) AS cluster_size FROM comp GROUP BY comp)
+        |SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes GROUP BY cluster_size""".stripMargin,
     "dedup_survivors" ->
       """WITH RECURSIVE s AS (
         | SELECT doc_id, list_distinct(list_transform(

@@ -253,6 +253,17 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
   }
 
+  /** Cluster-size distribution of the near-dup components — the dedup
+    * observability report (how much of the corpus sits in how-big
+    * clusters) a pipeline checks before committing to a survivor
+    * policy. Two partial-agg levels over the component labels. */
+  def clusterStats(s: SparkSession, dir: String): DataFrame =
+    components(s, dir)
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
   /** End-to-end dedup policy: drop every non-minimum member of each
     * near-dup component; report corpus sizes. The full pipeline a
     * 100 TB text corpus runs before training: signatures → LSH →

@@ -143,6 +143,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(anti > 0 && anti <= nCust)
   }
 
+  test("ORC reads push filters and prune columns like parquet") {
+    val tmpDir = s"${System.getProperty("java.io.tmpdir")}/graft_orc_spec_${System.nanoTime}"
+    Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").orc(tmpDir)
+    val df = spark.read.orc(tmpDir)
+      .filter(col("o_orderkey") <= 100)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderkey"),
+      s"expected pushed filters in ORC scan:\n$plan")
+    assert(!plan.contains("o_orderstatus"),
+      "ORC projection should prune unused columns")
+    assert(df.count() ==
+      Tables.orders(spark, sf).filter(col("o_orderkey") <= 100).count())
+  }
+
   test("partition-pruned read scans only the matching dt directory") {
     val df = operators.Etl.partitionPruning(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
