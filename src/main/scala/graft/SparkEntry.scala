@@ -37,6 +37,7 @@ object SparkEntry {
     "etl_var_extract_path" -> (Etl.varExtractPath _),
     "etl_compact_files" -> (Etl.compactSmallFiles _),
     "text_quality_filter" -> (TextAnalysis.qualityFilter _),
+    "text_source_mix" -> (TextAnalysis.sourceMix _),
     "text_length_hist" -> (TextAnalysis.lengthHistogram _),
     "etl_error_tolerance" -> (Etl.errorTolerance _),
     "etl_dynamic_partition_write" -> (Etl.dynamicPartitionWrite _),
@@ -480,6 +481,17 @@ object SparkEntry {
         | COALESCE(array_to_string(failed, ','), '') AS failed_rules,
         | len(failed) = 0 AS keep
         |FROM r""".stripMargin,
+    "text_source_mix" ->
+      """WITH m AS (SELECT doc_id, source, n_chars,
+        |  CASE WHEN source IN ('src0', 'src1') THEN 100
+        |       WHEN source = 'src2' THEN 50
+        |       WHEN source = 'src3' THEN 25 ELSE 10 END AS pct,
+        |  (doc_id * 2654435761 + 104729) % 9973 % 100 AS bucket
+        | FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        | CAST(SUM(CASE WHEN bucket < pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST(SUM(CASE WHEN bucket < pct THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM m GROUP BY source""".stripMargin,
     "text_length_hist" ->
       """SELECT CAST(len(bin(CAST(len(string_split(text, ' ')) AS BIGINT))) - 1 AS BIGINT) AS bucket,
         | COUNT(*) AS n_docs,

@@ -265,6 +265,29 @@ object TextAnalysis {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
   }
 
+  /** Deterministic stratified source-mix sampling — the rebalancing
+    * pass that turns a raw crawl mix into the training mix (keep 100%
+    * of scarce sources, downsample abundant ones). Membership uses the
+    * same portable affine hash as the train/val split, so the sample
+    * is stable across runs and engines (re-ingesting never flips a
+    * document in or out), and the keep decision is a narrow map — the
+    * only aggregation is the report. Per-source keep percents are
+    * data: src0/src1 keep all, src2 half, src3 a quarter, others 10%. */
+  def sourceMix(s: SparkSession, dir: String): DataFrame = {
+    val pct = when(col("source").isin("src0", "src1"), 100)
+      .when(col("source") === "src2", 50)
+      .when(col("source") === "src3", 25)
+      .otherwise(10)
+    val bucket = pmod(col("doc_id") * 2654435761L + 104729L, lit(9973L)) % 100
+    Tables.documentsParallel(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (bucket < pct).as("keep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+  }
+
   /** Eval-set decontamination n-gram width. Real pipelines use 8-13
     * word n-grams (the GPT-3/PaLM recipe); this synthetic corpus's
     * small vocabulary only produces meaningful overlap at 3, and the
