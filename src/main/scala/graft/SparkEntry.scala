@@ -190,6 +190,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),          // candidates, not the audit
     "dedup_simhash" -> (Dedup.simhash _),                 // 4×16 candidates, not the audit
     "q_approx_distinct" -> (Analytics.qApproxDistinct _), // HLL only, not the ±2% check
+    "pat_bucketed_join" -> (Patterns.bucketedJoinWarm _), // amortized-setup join (see scaladoc)
     "q_approx_percentile" -> ((s: SparkSession, dir: String) =>
       graft.sources.Tables.lineitem(s, dir)
         .groupBy(org.apache.spark.sql.functions.col("l_returnflag"))
