@@ -165,6 +165,7 @@ object SparkEntry {
     "stream_enrich" -> (graft.streaming.Streams.streamEnrichTransfer _),
     "stream_jdbc_sink" -> (graft.streaming.Streams.streamJdbcSink _),
     "stream_interval_join" -> (graft.streaming.Streams.streamIntervalJoin _),
+    "stream_windowed_agg" -> (graft.streaming.Streams.streamWindowedAgg _),
   )
 
   /** Headline bench set: everything except the deliberately-quadratic
@@ -1100,6 +1101,10 @@ object SparkEntry {
         | CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events WHERE event_id < 2000 AND event_type <> 'error'
         |GROUP BY event_type""".stripMargin,
+    "stream_windowed_agg" ->
+      s"""SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start_s, event_type,
+        | COUNT(*) AS n_events, ${decSum("value")} AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "stream_interval_join" ->
       """SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id,
         | epoch_us(e.ts) AS error_us, epoch_us(c.ts) AS click_us

@@ -220,6 +220,40 @@ object Streams {
         unix_micros(col("e_ts")).as("error_us"), unix_micros(col("c_ts")).as("click_us"))
   }
 
+  /** Gate query: REAL streaming windowed aggregation end-to-end —
+    * events staged as an ndjson stream source (ts as unix micros),
+    * tumbling 1 h windows aggregated in COMPLETE output mode into a
+    * memory sink, AvailableNow. Complete mode makes the final table
+    * the full aggregate regardless of watermark progress, so the
+    * streamed result equals the batch tumbling oracle exactly (Append
+    * mode would emit nothing for a single batch — the watermark never
+    * passes the last window). */
+  def streamWindowedAgg(s: SparkSession, dir: String): DataFrame = {
+    val base = System.getProperty("java.io.tmpdir") + "/graft_swin_" + System.nanoTime
+    graft.sources.Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .write.json(s"$base/src")
+    val in = s.readStream
+      .schema("event_id LONG, event_type STRING, value DOUBLE, ts_us LONG")
+      .json(s"$base/src")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val agg = in
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("win.start")).as("win_start_s"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    val name = s"graft_swin_${System.nanoTime}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", s"$base/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // memory-sink table → stable frame (tiny: one row per window×type)
+    s.table(name)
+  }
+
   /** Gate query: stream-stream interval join end-to-end. Clicks and
     * errors are staged as TWO separate ndjson stream sources (ts as
     * unix micros — the default json timestamp format drops sub-ms
