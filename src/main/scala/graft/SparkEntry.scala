@@ -133,6 +133,7 @@ object SparkEntry {
     "mm_decode_features" -> (Multimodal.decodeFeatures _),
     "mm_resize_meta" -> (Multimodal.resizeMeta _),
     "mm_dedup" -> (Multimodal.payloadDedup _),
+    "mm_frame_dedup" -> (Multimodal.frameDedup _),
     // declarative pipeline config + real structured streaming
     "etl_pipeline_config" -> ((s, dir) => {
       import graft.plans.Pipeline._
@@ -873,6 +874,20 @@ object SparkEntry {
         | (${(0 until 8).map(j => s"CAST(ascii(substr(txt2, CAST(off AS BIGINT) + 1 + $j, 1)) AS BIGINT) * ${math.pow(131, 7 - j).toLong}").mkString(" + ")})
         |   % 2147483647 AS frame_fp
         |FROM (SELECT doc_id, txt2, unnest(range(0, n_bytes - 63, 128)) AS off FROM m) t""".stripMargin,
+    "mm_frame_dedup" ->
+      s"""WITH m AS (SELECT doc_id, text || text AS txt2,
+        |  CAST(2 * LENGTH(text) AS BIGINT) AS n_bytes FROM documents
+        | WHERE 2 * LENGTH(text) >= 64),
+        |f AS (SELECT doc_id, off // 128 AS frame_id,
+        | (${(0 until 8).map(j => s"CAST(ascii(substr(txt2, CAST(off AS BIGINT) + 1 + $j, 1)) AS BIGINT) * ${math.pow(131, 7 - j).toLong}").mkString(" + ")})
+        |   % 2147483647 AS frame_fp
+        | FROM (SELECT doc_id, txt2, unnest(range(0, n_bytes - 63, 128)) AS off FROM m) t),
+        |r AS (SELECT doc_id, frame_id,
+        |  row_number() OVER (PARTITION BY frame_fp ORDER BY doc_id, frame_id) AS rn FROM f)
+        |SELECT doc_id, COUNT(*) AS n_frames,
+        | CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+        |FROM r GROUP BY doc_id""".stripMargin,
     "mm_resize_meta" ->
       """SELECT doc_id,
         | CAST(32 + (doc_id % 8) * 16 AS INTEGER) AS width,

@@ -74,6 +74,26 @@ object Multimodal {
         .as("resized_bytes_est"))
   }
 
+  /** Frame-level dedup — the video-pipeline variant of payload dedup:
+    * sampled frames deduped ACROSS documents by their content
+    * fingerprint (boilerplate intros/credits shared between videos),
+    * keeping the first (doc_id, frame_id) occurrence. Same
+    * min-struct election as paragraph dedup; only (fingerprint, ids)
+    * shuffle — frame bytes stay at the scan. */
+  def frameDedup(s: SparkSession, dir: String): DataFrame = {
+    val frames = frameSample(s, dir)
+    val keeper = frames.groupBy(col("frame_fp"))
+      .agg(min(struct(col("doc_id"), col("frame_id"))).as("k"))
+    frames.join(keeper, "frame_fp")
+      .select(col("doc_id"), col("frame_id"),
+        (col("k.doc_id") === col("doc_id") && col("k.frame_id") === col("frame_id"))
+          .as("kept"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_removed"))
+  }
+
   /** Exact payload dedup — the media-side dedup pass (identical bytes
     * re-uploaded under different records): fingerprint = md5 of the
     * binary payload, keep the minimum doc_id per fingerprint. The
