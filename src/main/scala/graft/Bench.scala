@@ -4,15 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the bench session IS the product session (GraftSession wires the
+    // extensions + AQE/FAIR confs the engine is designed around) — the
+    // r3 hand-rolled builder measured a subtly different config
+    val spark = GraftSession.local(cpus.toInt)
     spark.range(1000).selectExpr("sum(id)").collect() // session warmup
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -41,15 +36,27 @@ object Bench {
       case (n, rs) if rs.forall(_.isRight) =>
         n -> rs.collect { case Right(t) => t }.min
     }.toMap
+    // warm/cold split (VERDICT r3 #6): "queries" stays the min-of-N
+    // steady-state figure (the committed-artifact contract); "cold"
+    // adds each query's FIRST run, so fixed machinery — streaming
+    // state-store spin-up, JDBC/Derby boot, codegen compile — is
+    // separable from steady-state cost instead of hiding in the min.
+    val firstRun = timed.collect {
+      case (n, rs) if rs.forall(_.isRight) =>
+        n -> rs.head.toOption.get
+    }.toMap
     val errors = timed.collect { case (n, rs) =>
       rs.collectFirst { case Left(e) => n -> e }
     }.flatten.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val cold = firstRun.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_errors":${errors.size},"sf":"$sfDir"}""")
+    val coldTotal = if (firstRun.nonEmpty) firstRun.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cold,"cold_total":$coldTotal,"errors":$es,"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

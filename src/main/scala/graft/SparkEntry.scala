@@ -97,6 +97,7 @@ object SparkEntry {
     "pat_skew_agg" -> (Patterns.skewAgg _),
     "pat_skew_join" -> (Patterns.skewJoin _),
     "pat_typed_agg" -> (Patterns.typedAgg _),
+    "pat_untyped_agg" -> (Patterns.untypedAgg _),
     "pat_bucketed_join" -> (Patterns.bucketedJoin _),
     "pat_codec_roundtrip" -> (Patterns.codecRoundtrip _),
     // streaming batch-equivalents (TimeWindow/Frequency transfers)
@@ -152,6 +153,7 @@ object SparkEntry {
     "stream_scheduled" -> (graft.streaming.Streams.streamScheduledTransfer _),
     // text analysis
     "text_quality" -> (TextAnalysis.quality _),
+    "text_lang_topk_native" -> (TextAnalysis.langTopQualityNative _),
     "text_tokens" -> (TextAnalysis.tokens _),
     "text_langid" -> (TextAnalysis.langid _),
     "text_ngrams" -> (TextAnalysis.ngrams _),
@@ -851,6 +853,10 @@ object SparkEntry {
       """SELECT l_returnflag,
         | CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100 / COUNT(*) AS avg_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "pat_untyped_agg" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100 / COUNT(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "pat_bucketed_join" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_items, ${decSum("l_quantity")} AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -1223,6 +1229,17 @@ object SparkEntry {
         | CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS BIGINT) AS rank
         |FROM scored
         |QUALIFY rank <= 5""".stripMargin,
+    "text_lang_topk_native" ->
+      """SELECT lang, doc_id, stopword_ratio, rank FROM (
+        |  SELECT lang, doc_id, stopword_ratio,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY stopword_ratio DESC, doc_id) AS rank
+        |  FROM (SELECT lang, doc_id,
+        |      CAST(len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)
+        |        / len(string_split(text, ' ')) AS stopword_ratio
+        |    FROM documents) s) r
+        |WHERE rank <= 3""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         | CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,

@@ -67,9 +67,12 @@ object Analytics {
   }
 
   /** TPC-H Q5-style 6-way star join.
-    * Scale: region/nation (bounded) and supplier (100× smaller than the
-    * facts) broadcast by hint; customer grows with sf so its join mode
-    * is left to AQE; only orders⋈lineitem must shuffle.
+    * Scale: only region/nation (BOUNDED — 5/25 rows at any sf) are
+    * hinted. supplier and customer grow linearly with sf, so their
+    * join modes are left to the AQE/threshold size decision — a hard
+    * hint on supplier would OOM the broadcast at 100× (VERDICT r3 #1;
+    * relative "100× smaller than facts" does not bound absolute
+    * bytes). Only orders⋈lineitem must shuffle at any scale.
     */
   def q5MultiJoin(s: SparkSession, dir: String): DataFrame = {
     val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
@@ -80,7 +83,7 @@ object Analytics {
       .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
     val l = Tables.lineitem(s, dir)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(c,
         col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))

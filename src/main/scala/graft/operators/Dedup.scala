@@ -17,12 +17,17 @@ import graft.functions.VectorOps
 object Dedup {
 
   /** Exact dedup by full text: survivor = min doc_id per distinct text.
-    * At 100 TB this is a single hash shuffle on a 64-bit text hash
-    * (group by the hash, not the text, to keep shuffle rows small —
-    * here we also group the raw text to make collisions impossible). */
+    * The shuffle carries ONLY (128-bit md5 fingerprint, doc_id) — the
+    * document bytes stay at the scan (VERDICT r3 #2; same election
+    * recipe as Multimodal.payloadDedup). At 100 TB the exchange is
+    * ~40 B/row instead of the corpus; md5 collisions (2⁻⁶⁴ birthday
+    * at 10¹⁰ docs) are below hardware-error rates, and the DuckDB
+    * oracle still groups the raw text, so any collision on the gate
+    * corpus would fail the hash row loudly. */
   def exact(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .groupBy(xxhash64(col("text")).as("text_hash"), col("text"))
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
 
@@ -230,16 +235,28 @@ object Dedup {
     var converged = false
     while (!converged && iter < maxRounds) {
       edges = round(round(edges, large = true), large = false)
-      // Fixed-point test (VERDICT r2 #4): a canonical edge set is stable
-      // under both star rounds iff it is a STAR FOREST — no node appears
-      // both as a center (x) and as a leaf (y); large-star then rewires
-      // nothing (>u neighbors of a root map to the root) and small-star
-      // re-emits each (root, leaf) unchanged. One semi-join on the
-      // checkpointed edge list replaces r2's two full exceptAll jobs per
-      // round, and it stops one round EARLIER (at the first star forest,
-      // not at the first repeat). It also directly proves the property
-      // the comp extraction below depends on.
-      converged = edges.select("x").intersect(edges.select("y")).isEmpty
+      // Fixed-point test (VERDICT r2 #4, tightened in r4 per ADVICE r3):
+      // a canonical edge set is a STAR FOREST iff BOTH (a) no leaf (y)
+      // has more than one incident edge and (b) no node appears both as
+      // a center (x) and as a leaf (y). r3 checked only (b), which a
+      // non-star state can satisfy — e.g. {(1,5),(2,5),(1,6),(2,7)} has
+      // x∩y = ∅ but leaf 5 under two centers, and extracting labels
+      // there splits one true component (ADVICE r3 counterexample,
+      // pinned in DedupSimilaritySpec). Both properties fold into one
+      // aggregation over the node union: a node with ≥2 leaf
+      // appearances violates (a); a node appearing as leaf AND center
+      // violates (b). On a star forest, large-star rewires nothing
+      // (every >u neighbor of a root maps to the root) and small-star
+      // re-emits each (root, leaf) unchanged, so this IS the fixed
+      // point — and it directly proves the property the comp
+      // extraction below depends on (each leaf has a unique center).
+      val nodeRoles = edges.select(col("y").as("n"), lit(1L).as("as_leaf"))
+        .union(edges.select(col("x").as("n"), lit(0L).as("as_leaf")).distinct())
+      converged = nodeRoles.groupBy(col("n"))
+        .agg(sum(col("as_leaf")).as("leaf_edges"), count(lit(1)).as("roles"))
+        .filter(col("leaf_edges") > 1 ||
+          (col("leaf_edges") === 1 && col("roles") > 1))
+        .isEmpty
       iter += 1
     }
     if (!converged) throw new IllegalStateException(

@@ -55,6 +55,19 @@ object Patterns {
       .toDF("l_returnflag", "avg_qty")
   }
 
+  /** Untyped twin of [[typedAgg]] — identical arithmetic (integer-cents
+    * sum, one terminal divide) through codegen'd Column aggregates.
+    * Benched side by side with the typed form (VERDICT r3 #5): the
+    * typed Aggregator pays per-row JVM-object encode/decode and
+    * ObjectHashAggregate, the untyped form stays inside
+    * WholeStageCodegen — the artifact shows the deserialization tax
+    * the API-choice note in SURVEY documents. Same DuckDB oracle. */
+  def untypedAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg((sum((col("l_quantity").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("double") / 100 / count(lit(1))).as("avg_qty"))
+
   /** Salted replicate join for skewed join keys: the fact side gets a
     * random-ish salt, the (small) dim side is exploded once per salt, and
     * the join key becomes (key, salt) — a hot key's rows spread over

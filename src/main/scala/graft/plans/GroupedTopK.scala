@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Grouped top-k as a WHOLE-OPERATOR Catalyst extension — the custom
   * `LogicalPlan` + `Strategy` + `SparkPlan` tier of operator
@@ -26,10 +27,12 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *
   * Selection order is EXACTLY (score desc — NaN first, id asc), the
   * same total order as functions.TopK and the row_number oracle, so
-  * all three formulations are bit-identical. Types are pinned to
-  * (long group, long id, double score) — the ANN contract — keeping
-  * the hot loop primitive (no generic ordering, no codegen fallback
-  * boxing).
+  * all three formulations are bit-identical. The group key may be
+  * `long` (the ANN contract — fully primitive hot loop, no boxing) or
+  * `string` (per-language / per-source rollups; keys are UTF8String,
+  * copied only on first insertion, while lookups stay zero-copy);
+  * id stays long and score double in both paths (VERDICT r3 #7:
+  * accessors chosen per type driver-side, never a generic ordering).
   */
 object GroupedTopK {
 
@@ -69,9 +72,9 @@ object GroupedTopK {
       .filter(col(scoreCol).isNotNull) // same null contract as TopK.perGroup
     val plan = selected.queryExecution.analyzed
     val Seq(g, i, sc) = plan.output
-    require(g.dataType == LongType && i.dataType == LongType
-      && sc.dataType == DoubleType,
-      s"GroupedTopK needs (long, long, double), got " +
+    require((g.dataType == LongType || g.dataType == StringType)
+      && i.dataType == LongType && sc.dataType == DoubleType,
+      s"GroupedTopK needs (long|string, long, double), got " +
         s"(${g.dataType}, ${i.dataType}, ${sc.dataType})")
     val rank = AttributeReference("rank", LongType, nullable = false)()
     // mirror GraftFunctions.register: usable on sessions built without
@@ -144,6 +147,25 @@ private[plans] object TopKPass {
     }
     buffers
   }
+
+  /** String-group twin of foldPartition. Lookups use the transient
+    * UTF8String pointing into the (reused) unsafe row buffer —
+    * content-based equals/hashCode make that safe and zero-copy; the
+    * key is .copy()'d ONLY when it is first stored in the map. */
+  def foldPartitionStr(iter: Iterator[InternalRow], gOrd: Int, iOrd: Int, sOrd: Int,
+      k: Int): java.util.LinkedHashMap[UTF8String, GroupedTopK.Buf] = {
+    val buffers = new java.util.LinkedHashMap[UTF8String, GroupedTopK.Buf]()
+    while (iter.hasNext) {
+      val row = iter.next()
+      if (!row.isNullAt(gOrd) && !row.isNullAt(iOrd) && !row.isNullAt(sOrd)) {
+        val g = row.getUTF8String(gOrd)
+        var buf = buffers.get(g)
+        if (buf == null) { buf = new GroupedTopK.Buf(k); buffers.put(g.copy(), buf) }
+        buf.insert(row.getDouble(sOrd), row.getLong(iOrd))
+      }
+    }
+    buffers
+  }
 }
 
 /** Map-side pass: ≤k rows per (group, partition) cross the shuffle. */
@@ -160,14 +182,20 @@ final case class GroupedTopKPartialExec(groupAttr: Attribute, idAttr: Attribute,
   override protected def doExecute(): RDD[InternalRow] = {
     val (gOrd, iOrd, sOrd) = ordinals
     val kk = k
+    val stringGroup = groupAttr.dataType == StringType
     child.execute().mapPartitions({ iter =>
-      val buffers = TopKPass.foldPartition(iter, gOrd, iOrd, sOrd, kk)
       val proj = UnsafeProjection.create(Array[org.apache.spark.sql.types.DataType](
-        LongType, LongType, DoubleType))
+        if (stringGroup) StringType else LongType, LongType, DoubleType))
       val out = new GenericInternalRow(3)
       import scala.jdk.CollectionConverters._
-      buffers.entrySet().iterator().asScala.flatMap { e =>
-        val g = e.getKey; val b = e.getValue
+      val entries: Iterator[(AnyRef, GroupedTopK.Buf)] =
+        if (stringGroup)
+          TopKPass.foldPartitionStr(iter, gOrd, iOrd, sOrd, kk)
+            .entrySet().iterator().asScala.map(e => (e.getKey.asInstanceOf[AnyRef], e.getValue))
+        else
+          TopKPass.foldPartition(iter, gOrd, iOrd, sOrd, kk)
+            .entrySet().iterator().asScala.map(e => (e.getKey.asInstanceOf[AnyRef], e.getValue))
+      entries.flatMap { case (g, b) =>
         (0 until b.n).iterator.map { j =>
           out.update(0, g); out.update(1, b.ids(j)); out.update(2, b.scores(j))
           proj(out)
@@ -192,14 +220,20 @@ final case class GroupedTopKFinalExec(groupAttr: Attribute, idAttr: Attribute,
   override protected def doExecute(): RDD[InternalRow] = {
     val (gOrd, iOrd, sOrd) = ordinals
     val kk = k
+    val stringGroup = groupAttr.dataType == StringType
     child.execute().mapPartitions({ iter =>
-      val buffers = TopKPass.foldPartition(iter, gOrd, iOrd, sOrd, kk)
       val proj = UnsafeProjection.create(Array[org.apache.spark.sql.types.DataType](
-        LongType, LongType, DoubleType, LongType))
+        if (stringGroup) StringType else LongType, LongType, DoubleType, LongType))
       val out = new GenericInternalRow(4)
       import scala.jdk.CollectionConverters._
-      buffers.entrySet().iterator().asScala.flatMap { e =>
-        val g = e.getKey; val b = e.getValue
+      val entries: Iterator[(AnyRef, GroupedTopK.Buf)] =
+        if (stringGroup)
+          TopKPass.foldPartitionStr(iter, gOrd, iOrd, sOrd, kk)
+            .entrySet().iterator().asScala.map(e => (e.getKey.asInstanceOf[AnyRef], e.getValue))
+        else
+          TopKPass.foldPartition(iter, gOrd, iOrd, sOrd, kk)
+            .entrySet().iterator().asScala.map(e => (e.getKey.asInstanceOf[AnyRef], e.getValue))
+      entries.flatMap { case (g, b) =>
         (0 until b.n).iterator.map { j =>
           out.update(0, g); out.update(1, b.ids(j)); out.update(2, b.scores(j))
           out.update(3, (j + 1).toLong)

@@ -53,9 +53,14 @@ object TransferMeta {
 
   /** Minimal JSON codec (flat schema, no nesting — avoids pulling a
     * JSON library onto the driver for a 2-field record). Digest
-    * entries ({"digest":"<16 hex>"}) carry compacted history. */
+    * entries ({"digest":"<16 hex>"}) carry compacted history. Full
+    * entries are written IN INSERTION ORDER — parse preserves file
+    * order, so the on-disk sequence is the processing sequence and
+    * compaction's "oldest first" splitAt is chronological, not
+    * lexicographic (ADVICE r3: the old path-sort made the retained
+    * window path-ordered, silently rolling up recent files). */
   private def render(metas: Seq[FileMeta], digests: Set[String]): String = {
-    val full = metas.sortBy(_.path).map { m =>
+    val full = metas.map { m =>
       val p = m.path.replace("\\", "\\\\").replace("\"", "\\\"")
       s"""{"path":"$p","rows":${m.rows}}"""
     }
@@ -152,8 +157,9 @@ object TransferMeta {
       .write.mode("append").parquet(target)
     val rows = obs.get("rows").asInstanceOf[Long]
     val newMetas = newFiles.map(f => FileMeta(f, perFile.getOrElse(normalize(f), 0L)))
-    // compaction: roll the oldest full entries (in meta order — done
-    // before new) into digests once the window exceeds the bound
+    // compaction: roll the OLDEST full entries into digests once the
+    // window exceeds the bound — `done` is in persisted (= insertion)
+    // order and newMetas append after it, so splitAt drops the oldest
     val allFull = done ++ newMetas
     val (rolled, recent) =
       if (allFull.size > maxFullEntries) allFull.splitAt(allFull.size - maxFullEntries)

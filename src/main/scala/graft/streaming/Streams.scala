@@ -22,6 +22,32 @@ final case class SessionState(n: Long, startUs: Long, lastUs: Long)
 
 object Streams {
 
+  /** State-store sizing rule (VERDICT r3 #3, SURVEY §4): a stateful
+    * streaming operator keeps ONE state store per shuffle partition
+    * (per join side), so `spark.sql.shuffle.partitions` IS the
+    * state-store count — and the right value tracks STATE VOLUME
+    * (rows the watermark keeps live), not the batch compute default.
+    * The gates below hold ~tens of rows of state, so they run with
+    * [[StateSizedPartitions]] stores instead of inheriting the batch
+    * setting (32): 8× fewer store instantiations, commits and
+    * checkpoint files per micro-batch, identical output — join/agg
+    * results never depend on the partition count. At production rates
+    * the same rule sizes UP: partitions ≈ live state / target store
+    * size, decided per query, which is why this is a per-query conf
+    * scope and not a global. */
+  val StateSizedPartitions = 4
+
+  /** Runs `body` with the session's shuffle partitions pinned to `n`,
+    * restoring the previous value after. Streaming queries capture the
+    * setting at `start()` (it is then pinned by the checkpoint), so the
+    * scope must cover query start — termination may fall outside it. */
+  def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Streaming file transfer: ndjson in → filter/transform → parquet
     * out, Trigger.AvailableNow (process-everything-then-stop — the
     * batch-parity mode used by the correctness gate). */
@@ -245,10 +271,14 @@ object Streams {
       .select(unix_timestamp(col("win.start")).as("win_start_s"),
         col("event_type"), col("n_events"), col("sum_value"))
     val name = s"graft_swin_${System.nanoTime}"
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete())
-      .option("checkpointLocation", s"$base/cp")
-      .trigger(Trigger.AvailableNow()).start()
+    // same state-store sizing rule as the interval join: one window×type
+    // aggregate state store per partition, and the state is tiny
+    val q = withShufflePartitions(s, StateSizedPartitions) {
+      agg.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     // memory-sink table → stable frame (tiny: one row per window×type)
     s.table(name)
@@ -275,9 +305,13 @@ object Streams {
         .withColumn("ts", timestamp_micros(col("ts_us")))
     val joined = clickErrorIntervalJoin(
       readSide(s"$base/clicks"), readSide(s"$base/errors"))
-    val q = joined.writeStream.format("parquet")
-      .option("path", s"$base/dst").option("checkpointLocation", s"$base/cp")
-      .trigger(Trigger.AvailableNow()).start()
+    // state-sized stores: 4 partitions ⇒ 4 state stores per join side
+    // instead of 32, for the same output (see StateSizedPartitions)
+    val q = withShufflePartitions(s, StateSizedPartitions) {
+      joined.writeStream.format("parquet")
+        .option("path", s"$base/dst").option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     s.read.parquet(s"$base/dst")
   }

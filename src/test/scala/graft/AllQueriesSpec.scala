@@ -30,12 +30,46 @@ class AllQueriesSpec extends AnyFunSuite {
         if (!allowedCrossJoin(name) &&
             (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin")))
           failures += s"$name: unexpected cross join in plan"
+        failures ++= growingHintViolations(name, df)
         if (df.count() == 0) failures += s"$name: empty result at sf0.001"
       } catch {
         case e: Throwable => failures += s"$name: ${e.getMessage.linesIterator.next()}"
       }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  /** Repo-wide growing-hint gate (VERDICT r3 #1): a broadcast hint is
+    * legal ONLY on (a) a subtree whose every leaf is a bounded relation
+    * — the fixed-cardinality region/nation dims, a LocalRelation, or a
+    * Range literal — or (b) a global (no-grouping) aggregate, whose
+    * output is exactly one row regardless of input size. Anything else
+    * grows with sf and a hard hint would OOM the broadcast at 100×.
+    */
+  private def growingHintViolations(name: String,
+      df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, ResolvedHint, Range => LRange}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val bounded = Set("region", "nation")
+    df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.flatMap { h =>
+      val oneRowAgg = h.child.collectFirst {
+        case a: Aggregate if a.groupingExpressions.isEmpty => a
+      }.nonEmpty
+      val leaves = h.child.collectLeaves()
+      val leavesBounded = leaves.nonEmpty && leaves.forall {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.forall(p =>
+            bounded.exists(t => p.toString.contains(s"$t.parquet")))
+          case _ => false
+        }
+        case _: LocalRelation => true
+        case _: LRange => true
+        case _ => false
+      }
+      if (oneRowAgg || leavesBounded) None
+      else Some(s"$name: broadcast hint on an sf-growing subtree " +
+        s"(leaves: ${leaves.map(_.nodeName).mkString(", ")})")
+    }
   }
 
   test("oracleSql keys are a subset of queries keys") {

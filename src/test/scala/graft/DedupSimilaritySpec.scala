@@ -13,6 +13,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Dedup.exact(spark, sf).count() == n)
   }
 
+  test("exact dedup shuffles fingerprints, not document text (VERDICT r3 #2)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = Dedup.exact(spark, sf)
+    df.count() // finalize any adaptive plan
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = root.collect { case e: ShuffleExchangeLike => e }
+    assert(exchanges.nonEmpty, "exact dedup must aggregate through a shuffle")
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"document text must not cross the exchange: ${e.output.map(_.name)}")
+    }
+  }
+
   test("LSH candidates achieve full recall on true near-dups (jaccard >= 0.7)") {
     val truth = Dedup.ngramJaccard(spark, sf).filter(col("jaccard") >= 0.7)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -140,6 +157,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("native GroupedTopK with a STRING group key: bit-identical to the window form (VERDICT r3 #7)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"),
+        (length(col("text")).cast("double") /
+          size(split(col("text"), " "))).as("score"))
+    val native = graft.operators.TextAnalysis.langTopQualityNative(spark, sf)
+    // independent parity target on a second score shape: window form
+    val nat2 = graft.plans.GroupedTopK(scored, "lang", "doc_id", "score", 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val w = Window.partitionBy(col("lang")).orderBy(col("score").desc, col("doc_id"))
+    val win = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(nat2 == win && win.nonEmpty,
+      s"string-keyed native top-k diverged from the window form")
+    // the gate query plans through the custom execs (string path)
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupedTopKFinal") && plan.contains("GroupedTopKPartial"),
+      s"expected the custom execs in:\n$plan")
+    assert(plan.contains("hashpartitioning(lang"),
+      s"final exec must cluster by the string group:\n$plan")
+  }
+
   test("rerank: exact top-k from the coarse int8 candidates matches brute force closely") {
     val brute = Similarity.bruteTopK(spark, sf).select("query_id", "cand_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -255,6 +297,72 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(Seq(10L, 11L, 12L).forall(c2(_) == 10L))
     assert(Seq(20L, 21L, 22L).forall(c2(_) == 20L))
+  }
+
+  test("components: ADVICE r3 counterexample — shared leaf under two centers must merge") {
+    // {(5,6),(5,7),(1,6),(2,7)} is ONE component, but after one ls+ss
+    // round the state is {(1,5),(2,5),(1,6),(2,7)}: x∩y = ∅ (the r3
+    // convergence test passes) while leaf 5 sits under centers 1 AND 2 —
+    // extracting labels there returns split components {1,5,6} / {2,7}.
+    // The tightened star-forest test (no leaf with >1 edge) must keep
+    // contracting until everything labels to the true minimum, 1.
+    import spark.implicits._
+    val pairs = Seq((5L, 6L), (5L, 7L), (1L, 6L), (2L, 7L)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.keySet == Set(1L, 2L, 5L, 6L, 7L))
+    assert(comps.values.forall(_ == 1L),
+      s"one connected component must label entirely to its minimum; got $comps")
+    // same shape at one remove: two stars whose leaf sets overlap
+    val overlap = Seq((10L, 30L), (10L, 31L), (20L, 31L), (20L, 32L))
+      .toDF("doc_a", "doc_b")
+    val c2 = Dedup.connectedComponents(overlap).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2.values.forall(_ == 10L), s"overlapping stars must merge; got $c2")
+  }
+
+  test("IVF job count is bounded and embeddings never cross an exchange (VERDICT r3 #4)") {
+    // each Lloyd sweep = ONE distributed pass (narrow literal-argmax
+    // assignment + one partial-agg shuffle + bounded collect); the r3
+    // form ran per sweep a broadcast, a full-corpus embedding shuffle,
+    // a second agg shuffle and a localCheckpoint — measured 33 jobs
+    // end-to-end under AQE (each shuffle stage is a job). The rewrite
+    // measures 22; the bound leaves small slack for AQE stage jitter.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // NOTE: ivfTopK trains eagerly at call time (the bounded per-sweep
+    // collects), so the listener must cover construction too
+    val df = try {
+      val d = Similarity.ivfTopK(spark, sf)
+      d.count()
+      Thread.sleep(500) // let queued listener events drain
+      d
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val n = jobs.get()
+    assert(n > 0 && n <= 24, s"ivfTopK should stay under 24 jobs end-to-end (r3 ran 33), ran $n")
+    // the scale property behind the job cut: no DATA-DEPENDENT
+    // (hash/range) exchange in the final query carries an embedding
+    // column — vectors are scored where they are scanned. The one
+    // permitted round-robin exchange is Tables.embeddingsParallel's
+    // test-SF fan-out of a single-split parquet file; at corpus scale
+    // real file splits replace it (its scaladoc contract).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val embInExchange = root.collect { case e: ShuffleExchangeLike => e }
+      .filterNot(_.outputPartitioning.isInstanceOf[RoundRobinPartitioning])
+      .flatMap(_.output.map(_.name))
+      .filter(n => n.contains("emb") || n.contains("embedding"))
+    assert(embInExchange.isEmpty,
+      s"embedding columns must not cross a keyed shuffle: $embInExchange")
   }
 
   test("minhash audit: every true j>=0.7 pair is covered by LSH candidates") {

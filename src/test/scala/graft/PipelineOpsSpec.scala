@@ -108,8 +108,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     val (f3, r3) = TransferMeta.runIncremental(spark, spec, s"$base/target",
       maxFullEntries = 5)
     assert(f3 == 3 && r3 == o.filter(col("o_orderkey") > 600 && col("o_orderkey") <= 700).count())
-    assert(TransferMeta.readMeta(spark, s"$base/target").size == 5)
+    val retained = TransferMeta.readMeta(spark, s"$base/target")
+    assert(retained.size == 5)
     assert(TransferMeta.readMetaDigests(spark, s"$base/target").size == 10)
+    // retention is RECENCY-ordered (ADVICE r3): the newest batch's 3
+    // files must be the LAST retained entries with their row counts
+    // intact — only the oldest window rolls up, regardless of how the
+    // paths sort lexicographically
+    assert(retained.takeRight(3).map(_.rows).sum == r3,
+      "the newest batch's files must be the most recent retained entries")
     assert(spark.read.parquet(s"$base/target").count() == r1 + r3)
   }
 

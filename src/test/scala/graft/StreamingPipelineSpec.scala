@@ -110,6 +110,47 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("state-sized partitions: store count tracks the conf, output unchanged (VERDICT r3 #3)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = eventSlice(1500)
+    val memC = MemoryStream[Event]; val memE = MemoryStream[Event]
+    memC.addData(events.filter(_.event_type == "click"))
+    memE.addData(events.filter(_.event_type == "error"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = Streams.withShufflePartitions(spark, Streams.StateSizedPartitions) {
+      Streams.clickErrorIntervalJoin(memC.toDF(), memE.toDF())
+        .writeStream.format("memory").queryName("ij_sized")
+        .outputMode(OutputMode.Append()).start()
+    }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == prev,
+      "withShufflePartitions must restore the session setting")
+    q.processAllAvailable()
+    val stateOps = q.lastProgress.stateOperators
+    q.stop()
+    // one state store per shuffle partition (per side): the conf IS the
+    // store count, and 4 stores hold this state as correctly as 32
+    assert(stateOps.nonEmpty &&
+      stateOps.forall(_.numShufflePartitions == Streams.StateSizedPartitions),
+      s"expected ${Streams.StateSizedPartitions} state partitions, got " +
+        stateOps.map(_.numShufflePartitions).mkString(","))
+    val sized = spark.table("ij_sized").collect().map(_.toSeq).toSet
+    // identical rows to the 32-partition run of the same join above
+    val batch = {
+      val all = events.toDF()
+      val bc = all.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val be = all.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
+      be.join(bc, expr(
+          "c_user = e_user AND c_ts >= e_ts - interval 30 minutes AND c_ts <= e_ts"))
+        .select(col("error_id"), col("click_id"), col("e_user").as("user_id"),
+          unix_micros(col("e_ts")).as("error_us"), unix_micros(col("c_ts")).as("click_us"))
+        .collect().map(_.toSeq).toSet
+    }
+    assert(sized == batch && batch.nonEmpty)
+  }
+
   test("watermarked streaming dedup collapses duplicate deliveries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
