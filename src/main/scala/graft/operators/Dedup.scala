@@ -307,20 +307,24 @@ object Dedup {
     * the corpus keeps only its first occurrence (ordered by doc_id,
     * span_idx); boilerplate repeated across documents disappears while
     * each doc keeps its unique content. Election is a partial-agg
-    * min(struct(doc_id, span_idx)) groupBy on the span text — map-side
-    * combine does the heavy lifting, only (span, winner) pairs cross
-    * the shuffle, no window sort of the corpus. Output: per-doc span
-    * accounting (exact integers → exact oracle). */
+    * min(struct(doc_id, span_idx)) groupBy on the span's 128-bit md5
+    * fingerprint — map-side combine does the heavy lifting, only
+    * (16-byte fp, winner) pairs cross the shuffle, never the span text
+    * and no window sort of the corpus (the exact-dedup election
+    * recipe; the oracle still groups raw spans, so an fp collision on
+    * the gate corpus would fail the hash row loudly). Output: per-doc
+    * span accounting (exact integers → exact oracle). */
   def paragraphs(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documentsParallel(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
     val spans = d.select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, CAST(ceil(size(w) / ${SpanWords}.0) AS INT) - 1),
            |  j -> array_join(slice(w, j * $SpanWords + 1, $SpanWords), ' '))""".stripMargin)))
-      .select(col("doc_id"), col("pos").cast("long").as("span_idx"), col("col").as("span"))
-    val keeper = spans.groupBy(col("span"))
+      .select(col("doc_id"), col("pos").cast("long").as("span_idx"),
+        md5(col("col")).as("span_fp"))
+    val keeper = spans.groupBy(col("span_fp"))
       .agg(min(struct(col("doc_id"), col("span_idx"))).as("k"))
-    spans.join(keeper, "span")
+    spans.join(keeper, "span_fp")
       .select(col("doc_id"), col("span_idx"),
         (col("k.doc_id") === col("doc_id") && col("k.span_idx") === col("span_idx"))
           .as("kept"))

@@ -321,25 +321,29 @@ object TextAnalysis {
     * before training). The eval set here is a deterministic slice of
     * the corpus (doc_id % 97 = 0), standing in for an external
     * benchmark table. Candidate generation is an equi-join on the
-    * n-gram string — only (gram, doc_id) pairs shuffle, never text;
-    * at 100 TB the eval side is tiny and AQE broadcasts it (no hint:
-    * the operator doesn't assume which side is bounded). Output: each
+    * n-gram's 128-bit md5 FINGERPRINT — only (16-byte fp, doc_id)
+    * pairs shuffle, never the gram text (the dedup_exact/mm_dedup
+    * election recipe; the oracle still joins the raw strings, so a
+    * collision on the gate corpus would fail the hash row loudly); at
+    * 100 TB the eval side is tiny and AQE broadcasts it (no hint: the
+    * operator doesn't assume which side is bounded). Output: each
     * contaminated doc with its distinct leaked-n-gram count. */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val n = DecontamN
     val d = Tables.documentsParallel(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-    def grams(df: DataFrame): DataFrame = df
+    def gramFps(df: DataFrame): DataFrame = df
       .filter(size(col("w")) >= n)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(w) - ${n - 1}), i -> array_join(slice(w, i, $n), ' '))"))
         .as("gram"))
-    val evalGrams = grams(d.filter(col("doc_id") % 97 === 0))
-      .select(col("gram")).distinct()
-    grams(d.filter(col("doc_id") % 97 =!= 0))
-      .join(evalGrams, "gram")
+      .select(col("doc_id"), md5(col("gram")).as("gram_fp"))
+    val evalFps = gramFps(d.filter(col("doc_id") % 97 === 0))
+      .select(col("gram_fp")).distinct()
+    gramFps(d.filter(col("doc_id") % 97 =!= 0))
+      .join(evalFps, "gram_fp")
       .groupBy(col("doc_id"))
-      .agg(countDistinct(col("gram")).as("n_hit_ngrams"))
+      .agg(countDistinct(col("gram_fp")).as("n_hit_ngrams"))
   }
 
   /** Rolling-hash document fingerprint: polynomial hash of every char

@@ -92,6 +92,34 @@ class TextMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("gram/span elections shuffle md5 fingerprints, not the strings") {
+    // the last raw-string shuffle keys flagged by the r3 review: both
+    // decontamination grams and C4 spans now cross every exchange as
+    // 128-bit fps only (oracles still group the raw strings, so a
+    // collision would fail the gate loudly)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    def stringKeyedExchanges(df: org.apache.spark.sql.DataFrame,
+        banned: Set[String]): Seq[String] = {
+      df.count()
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // round-robin = documentsParallel's test-SF fan-out of a single
+      // parquet split (real splits replace it at scale); the gate is
+      // about DATA-DEPENDENT (hash) exchanges
+      root.collect { case e: ShuffleExchangeLike => e }
+        .filterNot(_.outputPartitioning.isInstanceOf[RoundRobinPartitioning])
+        .flatMap(_.output.map(_.name)).filter(banned)
+    }
+    assert(stringKeyedExchanges(TextAnalysis.decontaminate(spark, sf),
+      Set("gram", "text")).isEmpty, "decontaminate must shuffle gram fps only")
+    assert(stringKeyedExchanges(graft.operators.Dedup.paragraphs(spark, sf),
+      Set("span", "col", "text")).isEmpty, "paragraphs must shuffle span fps only")
+  }
+
   test("text_pack windows per shard — no global single-task sort (VERDICT r2 #3)") {
     val df = TextAnalysis.pack(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
