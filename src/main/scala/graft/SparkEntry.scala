@@ -151,6 +151,7 @@ object SparkEntry {
     }),
     "stream_file_transfer" -> (graft.streaming.Streams.streamFileTransfer _),
     "stream_scheduled" -> (graft.streaming.Streams.streamScheduledTransfer _),
+    "stream_dedup" -> (graft.streaming.Streams.streamDedupTransfer _),
     // text analysis
     "text_quality" -> (TextAnalysis.quality _),
     "text_lang_topk_native" -> (TextAnalysis.langTopQualityNative _),
@@ -1091,6 +1092,13 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events WHERE event_id < 2000 AND event_type <> 'error'
+        |GROUP BY event_type""".stripMargin,
+    // the replayed prefix collapses to exactly one row per event_id, so
+    // the oracle aggregates the UN-duplicated slice
+    "stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events WHERE event_id < 2000
         |GROUP BY event_type""".stripMargin,
     "text_redact" ->
       """SELECT doc_id,

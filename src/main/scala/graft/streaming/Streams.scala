@@ -322,6 +322,41 @@ object Streams {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Gate query: REAL watermarked streaming dedup end-to-end — the
+    * at-least-once replay pattern a transfer channel produces. The
+    * staged source holds the events slice PLUS a re-delivered prefix
+    * (every event_id < 500 appears twice); the stream collapses the
+    * replays with dropDuplicatesWithinWatermark, so the sink holds
+    * each event exactly once and the batch aggregate over the
+    * UN-duplicated slice is the oracle. The whole staged source fits
+    * one AvailableNow micro-batch (no maxFilesPerTrigger), so no
+    * duplicate can arrive behind the watermark; state stores are
+    * state-sized like the other stateful gates. */
+  def streamDedupTransfer(s: SparkSession, dir: String): DataFrame = {
+    val base = System.getProperty("java.io.tmpdir") + "/graft_sdedup_" + System.nanoTime
+    val ev = graft.sources.Tables.events(s, dir).filter(col("event_id") < 2000)
+      .select(col("event_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+    ev.write.json(s"$base/src")
+    ev.filter(col("event_id") < 500).write.mode("append").json(s"$base/src")
+    val in = s.readStream
+      .schema("event_id LONG, event_type STRING, value DOUBLE, ts_us LONG")
+      .json(s"$base/src")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = withShufflePartitions(s, StateSizedPartitions) {
+      dedupStream(in)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .writeStream.format("parquet")
+        .option("path", s"$base/dst").option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    s.read.parquet(s"$base/dst")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("sum_cents"))
+  }
+
   /** Custom stateful sessionization with flatMapGroupsWithState —
     * 30-minute inactivity gap, emits a session row when the gap closes.
     * The streaming twin of Windows.session's gaps-and-islands. */
