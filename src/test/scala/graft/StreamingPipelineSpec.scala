@@ -151,6 +151,57 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(sized == batch && batch.nonEmpty)
   }
 
+  test("state-store sizing UP: per-store state rows track volume / partition count (SURVEY §8)") {
+    // The other direction of the r3 #3 rule: when live state is LARGE,
+    // shuffle partitions size UP — partitions ≈ state rows / target
+    // rows-per-store. Proven observably: the same unbounded streaming
+    // dedup (1000 live keys — no watermark, so nothing evicts and the
+    // live-state count is exact) run at 4 vs 16 partitions, then the
+    // state read BACK from each checkpoint via the state-reader source,
+    // counting rows per store. The production (watermarked) form sizes
+    // with the identical lever; unbounded state just makes the
+    // arithmetic deterministic here.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = eventSlice(1000)
+    def run(nParts: Int): (String, Set[Long]) = {
+      val base = java.nio.file.Files.createTempDirectory(s"graft_sizing_$nParts").toString
+      val mem = MemoryStream[Event]
+      mem.addData(events)
+      val q = Streams.withShufflePartitions(spark, nParts) {
+        mem.toDF().dropDuplicates("event_id")
+          .writeStream.format("memory").queryName(s"sizing_$nParts")
+          .option("checkpointLocation", s"$base/cp")
+          .outputMode(OutputMode.Append()).start()
+      }
+      q.processAllAvailable(); q.stop()
+      val out = spark.table(s"sizing_$nParts")
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      (s"$base/cp", out)
+    }
+    val (cp4, out4) = run(4)
+    val (cp16, out16) = run(16)
+    val ids = events.map(_.event_id).toSet
+    assert(out4 == ids && out16 == ids, "partition count must not change output")
+    def perStore(cp: String): Map[Int, Long] =
+      spark.read.format("statestore").load(cp)
+        .groupBy("partition_id").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val s4 = perStore(cp4); val s16 = perStore(cp16)
+    // every live key is in exactly one store; store count == partitions
+    assert(s4.values.sum == 1000 && s16.values.sum == 1000,
+      s"state rows: ${s4.values.sum} / ${s16.values.sum}")
+    assert(s4.size == 4 && s16.size == 16,
+      s"store counts: ${s4.size} / ${s16.size}")
+    // hash-partitioned keys spread evenly (≤2× the mean), so the
+    // per-store load is controllable by the partition count alone —
+    // 4× the stores materially shrinks the biggest store
+    assert(s4.values.max <= 2 * 1000 / 4, s"skewed 4-store spread: $s4")
+    assert(s16.values.max <= 2 * 1000 / 16, s"skewed 16-store spread: $s16")
+    assert(s16.values.max < s4.values.max,
+      s"sizing up must shrink the max store: ${s16.values.max} vs ${s4.values.max}")
+  }
+
   test("watermarked streaming dedup collapses duplicate deliveries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
