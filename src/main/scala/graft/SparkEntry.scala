@@ -100,6 +100,8 @@ object SparkEntry {
     "pat_untyped_agg" -> (Patterns.untypedAgg _),
     "pat_bucketed_join" -> (Patterns.bucketedJoin _),
     "pat_codec_roundtrip" -> (Patterns.codecRoundtrip _),
+    "pat_zorder_skip" -> (Patterns.zorderSkip _),
+    "pat_bloom_join" -> (Patterns.bloomJoin _),
     // streaming batch-equivalents (TimeWindow/Frequency transfers)
     "stream_tumbling" -> (Windows.tumbling _),
     "stream_sliding" -> (Windows.sliding _),
@@ -166,6 +168,7 @@ object SparkEntry {
     "text_split" -> (TextAnalysis.trainValSplit _),
     "text_pack" -> (TextAnalysis.pack _),
     "text_decontaminate" -> (TextAnalysis.decontaminate _),
+    "text_corpus_pipeline" -> (TextAnalysis.corpusPipeline _),
     "stream_enrich" -> (graft.streaming.Streams.streamEnrichTransfer _),
     "stream_jdbc_sink" -> (graft.streaming.Streams.streamJdbcSink _),
     "stream_interval_join" -> (graft.streaming.Streams.streamIntervalJoin _),
@@ -254,6 +257,38 @@ object SparkEntry {
       |tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
       |SELECT doc_id, CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_hit_ngrams
       |FROM tr JOIN ev USING (gram) GROUP BY doc_id""".stripMargin
+  }
+
+  /** Composite corpus-pipeline oracle: the quality-filter, exact-dedup
+    * and decontamination CTEs of the individual gates chained, final
+    * accounting per source. The oracle dedups on RAW text and joins raw
+    * grams, so an md5 collision anywhere in the Spark pipeline would
+    * fail this row loudly. */
+  private def textCorpusPipelineSql: String = {
+    val n = TextAnalysis.DecontamN
+    s"""WITH q AS (SELECT doc_id, source, text,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  len(list_filter(string_split(text, ' '),
+      |    x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS n_stop,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS ds
+      | FROM documents),
+      |kept AS (SELECT * FROM q
+      | WHERE n_tokens >= 10 AND n_tokens <= 5000 AND n_stop > 0 AND ds >= 0.2),
+      |surv AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text),
+      |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - ${n - 2}),
+      |    i -> array_to_string(w[i:i+${n - 1}], ' '))) AS gram
+      |  FROM d WHERE len(w) >= $n),
+      |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+      |hit AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
+      |  WHERE g.doc_id % 97 <> 0)
+      |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      |FROM kept
+      |WHERE doc_id IN (SELECT doc_id FROM surv)
+      |  AND doc_id % 97 <> 0
+      |  AND doc_id NOT IN (SELECT doc_id FROM hit)
+      |GROUP BY source""".stripMargin
   }
 
   /** Paragraph-dedup oracle: fixed word spans, first occurrence by
@@ -865,6 +900,18 @@ object SparkEntry {
     "pat_codec_roundtrip" ->
       s"""SELECT s_nationkey, COUNT(*) AS n_suppliers, ${decSum("s_acctbal")} AS sum_bal
         |FROM supplier GROUP BY s_nationkey""".stripMargin,
+    // layout-independent: the z-order rewrite only re-clusters rows
+    "pat_zorder_skip" ->
+      s"""SELECT COUNT(*) AS n_items, ${decSum("l_quantity")} AS sum_qty,
+        | CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 1 AND 40 AND l_suppkey BETWEEN 1 AND 4""".stripMargin,
+    // the bloom filter only removes rows that cannot match: plain join
+    "pat_bloom_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_items, ${decSum("l_quantity")} AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1995-04-01'
+        |GROUP BY o_orderpriority""".stripMargin,
     "mm_meta_extract" ->
       """SELECT doc_id,
         | CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'wav' END AS format,
@@ -1210,6 +1257,7 @@ object SparkEntry {
     "sim_multiprobe_topk" -> simMultiprobeTopkSql,
     "sim_rerank_topk" -> simRerankTopkSql,
     "text_decontaminate" -> textDecontaminateSql,
+    "text_corpus_pipeline" -> textCorpusPipelineSql,
     "sim_ivf_topk" -> simIvfTopkSql,
     "sim_brute_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.{Encoder, Encoders}
@@ -142,6 +142,102 @@ object Patterns {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+
+  /** Z-value (Morton code) of two non-negative integer columns by bit
+    * interleaving — the multi-dimensional clustering key behind Z-ORDER
+    * writes. Pure codegen'd bit arithmetic (shift/and/or), no UDF; the
+    * expression is `bits` fixed OR terms, constant-folded per row
+    * inside whole-stage codegen. */
+  def zvalue(x: Column, y: Column, bits: Int = 16): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Z-ORDER clustered rewrite: range-partition + sort by the Morton
+    * code of (l_partkey, l_suppkey), drop the code, write parquet. The
+    * curve keeps BOTH dimensions locally narrow in every file, so each
+    * row group's min/max footer stats cover a small box of the 2-D key
+    * space — a pushed 2-D box predicate then skips most row groups at
+    * the reader, which a single-column sort can only do for its own
+    * leading column. This is the vanilla-Spark form of the lakehouse
+    * Z-ORDER optimize; at 100 TB the rewrite is one range shuffle and
+    * the skip applies to every subsequent selective scan. */
+  def zorderWrite(s: SparkSession, dir: String, out: String, files: Int = 16): Unit =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .withColumn("z", zvalue(col("l_partkey"), col("l_suppkey")))
+      .repartitionByRange(files, col("z"))
+      .sortWithinPartitions(col("z"))
+      .drop("z")
+      .write.mode("overwrite").parquet(out)
+
+  /** The 2-D box aggregate used by the gate and the skip spec — result
+    * is layout-independent (the oracle runs it on the raw table). */
+  def boxQuery(li: DataFrame): DataFrame =
+    li.filter(col("l_partkey").between(1, 40) && col("l_suppkey").between(1, 4))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_orderkey")).as("sum_okey"))
+
+  /** Gate query: z-order rewrite then the box aggregate over the copy.
+    * PatternsSpec measures the actual skip (scanned rows on the
+    * clustered copy ≪ a linear layout of the same rows). */
+  def zorderSkip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_${ProcessHandle.current().pid()}"
+    zorderWrite(s, dir, out)
+    boxQuery(s.read.parquet(out))
+  }
+
+  /** Runs `body` with the given SQL confs pinned, restoring previous
+    * values after. A batch plan must be MATERIALIZED inside the scope
+    * (the optimizer reads confs when the action runs, not when the
+    * DataFrame is built). */
+  def withSqlConfs[T](s: SparkSession, kv: (String, String)*)(body: => T): T = {
+    val prev = kv.map { case (k, _) => k -> s.conf.getOption(k) }
+    kv.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** The conf set that exercises runtime bloom-filter pruning at test
+    * SF: broadcast off (at production scale both join sides are far
+    * beyond any broadcast threshold — this pins the plan to the shape
+    * the optimization exists for) and the application-side scan-size
+    * floor dropped (defaults to 10 GB; the rule itself is on by
+    * default). */
+  val BloomJoinConfs: Seq[(String, String)] = Seq(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+
+  /** The shuffle join a runtime bloom filter prunes: a selective dim
+    * filter (3 months of orders) whose semi-join reduction Catalyst
+    * injects into the fact scan as `might_contain(bloom, xxhash64(key))`
+    * — non-matching lineitem rows die BEFORE the shuffle, cutting
+    * exchange bytes by roughly the filter's selectivity. At 100 TB this
+    * is the difference between shuffling the whole fact table and
+    * shuffling the ~4% that can match. */
+  def bloomJoinPlan(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01") && col("o_orderdate") < lit("1995-04-01"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+  }
+
+  /** Gate query: the bloom-pruned join materialized inside the conf
+    * scope (localCheckpoint of the ≤5-row aggregate). Values equal the
+    * plain join — the filter only removes rows that cannot match. */
+  def bloomJoin(s: SparkSession, dir: String): DataFrame =
+    withSqlConfs(s, BloomJoinConfs: _*) { bloomJoinPlan(s, dir).localCheckpoint() }
 
   /** Codec coverage beyond gzip ndjson: zstd parquet + gzip csv
     * roundtrip, aggregate must survive both hops. */

@@ -346,6 +346,50 @@ object TextAnalysis {
       .agg(countDistinct(col("gram_fp")).as("n_hit_ngrams"))
   }
 
+  /** The composite LLM-corpus pipeline — the end-to-end flow the
+    * individual gates cover stage by stage, integrated: quality filter
+    * (length band / stopword floor / repetition) → exact dedup
+    * (min-doc_id election over md5 fingerprints) → decontamination
+    * (drop training docs sharing any word 8-gram with the eval slice)
+    * → per-source doc/token accounting. Scale shape: document text is
+    * read once per scan and NEVER shuffles — the dedup exchange
+    * carries (fp, id), the decontamination exchange (gram_fp, id), and
+    * the final joins are ids-only semi/anti joins on the narrow
+    * (doc_id, source, n_tokens) projection. */
+  def corpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val n = DecontamN
+    val docs = Tables.documentsParallel(s, dir)
+    val w = words(col("text"))
+    val nTokens = size(w).cast("long")
+    val nStop = size(filter(w, x => x.isInCollection(
+      Seq("the", "a", "of", "and", "in").map(lit)))).cast("long")
+    val distinctShare = size(array_distinct(w)).cast("double") / nTokens
+    val scored = docs.select(col("doc_id"), col("source"), col("text"),
+      nTokens.as("n_tokens"), nStop.as("n_stop"), distinctShare.as("ds"))
+    val kept = scored.filter(col("n_tokens") >= 10 && col("n_tokens") <= 5000 &&
+      col("n_stop") > 0 && col("ds") >= lit(0.2))
+    val survivors = kept.select(col("doc_id"), md5(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val dW = docs.select(col("doc_id"), w.as("w"))
+    def gramFps(df: DataFrame): DataFrame = df
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), i -> array_join(slice(w, i, $n), ' '))"))
+        .as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("gram_fp"))
+    val evalFps = gramFps(dW.filter(col("doc_id") % 97 === 0))
+      .select(col("gram_fp")).distinct()
+    val contaminated = gramFps(dW.filter(col("doc_id") % 97 =!= 0))
+      .join(evalFps, "gram_fp").select(col("doc_id")).distinct()
+    kept.select(col("doc_id"), col("source"), col("n_tokens"))
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .filter(col("doc_id") % 97 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+  }
+
   /** Rolling-hash document fingerprint: polynomial hash of every char
     * 8-gram (base 131 mod 2^31-1, unrolled so DuckDB reproduces the
     * exact int64 arithmetic), document fingerprint = min gram hash

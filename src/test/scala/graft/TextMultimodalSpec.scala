@@ -120,6 +120,26 @@ class TextMultimodalSpec extends AnyFunSuite {
       Set("span", "col", "text")).isEmpty, "paragraphs must shuffle span fps only")
   }
 
+  test("corpus pipeline never shuffles raw text, grams or token arrays") {
+    // the composite quality→dedup→decontaminate→accounting flow keeps
+    // its exchanges narrow end to end: dedup ships (fp, id), the gram
+    // join ships (gram_fp, id), the final semi/anti joins ship ids
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    val df = TextAnalysis.corpusPipeline(spark, sf)
+    assert(df.count() > 0)
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val banned = Set("text", "gram", "w")
+    val wide = root.collect { case e: ShuffleExchangeLike => e }
+      .filterNot(_.outputPartitioning.isInstanceOf[RoundRobinPartitioning])
+      .flatMap(_.output.map(_.name)).filter(banned)
+    assert(wide.isEmpty, s"wide columns crossed a hash exchange: $wide")
+  }
+
   test("text_pack windows per shard — no global single-task sort (VERDICT r2 #3)") {
     val df = TextAnalysis.pack(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
