@@ -29,6 +29,20 @@ object GraftSession {
     master.map(b.master).getOrElse(b)
   }
 
+  /** Runs `body` with the given SQL confs pinned, restoring previous
+    * values (including unset) after. A batch plan must be MATERIALIZED
+    * inside the scope — the optimizer reads confs when the action
+    * runs, not when the DataFrame is built; streaming queries capture
+    * confs at `start()`, so the scope must cover query start. */
+  def withSqlConfs[T](s: SparkSession, kv: (String, String)*)(body: => T): T = {
+    val prev = kv.map { case (k, _) => k -> s.conf.getOption(k) }
+    kv.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   def local(cpus: Int = 4): SparkSession = {
     val s = builder(master = Some(s"local[$cpus]"), shufflePartitions = cpus)
       .config("spark.ui.enabled", "false")

@@ -147,8 +147,12 @@ object Patterns {
     * interleaving — the multi-dimensional clustering key behind Z-ORDER
     * writes. Pure codegen'd bit arithmetic (shift/and/or), no UDF; the
     * expression is `bits` fixed OR terms, constant-folded per row
-    * inside whole-stage codegen. */
-  def zvalue(x: Column, y: Column, bits: Int = 16): Column =
+    * inside whole-stage codegen. Default 31 bits per key (the widest
+    * interleave a signed 64-bit z can hold) so the curve keeps
+    * resolving at production key domains — truncating high bits would
+    * silently collapse the clustering once a key outgrows the bit
+    * budget, exactly at the scale the rewrite exists for. */
+  def zvalue(x: Column, y: Column, bits: Int = 31): Column =
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc
         .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
@@ -190,18 +194,10 @@ object Patterns {
     boxQuery(s.read.parquet(out))
   }
 
-  /** Runs `body` with the given SQL confs pinned, restoring previous
-    * values after. A batch plan must be MATERIALIZED inside the scope
-    * (the optimizer reads confs when the action runs, not when the
-    * DataFrame is built). */
-  def withSqlConfs[T](s: SparkSession, kv: (String, String)*)(body: => T): T = {
-    val prev = kv.map { case (k, _) => k -> s.conf.getOption(k) }
-    kv.foreach { case (k, v) => s.conf.set(k, v) }
-    try body finally prev.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None)    => s.conf.unset(k)
-    }
-  }
+  /** See [[graft.GraftSession.withSqlConfs]] — re-exported here so the
+    * pattern operators and their specs read naturally. */
+  def withSqlConfs[T](s: SparkSession, kv: (String, String)*)(body: => T): T =
+    graft.GraftSession.withSqlConfs(s, kv: _*)(body)
 
   /** The conf set that exercises runtime bloom-filter pruning at test
     * SF: broadcast off (at production scale both join sides are far

@@ -380,7 +380,13 @@ object TextAnalysis {
       .select(col("doc_id"), md5(col("gram")).as("gram_fp"))
     val evalFps = gramFps(dW.filter(col("doc_id") % 97 === 0))
       .select(col("gram_fp")).distinct()
-    val contaminated = gramFps(dW.filter(col("doc_id") % 97 =!= 0))
+    // the gram explode (the pipeline's dominant stage) only runs for
+    // docs that can reach the final anti-join: quality-rejected docs
+    // need no contamination verdict. The eval side stays the FULL
+    // corpus slice — the held-out set is defined before filtering.
+    val trainW = dW.filter(col("doc_id") % 97 =!= 0)
+      .join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val contaminated = gramFps(trainW)
       .join(evalFps, "gram_fp").select(col("doc_id")).distinct()
     kept.select(col("doc_id"), col("source"), col("n_tokens"))
       .join(survivors, Seq("doc_id"), "left_semi")

@@ -166,6 +166,20 @@ private[plans] object TopKPass {
     }
     buffers
   }
+
+  /** Type-dispatched per-partition fold shared by the partial and final
+    * execs: group keys surface as boxed AnyRef (java.lang.Long or
+    * UTF8String) so one emit loop serves both key types. */
+  def entries(iter: Iterator[InternalRow], gOrd: Int, iOrd: Int, sOrd: Int,
+      k: Int, stringGroup: Boolean): Iterator[(AnyRef, GroupedTopK.Buf)] = {
+    import scala.jdk.CollectionConverters._
+    if (stringGroup)
+      foldPartitionStr(iter, gOrd, iOrd, sOrd, k)
+        .entrySet().iterator().asScala.map(e => (e.getKey.asInstanceOf[AnyRef], e.getValue))
+    else
+      foldPartition(iter, gOrd, iOrd, sOrd, k)
+        .entrySet().iterator().asScala.map(e => (e.getKey.asInstanceOf[AnyRef], e.getValue))
+  }
 }
 
 /** Map-side pass: ≤k rows per (group, partition) cross the shuffle. */
@@ -187,15 +201,7 @@ final case class GroupedTopKPartialExec(groupAttr: Attribute, idAttr: Attribute,
       val proj = UnsafeProjection.create(Array[org.apache.spark.sql.types.DataType](
         if (stringGroup) StringType else LongType, LongType, DoubleType))
       val out = new GenericInternalRow(3)
-      import scala.jdk.CollectionConverters._
-      val entries: Iterator[(AnyRef, GroupedTopK.Buf)] =
-        if (stringGroup)
-          TopKPass.foldPartitionStr(iter, gOrd, iOrd, sOrd, kk)
-            .entrySet().iterator().asScala.map(e => (e.getKey.asInstanceOf[AnyRef], e.getValue))
-        else
-          TopKPass.foldPartition(iter, gOrd, iOrd, sOrd, kk)
-            .entrySet().iterator().asScala.map(e => (e.getKey.asInstanceOf[AnyRef], e.getValue))
-      entries.flatMap { case (g, b) =>
+      TopKPass.entries(iter, gOrd, iOrd, sOrd, kk, stringGroup).flatMap { case (g, b) =>
         (0 until b.n).iterator.map { j =>
           out.update(0, g); out.update(1, b.ids(j)); out.update(2, b.scores(j))
           proj(out)
@@ -225,15 +231,7 @@ final case class GroupedTopKFinalExec(groupAttr: Attribute, idAttr: Attribute,
       val proj = UnsafeProjection.create(Array[org.apache.spark.sql.types.DataType](
         if (stringGroup) StringType else LongType, LongType, DoubleType, LongType))
       val out = new GenericInternalRow(4)
-      import scala.jdk.CollectionConverters._
-      val entries: Iterator[(AnyRef, GroupedTopK.Buf)] =
-        if (stringGroup)
-          TopKPass.foldPartitionStr(iter, gOrd, iOrd, sOrd, kk)
-            .entrySet().iterator().asScala.map(e => (e.getKey.asInstanceOf[AnyRef], e.getValue))
-        else
-          TopKPass.foldPartition(iter, gOrd, iOrd, sOrd, kk)
-            .entrySet().iterator().asScala.map(e => (e.getKey.asInstanceOf[AnyRef], e.getValue))
-      entries.flatMap { case (g, b) =>
+      TopKPass.entries(iter, gOrd, iOrd, sOrd, kk, stringGroup).flatMap { case (g, b) =>
         (0 until b.n).iterator.map { j =>
           out.update(0, g); out.update(1, b.ids(j)); out.update(2, b.scores(j))
           out.update(3, (j + 1).toLong)

@@ -37,16 +37,14 @@ object Streams {
     * scope and not a global. */
   val StateSizedPartitions = 4
 
-  /** Runs `body` with the session's shuffle partitions pinned to `n`,
-    * restoring the previous value after. Streaming queries capture the
-    * setting at `start()` (it is then pinned by the checkpoint), so the
-    * scope must cover query start — termination may fall outside it. */
-  def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
-  }
+  /** Runs `body` with the session's shuffle partitions pinned to `n` —
+    * the single-key form of [[graft.GraftSession.withSqlConfs]].
+    * Streaming queries capture the setting at `start()` (it is then
+    * pinned by the checkpoint), so the scope must cover query start —
+    * termination may fall outside it. */
+  def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T =
+    graft.GraftSession.withSqlConfs(
+      s, "spark.sql.shuffle.partitions" -> n.toString)(body)
 
   /** Streaming file transfer: ndjson in → filter/transform → parquet
     * out, Trigger.AvailableNow (process-everything-then-stop — the

@@ -58,27 +58,31 @@ class AllQueriesSpec extends AnyFunSuite {
   private def growingHintViolations(name: String,
       df: org.apache.spark.sql.DataFrame): Seq[String] = {
     if (allowedQueryBatchBroadcast(name)) return Nil
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, ResolvedHint, Range => LRange}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LocalRelation, LogicalPlan, ResolvedHint, UnaryNode, Range => LRange}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val bounded = Set("region", "nation")
-    df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.flatMap { h =>
-      val oneRowAgg = h.child.collectFirst {
-        case a: Aggregate if a.groupingExpressions.isEmpty => a
-      }.nonEmpty
-      val leaves = h.child.collectLeaves()
-      val leavesBounded = leaves.nonEmpty && leaves.forall {
-        case lr: LogicalRelation => lr.relation match {
-          case fs: HadoopFsRelation => fs.location.rootPaths.forall(p =>
-            bounded.exists(t => p.toString.contains(s"$t.parquet")))
-          case _ => false
-        }
-        case _: LocalRelation => true
-        case _: LRange => true
+    // recursive bounded-CARDINALITY check on the hinted subtree itself:
+    // a global (no-grouping) aggregate is one row no matter its input,
+    // but only bounds the node it IS — an aggregate merely somewhere
+    // below a join must not whitelist the whole subtree (a hinted
+    // growing×one-row join still grows with sf)
+    def boundedPlan(p: LogicalPlan): Boolean = p match {
+      case a: Aggregate if a.groupingExpressions.isEmpty => true
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.forall(rp =>
+          bounded.exists(t => rp.toString.contains(s"$t.parquet")))
         case _ => false
       }
-      if (oneRowAgg || leavesBounded) None
+      case _: LocalRelation => true
+      case _: LRange => true
+      case j: Join => boundedPlan(j.left) && boundedPlan(j.right)
+      case u: UnaryNode => boundedPlan(u.child)
+      case _ => false
+    }
+    df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.flatMap { h =>
+      if (boundedPlan(h.child)) None
       else Some(s"$name: broadcast hint on an sf-growing subtree " +
-        s"(leaves: ${leaves.map(_.nodeName).mkString(", ")})")
+        s"(leaves: ${h.child.collectLeaves().map(_.nodeName).mkString(", ")})")
     }
   }
 

@@ -343,7 +343,10 @@ class DedupSimilaritySpec extends AnyFunSuite {
       d
     } finally spark.sparkContext.removeSparkListener(listener)
     val n = jobs.get()
-    assert(n > 0 && n <= 24, s"ivfTopK should stay under 24 jobs end-to-end (r3 ran 33), ran $n")
+    // the bound pins the r3 regression (33 jobs) without flaking on
+    // AQE stage jitter across machines/core counts: measured 22, and
+    // anything re-adding a per-sweep shuffle lands well above 28
+    assert(n > 0 && n <= 28, s"ivfTopK should stay under 28 jobs end-to-end (r3 ran 33), ran $n")
     // the scale property behind the job cut: no DATA-DEPENDENT
     // (hash/range) exchange in the final query carries an embedding
     // column — vectors are scored where they are scanned. The one
