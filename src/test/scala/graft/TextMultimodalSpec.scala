@@ -140,6 +140,24 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(wide.isEmpty, s"wide columns crossed a hash exchange: $wide")
   }
 
+  test("rarity scores every doc and shuffles token fps, not words") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    val df = TextAnalysis.rarity(spark, sf)
+    // one score row per document, rare counts bounded by token counts
+    assert(df.count() == Tables.documents(spark, sf).count())
+    assert(df.filter(col("n_rare") > col("n_tokens")).isEmpty)
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val wide = root.collect { case e: ShuffleExchangeLike => e }
+      .filterNot(_.outputPartitioning.isInstanceOf[RoundRobinPartitioning])
+      .flatMap(_.output.map(_.name)).filter(Set("word", "text"))
+    assert(wide.isEmpty, s"raw strings crossed a hash exchange: $wide")
+  }
+
   test("text_pack windows per shard — no global single-task sort (VERDICT r2 #3)") {
     val df = TextAnalysis.pack(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
