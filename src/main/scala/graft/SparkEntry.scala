@@ -154,6 +154,7 @@ object SparkEntry {
     "stream_file_transfer" -> (graft.streaming.Streams.streamFileTransfer _),
     "stream_scheduled" -> (graft.streaming.Streams.streamScheduledTransfer _),
     "stream_dedup" -> (graft.streaming.Streams.streamDedupTransfer _),
+    "stream_sessionize" -> (graft.streaming.Streams.streamSessionize _),
     // text analysis
     "text_quality" -> (TextAnalysis.quality _),
     "text_lang_topk_native" -> (TextAnalysis.langTopQualityNative _),
@@ -1149,6 +1150,22 @@ object SparkEntry {
         | CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events WHERE event_id < 2000
         |GROUP BY event_type""".stripMargin,
+    // Append-mode emits only CLOSED sessions: batch gaps-and-islands
+    // minus each user's final (still-open) session
+    "stream_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us
+        |  FROM events WHERE event_id < 2000),
+        |x AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |  FROM e),
+        |y AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+        |  THEN 1 ELSE 0 END AS new_s FROM x),
+        |z AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+        |  ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS seq FROM y),
+        |sess AS (SELECT user_id, seq, COUNT(*) AS n_events,
+        |  MIN(us) AS start_us, MAX(us) AS end_us FROM z GROUP BY user_id, seq),
+        |last AS (SELECT user_id, MAX(seq) AS mseq FROM sess GROUP BY user_id)
+        |SELECT sess.user_id, n_events, start_us, end_us
+        |FROM sess JOIN last USING (user_id) WHERE seq <> mseq""".stripMargin,
     "text_redact" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS BIGINT) AS n_emails,

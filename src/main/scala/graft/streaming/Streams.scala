@@ -355,6 +355,36 @@ object Streams {
         sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("sum_cents"))
   }
 
+  /** Gate query: the flatMapGroupsWithState sessionization end-to-end
+    * as a REAL stream — events staged as an ndjson source, sessionized
+    * with the 30-minute gap logic, closed sessions written AvailableNow
+    * to a parquet sink. Append mode emits a session only when its gap
+    * closes, so each user's LAST session stays in state and the oracle
+    * is the batch gaps-and-islands result minus every user's final
+    * session. Custom-state operators are the one streaming tier the
+    * other gates don't exercise under the oracle. */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    val base = System.getProperty("java.io.tmpdir") + "/graft_ssess_" + System.nanoTime
+    graft.sources.Tables.events(s, dir).filter(col("event_id") < 2000)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .write.json(s"$base/src")
+    val in = s.readStream
+      .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts_us LONG")
+      .json(s"$base/src")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    import s.implicits._
+    val q = withShufflePartitions(s, StateSizedPartitions) {
+      sessionize(in.as[Event]).toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$base/dst").option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    s.read.parquet(s"$base/dst")
+  }
+
   /** Custom stateful sessionization with flatMapGroupsWithState —
     * 30-minute inactivity gap, emits a session row when the gap closes.
     * The streaming twin of Windows.session's gaps-and-islands. */
