@@ -17,16 +17,16 @@ import graft.functions.VectorOps
 object Dedup {
 
   /** Exact dedup by full text: survivor = min doc_id per distinct text.
-    * The shuffle carries ONLY (128-bit md5 fingerprint, doc_id) — the
-    * document bytes stay at the scan (VERDICT r3 #2; same election
-    * recipe as Multimodal.payloadDedup). At 100 TB the exchange is
-    * ~40 B/row instead of the corpus; md5 collisions (2⁻⁶⁴ birthday
+    * The shuffle carries ONLY (16-byte binary md5 fingerprint, doc_id)
+    * — the document bytes stay at the scan (VERDICT r3 #2; same
+    * election recipe as Multimodal.payloadDedup). At 100 TB the
+    * exchange is ~24 B/row instead of the corpus; md5 collisions (2⁻⁶⁴ birthday
     * at 10¹⁰ docs) are below hardware-error rates, and the DuckDB
     * oracle still groups the raw text, so any collision on the gate
     * corpus would fail the hash row loudly. */
   def exact(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .select(col("doc_id"), unhex(md5(col("text"))).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
@@ -321,7 +321,7 @@ object Dedup {
         s"""transform(sequence(0, CAST(ceil(size(w) / ${SpanWords}.0) AS INT) - 1),
            |  j -> array_join(slice(w, j * $SpanWords + 1, $SpanWords), ' '))""".stripMargin)))
       .select(col("doc_id"), col("pos").cast("long").as("span_idx"),
-        md5(col("col")).as("span_fp"))
+        unhex(md5(col("col"))).as("span_fp"))
     val keeper = spans.groupBy(col("span_fp"))
       .agg(min(struct(col("doc_id"), col("span_idx"))).as("k"))
     spans.join(keeper, "span_fp")

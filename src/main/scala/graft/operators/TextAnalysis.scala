@@ -337,7 +337,7 @@ object TextAnalysis {
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(w) - ${n - 1}), i -> array_join(slice(w, i, $n), ' '))"))
         .as("gram"))
-      .select(col("doc_id"), md5(col("gram")).as("gram_fp"))
+      .select(col("doc_id"), unhex(md5(col("gram"))).as("gram_fp"))
     val evalFps = gramFps(d.filter(col("doc_id") % 97 === 0))
       .select(col("gram_fp")).distinct()
     gramFps(d.filter(col("doc_id") % 97 =!= 0))
@@ -361,7 +361,7 @@ object TextAnalysis {
   def rarity(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documentsParallel(s, dir)
     val toks = d.select(col("doc_id"), explode(words(col("text"))).as("word"))
-      .select(col("doc_id"), md5(col("word")).as("fp"))
+      .select(col("doc_id"), unhex(md5(col("word"))).as("fp"))
     val docFreq = toks.distinct()
       .groupBy(col("fp")).agg(count(lit(1)).as("df"))
     val rare = docFreq.filter(col("df") <= RareDf).select(col("fp"))
@@ -398,7 +398,7 @@ object TextAnalysis {
       nTokens.as("n_tokens"), nStop.as("n_stop"), distinctShare.as("ds"))
     val kept = scored.filter(col("n_tokens") >= 10 && col("n_tokens") <= 5000 &&
       col("n_stop") > 0 && col("ds") >= lit(0.2))
-    val survivors = kept.select(col("doc_id"), md5(col("text")).as("fp"))
+    val survivors = kept.select(col("doc_id"), unhex(md5(col("text"))).as("fp"))
       .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val dW = docs.select(col("doc_id"), w.as("w"))
@@ -407,7 +407,7 @@ object TextAnalysis {
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(w) - ${n - 1}), i -> array_join(slice(w, i, $n), ' '))"))
         .as("gram"))
-      .select(col("doc_id"), md5(col("gram")).as("gram_fp"))
+      .select(col("doc_id"), unhex(md5(col("gram"))).as("gram_fp"))
     val evalFps = gramFps(dW.filter(col("doc_id") % 97 === 0))
       .select(col("gram_fp")).distinct()
     // the gram explode (the pipeline's dominant stage) only runs for

@@ -46,6 +46,25 @@ object Streams {
     graft.GraftSession.withSqlConfs(
       s, "spark.sql.shuffle.partitions" -> n.toString)(body)
 
+  /** Shared gate scaffold: stages a bounded slice as ONE ndjson file
+    * and opens it as a file-stream source. Timestamps must be staged
+    * as unix micros in a `ts_us` column (json rendering drops sub-ms);
+    * `tsFromUs` restores a `ts` timestamp from it. The single staged
+    * file guarantees the whole source lands in ONE AvailableNow
+    * micro-batch regardless of the file source's per-trigger caps —
+    * several gate oracles (dedup's no-duplicate-behind-watermark,
+    * sessionize's no-backward-timestamps-across-batches) rely on
+    * exactly that, so the guarantee lives here rather than being an
+    * undocumented property of how few files the staging write happens
+    * to produce. Gate slices are ≤2000 rows; the coalesce costs
+    * nothing. */
+  private def stageStream(s: SparkSession, slice: org.apache.spark.sql.DataFrame,
+      dir: String, schemaDdl: String, tsFromUs: Boolean): DataFrame = {
+    slice.coalesce(1).write.json(dir)
+    val in = s.readStream.schema(schemaDdl).json(dir)
+    if (tsFromUs) in.withColumn("ts", timestamp_micros(col("ts_us"))) else in
+  }
+
   /** Streaming file transfer: ndjson in → filter/transform → parquet
     * out, Trigger.AvailableNow (process-everything-then-stop — the
     * batch-parity mode used by the correctness gate). */
@@ -254,14 +273,12 @@ object Streams {
     * passes the last window). */
   def streamWindowedAgg(s: SparkSession, dir: String): DataFrame = {
     val base = System.getProperty("java.io.tmpdir") + "/graft_swin_" + System.nanoTime
-    graft.sources.Tables.events(s, dir)
-      .select(col("event_id"), col("event_type"), col("value"),
-        unix_micros(col("ts")).as("ts_us"))
-      .write.json(s"$base/src")
-    val in = s.readStream
-      .schema("event_id LONG, event_type STRING, value DOUBLE, ts_us LONG")
-      .json(s"$base/src")
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val in = stageStream(s,
+      graft.sources.Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("ts_us")),
+      s"$base/src", "event_id LONG, event_type STRING, value DOUBLE, ts_us LONG",
+      tsFromUs = true)
     val agg = in
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -295,14 +312,12 @@ object Streams {
     val ev = graft.sources.Tables.events(s, dir).filter(col("event_id") < 2000)
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"))
-    ev.filter(col("event_type") === "click").write.json(s"$base/clicks")
-    ev.filter(col("event_type") === "error").write.json(s"$base/errors")
     val schema = "event_id LONG, user_id LONG, event_type STRING, ts_us LONG"
-    def readSide(p: String): DataFrame =
-      s.readStream.schema(schema).json(p)
-        .withColumn("ts", timestamp_micros(col("ts_us")))
     val joined = clickErrorIntervalJoin(
-      readSide(s"$base/clicks"), readSide(s"$base/errors"))
+      stageStream(s, ev.filter(col("event_type") === "click"),
+        s"$base/clicks", schema, tsFromUs = true),
+      stageStream(s, ev.filter(col("event_type") === "error"),
+        s"$base/errors", schema, tsFromUs = true))
     // state-sized stores: 4 partitions ⇒ 4 state stores per join side
     // instead of 32, for the same output (see StateSizedPartitions)
     val q = withShufflePartitions(s, StateSizedPartitions) {
@@ -326,8 +341,8 @@ object Streams {
     * (every event_id < 500 appears twice); the stream collapses the
     * replays with dropDuplicatesWithinWatermark, so the sink holds
     * each event exactly once and the batch aggregate over the
-    * UN-duplicated slice is the oracle. The whole staged source fits
-    * one AvailableNow micro-batch (no maxFilesPerTrigger), so no
+    * UN-duplicated slice is the oracle. The single-file staging
+    * (stageStream) guarantees one AvailableNow micro-batch, so no
     * duplicate can arrive behind the watermark; state stores are
     * state-sized like the other stateful gates. */
   def streamDedupTransfer(s: SparkSession, dir: String): DataFrame = {
@@ -335,12 +350,9 @@ object Streams {
     val ev = graft.sources.Tables.events(s, dir).filter(col("event_id") < 2000)
       .select(col("event_id"), col("event_type"), col("value"),
         unix_micros(col("ts")).as("ts_us"))
-    ev.write.json(s"$base/src")
-    ev.filter(col("event_id") < 500).write.mode("append").json(s"$base/src")
-    val in = s.readStream
-      .schema("event_id LONG, event_type STRING, value DOUBLE, ts_us LONG")
-      .json(s"$base/src")
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val in = stageStream(s, ev.union(ev.filter(col("event_id") < 500)),
+      s"$base/src", "event_id LONG, event_type STRING, value DOUBLE, ts_us LONG",
+      tsFromUs = true)
     val q = withShufflePartitions(s, StateSizedPartitions) {
       dedupStream(in)
         .select(col("event_id"), col("event_type"), col("value"))
@@ -361,18 +373,20 @@ object Streams {
     * to a parquet sink. Append mode emits a session only when its gap
     * closes, so each user's LAST session stays in state and the oracle
     * is the batch gaps-and-islands result minus every user's final
-    * session. Custom-state operators are the one streaming tier the
+    * session. The single-file staging (stageStream) guarantees one
+    * micro-batch — a later batch could deliver a user's
+    * earlier-timestamped events, which the per-batch sort cannot
+    * reorder. Custom-state operators are the one streaming tier the
     * other gates don't exercise under the oracle. */
   def streamSessionize(s: SparkSession, dir: String): DataFrame = {
     val base = System.getProperty("java.io.tmpdir") + "/graft_ssess_" + System.nanoTime
-    graft.sources.Tables.events(s, dir).filter(col("event_id") < 2000)
-      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
-        unix_micros(col("ts")).as("ts_us"))
-      .write.json(s"$base/src")
-    val in = s.readStream
-      .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts_us LONG")
-      .json(s"$base/src")
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val in = stageStream(s,
+      graft.sources.Tables.events(s, dir).filter(col("event_id") < 2000)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("ts_us")),
+      s"$base/src",
+      "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts_us LONG",
+      tsFromUs = true)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
     import s.implicits._
     val q = withShufflePartitions(s, StateSizedPartitions) {
