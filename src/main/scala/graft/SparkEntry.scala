@@ -85,6 +85,8 @@ object SparkEntry {
     "q15_top_supplier" -> (Analytics3.q15TopSupplier _),
     "q17_small_qty" -> (Analytics3.q17SmallQty _),
     "q20_part_suppliers" -> (Analytics3.q20PartSuppliers _),
+    "q2_min_cost" -> (Analytics3.q2MinCost _),
+    "q11_important_stock" -> (Analytics3.q11ImportantStock _),
     "q_window3" -> (Analytics2.qWindow3 _),
     "q_cube" -> (Analytics2.qCube _),
     "q_intersect_except" -> (Analytics2.qIntersectExcept _),
@@ -129,6 +131,7 @@ object SparkEntry {
     "sim_multiprobe_topk" -> (Similarity.multiprobeTopK _),
     "sim_rerank_topk" -> (Similarity.rerankTopK _),
     "sim_ivf_topk" -> (Similarity.ivfTopK _),
+    "sim_pq_topk" -> (Similarity.pqTopK _),
     "sim_quantize" -> (Similarity.quantize _),
     // multimodal
     "mm_meta_extract" -> (Multimodal.metaExtract _),
@@ -423,6 +426,44 @@ object SparkEntry {
       |      ORDER BY $sc DESC, a.cand_id) AS BIGINT) AS rank
       |  FROM probes p JOIN assigned a USING (cent_id)) t
       |WHERE rank <= ${Similarity.K}""".stripMargin
+  }
+
+  /** PQ oracle: replicate the stride-sampled codebook, the per-subspace
+    * argmin encode (row_number over the same sequential-fold L2, ties
+    * to the lowest code id) and the codeword reconstruction, then rank
+    * by the shared cosine formulation. Mirrors Similarity.pqTopK
+    * decision for decision. */
+  private def simPqTopkSql: String = {
+    val m = Similarity.PqSubspaces
+    val k = Similarity.PqCodewords
+    val l2 = (vec: String) =>
+      s"""list_sum(list_transform(list_zip($vec, s.csub),
+         |       x -> (x[1]-x[2])*(x[1]-x[2])))""".stripMargin
+    s"""WITH p AS (SELECT GREATEST(1, COUNT(*) // $k) AS stride,
+      |  (SELECT len(embedding) // $m FROM embeddings LIMIT 1) AS sub FROM embeddings),
+      | book AS (SELECT vec_id // stride AS code_id, embedding AS cw
+      |  FROM embeddings, p WHERE vec_id % stride = 0 AND vec_id // stride < $k),
+      | subs AS (SELECT code_id, m.m AS m,
+      |   CAST(list_slice(cw, m.m*sub+1, (m.m+1)*sub) AS DOUBLE[]) AS csub
+      |  FROM book, p, range(0,$m) m(m)),
+      | enc AS (SELECT cand_id, m, csub FROM (
+      |   SELECT c.vec_id AS cand_id, s.m, s.csub,
+      |     row_number() OVER (PARTITION BY c.vec_id, s.m ORDER BY
+      |       ${l2(s"CAST(list_slice(c.embedding, s.m*p.sub+1, (s.m+1)*p.sub) AS DOUBLE[])")} ASC,
+      |       s.code_id ASC) AS rn
+      |   FROM embeddings c, subs s, p WHERE c.vec_id >= 10) t WHERE rn = 1),
+      | recon AS (SELECT cand_id, remb, list_sum(list_transform(remb, x -> x*x)) AS rnsq
+      |  FROM (SELECT cand_id, flatten(list(csub ORDER BY m)) AS remb FROM enc GROUP BY cand_id) f),
+      | q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qemb,
+      |   list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)) AS qnsq
+      |  FROM embeddings WHERE vec_id < 10)
+      |SELECT query_id, cand_id, cosine, rank FROM (
+      |  SELECT q.query_id, r.cand_id,
+      |    ${cosineSql("q.qemb", "q.qnsq", "r.remb", "r.rnsq")} AS cosine,
+      |    CAST(row_number() OVER (PARTITION BY q.query_id
+      |      ORDER BY ${cosineSql("q.qemb", "q.qnsq", "r.remb", "r.rnsq")} DESC, r.cand_id)
+      |      AS BIGINT) AS rank
+      |  FROM q, recon r) t WHERE rank <= ${Similarity.K}""".stripMargin
   }
 
   private val decSum = (c: String) => s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
@@ -738,6 +779,27 @@ object SparkEntry {
         | AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |   AND o_orderdate >= '1999-01-01')
         |GROUP BY c_mktsegment""".stripMargin,
+    "q2_min_cost" ->
+      """WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |  MIN(l_extendedprice) AS ps_supplycost FROM lineitem GROUP BY 1, 2),
+        | regional AS (SELECT ps_partkey, ps_suppkey, ps_supplycost, s_name, s_acctbal, n_name
+        |  FROM ps, supplier, nation, region
+        |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |   AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
+        |SELECT p_partkey, p_name, s_name, s_acctbal, n_name AS nation,
+        | CAST(ps_supplycost AS DOUBLE) AS supplycost
+        |FROM regional, part
+        |WHERE ps_partkey = p_partkey AND p_size BETWEEN 10 AND 15
+        | AND ps_supplycost = (SELECT MIN(r2.ps_supplycost) FROM regional r2
+        |   WHERE r2.ps_partkey = regional.ps_partkey)""".stripMargin,
+    "q11_important_stock" ->
+      """WITH pp AS (SELECT l_partkey AS partkey,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS value_dec
+        | FROM lineitem
+        | WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 13)
+        | GROUP BY 1)
+        |SELECT partkey, CAST(value_dec AS DOUBLE) AS value FROM pp
+        |WHERE CAST(value_dec AS DOUBLE) > (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM pp) * 0.0001""".stripMargin,
     "q4_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders
         |FROM orders
@@ -1303,6 +1365,7 @@ object SparkEntry {
         |   / 10000000 / COUNT(*) AS centroid_v
         |FROM v GROUP BY label, pos""".stripMargin,
     "sim_ivf_topk" -> simIvfTopkSql,
+    "sim_pq_topk" -> simPqTopkSql,
     "sim_brute_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
         |  list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS nsq

@@ -177,4 +177,52 @@ object Analytics3 {
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name").as("nation"))
   }
+
+  /** Q2: minimum-cost supplier per part in one region. The partsupp
+    * relation this schema lacks is derived from lineitem (supplycost =
+    * the lowest price that supplier ever charged for the part); the
+    * correlated `= (SELECT MIN …)` is decorrelated the standard way —
+    * a per-part MIN aggregate joined back on (partkey, cost). Only the
+    * bounded nation/region dims are hinted; supplier and the per-part
+    * MIN both grow with sf and are left to AQE. MIN of a double is
+    * exact (no summation), so the equality join is bit-safe. */
+  def q2MinCost(s: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(min(col("l_extendedprice")).as("ps_supplycost"))
+    val regional = ps
+      .join(Tables.supplier(s, dir), col("ps_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+    val minCost = regional.groupBy(col("ps_partkey").as("mc_pk"))
+      .agg(min(col("ps_supplycost")).as("min_cost"))
+    regional
+      .join(minCost,
+        col("ps_partkey") === col("mc_pk") && col("ps_supplycost") === col("min_cost"))
+      .join(Tables.part(s, dir).filter(col("p_size").between(10, 15)),
+        col("ps_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"), col("s_acctbal"),
+        col("n_name").as("nation"), col("ps_supplycost").cast("double").as("supplycost"))
+  }
+
+  /** Q11: important stock — per-part inventory value held by one
+    * nation group's suppliers, kept only when it exceeds a fixed
+    * fraction of the group total (Q11's global scalar-subquery
+    * HAVING). The 1-row total broadcasts (a global aggregate is
+    * bounded at any sf); the threshold compare runs in double on both
+    * engines — IEEE multiply of identical decimal-derived inputs, so
+    * the boundary is deterministic. */
+  def q11ImportantStock(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir).filter(col("s_nationkey") < 13)
+    val value = col("l_extendedprice").cast(dec) * col("l_quantity").cast(dec)
+    val perPart = Tables.lineitem(s, dir)
+      .join(sup, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(sum(value).as("value_dec"))
+    val total = perPart.agg(sum(col("value_dec")).cast("double").as("total"))
+    perPart.join(broadcast(total))
+      .filter(col("value_dec").cast("double") > col("total") * 0.0001)
+      .select(col("partkey"), col("value_dec").cast("double").as("value"))
+  }
 }

@@ -345,4 +345,81 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"),
         (sum(floor(col("v").cast("double") * lit(1e7) + lit(0.5)).cast("long"))
           .cast("double") / lit(1e7) / count(lit(1))).as("centroid_v"))
+
+  // Product quantization: M subspaces × K codewords — each vector
+  // compresses to M small codes (M·log2(K) = 16 bits here vs 64×32-bit
+  // floats, a 128× cut), the memory shape that makes billion-vector
+  // stores scannable.
+  val PqSubspaces = 4
+  val PqCodewords = 16L
+
+  /** PQ codebook: one deterministic stride sample per subspace-shared
+    * codeword set (≤ PqCodewords rows, driver-resident like the IVF
+    * seeds; code id = vec_id ÷ stride so both engines derive identical
+    * ids). Sampled codewords beat trained ones for oracle lockstep and
+    * are the standard cold-start book; swapping in Lloyd-refined
+    * codewords per subspace would reuse kmeansCentroidSeq unchanged. */
+  private[graft] def pqCodebook(s: SparkSession, dir: String): Seq[(Long, Seq[Float])] = {
+    val n = Tables.embeddings(s, dir).count() // one scalar action (as IVF)
+    val stride = math.max(1L, n / PqCodewords)
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id") % stride === 0 && expr(s"vec_id DIV $stride") < PqCodewords)
+      .select(expr(s"vec_id DIV $stride").as("code_id"), col("embedding"))
+      .collect().toSeq // bounded: ≤ PqCodewords rows
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+  }
+
+  /** Per-subspace best codeword as ONE narrow array expression (the
+    * assignNearestNarrow recipe): min over (L2, code_id) structs, L2 as
+    * the sequential zip_with fold both engines share. The struct also
+    * carries the codeword subvector so encode and reconstruct are the
+    * same projection — zero shuffle, zero join. */
+  private def pqBest(book: Seq[(Long, Seq[Float])], embCol: String, m: Int,
+      sub: Int): Column = {
+    val subBook = book.map { case (cid, cw) => (cid, cw.slice(m * sub, (m + 1) * sub)) }
+    val vSlice = transform(slice(col(embCol), m * sub + 1, sub), x => x.cast("double"))
+    array_min(transform(typedLit(subBook), c =>
+      struct(
+        graft.functions.VectorOps.seqSum(zip_with(
+          vSlice, transform(c.getField("_2"), x => x.cast("double")),
+          (x, y) => (x - y) * (x - y))).as("l2"),
+        c.getField("_1").as("cid"),
+        c.getField("_2").as("sub"))))
+  }
+
+  /** PQ code vector per candidate (spec/inspection surface — the
+    * compressed representation itself). */
+  private[graft] def pqEncode(s: SparkSession, dir: String): DataFrame = {
+    val book = pqCodebook(s, dir)
+    val sub = book.head._2.length / PqSubspaces
+    Tables.embeddingsParallel(s, dir)
+      .select(col("vec_id"),
+        array((0 until PqSubspaces).map(m =>
+          pqBest(book, "embedding", m, sub).getField("cid")): _*).as("codes"))
+  }
+
+  /** PQ-compressed retrieval: candidates are scored as the cosine
+    * between the query and their codeword RECONSTRUCTION (concat of
+    * the per-subspace argmin codewords) — the asymmetric-distance
+    * formulation, but expressed against the reconstructed vector so
+    * the score is one sequential fold (bit-exact in DuckDB) instead of
+    * an M-way float sum whose order the engines would not share. At
+    * 100 TB the scan reads M·log2(K) bits per vector instead of the
+    * raw floats; encode/reconstruct is a narrow projection over a
+    * driver-resident ≤ PqCodewords book (~4 KB literal), so the only
+    * shuffle in the whole query is the bounded top-k partial agg. */
+  def pqTopK(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val book = pqCodebook(s, dir)
+    require(book.nonEmpty, "empty PQ codebook")
+    val sub = book.head._2.length / PqSubspaces
+    val recon = corpus(s, dir).select(col("cand_id"),
+      concat((0 until PqSubspaces).map(m =>
+        pqBest(book, "c_emb", m, sub).getField("sub")): _*).as("recon"))
+    val scored = broadcast(queries(s, dir)).crossJoin(recon)
+      .select(col("query_id"), col("cand_id"),
+        expr("graft_cosine(q_emb, recon)").as("cosine"))
+    topKPerQuery(scored)
+  }
 }

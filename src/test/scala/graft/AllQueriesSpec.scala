@@ -16,10 +16,12 @@ class AllQueriesSpec extends AnyFunSuite {
     "sim_native_topk",                         // same brute scoring, native top-k exec
     "sim_ivf_topk",                            // vectors × centroids (tiny broadcast side)
     "q_scalar_subquery", "q22_dormant",        // scalar-subquery broadcast joins
+    "q11_important_stock",                     // 1-row global-total broadcast (Q11 HAVING)
     "dedup_survivors",                         // cross join of three 1-row aggregates
     "dedup_minhash_lsh",                       // audit: cross join of two 1-row counts
     "pat_skew_join",                           // dim × salts replication (3×8 rows BY DESIGN)
-    "sim_rerank_topk")                         // coarse int8 scan IS a broadcast full scan
+    "sim_rerank_topk",                         // coarse int8 scan IS a broadcast full scan
+    "sim_pq_topk")                             // reconstruction scan (broadcast query batch)
 
   test("every query returns rows at sf0.001 and has a sane join plan") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
@@ -46,7 +48,8 @@ class AllQueriesSpec extends AnyFunSuite {
     * embeddings table, which the structural gate below cannot see. */
   private val allowedQueryBatchBroadcast = Set(
     "sim_brute_topk", "sim_native_topk", "sim_lsh_topk",
-    "sim_multiprobe_topk", "sim_ivf_topk", "sim_rerank_topk")
+    "sim_multiprobe_topk", "sim_ivf_topk", "sim_rerank_topk",
+    "sim_pq_topk")
 
   /** Repo-wide growing-hint gate (VERDICT r3 #1): a broadcast hint is
     * legal ONLY on (a) a subtree whose every leaf is a bounded relation

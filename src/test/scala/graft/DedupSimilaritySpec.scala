@@ -400,4 +400,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .flatMap(_.output.map(_.name)).filter(Set("embedding", "v"))
     assert(wide.isEmpty, s"vector payloads crossed a hash exchange: $wide")
   }
+
+  test("PQ encode: codes are the true per-subspace argmin (driver recompute)") {
+    val book = Similarity.pqCodebook(spark, sf)
+    assert(book.size <= Similarity.PqCodewords)
+    val dims = book.head._2.length
+    val subLen = dims / Similarity.PqSubspaces
+    val coded = Similarity.pqEncode(spark, sf)
+      .filter(col("vec_id").isin(11L, 42L, 99L)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(coded.nonEmpty)
+    val raw = Tables.embeddings(spark, sf)
+      .filter(col("vec_id").isin(coded.keys.toSeq.map(Long.box): _*))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    coded.foreach { case (id, codes) =>
+      assert(codes.length == Similarity.PqSubspaces)
+      codes.zipWithIndex.foreach { case (code, m) =>
+        assert(code >= 0 && code < Similarity.PqCodewords)
+        val v = raw(id).slice(m * subLen, (m + 1) * subLen).map(_.toDouble)
+        // same fold order as the operator: sequential left-to-right
+        val want = book.map { case (cid, cw) =>
+          val c = cw.slice(m * subLen, (m + 1) * subLen).map(_.toDouble)
+          (v.zip(c).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }, cid)
+        }.min._2
+        assert(code == want, s"vec $id subspace $m: code $code != argmin $want")
+      }
+    }
+  }
+
+  test("PQ retrieval: reconstruction scan is narrow (no embedding exchange) and ranks are dense") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    val df = Similarity.pqTopK(spark, sf)
+    df.count()
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val wide = root.collect { case e: ShuffleExchangeLike => e }
+      .filterNot(_.outputPartitioning.isInstanceOf[RoundRobinPartitioning])
+      .flatMap(_.output.map(_.name)).filter(Set("c_emb", "recon", "embedding"))
+    assert(wide.isEmpty, s"PQ shuffled a vector payload: $wide")
+    val perQuery = df.groupBy("query_id").count().collect()
+    assert(perQuery.nonEmpty && perQuery.forall(_.getLong(1) == Similarity.K))
+  }
 }
