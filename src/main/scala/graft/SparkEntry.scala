@@ -30,6 +30,7 @@ object SparkEntry {
     "etl_schema_map" -> (Etl.schemaMap _),
     "etl_sql_text_source" -> (Etl.sqlTextSource _),
     "etl_upsert_merge" -> (Etl.upsertMerge _),
+    "etl_scd2_history" -> (Etl.scd2History _),
     "etl_partition_pruning" -> (Etl.partitionPruning _),
     "etl_ndjson_roundtrip" -> (Etl.ndjsonRoundtrip _),
     "etl_csv_roundtrip" -> (Etl.csvRoundtrip _),
@@ -38,6 +39,7 @@ object SparkEntry {
     "etl_compact_files" -> (Etl.compactSmallFiles _),
     "text_quality_filter" -> (TextAnalysis.qualityFilter _),
     "text_source_mix" -> (TextAnalysis.sourceMix _),
+    "text_weighted_sample" -> (TextAnalysis.weightedSample _),
     "text_length_hist" -> (TextAnalysis.lengthHistogram _),
     "etl_error_tolerance" -> (Etl.errorTolerance _),
     "etl_dynamic_partition_write" -> (Etl.dynamicPartitionWrite _),
@@ -111,6 +113,7 @@ object SparkEntry {
     "stream_session_native" -> (Windows.sessionNative _),
     // dedup
     "dedup_exact" -> (Dedup.exact _),
+    "dedup_incremental" -> (Dedup.incremental _),
     "dedup_exact_keyed" -> (Dedup.exactKeyed _),
     "dedup_minhash_lsh" -> (Dedup.minhashAudit _),
     "dedup_simhash" -> (Dedup.simhashAudit _),
@@ -522,6 +525,20 @@ object SparkEntry {
         |   ELSE o_totalprice END AS o_totalprice
         | FROM orders) t
         |GROUP BY o_orderstatus""".stripMargin,
+    "etl_scd2_history" ->
+      """WITH c AS (
+        | SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+        |  lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS prev
+        | FROM orders),
+        |ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> o_orderpriority)
+        |SELECT o_custkey AS custkey, o_orderpriority AS priority,
+        | o_orderdate AS valid_from,
+        | COALESCE(lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey), TIMESTAMP '9999-12-31') AS valid_to,
+        | (lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey) IS NULL) AS is_current
+        |FROM ch""".stripMargin,
     "etl_sql_text_source" ->
       s"""SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n_orders,
         | ${decSum("o_totalprice")} AS total_price
@@ -577,6 +594,14 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN bucket < pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         | CAST(SUM(CASE WHEN bucket < pct THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
         |FROM m GROUP BY source""".stripMargin,
+    "text_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, source,
+        |  ((doc_id * 2654435761 + 104729) % 2147483647 + 0.5) / 2147483647.0 AS u,
+        |  (CAST(substr(source, 4) AS INT) % 4) + 1 AS weight
+        | FROM documents)
+        |SELECT doc_id, source, CAST(weight AS BIGINT) AS weight FROM d
+        |ORDER BY -ln(u)/weight ASC, doc_id
+        |LIMIT ${graft.operators.TextAnalysis.WeightedSampleK}""".stripMargin,
     "text_length_hist" ->
       """SELECT CAST(len(bin(CAST(len(string_split(text, ' ')) AS BIGINT))) - 1 AS BIGINT) AS bucket,
         | COUNT(*) AS n_docs,
@@ -1154,6 +1179,17 @@ object SparkEntry {
         |WHERE jaccard >= 0.7""".stripMargin,
     "dedup_exact" ->
       "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents GROUP BY text",
+    "dedup_incremental" ->
+      """WITH batch AS (
+        | SELECT doc_id, text FROM documents WHERE source = 'src0'
+        | UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |  WHERE source <> 'src0' AND doc_id % 7 = 0
+        | UNION ALL SELECT doc_id + 3000000, text FROM documents
+        |  WHERE source = 'src0' AND doc_id % 11 = 0),
+        |snap AS (SELECT DISTINCT text FROM documents WHERE source <> 'src0')
+        |SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM batch WHERE text NOT IN (SELECT text FROM snap)
+        |GROUP BY text""".stripMargin,
     "dedup_exact_keyed" ->
       """SELECT user_id, event_type, event_id AS first_event_id, epoch_us(ts) AS first_ts_us
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type

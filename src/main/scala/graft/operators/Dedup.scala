@@ -31,6 +31,35 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
 
+  /** Incremental (cross-snapshot) dedup — the nightly-crawl shape: a
+    * NEW batch is deduped against the existing corpus snapshot without
+    * ever re-shuffling the snapshot's documents — only its 16-byte
+    * fingerprints. The gate corpus has no organic re-crawls, so the
+    * batch plants deterministic re-deliveries (the lsh_capped recipe):
+    * snapshot docs re-entering under new ids (doc_id%7, dropped by the
+    * snapshot anti-join) and a double-delivered batch doc (doc_id%11,
+    * collapsed by the in-batch min election, visible as n_copies=2).
+    * At 100 TB the snapshot side is a compact fingerprint index (24
+    * B/doc) a crawl joins against daily; the batch shuffles (fp, id)
+    * pairs only. The oracle joins raw text, so an md5 collision on the
+    * gate corpus would fail the hash row loudly. */
+  def incremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsParallel(s, dir)
+    val snapDocs = docs.filter(col("source") =!= "src0")
+    val batch = docs.filter(col("source") === "src0")
+      .select(col("doc_id"), col("text"))
+      .union(snapDocs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .union(docs.filter(col("source") === "src0" && col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+    val snapFp = snapDocs.select(unhex(md5(col("text"))).as("fp")).distinct()
+    batch.select(col("doc_id"), unhex(md5(col("text"))).as("fp"))
+      .join(snapFp, Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+  }
+
   /** Keyed dedup: first event per (user_id, event_type) by event time.
     * The etly analog is idempotent re-transfer collapsing. */
   def exactKeyed(s: SparkSession, dir: String): DataFrame = {

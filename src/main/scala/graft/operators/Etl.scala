@@ -421,4 +421,37 @@ object Etl {
       .groupBy(col("dt").cast("string").as("dt"), col("shard").cast("int").as("shard"))
       .agg(count(lit(1)).as("n_records"))
   }
+
+  /** Type-2 slowly-changing-dimension history build — the warehouse
+    * side of upsert_merge: orders are the change stream of each
+    * customer's priority attribute; consecutive repeats collapse (lag),
+    * each retained change opens an interval closed by the next change
+    * (lead), and the open interval is the current row. Both windows
+    * partition by the customer key, so the build is one shuffle on the
+    * dimension key and scales with customers, not history length per
+    * se; ties inside a day break on the order key so replays are
+    * deterministic. Complements etl_upsert_merge (type-1 overwrite)
+    * with the full-history contract real dimension tables need. */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val changes = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderpriority"))
+      .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+    changes
+      .withColumn("next_from", lead(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderpriority").as("priority"),
+        col("o_orderdate").as("valid_from"),
+        // open intervals close on the standard far-future sentinel
+        // (keeps range predicates sargable and the row non-null)
+        // stay TIMESTAMP_NTZ end-to-end: o_orderdate is NTZ and a plain
+        // timestamp literal would coerce the whole column to LTZ
+        coalesce(col("next_from"), lit("9999-12-31").cast("timestamp_ntz"))
+          .as("valid_to"),
+        col("next_from").isNull.as("is_current"))
+  }
 }

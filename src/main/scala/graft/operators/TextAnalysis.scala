@@ -446,4 +446,30 @@ object TextAnalysis {
         array_min(col("g")).as("fingerprint"),
         size(array_distinct(col("g"))).cast("long").as("n_distinct_grams"))
   }
+
+  /** Deterministic weighted sampling without replacement (the
+    * Efraimidis–Spirakis exponential race): each document draws a
+    * pseudo-uniform u from the portable affine hash widened to 31 bits,
+    * races with key −ln(u)/w, and the [[WeightedSampleK]] smallest keys
+    * win — documents from heavier-weighted sources win proportionally
+    * more often. This is how a training mix oversamples scarce
+    * high-quality sources with a STABLE sample: re-running (or
+    * re-ingesting on another engine) selects the identical documents,
+    * because u is pure integer arithmetic both engines share. The race
+    * key never leaves the plan (only membership is output), the draw is
+    * a narrow map, and the global top-k is a TakeOrdered — no full
+    * sort, no shuffle beyond k rows per partition. Weights are data:
+    * source index mod 4, plus 1 (so weights 1..4 on this corpus). */
+  val WeightedSampleK = 64
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val u = (pmod(col("doc_id") * 2654435761L + 104729L, lit(2147483647L))
+      .cast("double") + 0.5) / 2147483647.0
+    val w = (substring(col("source"), 4, 10).cast("int") % 4 + 1).cast("long")
+    Tables.documentsParallel(s, dir)
+      .select(col("doc_id"), col("source"), w.as("weight"),
+        (-log(u) / w.cast("double")).as("race_key"))
+      .orderBy(col("race_key"), col("doc_id"))
+      .limit(WeightedSampleK)
+      .select(col("doc_id"), col("source"), col("weight"))
+  }
 }

@@ -30,6 +30,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup: planted re-deliveries drop, batch originals survive, fps-only shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    val df = Dedup.incremental(spark, sf)
+    df.count()
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    root.collect { case e: ShuffleExchangeLike => e }
+      .filterNot(_.outputPartitioning.isInstanceOf[RoundRobinPartitioning])
+      .foreach { e =>
+        assert(!e.output.exists(_.name == "text"),
+          s"snapshot/batch text must not cross an exchange: ${e.output.map(_.name)}")
+      }
+    val rows = df.collect()
+    // every planted re-crawl (+1e6) was dropped by the snapshot
+    // anti-join; every double-delivery (+3e6) collapsed onto its
+    // original id via the min election
+    assert(rows.forall(_.getAs[Long]("doc_id") < 1000000L))
+    // survivors = exactly the src0 batch; double-delivered ones carry
+    // n_copies = 2, the rest 1
+    val src0 = Tables.documents(spark, sf).filter(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == src0)
+    rows.foreach { r =>
+      val expected = if (r.getAs[Long]("doc_id") % 11 == 0) 2L else 1L
+      assert(r.getAs[Long]("n_copies") == expected, r.toString)
+    }
+  }
+
   test("LSH candidates achieve full recall on true near-dups (jaccard >= 0.7)") {
     val truth = Dedup.ngramJaccard(spark, sf).filter(col("jaccard") >= 0.7)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -308,4 +308,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     val b = src.agg(sum(col("c_acctbal").cast("decimal(18,2)"))).collect()(0).getDecimal(0)
     assert(a == b, "acctbal must survive the JDBC roundtrip exactly")
   }
+
+  test("SCD2 history: one current row per key, gap-free chained intervals, no no-op changes") {
+    val hist = graft.operators.Etl.scd2History(spark, sf).collect()
+      .groupBy(_.getAs[Long]("custkey"))
+    val withOrders = Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(hist.size == withOrders, "every customer with orders gets a history")
+    // timestamps surface as java.time.LocalDateTime (TIMESTAMP_NTZ)
+    def ts(r: org.apache.spark.sql.Row, c: String): java.time.LocalDateTime =
+      r.getAs[java.time.LocalDateTime](c)
+    hist.foreach { case (ck, rows) =>
+      assert(rows.count(_.getAs[Boolean]("is_current")) == 1,
+        s"customer $ck must have exactly one open row")
+      def secs(t: java.time.LocalDateTime): Long =
+        t.toEpochSecond(java.time.ZoneOffset.UTC)
+      val ordered = rows.sortBy(r =>
+        (secs(ts(r, "valid_from")),
+          if (r.getAs[Boolean]("is_current")) Long.MaxValue
+          else secs(ts(r, "valid_to"))))
+      ordered.sliding(2).foreach {
+        case Array(cur, nxt) =>
+          // intervals chain without gaps and adjacent rows truly differ
+          assert(ts(cur, "valid_to") == ts(nxt, "valid_from"),
+            s"customer $ck: gap between ${cur} and ${nxt}")
+          // same-date change bursts sort ambiguously among themselves;
+          // across distinct dates adjacency == change order, where the
+          // lag filter guarantees a real change
+          if (ts(cur, "valid_from") != ts(nxt, "valid_from"))
+            assert(cur.getAs[String]("priority") != nxt.getAs[String]("priority"),
+              s"customer $ck: consecutive rows with identical priority")
+        case _ => ()
+      }
+      assert(!ordered.last.getAs[Boolean]("is_current") ||
+        ts(ordered.last, "valid_to").getYear == 9999)
+    }
+  }
 }

@@ -179,4 +179,25 @@ class TextMultimodalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("weighted sample: top-k plan (no global sort) and selection biased toward heavy sources") {
+    import org.apache.spark.sql.functions._
+    val df = TextAnalysis.weightedSample(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"weighted sample must be a bounded top-k, not a global sort:\n$plan")
+    val sel = df.collect()
+    assert(sel.length == TextAnalysis.WeightedSampleK)
+    val avgSel = sel.map(_.getAs[Long]("weight")).sum.toDouble / sel.length
+    val avgAll = Tables.documents(spark, sf)
+      .select(avg(substring(col("source"), 4, 10).cast("int") % 4 + 1))
+      .head().getDouble(0)
+    // the exponential race must oversample heavier sources
+    assert(avgSel > avgAll + 0.2,
+      s"selected avg weight $avgSel not biased above corpus avg $avgAll")
+    // deterministic: a second run selects the identical documents
+    val again = TextAnalysis.weightedSample(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(again == sel.map(_.getAs[Long]("doc_id")).toSet)
+  }
 }
