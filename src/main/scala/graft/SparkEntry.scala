@@ -596,11 +596,16 @@ object SparkEntry {
         |FROM m GROUP BY source""".stripMargin,
     "text_weighted_sample" ->
       s"""WITH d AS (SELECT doc_id, source,
-        |  ((doc_id * 2654435761 + 104729) % 2147483647 + 0.5) / 2147483647.0 AS u,
-        |  (CAST(substr(source, 4) AS INT) % 4) + 1 AS weight
+        |  (CAST(substr(source, 4) AS INT) % 4) + 1 AS weight,
+        |  list_max(list_slice([
+        |    (doc_id * 2654435761 + 104729) % 2147483647,
+        |    (doc_id * 2246822519 + 209458) % 2147483647,
+        |    (doc_id * 3266489917 + 314187) % 2147483647,
+        |    (doc_id * 668265263 + 418916) % 2147483647
+        |  ], 1, (CAST(substr(source, 4) AS INT) % 4) + 1)) AS race
         | FROM documents)
         |SELECT doc_id, source, CAST(weight AS BIGINT) AS weight FROM d
-        |ORDER BY -ln(u)/weight ASC, doc_id
+        |ORDER BY race DESC, doc_id
         |LIMIT ${graft.operators.TextAnalysis.WeightedSampleK}""".stripMargin,
     "text_length_hist" ->
       """SELECT CAST(len(bin(CAST(len(string_split(text, ' ')) AS BIGINT))) - 1 AS BIGINT) AS bucket,

@@ -182,11 +182,19 @@ object Analytics3 {
     * relation this schema lacks is derived from lineitem (supplycost =
     * the lowest price that supplier ever charged for the part); the
     * correlated `= (SELECT MIN …)` is decorrelated the standard way —
-    * a per-part MIN aggregate joined back on (partkey, cost). Only the
-    * bounded nation/region dims are hinted; supplier and the per-part
-    * MIN both grow with sf and are left to AQE. MIN of a double is
-    * exact (no summation), so the equality join is bit-safe. */
+    * a per-part MIN window over the regional relation, so the dominant
+    * subplan — the per-(partkey,suppkey) MIN over lineitem plus the
+    * supplier/nation/region joins — is built and evaluated ONCE (the
+    * aggregate-join-back form evaluates it twice: Spark does not share
+    * duplicate subtrees). The window partitions on ps_partkey (a
+    * handful of regional suppliers per part, so per-partition sorts are
+    * trivial) and costs the same single shuffle the join-back's groupBy
+    * would. Only the bounded nation/region dims are hinted; supplier
+    * and the per-part relation grow with sf and are left to AQE. MIN of
+    * a double is exact (no summation), so the equality filter is
+    * bit-safe. */
   def q2MinCost(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ps = Tables.lineitem(s, dir)
       .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
       .agg(min(col("l_extendedprice")).as("ps_supplycost"))
@@ -195,11 +203,10 @@ object Analytics3 {
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
-    val minCost = regional.groupBy(col("ps_partkey").as("mc_pk"))
-      .agg(min(col("ps_supplycost")).as("min_cost"))
     regional
-      .join(minCost,
-        col("ps_partkey") === col("mc_pk") && col("ps_supplycost") === col("min_cost"))
+      .withColumn("min_cost",
+        min(col("ps_supplycost")).over(Window.partitionBy(col("ps_partkey"))))
+      .filter(col("ps_supplycost") === col("min_cost"))
       .join(Tables.part(s, dir).filter(col("p_size").between(10, 15)),
         col("ps_partkey") === col("p_partkey"))
       .select(col("p_partkey"), col("p_name"), col("s_name"), col("s_acctbal"),

@@ -25,9 +25,17 @@ object Dedup {
     * oracle still groups the raw text, so any collision on the gate
     * corpus would fail the hash row loudly. */
   def exact(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), unhex(md5(col("text"))).as("fp"))
-      .groupBy(col("fp"))
+    electMinId(textFingerprints(Tables.documents(s, dir)))
+
+  /** (doc_id, 16-byte binary md5 fp) projection — the only columns any
+    * exact-dedup exchange may carry. */
+  private def textFingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), unhex(md5(col("text"))).as("fp"))
+
+  /** The shared election block (VERDICT r3 #2 recipe): one partial-agg
+    * groupBy on the fingerprint, min id wins, copies counted. */
+  private def electMinId(fps: DataFrame): DataFrame =
+    fps.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
 
@@ -53,11 +61,7 @@ object Dedup {
       .union(docs.filter(col("source") === "src0" && col("doc_id") % 11 === 0)
         .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
     val snapFp = snapDocs.select(unhex(md5(col("text"))).as("fp")).distinct()
-    batch.select(col("doc_id"), unhex(md5(col("text"))).as("fp"))
-      .join(snapFp, Seq("fp"), "left_anti")
-      .groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
-      .select(col("doc_id"), col("n_copies"))
+    electMinId(textFingerprints(batch).join(snapFp, Seq("fp"), "left_anti"))
   }
 
   /** Keyed dedup: first event per (user_id, event_type) by event time.

@@ -392,6 +392,7 @@ object Similarity {
     * compressed representation itself). */
   private[graft] def pqEncode(s: SparkSession, dir: String): DataFrame = {
     val book = pqCodebook(s, dir)
+    require(book.nonEmpty, "empty PQ codebook")
     val sub = book.head._2.length / PqSubspaces
     Tables.embeddingsParallel(s, dir)
       .select(col("vec_id"),

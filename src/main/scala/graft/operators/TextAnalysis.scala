@@ -447,28 +447,35 @@ object TextAnalysis {
         size(array_distinct(col("g"))).cast("long").as("n_distinct_grams"))
   }
 
-  /** Deterministic weighted sampling without replacement (the
-    * Efraimidis–Spirakis exponential race): each document draws a
-    * pseudo-uniform u from the portable affine hash widened to 31 bits,
-    * races with key −ln(u)/w, and the [[WeightedSampleK]] smallest keys
-    * win — documents from heavier-weighted sources win proportionally
-    * more often. This is how a training mix oversamples scarce
-    * high-quality sources with a STABLE sample: re-running (or
-    * re-ingesting on another engine) selects the identical documents,
-    * because u is pure integer arithmetic both engines share. The race
-    * key never leaves the plan (only membership is output), the draw is
-    * a narrow map, and the global top-k is a TakeOrdered — no full
-    * sort, no shuffle beyond k rows per partition. Weights are data:
-    * source index mod 4, plus 1 (so weights 1..4 on this corpus). */
+  /** Deterministic weighted sampling without replacement — the INTEGER
+    * form of the Efraimidis–Spirakis race. E–S keeps the k largest
+    * u_i^(1/w_i); by the inverse-CDF identity max(U_1..U_w) ~ U^(1/w),
+    * that is distributionally identical to keeping the k largest
+    * max-of-w independent uniforms. So each document draws w
+    * independent 31-bit affine hashes (distinct odd multipliers) and
+    * races with their MAX: heavier-weighted sources win proportionally
+    * more, and the race is PURE 64-bit integer arithmetic — membership
+    * is bit-identical on any engine. (The float form −ln(u)/w is NOT
+    * portable: Spark codegen uses StrictMath.log, DuckDB libm log, and
+    * their last-ulp differences flip boundary docs once adjacent race
+    * keys get close, which they do as corpora grow.) Ties break on
+    * doc_id. The race key never leaves the plan (only membership is
+    * output), the draws are a narrow map, and the global top-k is a
+    * TakeOrdered — no full sort, no shuffle beyond k rows per
+    * partition. Weights are data: source index mod 4, plus 1 (weights
+    * 1..4 here; the draw array just extends for larger bounded
+    * weights). */
   val WeightedSampleK = 64
+  private val RaceMultipliers = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
   def weightedSample(s: SparkSession, dir: String): DataFrame = {
-    val u = (pmod(col("doc_id") * 2654435761L + 104729L, lit(2147483647L))
-      .cast("double") + 0.5) / 2147483647.0
     val w = (substring(col("source"), 4, 10).cast("int") % 4 + 1).cast("long")
+    val draws = array(RaceMultipliers.zipWithIndex.map { case (p, j) =>
+      pmod(col("doc_id") * p + 104729L * (j + 1), lit(2147483647L))
+    }: _*)
     Tables.documentsParallel(s, dir)
       .select(col("doc_id"), col("source"), w.as("weight"),
-        (-log(u) / w.cast("double")).as("race_key"))
-      .orderBy(col("race_key"), col("doc_id"))
+        array_max(slice(draws, lit(1), w.cast("int"))).as("race_key"))
+      .orderBy(col("race_key").desc, col("doc_id"))
       .limit(WeightedSampleK)
       .select(col("doc_id"), col("source"), col("weight"))
   }

@@ -73,13 +73,12 @@ class AnalyticsSpec extends AnyFunSuite {
         "q8_market_share" -> (Analytics3.q8MarketShare(spark, sf), 1),
         "q9_profit" -> (Analytics3.q9Profit(spark, sf), 1),
         "q20_part_suppliers" -> (Analytics3.q20PartSuppliers(spark, sf), 1),
-        // q2 hints only nation/region, but its regional subtree (and
-        // so both bounded hints) appears twice in the analyzed plan —
-        // once feeding the per-part MIN, once as the probe side — so 4
-        // hint NODES, all on bounded dims; supplier and the per-part
-        // MIN grow with sf and stay unhinted. q11 hints only the 1-row
+        // q2 hints only nation/region: the window-form decorrelation
+        // builds the regional subtree ONCE (no duplicate subplan), so
+        // exactly 2 bounded hint nodes; supplier and the per-part MIN
+        // grow with sf and stay unhinted. q11 hints only the 1-row
         // global total.
-        "q2_min_cost" -> (Analytics3.q2MinCost(spark, sf), 4),
+        "q2_min_cost" -> (Analytics3.q2MinCost(spark, sf), 2),
         "q11_important_stock" -> (Analytics3.q11ImportantStock(spark, sf), 1))
       .foreach { case (name, (df, nBounded)) =>
         val hints = "ResolvedHint".r
