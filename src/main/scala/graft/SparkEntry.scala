@@ -114,6 +114,7 @@ object SparkEntry {
     // dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_incremental" -> (Dedup.incremental _),
+    "dedup_incremental_near" -> (Dedup.incrementalNear _),
     "dedup_exact_keyed" -> (Dedup.exactKeyed _),
     "dedup_minhash_lsh" -> (Dedup.minhashAudit _),
     "dedup_simhash" -> (Dedup.simhashAudit _),
@@ -1195,6 +1196,21 @@ object SparkEntry {
         |SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM batch WHERE text NOT IN (SELECT text FROM snap)
         |GROUP BY text""".stripMargin,
+    "dedup_incremental_near" ->
+      """WITH sh AS (SELECT doc_id, source, list_distinct(list_transform(
+        |   range(1, len(string_split(text, ' ')) - 1),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents),
+        |b AS (SELECT doc_id, sh FROM sh WHERE source = 'src0'),
+        |sn AS (SELECT doc_id, sh FROM sh WHERE source <> 'src0'),
+        |m AS (SELECT b.doc_id, COUNT(*) AS n_near FROM b, sn
+        | WHERE CAST(len(list_intersect(b.sh, sn.sh)) AS DOUBLE)
+        |   / (len(b.sh) + len(sn.sh) - len(list_intersect(b.sh, sn.sh))) >= 0.7
+        | GROUP BY b.doc_id)
+        |SELECT b.doc_id, CAST(COALESCE(m.n_near, 0) AS BIGINT) AS n_near,
+        | m.doc_id IS NULL AS kept
+        |FROM b LEFT JOIN m ON b.doc_id = m.doc_id""".stripMargin,
     "dedup_exact_keyed" ->
       """SELECT user_id, event_type, event_id AS first_event_id, epoch_us(ts) AS first_ts_us
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type

@@ -64,6 +64,53 @@ object Dedup {
     electMinId(textFingerprints(batch).join(snapFp, Seq("fp"), "left_anti"))
   }
 
+  /** Incremental NEAR-dup dedup — the nightly-crawl twin of
+    * [[incremental]]: each batch doc (source src0) is dropped when its
+    * exact shingle Jaccard with ANY snapshot doc reaches 0.7, with
+    * candidates from the 21×3 minhash band join between the batch's
+    * signatures and the snapshot's signature index — only (band,
+    * bucket, id) triples cross that exchange. Snapshot text is touched
+    * only to verify candidates; at 100 TB the snapshot side is the
+    * ~0.5 KB/doc persisted signature index a crawl bands against
+    * daily, not the corpus. Output is a per-batch-doc verdict (kept +
+    * match count) so the gate covers the drop and survive sides.
+    * Oracle = exact all-pairs batch×snapshot truth; equivalence holds
+    * iff LSH recall at j ≥ 0.7 is complete, which the
+    * `dedup_minhash_lsh` audit row and the full-recall spec gate
+    * explicitly (the [[lshVerified]] argument, restricted to a subset
+    * of the same pair universe). */
+  def incrementalNear(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val d = Tables.documentsParallel(s, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("source"), shinglesFromWords(col("w")).as("sh"))
+    val sigs = d.selectExpr("doc_id", "source",
+      s"graft_minhash(transform(sh, x -> xxhash64(x)), $MinhashK) AS sig")
+    def banded(df: DataFrame, idAs: String): DataFrame = df
+      .select(col("doc_id").as(idAs),
+        posexplode(transform(sequence(lit(0), lit(LshBands - 1)),
+          b => hash(slice(col("sig"), b * LshRows + 1, lit(LshRows))))))
+      .select(col(idAs), col("pos").as("band"), col("col").as("bucket"))
+    val cands = banded(sigs.filter(col("source") === "src0"), "b_id")
+      .join(banded(sigs.filter(col("source") =!= "src0"), "s_id"), Seq("band", "bucket"))
+      .select(col("b_id"), col("s_id")).distinct()
+    val bsh = d.filter(col("source") === "src0")
+      .select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
+    val ssh = d.filter(col("source") =!= "src0")
+      .select(col("doc_id").as("s_id"), col("sh").as("sh_s"))
+    val matched = cands.join(bsh, "b_id").join(ssh, "s_id")
+      .select(col("b_id"),
+        size(array_intersect(col("sh_b"), col("sh_s"))).as("n_inter"),
+        size(col("sh_b")).as("n_b"), size(col("sh_s")).as("n_s"))
+      .filter(col("n_inter").cast("double") /
+        (col("n_b") + col("n_s") - col("n_inter")) >= 0.7)
+      .groupBy(col("b_id")).agg(count(lit(1)).as("n_near"))
+    d.filter(col("source") === "src0").select(col("doc_id"))
+      .join(matched.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_near"), lit(0L)).as("n_near"),
+        col("n_near").isNull.as("kept"))
+  }
+
   /** Keyed dedup: first event per (user_id, event_type) by event time.
     * The etly analog is idempotent re-transfer collapsing. */
   def exactKeyed(s: SparkSession, dir: String): DataFrame = {

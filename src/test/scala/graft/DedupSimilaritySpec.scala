@@ -62,6 +62,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("incremental near-dup: verdicts equal the brute-force batch-vs-snapshot truth") {
+    val rows = Dedup.incrementalNear(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_near"), r.getAs[Boolean]("kept")))
+      .toMap
+    // brute-force truth from the lshVerified all-pairs query restricted
+    // to pairs crossing the src0 boundary
+    val srcOf = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val truth = Dedup.ngramJaccard(spark, sf).filter(col("jaccard") >= 0.7)
+      .select("doc_a", "doc_b").collect()
+      .flatMap { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (srcOf(a) == "src0", srcOf(b) == "src0") match {
+          case (true, false) => Some(a)
+          case (false, true) => Some(b)
+          case _ => None
+        }
+      }
+    val truthCounts = truth.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(rows.keySet == srcOf.collect { case (id, "src0") => id }.toSet,
+      "every batch doc gets a verdict")
+    rows.foreach { case (id, (n, kept)) =>
+      assert(n == truthCounts.getOrElse(id, 0L), s"doc $id n_near")
+      assert(kept == !truthCounts.contains(id), s"doc $id kept")
+    }
+    assert(truthCounts.nonEmpty, "gate corpus must exercise the drop side")
+  }
+
   test("LSH candidates achieve full recall on true near-dups (jaccard >= 0.7)") {
     val truth = Dedup.ngramJaccard(spark, sf).filter(col("jaccard") >= 0.7)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
