@@ -465,6 +465,28 @@ object TextAnalysis {
     * partition. Weights are data: source index mod 4, plus 1 (weights
     * 1..4 here; the draw array just extends for larger bounded
     * weights). */
+  /** Leakage-free train/val split: a plain per-doc hash split leaks
+    * training data into validation whenever a near-dup pair straddles
+    * the boundary — the eval set then contains (approximate) copies of
+    * training docs and the loss is contaminated. Here the split key is
+    * the near-dup COMPONENT representative (the component-min doc_id
+    * from the same star-contraction used by dedup_components; singleton
+    * docs represent themselves), so every cluster lands wholly in one
+    * split by construction. The split decision reuses text_split's
+    * portable affine hash — pure integer, engine-portable — applied to
+    * the representative instead of the doc. Costs: the components pass
+    * (O(log n) id-only rounds) + one id-only left join + a narrow map;
+    * at 100 TB the components output is exactly the lineage the dedup
+    * pass already materializes, so the split is a free rider on it. */
+  def leakageFreeSplit(s: SparkSession, dir: String): DataFrame = {
+    val rep = Tables.documentsParallel(s, dir).select(col("doc_id"))
+      .join(Dedup.components(s, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("rep"))
+    rep.select(col("doc_id"), col("rep"),
+      when(pmod(pmod(col("rep") * 2654435761L + 104729L, lit(9973L)), lit(100L)) < 95,
+        "train").otherwise("val").as("split"))
+  }
+
   val WeightedSampleK = 64
   private val RaceMultipliers = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
   def weightedSample(s: SparkSession, dir: String): DataFrame = {

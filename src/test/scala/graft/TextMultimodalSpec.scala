@@ -180,6 +180,25 @@ class TextMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("leakage-free split: near-dup pairs never straddle the train/val boundary") {
+    val split = TextAnalysis.leakageFreeSplit(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("rep"), r.getAs[String]("split")))
+      .toMap
+    assert(split.size == Tables.documents(spark, sf).count(), "every doc gets a verdict")
+    // THE property a plain hash split lacks: both endpoints of every
+    // true near-dup pair (the oracle's own >= 0.7 truth) share a split
+    val pairs = Dedup.ngramJaccard(spark, sf).filter(col("jaccard") >= 0.7)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "gate corpus must exercise clustered docs")
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._2 == split(b)._2, s"pair ($a,$b) straddles the split")
+      assert(split(a)._1 == split(b)._1, s"pair ($a,$b) has different reps")
+    }
+    // and the split is still roughly the configured 95/5
+    val nVal = split.values.count(_._2 == "val").toDouble / split.size
+    assert(nVal > 0.005 && nVal < 0.15, s"val fraction $nVal out of band")
+  }
+
   test("weighted sample: top-k plan (no global sort) and selection biased toward heavy sources") {
     import org.apache.spark.sql.functions._
     val df = TextAnalysis.weightedSample(spark, sf)
