@@ -56,7 +56,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val coldTotal = if (firstRun.nonEmpty) firstRun.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cold,"cold_total":$coldTotal,"errors":$es,"n_errors":${errors.size},"sf":"$sfDir"}""")
+    // Truncation-proof artifact (VERDICT r4 #1): the r4 driver capture
+    // kept only the TAIL of the one huge JSON line, so the surviving
+    // dict was the cold split and the warm headline was lost. Emit (a)
+    // a short self-contained headline line FIRST — total / cold_total /
+    // n_errors, with `queries` holding the top-5 slowest WARM entries
+    // (flagged partial_top5) so the line both survives any head-/line-
+    // based capture and still satisfies the one-line driver contract —
+    // then (b) the full per-query dict with the same summary fields
+    // REPEATED AT THE END of the line (survives a tail capture). Both
+    // lines are complete JSON objects with metric/value/unit/queries/sf.
+    val slowest = results.toSeq.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","partial_top5":true,"cold_total":$coldTotal,"n_errors":${errors.size},"n_queries":${results.size},"queries":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cold,"errors":$es,"sf":"$sfDir","n_queries":${results.size},"cold_total":$coldTotal,"n_errors":${errors.size},"total":$total}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

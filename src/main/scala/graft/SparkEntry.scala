@@ -48,6 +48,7 @@ object SparkEntry {
     "etl_schema_evolution" -> (Etl.schemaEvolution _),
     "etl_policy_route" -> (Etl.policyRoute _),
     "etl_meta_incremental" -> (Etl.metaIncremental _),
+    "etl_max_transfers" -> (Etl.maxTransfersDrain _),
     // query engine
     "q1_agg" -> (Analytics.q1Agg _),
     "q3_join" -> (Analytics.q3Join _),
@@ -1258,6 +1259,22 @@ object SparkEntry {
         | CAST(0 AS BIGINT) AS files_run3,
         | CAST(0 AS BIGINT) AS rows_run3,
         | (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 2000) AS n_total""".stripMargin,
+    // the drain loop's pass structure is fully determined by the data:
+    // 5 staged band files under a 2-file cap → 2+2+1 files, then the
+    // drained pass that stops the Repeat loop
+    "etl_max_transfers" ->
+      """WITH t AS (SELECT COUNT(*) AS n FROM orders
+        |           WHERE o_orderkey > 0 AND o_orderkey <= 2000)
+        |SELECT CAST(1 AS BIGINT) AS pass, CAST(2 AS BIGINT) AS n_files,
+        | (SELECT COUNT(*) FROM orders WHERE o_orderkey > 0 AND o_orderkey <= 800) AS n_rows,
+        | (SELECT n FROM t) AS n_total
+        |UNION ALL SELECT 2, 2,
+        | (SELECT COUNT(*) FROM orders WHERE o_orderkey > 800 AND o_orderkey <= 1600),
+        | (SELECT n FROM t)
+        |UNION ALL SELECT 3, 1,
+        | (SELECT COUNT(*) FROM orders WHERE o_orderkey > 1600 AND o_orderkey <= 2000),
+        | (SELECT n FROM t)
+        |UNION ALL SELECT 4, 0, 0, (SELECT n FROM t)""".stripMargin,
     "stream_scheduled" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents

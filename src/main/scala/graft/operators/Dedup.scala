@@ -294,7 +294,14 @@ object Dedup {
     // one contraction round over each center u's neighborhood Γ(u):
     // m = min(Γ(u) ∪ {u}); LARGE-star rewires strictly-larger neighbors
     // to m, SMALL-star rewires the ≤-u neighbors (and u itself) to m
-    def round(e: DataFrame, large: Boolean): DataFrame = {
+    // `eager = false` defers the checkpoint materialization to the next
+    // driver action — the convergence aggregate below rides it, so each
+    // ls+ss iteration costs TWO driver actions (large-round checkpoint +
+    // the combined small-round-materialize/convergence job) instead of
+    // three (VERDICT r4 #6). The LARGE round stays eager: its output is
+    // referenced four times inside the small round (both adj branches,
+    // mins, join), and an unmaterialized plan there would recompute.
+    def round(e: DataFrame, large: Boolean, eager: Boolean = true): DataFrame = {
       val adj = e.select(col("x").as("u"), col("y").as("v"))
         .union(e.select(col("y").as("u"), col("x").as("v")))
       val mins = adj.groupBy(col("u"))
@@ -307,14 +314,14 @@ object Dedup {
           .union(mins.select(col("u").as("v"), col("m")))
       emitted.filter(col("v") =!= col("m"))
         .select(least(col("v"), col("m")).as("x"), greatest(col("v"), col("m")).as("y"))
-        .distinct().localCheckpoint()
+        .distinct().localCheckpoint(eager)
     }
 
     val maxRounds = 40 // ≫ 2·log2(n); contraction halves depth per ls+ss pair
     var iter = 0
     var converged = false
     while (!converged && iter < maxRounds) {
-      edges = round(round(edges, large = true), large = false)
+      edges = round(round(edges, large = true), large = false, eager = false)
       // Fixed-point test (VERDICT r2 #4, tightened in r4 per ADVICE r3):
       // a canonical edge set is a STAR FOREST iff BOTH (a) no leaf (y)
       // has more than one incident edge and (b) no node appears both as
@@ -323,15 +330,23 @@ object Dedup {
       // x∩y = ∅ but leaf 5 under two centers, and extracting labels
       // there splits one true component (ADVICE r3 counterexample,
       // pinned in DedupSimilaritySpec). Both properties fold into one
-      // aggregation over the node union: a node with ≥2 leaf
-      // appearances violates (a); a node appearing as leaf AND center
-      // violates (b). On a star forest, large-star rewires nothing
-      // (every >u neighbor of a root maps to the root) and small-star
-      // re-emits each (root, leaf) unchanged, so this IS the fixed
-      // point — and it directly proves the property the comp
-      // extraction below depends on (each leaf has a unique center).
-      val nodeRoles = edges.select(col("y").as("n"), lit(1L).as("as_leaf"))
-        .union(edges.select(col("x").as("n"), lit(0L).as("as_leaf")).distinct())
+      // aggregation: a node with ≥2 leaf appearances violates (a); a
+      // node appearing as leaf AND center violates (b) — with role rows
+      // emitted by ONE scan of edges (each edge explodes into its leaf
+      // and center role) so this aggregate is the SINGLE action that
+      // both materializes the small round's lazy checkpoint and decides
+      // convergence (VERDICT r4 #6; was a 2-branch union + a separate
+      // isEmpty action). A center's role-row multiplicity is harmless:
+      // the violation predicate only fires on leaf_edges ≥ 1. On a star
+      // forest, large-star rewires nothing (every >u neighbor of a root
+      // maps to the root) and small-star re-emits each (root, leaf)
+      // unchanged, so this IS the fixed point — and it directly proves
+      // the property the comp extraction below depends on (each leaf
+      // has a unique center).
+      val nodeRoles = edges.select(explode(array(
+          struct(col("y").as("n"), lit(1L).as("as_leaf")),
+          struct(col("x").as("n"), lit(0L).as("as_leaf")))).as("r"))
+        .select(col("r.n").as("n"), col("r.as_leaf").as("as_leaf"))
       converged = nodeRoles.groupBy(col("n"))
         .agg(sum(col("as_leaf")).as("leaf_edges"), count(lit(1)).as("roles"))
         .filter(col("leaf_edges") > 1 ||

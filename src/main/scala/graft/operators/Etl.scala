@@ -404,6 +404,36 @@ object Etl {
       .toDF("rows_run1", "rows_run2", "files_run3", "rows_run3", "n_total")
   }
 
+  /** MaxTransfers + Repeat (reference config.go:23,32;
+    * transfer_service.go:513 caps objects per run, service.go:116
+    * decrements Repeat and goes again): the bounded backfill drain.
+    * Five deterministic source files (one per orderkey band, each its
+    * own dir so the sorted listing is the band order), drained by
+    * `runRepeated(repeat = 4, maxTransfers = 2)`: passes must process
+    * 2+2+1 files, then a drained 0-file pass stops the loop early —
+    * the per-run cap resumes from the persisted meta, so no file is
+    * reprocessed or skipped. Output: one row per pass with its file and
+    * row counts (row counts are orderkey-band counts, SQL-expressible),
+    * plus the final target total proving each row landed exactly once. */
+  def maxTransfersDrain(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Pipeline
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_maxt_${System.nanoTime}"
+    val o = Tables.orders(s, dir)
+    (0 until 5).foreach { i =>
+      o.filter(col("o_orderkey") > i * 400 && col("o_orderkey") <= (i + 1) * 400)
+        .repartition(1).write.mode("overwrite").parquet(s"$base/src/b$i")
+    }
+    val spec = Pipeline.TransferSpec(
+      source = Pipeline.SourceSpec(s"$base/src/b*", Pipeline.Parquet))
+    val passes = Pipeline.runRepeated(s, spec, s"$base/target",
+      repeat = 4, maxTransfers = 2)
+    val total = s.read.parquet(s"$base/target").count()
+    import s.implicits._
+    passes.zipWithIndex.map { case ((files, rows), i) =>
+      ((i + 1).toLong, files.toLong, rows, total)
+    }.toDF("pass", "n_files", "n_rows", "n_total")
+  }
+
   /** Dynamic-partitioned sink (reference transfer.go getTargetKey →
     * per-key target files): one distributed write, partition dirs are
     * the dynamic targets. Returns the read-back per-partition counts so

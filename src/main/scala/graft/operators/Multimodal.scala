@@ -118,20 +118,43 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, n_bytes: Long,
     first_byte: Int, last_byte: Int, byte_sum_mod: Long)
 
-  /** DECODE STUB — batch-shaped partition decode, the Scala analog of
-    * mapInPandas: each partition iterates its rows once, "decodes" the
-    * payload, emits a fixed-shape feature row. A real deployment swaps
-    * `fakeDecode` for a codec call; schema, partitioning, and batch
-    * shape are unchanged. */
-  def decodeFeatures(s: SparkSession, dir: String): DataFrame = {
+  /** The pluggable decode seam (VERDICT r4 #4): a real deployment
+    * implements this with an actual codec (JPEG/PNG/WAV) and injects it
+    * into `decodeFeaturesWith`; this container has no codec libs, so
+    * the shipped instance is the deterministic `FakeDecoder`. The seam
+    * carries only the per-row decode — schema, partitioning, and batch
+    * shape stay in the operator, so swapping the decoder cannot change
+    * the plan. Must be Serializable: instances ship to executors inside
+    * the partition closure. */
+  trait MediaDecoder extends Serializable {
+    def decode(docId: Long, payload: Array[Byte]): MediaFeatures
+  }
+
+  /** DECODE STUB — the container-safe MediaDecoder instance: fixed-
+    * shape byte arithmetic standing in for a codec call. Oracle-checked
+    * (the arithmetic is reproducible in SQL), so the plumbing around
+    * the seam is verified even though the decode itself is fake. */
+  object FakeDecoder extends MediaDecoder {
+    def decode(docId: Long, payload: Array[Byte]): MediaFeatures = {
+      val sum = payload.foldLeft(0L)((acc, x) => (acc + (x & 0xff)) % 1000003L)
+      MediaFeatures(docId, payload.length.toLong,
+        payload.head & 0xff, payload.last & 0xff, sum)
+    }
+  }
+
+  /** Batch-shaped partition decode, the Scala analog of mapInPandas:
+    * each partition iterates its rows once, decodes via the injected
+    * seam, emits a fixed-shape feature row. */
+  def decodeFeaturesWith(s: SparkSession, dir: String,
+      decoder: MediaDecoder): DataFrame = {
     import s.implicits._
     val media = mediaTable(s, dir).select(col("doc_id"), col("payload")).as[MediaRow]
     media.mapPartitions { rows =>
-      rows.map { r =>
-        val b = r.payload
-        val sum = b.foldLeft(0L)((acc, x) => (acc + (x & 0xff)) % 1000003L)
-        MediaFeatures(r.doc_id, b.length.toLong, b.head & 0xff, b.last & 0xff, sum)
-      }
+      rows.map(r => decoder.decode(r.doc_id, r.payload))
     }.toDF()
   }
+
+  /** The gate shape: decode with the container-safe fake. */
+  def decodeFeatures(s: SparkSession, dir: String): DataFrame =
+    decodeFeaturesWith(s, dir, FakeDecoder)
 }

@@ -447,24 +447,6 @@ object TextAnalysis {
         size(array_distinct(col("g"))).cast("long").as("n_distinct_grams"))
   }
 
-  /** Deterministic weighted sampling without replacement — the INTEGER
-    * form of the Efraimidis–Spirakis race. E–S keeps the k largest
-    * u_i^(1/w_i); by the inverse-CDF identity max(U_1..U_w) ~ U^(1/w),
-    * that is distributionally identical to keeping the k largest
-    * max-of-w independent uniforms. So each document draws w
-    * independent 31-bit affine hashes (distinct odd multipliers) and
-    * races with their MAX: heavier-weighted sources win proportionally
-    * more, and the race is PURE 64-bit integer arithmetic — membership
-    * is bit-identical on any engine. (The float form −ln(u)/w is NOT
-    * portable: Spark codegen uses StrictMath.log, DuckDB libm log, and
-    * their last-ulp differences flip boundary docs once adjacent race
-    * keys get close, which they do as corpora grow.) Ties break on
-    * doc_id. The race key never leaves the plan (only membership is
-    * output), the draws are a narrow map, and the global top-k is a
-    * TakeOrdered — no full sort, no shuffle beyond k rows per
-    * partition. Weights are data: source index mod 4, plus 1 (weights
-    * 1..4 here; the draw array just extends for larger bounded
-    * weights). */
   /** Leakage-free train/val split: a plain per-doc hash split leaks
     * training data into validation whenever a near-dup pair straddles
     * the boundary — the eval set then contains (approximate) copies of
@@ -489,6 +471,24 @@ object TextAnalysis {
 
   val WeightedSampleK = 64
   private val RaceMultipliers = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+  /** Deterministic weighted sampling without replacement — the INTEGER
+    * form of the Efraimidis–Spirakis race. E–S keeps the k largest
+    * u_i^(1/w_i); by the inverse-CDF identity max(U_1..U_w) ~ U^(1/w),
+    * that is distributionally identical to keeping the k largest
+    * max-of-w independent uniforms. So each document draws w
+    * independent 31-bit affine hashes (distinct odd multipliers) and
+    * races with their MAX: heavier-weighted sources win proportionally
+    * more, and the race is PURE 64-bit integer arithmetic — membership
+    * is bit-identical on any engine. (The float form −ln(u)/w is NOT
+    * portable: Spark codegen uses StrictMath.log, DuckDB libm log, and
+    * their last-ulp differences flip boundary docs once adjacent race
+    * keys get close, which they do as corpora grow.) Ties break on
+    * doc_id. The race key never leaves the plan (only membership is
+    * output), the draws are a narrow map, and the global top-k is a
+    * TakeOrdered — no full sort, no shuffle beyond k rows per
+    * partition. Weights are data: source index mod 4, plus 1 (weights
+    * 1..4 here; the draw array just extends for larger bounded
+    * weights). */
   def weightedSample(s: SparkSession, dir: String): DataFrame = {
     val w = (substring(col("source"), 4, 10).cast("int") % 4 + 1).cast("long")
     val draws = array(RaceMultipliers.zipWithIndex.map { case (p, j) =>

@@ -87,7 +87,8 @@ object Pipeline {
   final case class ErrorPolicy(
     maxErrors: Long = 0L,                      // exceeding ALWAYS fails the transfer
     onError: OnError = KeepGood,
-    failRetries: Int = 0)                      // FailRetry.Max analog
+    failRetries: Int = 0,                      // FailRetry.Max analog
+    timeoutMs: Option[Long] = None)            // TimeOut analog (config.go:31)
 
   final case class TransferSpec(
     source: SourceSpec,
@@ -102,6 +103,9 @@ object Pipeline {
   final class ErrorBudgetExceeded(val nErrors: Long, val budget: Long)
     extends RuntimeException(
       s"transfer exceeded error budget: $nErrors invalid rows > maxErrors=$budget")
+
+  final class TransferTimeout(val target: String, val ms: Long, cause: Throwable)
+    extends RuntimeException(s"transfer $target timeout after ${ms}ms", cause)
 
   /** Batch-transfer status registry — the batch half of the reference's
     * tasks/status API (service.go:32 Status/GetTasksList; streaming
@@ -239,9 +243,46 @@ object Pipeline {
     } finally pool.shutdown()
   }
 
+  /** TimeOut analog (reference config.go:31 Transfer.TimeOut;
+    * transfer_service.go:474 WaitTimeout): bound one attempt's wall
+    * time. Spark gives the enforcement nearly for free — every
+    * transfer's jobs already run under a per-transfer job group (runAll
+    * assigns one; a standalone call gets one here), so the deadline is
+    * a daemon timer firing `cancelJobGroup`, which interrupts the
+    * transfer's running tasks cluster-wide without touching any other
+    * transfer's jobs. The flag distinguishes a deadline cancel from an
+    * organic failure, so retries/registry report `timeout` rather than
+    * a generic cancelled-job error. */
+  private def runWithDeadline(s: SparkSession, spec: TransferSpec,
+      targetPath: String, ms: Long): (Long, Long) = {
+    val sc = s.sparkContext
+    val existing = Option(sc.getLocalProperty("spark.jobGroup.id"))
+    val group = existing.getOrElse {
+      val g = s"graft-transfer-deadline-${java.util.UUID.randomUUID()}"
+      sc.setJobGroup(g, s"transfer $targetPath (timeout ${ms}ms)", true)
+      g
+    }
+    val deadlineHit = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val timer = new java.util.Timer("graft-transfer-timeout", true)
+    timer.schedule(new java.util.TimerTask {
+      def run(): Unit = { deadlineHit.set(true); sc.cancelJobGroup(group) }
+    }, ms)
+    try run(s, spec, targetPath)
+    catch { case e: Throwable if deadlineHit.get =>
+      throw new TransferTimeout(targetPath, ms, e)
+    } finally {
+      timer.cancel()
+      if (existing.isEmpty) sc.clearJobGroup()
+    }
+  }
+
   /** FailRetry analog (reference config.go:34-40): re-run the transfer
     * up to `spec.policy.failRetries` extra times on failure. Transfers
-    * are idempotent (overwrite semantics), so a retry converges.
+    * are idempotent (overwrite semantics), so a retry converges. A
+    * per-attempt deadline (`policy.timeoutMs`) cancels the attempt's
+    * job group and counts as a retryable failure — a transient stall
+    * (hot executor, slow object store) gets its retry; a persistent one
+    * surfaces as Failed(timeout) in BatchTasks.
     * `onAttempt` is a test/metrics hook invoked before each try. */
   def runWithRetry(s: SparkSession, spec: TransferSpec, targetPath: String,
       onAttempt: Int => Unit = _ => ()): (Long, Long) = {
@@ -251,7 +292,10 @@ object Pipeline {
     while (attempt <= spec.policy.failRetries) {
       onAttempt(attempt)
       try {
-        val r = run(s, spec, targetPath)
+        val r = spec.policy.timeoutMs match {
+          case Some(ms) => runWithDeadline(s, spec, targetPath, ms)
+          case None     => run(s, spec, targetPath)
+        }
         BatchTasks.finish(targetPath, BatchTasks.Finished(r._1, r._2, attempt + 1))
         return r
       }
@@ -260,5 +304,29 @@ object Pipeline {
     BatchTasks.finish(targetPath,
       BatchTasks.Failed(Option(last.getMessage).getOrElse(last.getClass.getName), attempt))
     throw last
+  }
+
+  /** Repeat analog (reference config.go:32, service.go:116: transferOnce
+    * decrements Repeat and goes again): run the INCREMENTAL transfer
+    * `repeat + 1` times in sequence against the same target. Combined
+    * with `maxTransfers` (config.go:23, transfer_service.go:513 — cap
+    * on source objects per pass, mapped to a cap on the not-yet-
+    * processed file listing), this is the backfill drain loop: each
+    * pass takes the next ≤ maxTransfers files by the persisted meta and
+    * the loop stops early once a pass finds nothing new. Returns per-
+    * pass (filesProcessed, rowsWritten). */
+  def runRepeated(s: SparkSession, spec: TransferSpec, targetPath: String,
+      repeat: Int, maxTransfers: Int = 0): Seq[(Int, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var pass = 0
+    var drained = false
+    while (pass <= repeat && !drained) {
+      val r = TransferMeta.runIncremental(s, spec, targetPath,
+        maxTransfers = maxTransfers)
+      out += r
+      drained = r._1 == 0
+      pass += 1
+    }
+    out.toSeq
   }
 }

@@ -125,17 +125,28 @@ object TransferMeta {
 
   /** Incremental transfer: apply `spec`'s stages to the not-yet-
     * processed source files only, append to `target`, persist the
-    * updated meta. Returns (newFilesProcessed, newRowsWritten). */
+    * updated meta. Returns (newFilesProcessed, newRowsWritten).
+    *
+    * `maxTransfers > 0` caps the files processed THIS run (reference
+    * config.go:23 MaxTransfers; transfer_service.go:513 stops listing
+    * at the cap): the run takes the first N unprocessed files in
+    * listing order and the meta records exactly those, so the next run
+    * resumes at file N+1 — the bounded-batch backfill knob. (The
+    * streaming analog is the file source's own maxFilesPerTrigger
+    * option; this is the batch-path equivalent.) */
   def runIncremental(s: SparkSession, spec: Pipeline.TransferSpec,
-      target: String, maxFullEntries: Int = MaxFullEntries): (Int, Long) = {
+      target: String, maxFullEntries: Int = MaxFullEntries,
+      maxTransfers: Int = 0): (Int, Long) = {
     val done = readMeta(s, target)
     val doneDigests = readMetaDigests(s, target)
     val doneSet = done.map(m => normalize(m.path)).toSet
     val allFiles = Pipeline.read(s, spec.source).inputFiles.toSeq.sorted
-    val newFiles = allFiles.filterNot { f =>
+    val eligible = allFiles.filterNot { f =>
       val n = normalize(f)
       doneSet(n) || doneDigests(digest64(n))
     }
+    val newFiles =
+      if (maxTransfers > 0) eligible.take(maxTransfers) else eligible
     if (newFiles.isEmpty) return (0, 0L)
 
     // explicit file list: the scan covers ONLY the new splits

@@ -62,6 +62,86 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(attempts == 3, s"expected 1 try + 2 retries, saw $attempts")
   }
 
+  test("TimeOut: a slow transfer is cancelled at the deadline and reported as timeout") {
+    // a per-row sleep makes the write job genuinely slow (~15k rows ×
+    // 20ms across 32 threads ≈ 9s of task time); the 500ms deadline
+    // must cancel the job group long before that and surface as
+    // TransferTimeout + Failed(timeout) in the registry. UDF is
+    // test-only scaffolding (production code stays UDF-free).
+    spark.udf.register("graft_spec_slow", (x: Long) => { Thread.sleep(20); x })
+    val target = tmp("timeout")
+    val spec = TransferSpec(
+      source = SourceSpec(s"$sf/orders.parquet", Parquet),
+      transforms = Seq("slow_k" -> "graft_spec_slow(o_orderkey)"),
+      policy = ErrorPolicy(timeoutMs = Some(500)))
+    val t0 = System.currentTimeMillis()
+    val e = intercept[TransferTimeout] { Pipeline.runWithRetry(spark, spec, target) }
+    val elapsed = System.currentTimeMillis() - t0
+    assert(e.ms == 500 && e.target == target)
+    assert(elapsed < 8000,
+      s"deadline cancel must interrupt the job well before it finishes (took ${elapsed}ms)")
+    Pipeline.BatchTasks.status(target) match {
+      case Some(Pipeline.BatchTasks.Status(_, Pipeline.BatchTasks.Failed(msg, attempts), _, _)) =>
+        assert(attempts == 1 && msg.contains("timeout"), s"got $msg")
+      case other => fail(s"expected Failed(timeout) status, got $other")
+    }
+    // a timeout is retryable like any failure (FailRetry semantics)
+    val target2 = tmp("timeout_retry")
+    var attempts = 0
+    intercept[TransferTimeout] {
+      Pipeline.runWithRetry(spark, spec.copy(policy =
+        ErrorPolicy(timeoutMs = Some(500), failRetries = 1)), target2, _ => attempts += 1)
+    }
+    assert(attempts == 2, s"expected 1 try + 1 retry under timeout, saw $attempts")
+    // parity: a generous deadline leaves the non-timeout path untouched
+    val okTarget = tmp("timeout_ok")
+    val okSpec = TransferSpec(
+      source = SourceSpec(s"$sf/orders.parquet", Parquet),
+      filterExpr = Some("o_orderkey <= 300"),
+      policy = ErrorPolicy(timeoutMs = Some(120000)))
+    val (written, errs) = Pipeline.runWithRetry(spark, okSpec, okTarget)
+    assert(errs == 0 && written == Pipeline.plan(spark, okSpec).count())
+  }
+
+  test("MaxTransfers: a capped run processes exactly N files and the next run resumes") {
+    val base = tmp("maxt")
+    val o = Tables.orders(spark, sf)
+    def band(i: Int) = o.filter(
+      col("o_orderkey") > i * 400 && col("o_orderkey") <= (i + 1) * 400)
+    (0 until 3).foreach { i =>
+      band(i).repartition(1).write.mode("overwrite").parquet(s"$base/src/b$i")
+    }
+    val spec = TransferSpec(source = SourceSpec(s"$base/src/b*", Parquet))
+    // pass 1 takes the first 2 files in listing order (b0, b1)
+    val (f1, r1) = TransferMeta.runIncremental(spark, spec, s"$base/target",
+      maxTransfers = 2)
+    assert(f1 == 2 && r1 == band(0).count() + band(1).count())
+    // pass 2 resumes at b2 via the persisted meta — no reprocessing
+    val (f2, r2) = TransferMeta.runIncremental(spark, spec, s"$base/target",
+      maxTransfers = 2)
+    assert(f2 == 1 && r2 == band(2).count())
+    // drained
+    val (f3, r3) = TransferMeta.runIncremental(spark, spec, s"$base/target",
+      maxTransfers = 2)
+    assert(f3 == 0 && r3 == 0)
+    // every row landed exactly once
+    assert(spark.read.parquet(s"$base/target").count() == r1 + r2)
+    assert(spark.read.parquet(s"$base/target")
+      .groupBy(col("o_orderkey")).count().filter(col("count") > 1).count() == 0)
+    // Repeat loop (runRepeated) drains the same shape in one call and
+    // stops early on the empty pass: 2+1, then 0 stops a repeat=5 loop
+    val base2 = tmp("maxt_rep")
+    (0 until 3).foreach { i =>
+      band(i).repartition(1).write.mode("overwrite").parquet(s"$base2/src/b$i")
+    }
+    val spec2 = TransferSpec(source = SourceSpec(s"$base2/src/b*", Parquet))
+    val passes = Pipeline.runRepeated(spark, spec2, s"$base2/target",
+      repeat = 5, maxTransfers = 2)
+    assert(passes.map(_._1) == Seq(2, 1, 0),
+      s"drain must stop at the first empty pass, got $passes")
+    assert(passes.map(_._2).sum == r1 + r2)
+  }
+
   test("persisted meta: re-run processes zero new files and zero rows") {
     val base = tmp("meta")
     val spec = TransferSpec(source = SourceSpec(s"$base/src", Parquet))
