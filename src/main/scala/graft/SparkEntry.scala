@@ -126,6 +126,7 @@ object SparkEntry {
     "dedup_embedding_lsh_capped" -> (Dedup.embeddingLshCapped _),
     "dedup_paragraph" -> (Dedup.paragraphs _),
     "dedup_components" -> (Dedup.components _),
+    "dedup_components_incremental" -> (Dedup.componentsIncremental _),
     "dedup_cluster_stats" -> (Dedup.clusterStats _),
     "dedup_prefix_join" -> (Dedup.prefixJoin _),
     "dedup_survivors" -> (Dedup.survivors _),
@@ -178,6 +179,7 @@ object SparkEntry {
     "text_split_leakage_free" -> (TextAnalysis.leakageFreeSplit _),
     "text_pack" -> (TextAnalysis.pack _),
     "text_decontaminate" -> (TextAnalysis.decontaminate _),
+    "text_decontaminate_bloom" -> (TextAnalysis.decontaminateBloom _),
     "text_corpus_pipeline" -> (TextAnalysis.corpusPipeline _),
     "text_rarity" -> (TextAnalysis.rarity _),
     "sim_label_centroids" -> (Similarity.labelCentroids _),
@@ -256,6 +258,31 @@ object SparkEntry {
       | SELECT vec_a, vec_b, ${cosineSql("ea.emb", "ea.nsq", "eb.emb", "eb.nsq")} AS cosine
       | FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b) t
       |WHERE cosine >= 0.4""".stripMargin
+
+  /** Connected-components oracle: all-pairs exact Jaccard ≥ 0.7 edge
+    * list, transitive closure via a recursive CTE, label = component
+    * minimum. Shared by the from-scratch and the incremental-merge
+    * gates (the merge is exact, so both contracts are this labeling). */
+  private def dedupComponentsSql: String =
+    """WITH RECURSIVE s AS (
+      | SELECT doc_id, list_distinct(list_transform(
+      |   range(1, len(string_split(text, ' ')) - 1),
+      |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+      |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+      | FROM documents),
+      |p AS (
+      | SELECT doc_a, doc_b FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      |  FROM s a, s b WHERE a.doc_id < b.doc_id) t
+      | WHERE jaccard >= 0.7),
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+      |r(a, b) AS (
+      | SELECT a, b FROM e
+      | UNION
+      | SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
+      |SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp FROM r GROUP BY a""".stripMargin
 
   /** Decontamination oracle: word n-grams via list slicing, eval/train
     * split by the same id mod, semi-join on the gram string. */
@@ -1093,26 +1120,10 @@ object SparkEntry {
         |    ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS BIGINT) AS rank
         | FROM tf JOIN df USING (term)) r
         |WHERE rank <= 3""".stripMargin,
-    "dedup_components" ->
-      """WITH RECURSIVE s AS (
-        | SELECT doc_id, list_distinct(list_transform(
-        |   range(1, len(string_split(text, ' ')) - 1),
-        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
-        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
-        | FROM documents),
-        |p AS (
-        | SELECT doc_a, doc_b FROM (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-        |  FROM s a, s b WHERE a.doc_id < b.doc_id) t
-        | WHERE jaccard >= 0.7),
-        |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
-        |r(a, b) AS (
-        | SELECT a, b FROM e
-        | UNION
-        | SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
-        |SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp FROM r GROUP BY a""".stripMargin,
+    "dedup_components" -> dedupComponentsSql,
+    // incremental merge is EXACT (rep contraction preserves component
+    // minima) — its contract is the same full-recompute labeling
+    "dedup_components_incremental" -> dedupComponentsSql,
     "dedup_cluster_stats" ->
       """WITH RECURSIVE s AS (
         | SELECT doc_id, list_distinct(list_transform(
@@ -1437,6 +1448,9 @@ object SparkEntry {
     "sim_multiprobe_topk" -> simMultiprobeTopkSql,
     "sim_rerank_topk" -> simRerankTopkSql,
     "text_decontaminate" -> textDecontaminateSql,
+    // the bloom path's exact-verify stage removes every bloom false
+    // positive, so its contract IS the exact oracle — same SQL
+    "text_decontaminate_bloom" -> textDecontaminateSql,
     "text_corpus_pipeline" -> textCorpusPipelineSql,
     // raw words in the oracle (the Spark side joins md5 fps — collision tripwire)
     "text_rarity" ->

@@ -295,7 +295,19 @@ object GraftFunctions {
         LshSigs(args(0), t, p)
       case other => throw new IllegalArgumentException(
         s"graft_lsh_sigs tables/planes must be int literals, got $other")
-    }))
+    }),
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+    // runtime join filters but does NOT register them as SQL-callable
+    // functions; these two names expose them for EXPLICIT broadcast
+    // bloom pre-filters (decontamination against a bounded eval set,
+    // sketch-style semi joins). args: (xxhash64 long, estimated items,
+    // bits) / (built filter, xxhash64 long).
+    "graft_bloom_agg" -> ((args: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        args(0), args(1), args(2)).toAggregateExpression()),
+    "graft_bloom_contains" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        args(0), args(1))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.registerFunction(

@@ -365,6 +365,67 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
   }
 
+  /** Incremental connected components — the nightly-crawl continuation
+    * of [[incrementalNear]]: a snapshot corpus already carries
+    * component labels from last night's run; a new batch (source src0)
+    * contributes new near-dup pairs (batch↔batch and batch↔snapshot).
+    * Instead of re-contracting the full historical edge set, the
+    * snapshot side is COLLAPSED to its component representatives — each
+    * new pair maps its snapshot endpoints through the existing label
+    * (the component-min rep), and star contraction runs only over this
+    * rep graph, whose size is bounded by the NEW pairs, not corpus
+    * history. Labels then propagate back through the old labeling: a
+    * snapshot doc's final label is its rep's merged label. This is
+    * exact, not approximate: a rep is the minimum of its old component,
+    * so the merged component's minimum over reps and batch ids IS the
+    * global minimum over all members — the gate's oracle is the full
+    * from-scratch recompute (`dedup_components`' SQL) and the outputs
+    * are hash-identical. At 100 TB the snapshot labels are the lineage
+    * table the dedup pass already persists (here recomputed from the
+    * snapshot pairs, the same stand-in [[incremental]] uses for its
+    * fingerprint index); per-night cost scales with the crawl delta,
+    * not with corpus age. */
+  def componentsIncremental(s: SparkSession, dir: String): DataFrame = {
+    val flags = Tables.documentsParallel(s, dir)
+      .select(col("doc_id"), (col("source") === "src0").as("is_b"))
+    val p = lshVerified(s, dir).select(col("doc_a"), col("doc_b"))
+      .join(flags.select(col("doc_id").as("doc_a"), col("is_b").as("ba")), "doc_a")
+      .join(flags.select(col("doc_id").as("doc_b"), col("is_b").as("bb")), "doc_b")
+      .localCheckpoint()
+    val snapPairs = p.filter(!col("ba") && !col("bb")).select(col("doc_a"), col("doc_b"))
+    val newPairs = p.filter(col("ba") || col("bb")).select(col("doc_a"), col("doc_b"))
+    // last night's labeling (in production: read from the lineage sink)
+    val snapLabels = connectedComponents(snapPairs)
+      .withColumnRenamed("comp", "snap_comp").localCheckpoint()
+    mergeComponents(snapLabels, newPairs)
+  }
+
+  /** The incremental-merge algebra, separated so specs can drive
+    * synthetic snapshot/batch shapes directly: contract each new pair's
+    * endpoints through the existing labeling (absent → the doc is its
+    * own rep), run star contraction over the rep graph only, propagate
+    * merged labels back through the old labeling. Exact for min-labels
+    * because a rep IS its old component's minimum. */
+  def mergeComponents(snapLabels: DataFrame, newPairs: DataFrame): DataFrame = {
+    val repEdges = newPairs
+      .join(snapLabels.select(col("doc_id").as("doc_a"), col("snap_comp")),
+        Seq("doc_a"), "left")
+      .select(coalesce(col("snap_comp"), col("doc_a")).as("ra"), col("doc_b"))
+      .join(snapLabels.select(col("doc_id").as("doc_b"), col("snap_comp")),
+        Seq("doc_b"), "left")
+      .select(col("ra").as("doc_a"),
+        coalesce(col("snap_comp"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b")) // contracted self-loops carry no info
+    val merged = connectedComponents(repEdges)
+    // propagate: snapshot docs through their rep; rep/batch nodes direct
+    val fromSnap = snapLabels
+      .join(merged.select(col("doc_id").as("snap_comp"), col("comp").as("m")),
+        Seq("snap_comp"), "left")
+      .select(col("doc_id"), coalesce(col("m"), col("snap_comp")).as("comp"))
+    fromSnap.union(merged)
+      .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
+  }
+
   /** Cluster-size distribution of the near-dup components — the dedup
     * observability report (how much of the corpus sits in how-big
     * clusters) a pipeline checks before committing to a survivor

@@ -328,19 +328,54 @@ object TextAnalysis {
     * 100 TB the eval side is tiny and AQE broadcasts it (no hint: the
     * operator doesn't assume which side is bounded). Output: each
     * contaminated doc with its distinct leaked-n-gram count. */
+  /** (doc_id, 16-byte gram fingerprint) pairs for every word n-gram —
+    * shared by the exact and bloom decontamination paths. */
+  private def docGramFps(d: DataFrame, n: Int): DataFrame = d
+    .filter(size(col("w")) >= n)
+    .select(col("doc_id"), explode(expr(
+      s"transform(sequence(1, size(w) - ${n - 1}), i -> array_join(slice(w, i, $n), ' '))"))
+      .as("gram"))
+    .select(col("doc_id"), unhex(md5(col("gram"))).as("gram_fp"))
+
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val n = DecontamN
     val d = Tables.documentsParallel(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-    def gramFps(df: DataFrame): DataFrame = df
-      .filter(size(col("w")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(w) - ${n - 1}), i -> array_join(slice(w, i, $n), ' '))"))
-        .as("gram"))
-      .select(col("doc_id"), unhex(md5(col("gram"))).as("gram_fp"))
-    val evalFps = gramFps(d.filter(col("doc_id") % 97 === 0))
+    val evalFps = docGramFps(d.filter(col("doc_id") % 97 === 0), n)
       .select(col("gram_fp")).distinct()
-    gramFps(d.filter(col("doc_id") % 97 =!= 0))
+    docGramFps(d.filter(col("doc_id") % 97 =!= 0), n)
+      .join(evalFps, "gram_fp")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram_fp")).as("n_hit_ngrams"))
+  }
+
+  /** Bloom-pruned decontamination — the 100 TB shape of
+    * [[decontaminate]]: the eval side is bounded (a benchmark suite is
+    * MBs, not TBs), so its gram fingerprints compress into ONE
+    * broadcast Bloom filter and the training side's grams are pruned AT
+    * THE SCAN by `graft_bloom_contains` BEFORE any exchange — the
+    * shuffle join then sees only the grams that might match (the
+    * filter's fpp), instead of every gram in the corpus. The surviving
+    * candidates still verify against the exact fingerprint set, so
+    * bloom false positives are removed and the output is bit-identical
+    * to the exact path (same oracle row). The bloom build is a global
+    * one-row aggregate delivered as a SCALAR SUBQUERY (might_contain
+    * requires a constant/scalar bloom — Spark evaluates it once and
+    * ships the bytes with the plan, the broadcast-equivalent for
+    * scalars); sizing covers the eval gram count at gate SFs with a
+    * ~1% fpp and scales by the `items` knob, not the plan. */
+  def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val n = DecontamN
+    val d = Tables.documentsParallel(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val evalFps = docGramFps(d.filter(col("doc_id") % 97 === 0), n)
+      .select(col("gram_fp")).distinct()
+    val bloom = evalFps
+      .agg(expr("graft_bloom_agg(xxhash64(gram_fp), 100000L, 960000L)").as("bf"))
+    docGramFps(d.filter(col("doc_id") % 97 =!= 0), n)
+      .filter(call_function("graft_bloom_contains",
+        bloom.scalar(), xxhash64(col("gram_fp"))))
       .join(evalFps, "gram_fp")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram_fp")).as("n_hit_ngrams"))

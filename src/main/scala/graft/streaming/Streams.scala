@@ -67,10 +67,19 @@ object Streams {
 
   /** Streaming file transfer: ndjson in → filter/transform → parquet
     * out, Trigger.AvailableNow (process-everything-then-stop — the
-    * batch-parity mode used by the correctness gate). */
+    * batch-parity mode used by the correctness gate).
+    * `maxFilesPerTrigger` is the streaming face of the reference's
+    * MaxTransfers object cap (config.go:23; the batch face is
+    * TransferMeta.runIncremental's maxTransfers): AvailableNow drains
+    * everything but honors the per-micro-batch file budget, bounding
+    * each commit's size/memory no matter how large the backlog.
+    * Returns the number of data micro-batches the drain took. */
   def fileTransferAvailableNow(s: SparkSession, srcDir: String, schemaDdl: String,
-      dstDir: String, checkpoint: String): Unit = {
-    val in = s.readStream.schema(schemaDdl).json(srcDir)
+      dstDir: String, checkpoint: String,
+      maxFilesPerTrigger: Option[Int] = None): Long = {
+    val rdr = s.readStream.schema(schemaDdl)
+    val in = maxFilesPerTrigger
+      .map(n => rdr.option("maxFilesPerTrigger", n)).getOrElse(rdr).json(srcDir)
     val out = in.filter(col("event_type") =!= "error")
       .withColumn("value_cents", (col("value").cast("decimal(18,2)") * 100).cast("long"))
     val q = out.writeStream
@@ -80,6 +89,7 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    q.recentProgress.count(_.numInputRows > 0).toLong
   }
 
   /** End-to-end streaming transfer for the correctness gate: stage a

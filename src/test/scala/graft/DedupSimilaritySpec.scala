@@ -381,6 +381,71 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(c2.values.forall(_ == 10L), s"overlapping stars must merge; got $c2")
   }
 
+  test("incremental components: rep-contracted merge equals the full recompute") {
+    val full = Dedup.components(spark, sf).orderBy("doc_id").collect()
+    val inc = Dedup.componentsIncremental(spark, sf).orderBy("doc_id").collect()
+    assert(full.nonEmpty, "gate corpus must contain near-dup pairs")
+    assert(full.sameElements(inc),
+      "incremental merge must reproduce the from-scratch labeling exactly")
+    // adversarial merge algebra: two disjoint snapshot components
+    // {1,2,3} (rep 1) and {10,11} (rep 10) joined ONLY through a batch
+    // chain 3–100–10, plus a batch-only pair and an unlabeled snapshot
+    // doc first seen in a new pair
+    import spark.implicits._
+    val snapLabels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "snap_comp")
+    val newPairs = Seq((3L, 100L), (100L, 10L), (200L, 201L), (50L, 300L))
+      .toDF("doc_a", "doc_b")
+    val m = Dedup.mergeComponents(snapLabels, newPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 10L, 11L, 100L).forall(m(_) == 1L),
+      s"batch chain must merge both snapshot components to min 1; got $m")
+    assert(m(200L) == 200L && m(201L) == 200L, "batch-only pair labels to its min")
+    assert(m(50L) == 50L && m(300L) == 50L,
+      "snapshot doc first seen in a new pair is its own rep")
+  }
+
+  test("components: random graphs agree with a union-find oracle, full and incremental") {
+    // seeded random multigraphs vs a driver-side union-find: pins the
+    // whole star-contraction + convergence machinery (and the
+    // incremental merge under ARBITRARY snapshot/batch edge splits, not
+    // just the corpus's) against an independent implementation
+    import spark.implicits._
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map(v => v -> find(v)).toMap
+    }
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(80 + rnd.nextInt(40))(
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(p => p._1 != p._2)
+      val expected = unionFind(edges)
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: full labels diverge from union-find")
+      // random edge split into "snapshot" and "new": merge must land on
+      // the same labels as the full run
+      val (snapE, newE) = edges.partition(_ => rnd.nextBoolean())
+      if (snapE.nonEmpty && newE.nonEmpty) {
+        val snapLabels = Dedup.connectedComponents(snapE.toDF("doc_a", "doc_b"))
+          .withColumnRenamed("comp", "snap_comp")
+        val merged = Dedup.mergeComponents(snapLabels, newE.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(merged == expected, s"trial $trial: incremental labels diverge")
+      }
+    }
+  }
+
   test("components loop: an ls+ss iteration costs two driver actions (VERDICT r4 #6)") {
     // per iteration the loop now issues TWO driver actions — the eager
     // large-round checkpoint and the combined small-round-materialize +

@@ -217,6 +217,32 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(got.length == 300 && got.toSet == events.map(_.event_id).toSet)
   }
 
+  test("maxFilesPerTrigger: AvailableNow drains in bounded micro-batches, same sink") {
+    // streaming face of the reference's MaxTransfers cap: 4 staged
+    // source files under a 1-file budget must take ≥4 data batches
+    // (uncapped: 1) and land byte-identical sink contents
+    def stage(base: String): Unit = (0 until 4).foreach { i =>
+      Tables.events(spark, sf)
+        .filter(col("event_id") >= i * 250 && col("event_id") < (i + 1) * 250)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .coalesce(1).write.mode("append").json(s"$base/src")
+    }
+    val ddl = "event_id LONG, user_id LONG, event_type STRING, value DOUBLE"
+    val capped = s"${System.getProperty("java.io.tmpdir")}/graft_mft_${System.nanoTime}"
+    stage(capped)
+    val nCapped = Streams.fileTransferAvailableNow(spark, s"$capped/src", ddl,
+      s"$capped/dst", s"$capped/cp", maxFilesPerTrigger = Some(1))
+    val open = s"${System.getProperty("java.io.tmpdir")}/graft_mft_u_${System.nanoTime}"
+    stage(open)
+    val nOpen = Streams.fileTransferAvailableNow(spark, s"$open/src", ddl,
+      s"$open/dst", s"$open/cp")
+    assert(nCapped >= 4, s"1-file budget over 4 files must take ≥4 batches, took $nCapped")
+    assert(nOpen == 1, s"uncapped AvailableNow should drain in one batch, took $nOpen")
+    val a = spark.read.parquet(s"$capped/dst").orderBy("event_id").collect()
+    val b = spark.read.parquet(s"$open/dst").orderBy("event_id").collect()
+    assert(a.nonEmpty && a.sameElements(b), "cap must not change sink contents")
+  }
+
   test("pipeline run() writes dynamic partitions routed by mod and date keys") {
     import graft.plans.Pipeline._
     val out = java.nio.file.Files.createTempDirectory("graft_pipe").toString

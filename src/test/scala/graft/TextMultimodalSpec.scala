@@ -97,6 +97,21 @@ class TextMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom decontamination: bit-identical to the exact path, prune sits before the join") {
+    val exact = TextAnalysis.decontaminate(spark, sf).orderBy("doc_id").collect()
+    val bloomed = TextAnalysis.decontaminateBloom(spark, sf).orderBy("doc_id").collect()
+    assert(exact.nonEmpty && exact.sameElements(bloomed),
+      "exact-verify stage must cancel every bloom false positive")
+    // the prune is structural: the plan carries might_contain fed by a
+    // scalar subquery (the 1-row bloom build), filtering the TRAIN side
+    // before the gram_fp equi-join shuffles anything
+    val plan = TextAnalysis.decontaminateBloom(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom prune missing from plan:\n$plan")
+    assert(plan.contains("Subquery") || plan.contains("subquery"),
+      "bloom must arrive as a scalar subquery")
+  }
+
   test("decontamination flags exactly the docs sharing an eval n-gram") {
     import org.apache.spark.sql.functions._
     val flagged = TextAnalysis.decontaminate(spark, sf)
