@@ -49,6 +49,7 @@ object SparkEntry {
     "etl_policy_route" -> (Etl.policyRoute _),
     "etl_meta_incremental" -> (Etl.metaIncremental _),
     "etl_max_transfers" -> (Etl.maxTransfersDrain _),
+    "etl_config_json" -> (Etl.configJsonTransfer _),
     // query engine
     "q1_agg" -> (Analytics.q1Agg _),
     "q3_join" -> (Analytics.q3Join _),
@@ -1286,6 +1287,13 @@ object SparkEntry {
         | (SELECT COUNT(*) FROM orders WHERE o_orderkey > 1600 AND o_orderkey <= 2000),
         | (SELECT n FROM t)
         |UNION ALL SELECT 4, 0, 0, (SELECT n FROM t)""".stripMargin,
+    // FLOOR on both sides: Spark CAST(double AS INT) truncates, DuckDB
+    // rounds — floor is the truncation both engines share; DuckDB
+    // SUM(int)→HUGEINT needs the BIGINT cast
+    "etl_config_json" ->
+      """SELECT CAST(o_custkey % 4 AS INT) AS shard, COUNT(*) AS n,
+        | CAST(SUM(CAST(FLOOR(o_totalprice / 100000) AS INT)) AS BIGINT) AS sum_band
+        |FROM orders WHERE o_orderkey <= 2000 GROUP BY 1""".stripMargin,
     "stream_scheduled" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents

@@ -434,6 +434,32 @@ object Etl {
     }.toDF("pass", "n_files", "n_rows", "n_total")
   }
 
+  /** Config-file-driven transfer (reference config.go:15 + the JSON
+    * documents under test/: the reference's entire UX is a JSON config)
+    * — the document below is parsed by plans.ConfigJson into a
+    * TransferSpec and run through the same runAll machinery, proving a
+    * reference-style deployment ports by translating its config file
+    * and nothing else. Filter + transform + mod-route come FROM the
+    * JSON; the gate reads the partitioned sink back and aggregates per
+    * shard (floor keeps the band arithmetic truncation-identical
+    * between Spark and the oracle). */
+  def configJsonTransfer(s: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_cfg_${System.nanoTime}"
+    val cfg = s"""{"Transfers": [{
+      |  "Source": {"Path": "$dir/orders.parquet", "Format": "parquet"},
+      |  "Target": "$base/out",
+      |  "Filter": "o_orderkey <= 2000",
+      |  "Transforms": [{"Name": "band",
+      |                  "Expr": "CAST(FLOOR(o_totalprice / 100000) AS INT)"}],
+      |  "Routes": [{"Type": "mod", "Name": "shard", "Src": "o_custkey", "N": 4}],
+      |  "MaxErrorCounts": 0
+      |}]}""".stripMargin
+    graft.plans.ConfigJson.run(s, cfg)
+    s.read.parquet(s"$base/out")
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("n"), sum(col("band")).as("sum_band"))
+  }
+
   /** Dynamic-partitioned sink (reference transfer.go getTargetKey →
     * per-key target files): one distributed write, partition dirs are
     * the dynamic targets. Returns the read-back per-partition counts so

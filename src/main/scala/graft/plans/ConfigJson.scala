@@ -1,0 +1,303 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+
+/** JSON config front-end for transfer pipelines — the reference's
+  * config-file UX (reference config.go:15 Transfer rules loaded from
+  * JSON, e.g. test/transfer_config2.json) over [[Pipeline.TransferSpec]].
+  * A user of the reference drives everything from a JSON document; this
+  * parses the equivalent document into specs and runs them through the
+  * same `runAll`/`runWithRetry` machinery (FAIR pools, job groups,
+  * retries, deadlines), so the config file is the ONLY thing a
+  * reference-style deployment needs to port.
+  *
+  * Document shape (keys mirror the reference where a mapping exists):
+  * {{{
+  * {"Transfers": [{
+  *   "Source": {"Path": "...", "Format": "parquet|ndjson|csv",
+  *              "Schema": "a LONG, b STRING"},        // Schema optional
+  *   "Target": "/out/path",            // ##env.VAR## expands (util.go:20)
+  *   "Filter": "a > 0",                              // Filter registry
+  *   "Transforms": [{"Name": "b2", "Expr": "upper(b)"}],   // Transformer
+  *   "Routes": [{"Type": "mod",  "Name": "shard", "Src": "a", "N": 4},
+  *              {"Type": "date", "Name": "dt", "Src": "ts",
+  *               "Fmt": "yyyy-MM-dd"},
+  *              {"Type": "extract", "Name": "v", "Src": "b",
+  *               "Regex": "(x+)", "Group": 1},
+  *              {"Type": "env",  "Name": "u", "Var": "USER"},
+  *              {"Type": "runtime", "Name": "thread", "Value": "t1"}],
+  *   "Select": ["a", "b2"],
+  *   "Valid": "a % 7 != 0",            // rows failing this are errors
+  *   "MaxErrorCounts": 0,              // config.go:27
+  *   "FailRetry": 2,                   // config.go:34
+  *   "TimeOut": {"Duration": 300, "Unit": "milli"},   // config.go:31
+  *   "Quarantine": "/quar/path",       // RouteQuarantine sink
+  *   "MaxParallelTransfers": 2         // config.go:18 (max over transfers)
+  * }]}
+  * }}}
+  *
+  * The parser is a minimal self-contained recursive descent (strings
+  * with escapes, numbers, bools, null, arrays, objects) — no JSON
+  * library lands on the driver for a config file, same stance as
+  * TransferMeta's flat codec. Unknown keys are ignored (configs may
+  * carry reference-only fields); malformed documents and unmappable
+  * values fail loudly with position information.
+  */
+object ConfigJson {
+
+  // ----- minimal JSON model + parser -----
+
+  sealed trait JValue
+  final case class JStr(v: String) extends JValue
+  final case class JNum(v: Double) extends JValue
+  final case class JBool(v: Boolean) extends JValue
+  case object JNull extends JValue
+  final case class JArr(v: Vector[JValue]) extends JValue
+  final case class JObj(v: Map[String, JValue]) extends JValue
+
+  final class JsonParseError(msg: String, pos: Int)
+    extends RuntimeException(s"$msg at offset $pos")
+
+  def parse(s: String): JValue = {
+    val p = new Parser(s)
+    val v = p.value()
+    p.skipWs()
+    if (!p.eof) throw new JsonParseError("trailing content", p.pos)
+    v
+  }
+
+  private final class Parser(s: String) {
+    var pos = 0
+    def eof: Boolean = pos >= s.length
+    def skipWs(): Unit =
+      while (!eof && Character.isWhitespace(s.charAt(pos))) pos += 1
+    private def fail(msg: String) = throw new JsonParseError(msg, pos)
+    private def expect(c: Char): Unit = {
+      if (eof || s.charAt(pos) != c) fail(s"expected '$c'")
+      pos += 1
+    }
+
+    def value(): JValue = {
+      skipWs()
+      if (eof) fail("unexpected end of input")
+      s.charAt(pos) match {
+        case '{' => obj()
+        case '[' => arr()
+        case '"' => JStr(str())
+        case 't' => lit("true", JBool(true))
+        case 'f' => lit("false", JBool(false))
+        case 'n' => lit("null", JNull)
+        case c if c == '-' || c.isDigit => num()
+        case c => fail(s"unexpected character '$c'")
+      }
+    }
+
+    private def lit(text: String, v: JValue): JValue = {
+      if (!s.startsWith(text, pos)) fail(s"expected $text")
+      pos += text.length; v
+    }
+
+    private def obj(): JObj = {
+      expect('{'); skipWs()
+      val b = Map.newBuilder[String, JValue]
+      if (!eof && s.charAt(pos) == '}') { pos += 1; return JObj(b.result()) }
+      var done = false
+      while (!done) {
+        skipWs()
+        val k = str()
+        skipWs(); expect(':')
+        b += k -> value()
+        skipWs()
+        if (!eof && s.charAt(pos) == ',') pos += 1
+        else { expect('}'); done = true }
+      }
+      JObj(b.result())
+    }
+
+    private def arr(): JArr = {
+      expect('['); skipWs()
+      val b = Vector.newBuilder[JValue]
+      if (!eof && s.charAt(pos) == ']') { pos += 1; return JArr(b.result()) }
+      var done = false
+      while (!done) {
+        b += value()
+        skipWs()
+        if (!eof && s.charAt(pos) == ',') pos += 1
+        else { expect(']'); done = true }
+      }
+      JArr(b.result())
+    }
+
+    private def str(): String = {
+      expect('"')
+      val b = new StringBuilder
+      while (!eof && s.charAt(pos) != '"') {
+        val c = s.charAt(pos)
+        if (c == '\\') {
+          pos += 1
+          if (eof) fail("unterminated escape")
+          s.charAt(pos) match {
+            case '"' => b += '"'; case '\\' => b += '\\'; case '/' => b += '/'
+            case 'b' => b += '\b'; case 'f' => b += '\f'; case 'n' => b += '\n'
+            case 'r' => b += '\r'; case 't' => b += '\t'
+            case 'u' =>
+              if (pos + 4 >= s.length) fail("truncated \\u escape")
+              b += Integer.parseInt(s.substring(pos + 1, pos + 5), 16).toChar
+              pos += 4
+            case e => fail(s"bad escape '\\$e'")
+          }
+        } else b += c
+        pos += 1
+      }
+      expect('"')
+      b.result()
+    }
+
+    private def num(): JNum = {
+      val start = pos
+      if (!eof && s.charAt(pos) == '-') pos += 1
+      while (!eof && (s.charAt(pos).isDigit || "+-.eE".indexOf(s.charAt(pos)) >= 0))
+        pos += 1
+      try JNum(s.substring(start, pos).toDouble)
+      catch { case _: NumberFormatException => fail("bad number") }
+    }
+  }
+
+  // ----- config → TransferSpec mapping -----
+
+  final class ConfigError(msg: String) extends RuntimeException(msg)
+
+  private def obj(v: JValue, what: String): Map[String, JValue] = v match {
+    case JObj(m) => m
+    case other => throw new ConfigError(s"$what must be an object, got $other")
+  }
+  private def str(v: JValue, what: String): String = v match {
+    case JStr(x) => x
+    case other => throw new ConfigError(s"$what must be a string, got $other")
+  }
+  private def int(v: JValue, what: String): Int = v match {
+    case JNum(x) if x == x.toInt => x.toInt
+    case other => throw new ConfigError(s"$what must be an integer, got $other")
+  }
+  private def long(v: JValue, what: String): Long = v match {
+    case JNum(x) if x == x.toLong => x.toLong
+    case other => throw new ConfigError(s"$what must be an integer, got $other")
+  }
+
+  /** Duration object → milliseconds (reference Duration units,
+    * util.go Get: milli/sec/min/hour). */
+  private def durationMs(v: JValue): Long = {
+    val m = obj(v, "TimeOut")
+    val d = long(m.getOrElse("Duration",
+      throw new ConfigError("TimeOut.Duration missing")), "Duration")
+    str(m.getOrElse("Unit", JStr("milli")), "Unit") match {
+      case "milli" | "ms"      => d
+      case "sec" | "second"    => d * 1000L
+      case "min" | "minute"    => d * 60000L
+      case "hour"              => d * 3600000L
+      case u => throw new ConfigError(s"unsupported TimeOut unit '$u'")
+    }
+  }
+
+  private def route(v: JValue): Pipeline.RouteKey = {
+    val m = obj(v, "route")
+    def req(k: String) =
+      m.getOrElse(k, throw new ConfigError(s"route missing '$k': $m"))
+    val name = str(req("Name"), "route Name")
+    str(req("Type"), "route Type") match {
+      case "mod" =>
+        Pipeline.ModKey(name, str(req("Src"), "Src"), int(req("N"), "N"))
+      case "date" =>
+        Pipeline.DateKey(name, str(req("Src"), "Src"), str(req("Fmt"), "Fmt"))
+      case "extract" =>
+        Pipeline.ExtractKey(name, str(req("Src"), "Src"),
+          str(req("Regex"), "Regex"), int(req("Group"), "Group"))
+      case "env" =>
+        Pipeline.EnvKey(name, str(req("Var"), "Var"),
+          m.get("Default").map(str(_, "Default")).getOrElse(""))
+      case "runtime" =>
+        Pipeline.RuntimeKey(name, str(req("Value"), "Value"))
+      case t => throw new ConfigError(s"unknown route Type '$t'")
+    }
+  }
+
+  private def format(name: String): Pipeline.Format = name.toLowerCase match {
+    case "parquet"          => Pipeline.Parquet
+    case "ndjson" | "json"  => Pipeline.NdJson
+    case "csv"              => Pipeline.Csv
+    case f => throw new ConfigError(s"unsupported source Format '$f'")
+  }
+
+  private def transfer(v: JValue): (Pipeline.TransferSpec, String, Int) = {
+    val m = obj(v, "transfer")
+    val srcM = obj(m.getOrElse("Source",
+      throw new ConfigError("transfer missing Source")), "Source")
+    val source = Pipeline.SourceSpec(
+      path = Pipeline.expandTarget(str(srcM.getOrElse("Path",
+        throw new ConfigError("Source missing Path")), "Source.Path")),
+      format = format(str(srcM.getOrElse("Format", JStr("parquet")), "Format")),
+      schemaDdl = srcM.get("Schema").map(str(_, "Schema")))
+    val target = Pipeline.expandTarget(str(m.getOrElse("Target",
+      throw new ConfigError("transfer missing Target")), "Target"))
+    val transforms = m.get("Transforms").toSeq.flatMap {
+      case JArr(ts) => ts.map { t =>
+        val tm = obj(t, "transform")
+        (str(tm.getOrElse("Name", throw new ConfigError("transform missing Name")),
+          "Name"),
+          str(tm.getOrElse("Expr", throw new ConfigError("transform missing Expr")),
+            "Expr"))
+      }
+      case other => throw new ConfigError(s"Transforms must be an array, got $other")
+    }
+    val routes = m.get("Routes").toSeq.flatMap {
+      case JArr(rs) => rs.map(route)
+      case other => throw new ConfigError(s"Routes must be an array, got $other")
+    }
+    val select = m.get("Select").toSeq.flatMap {
+      case JArr(cs) => cs.map(str(_, "Select entry"))
+      case other => throw new ConfigError(s"Select must be an array, got $other")
+    }
+    val policy = Pipeline.ErrorPolicy(
+      maxErrors = m.get("MaxErrorCounts").map(long(_, "MaxErrorCounts")).getOrElse(0L),
+      onError = m.get("Quarantine").map(q =>
+        Pipeline.RouteQuarantine(Pipeline.expandTarget(str(q, "Quarantine"))))
+        .getOrElse(Pipeline.KeepGood),
+      failRetries = m.get("FailRetry").map(int(_, "FailRetry")).getOrElse(0),
+      timeoutMs = m.get("TimeOut").map(durationMs))
+    val spec = Pipeline.TransferSpec(
+      source = source,
+      filterExpr = m.get("Filter").map(str(_, "Filter")),
+      transforms = transforms,
+      enrich = None, // enrich dims are DataFrames — wired in code, not config
+      routes = routes,
+      select = select,
+      validExpr = m.get("Valid").map(str(_, "Valid")),
+      policy = policy)
+    val par = m.get("MaxParallelTransfers")
+      .map(int(_, "MaxParallelTransfers")).getOrElse(1)
+    (spec, target, par)
+  }
+
+  /** Parse a config document into (spec, expanded target) pairs. */
+  def parseTransfers(json: String): Seq[(Pipeline.TransferSpec, String)] =
+    parsed(json).map { case (s, t, _) => (s, t) }
+
+  private def parsed(json: String): Seq[(Pipeline.TransferSpec, String, Int)] = {
+    val root = obj(parse(json), "config root")
+    root.getOrElse("Transfers",
+      throw new ConfigError("config missing Transfers")) match {
+      case JArr(ts) if ts.nonEmpty => ts.map(transfer)
+      case JArr(_) => throw new ConfigError("Transfers is empty")
+      case other => throw new ConfigError(s"Transfers must be an array, got $other")
+    }
+  }
+
+  /** Parse and run every transfer in the document through runAll
+    * (maxParallel = the max MaxParallelTransfers declared, floor 1).
+    * Returns per-transfer (rowsWritten, errorRows) in document order. */
+  def run(s: SparkSession, json: String): Seq[(Long, Long)] = {
+    val ts = parsed(json)
+    Pipeline.runAll(s, ts.map { case (spec, t, _) => (spec, t) },
+      maxParallel = math.max(1, ts.map(_._3).max))
+  }
+}

@@ -11,7 +11,8 @@ object ExplainAudit {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val targets =
       if (args.length > 1) args.drop(1).toSeq
-      else Seq("text_decontaminate", "dedup_paragraph", "sim_rerank_topk",
+      else Seq("text_decontaminate", "text_decontaminate_bloom", "dedup_paragraph",
+        "dedup_components_incremental", "sim_rerank_topk",
         "q7_volume", "q13_custdist", "q17_small_qty", "q20_part_suppliers",
         "mm_dedup", "text_pack")
     targets.foreach { name =>

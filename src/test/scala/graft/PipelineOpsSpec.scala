@@ -142,6 +142,72 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(passes.map(_._2).sum == r1 + r2)
   }
 
+  test("JSON config: reference-shaped document parses into the full spec surface") {
+    import graft.plans.ConfigJson
+    val json = """{"Transfers": [{
+      |  "Source": {"Path": "/in/##env.HOME##/src", "Format": "ndjson",
+      |             "Schema": "a LONG, b STRING"},
+      |  "Target": "/out/##env.HOME##/dst",
+      |  "Filter": "a > 0",
+      |  "Transforms": [{"Name": "b2", "Expr": "upper(b)"}],
+      |  "Routes": [{"Type": "mod", "Name": "shard", "Src": "a", "N": 8},
+      |             {"Type": "date", "Name": "dt", "Src": "ts", "Fmt": "yyyy-MM-dd"},
+      |             {"Type": "runtime", "Name": "thread", "Value": "t7"}],
+      |  "Select": ["a", "b2"],
+      |  "Valid": "a % 7 != 0",
+      |  "MaxErrorCounts": 5,
+      |  "FailRetry": 2,
+      |  "TimeOut": {"Duration": 3, "Unit": "sec"},
+      |  "Quarantine": "/quar",
+      |  "MaxParallelTransfers": 2,
+      |  "ReferenceOnlyKeyIgnored": {"Duration": 1, "Unit": "sec"}
+      |}]}""".stripMargin
+    val Seq((spec, target)) = ConfigJson.parseTransfers(json)
+    val home = sys.env("HOME")
+    assert(target == s"/out/$home/dst" && spec.source.path == s"/in/$home/src")
+    assert(spec.source.format == NdJson && spec.source.schemaDdl.contains("a LONG, b STRING"))
+    assert(spec.filterExpr.contains("a > 0") && spec.transforms == Seq("b2" -> "upper(b)"))
+    assert(spec.routes.map(_.name) == Seq("shard", "dt", "thread"))
+    assert(spec.routes.head == ModKey("shard", "a", 8))
+    assert(spec.select == Seq("a", "b2") && spec.validExpr.contains("a % 7 != 0"))
+    assert(spec.policy == ErrorPolicy(5L, RouteQuarantine("/quar"), 2, Some(3000L)))
+    // loud failures: malformed JSON, bad enum, missing required key
+    intercept[ConfigJson.JsonParseError] { ConfigJson.parse("""{"a": [1,""") }
+    intercept[ConfigJson.ConfigError] {
+      ConfigJson.parseTransfers(
+        """{"Transfers":[{"Source":{"Path":"/x","Format":"avro"},"Target":"/y"}]}""")
+    }
+    intercept[ConfigJson.ConfigError] {
+      ConfigJson.parseTransfers("""{"Transfers":[{"Target":"/y"}]}""")
+    }
+  }
+
+  test("JSON config: running the document equals the hand-built spec run") {
+    import graft.plans.ConfigJson
+    val outJson = tmp("cfg_json"); val outHand = tmp("cfg_hand")
+    val json = s"""{"Transfers": [{
+      |  "Source": {"Path": "$sf/orders.parquet", "Format": "parquet"},
+      |  "Target": "$outJson",
+      |  "Filter": "o_orderkey <= 500",
+      |  "Transforms": [{"Name": "pri", "Expr": "substr(o_orderpriority, 1, 1)"}],
+      |  "Routes": [{"Type": "mod", "Name": "shard", "Src": "o_custkey", "N": 4}]
+      |}]}""".stripMargin
+    val Seq((written, errs)) = ConfigJson.run(spark, json)
+    val hand = TransferSpec(
+      source = SourceSpec(s"$sf/orders.parquet", Parquet),
+      filterExpr = Some("o_orderkey <= 500"),
+      transforms = Seq("pri" -> "substr(o_orderpriority, 1, 1)"),
+      routes = Seq(ModKey("shard", "o_custkey", 4)))
+    val (writtenHand, errsHand) = Pipeline.run(spark, hand, outHand)
+    assert(errs == 0 && errsHand == 0 && written == writtenHand)
+    val a = spark.read.parquet(outJson)
+      .select("o_orderkey", "pri", "shard").orderBy("o_orderkey").collect()
+    val b = spark.read.parquet(outHand)
+      .select("o_orderkey", "pri", "shard").orderBy("o_orderkey").collect()
+    assert(a.nonEmpty && a.sameElements(b),
+      "config-driven transfer must land byte-identical rows to the coded spec")
+  }
+
   test("persisted meta: re-run processes zero new files and zero rows") {
     val base = tmp("meta")
     val spec = TransferSpec(source = SourceSpec(s"$base/src", Parquet))
