@@ -61,32 +61,11 @@ class AllQueriesSpec extends AnyFunSuite {
   private def growingHintViolations(name: String,
       df: org.apache.spark.sql.DataFrame): Seq[String] = {
     if (allowedQueryBatchBroadcast(name)) return Nil
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LocalRelation, LogicalPlan, ResolvedHint, UnaryNode, Range => LRange}
-    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    val bounded = Set("region", "nation")
-    // recursive bounded-CARDINALITY check on the hinted subtree itself:
-    // a global (no-grouping) aggregate is one row no matter its input,
-    // but only bounds the node it IS — an aggregate merely somewhere
-    // below a join must not whitelist the whole subtree (a hinted
-    // growing×one-row join still grows with sf)
-    def boundedPlan(p: LogicalPlan): Boolean = p match {
-      case a: Aggregate if a.groupingExpressions.isEmpty => true
-      case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation => fs.location.rootPaths.forall(rp =>
-          bounded.exists(t => rp.toString.contains(s"$t.parquet")))
-        case _ => false
-      }
-      case _: LocalRelation => true
-      case _: LRange => true
-      case j: Join => boundedPlan(j.left) && boundedPlan(j.right)
-      case u: UnaryNode => boundedPlan(u.child)
-      case _ => false
-    }
-    df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.flatMap { h =>
-      if (boundedPlan(h.child)) None
-      else Some(s"$name: broadcast hint on an sf-growing subtree " +
-        s"(leaves: ${h.child.collectLeaves().map(_.nodeName).mkString(", ")})")
-    }
+    // delegates to the library lint (graft.plans.PlanChecks) so the
+    // gate and the user-facing pre-flight check cannot drift apart
+    graft.plans.PlanChecks
+      .growingBroadcastHints(df, Set("region.parquet", "nation.parquet"))
+      .map(v => s"$name: $v")
   }
 
   test("oracleSql keys are a subset of queries keys") {

@@ -142,6 +142,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(passes.map(_._2).sum == r1 + r2)
   }
 
+  test("PlanChecks lint: growing-broadcast hints and cartesians flagged, safe shapes clean") {
+    import graft.plans.PlanChecks
+    val bounded = Set("region.parquet", "nation.parquet")
+    val li = Tables.lineitem(spark, sf)
+    val na = spark.read.parquet(s"$sf/nation.parquet")
+    // hint on a growing table → flagged
+    val bad = li.join(broadcast(Tables.orders(spark, sf)),
+      col("l_orderkey") === col("o_orderkey"))
+    assert(PlanChecks.growingBroadcastHints(bad, bounded).nonEmpty)
+    // hint on a bounded dim, a one-row global aggregate, and a local
+    // relation → clean
+    import spark.implicits._
+    val okDim = li.join(broadcast(na), col("l_suppkey") % 25 === col("n_nationkey"))
+    val okAgg = li.join(
+      broadcast(Tables.orders(spark, sf).agg(max(col("o_orderkey")).as("mx"))),
+      col("l_orderkey") <= col("mx"))
+    val okLocal = li.join(broadcast(Seq((1L, "a")).toDF("k", "v")),
+      col("l_orderkey") === col("k"))
+    Seq(okDim, okAgg, okLocal).foreach(df =>
+      assert(PlanChecks.growingBroadcastHints(df, bounded).isEmpty))
+    // but a hinted growing×one-row JOIN still grows → flagged
+    val sneaky = li.join(broadcast(
+      Tables.orders(spark, sf).crossJoin(
+        Tables.customer(spark, sf).agg(count(lit(1)).as("c")))),
+      col("l_orderkey") === col("o_orderkey"))
+    assert(PlanChecks.growingBroadcastHints(sneaky, bounded).nonEmpty)
+    // cartesian detection + the combined lint
+    val cart = Tables.orders(spark, sf).limit(5)
+      .crossJoin(Tables.customer(spark, sf).limit(5))
+    assert(PlanChecks.cartesianProducts(cart).nonEmpty)
+    assert(PlanChecks.cartesianProducts(okDim).isEmpty)
+    assert(PlanChecks.lint(bad, bounded).nonEmpty && PlanChecks.lint(okDim, bounded).isEmpty)
+    // skew measurement: a hot-key repartition shows ratio >> 1, and the
+    // row accounting is exact
+    val skewed = Tables.events(spark, sf)
+      .withColumn("k", when(col("event_id") % 10 < 9, 0L).otherwise(col("event_id")))
+      .repartition(8, col("k"))
+    val r = PlanChecks.partitionSkew(skewed).collect()(0)
+    assert(r.getAs[Double]("skew_ratio") > 2.0,
+      s"planted 90% hot key must show up as skew, got $r")
+    val balanced = Tables.events(spark, sf).repartition(8, col("event_id"))
+    val rb = PlanChecks.partitionSkew(balanced).collect()(0)
+    assert(rb.getAs[Double]("skew_ratio") < 1.5, s"uniform key should balance, got $rb")
+  }
+
   test("JSON config: reference-shaped document parses into the full spec surface") {
     import graft.plans.ConfigJson
     val json = """{"Transfers": [{
