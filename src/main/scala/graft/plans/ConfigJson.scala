@@ -25,7 +25,8 @@ import org.apache.spark.sql.SparkSession
   *              {"Type": "extract", "Name": "v", "Src": "b",
   *               "Regex": "(x+)", "Group": 1},
   *              {"Type": "env",  "Name": "u", "Var": "USER"},
-  *              {"Type": "runtime", "Name": "thread", "Value": "t1"}],
+  *              {"Type": "runtime", "Name": "thread", "Value": "t1"},
+  *              {"Type": "file", "Name": "src_file"}],   // <file> (util.go:122)
   *   "Select": ["a", "b2"],
   *   "Valid": "a % 7 != 0",            // rows failing this are errors
   *   "MaxErrorCounts": 0,              // config.go:27
@@ -142,7 +143,13 @@ object ConfigJson {
             case 'r' => b += '\r'; case 't' => b += '\t'
             case 'u' =>
               if (pos + 4 >= s.length) fail("truncated \\u escape")
-              b += Integer.parseInt(s.substring(pos + 1, pos + 5), 16).toChar
+              val hex = s.substring(pos + 1, pos + 5)
+              // pre-validated so a bad escape keeps the loud-failure
+              // contract (JsonParseError with position), not a raw
+              // NumberFormatException from parseInt (ADVICE r5)
+              if (!hex.forall(c => Character.digit(c, 16) >= 0))
+                fail(s"bad \\u escape '\\u$hex'")
+              b += Integer.parseInt(hex, 16).toChar
               pos += 4
             case e => fail(s"bad escape '\\$e'")
           }
@@ -217,6 +224,8 @@ object ConfigJson {
           m.get("Default").map(str(_, "Default")).getOrElse(""))
       case "runtime" =>
         Pipeline.RuntimeKey(name, str(req("Value"), "Value"))
+      case "file" =>
+        Pipeline.FileKey(name)
       case t => throw new ConfigError(s"unknown route Type '$t'")
     }
   }

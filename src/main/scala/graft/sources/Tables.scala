@@ -23,17 +23,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long (legacy conf) and truncate to
-    * microsecond TimestampType — the same truncation DuckDB applies, so
-    * oracle comparisons line up. `div` (integer division) is required:
-    * nanos ~1.7e18 exceed a double's exact integer range.
+  /** events.ts has shipped as either parquet TIMESTAMP(NANOS) (which
+    * Spark's vectorized reader rejects — read nanos as long via the
+    * legacy conf and truncate to microsecond TimestampType, the same
+    * truncation DuckDB applies) or, in newer generations, plain
+    * TIMESTAMP(MICROS) that reads as a timestamp directly. Dispatch on
+    * the read type so both vintages load identically. `div` (integer
+    * division) is required in the nanos branch: nanos ~1.7e18 exceed a
+    * double's exact integer range.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
 

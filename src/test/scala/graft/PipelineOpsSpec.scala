@@ -218,6 +218,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(spec.policy == ErrorPolicy(5L, RouteQuarantine("/quar"), 2, Some(3000L)))
     // loud failures: malformed JSON, bad enum, missing required key
     intercept[ConfigJson.JsonParseError] { ConfigJson.parse("""{"a": [1,""") }
+    // a \u escape with non-hex digits must keep the loud-failure
+    // contract (position-carrying JsonParseError, not a raw
+    // NumberFormatException from parseInt)
+    val badEsc = intercept[ConfigJson.JsonParseError] {
+      ConfigJson.parse("{\"a\": \"\\uZZZZ\"}")
+    }
+    assert(badEsc.getMessage.contains("at offset"), s"got: ${badEsc.getMessage}")
     intercept[ConfigJson.ConfigError] {
       ConfigJson.parseTransfers(
         """{"Transfers":[{"Source":{"Path":"/x","Format":"avro"},"Target":"/y"}]}""")
@@ -445,6 +452,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Pipeline.expandTarget("/data/##env.GRAFT_NOPE##/x") == "/data//x")
     assert(Pipeline.expandTarget("a ##env.HOME## b") ==
       s"a ${sys.env.getOrElse("HOME", "")} b")
+    // <pwd> expands to the process working directory (reference
+    // util.go:115 expandCurrentWorkingDirectory)
+    assert(Pipeline.expandTarget("<pwd>/conf/transfers.json") ==
+      s"${System.getProperty("user.dir")}/conf/transfers.json")
+  }
+
+  test("rowsWritten rides the write job — no post-write target re-read") {
+    // VERDICT r5 #1: the old implementation re-read the target
+    // (read.parquet(target).count()) for rowsWritten — an extra listing
+    // + footer-scan job per transfer. Now the count is a second
+    // observe() on the SAME write job, so a plain transfer runs exactly
+    // ONE Spark job.
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.add(j.stageInfos.map(_.name).mkString("|"))
+    }
+    val spec = TransferSpec(
+      source = SourceSpec(s"$sf/orders.parquet", Parquet),
+      filterExpr = Some("o_orderkey <= 400"))
+    val expected = Pipeline.plan(spark, spec).count()
+    spark.sparkContext.addSparkListener(listener)
+    val (written, errs) =
+      try {
+        val r = Pipeline.run(spark, spec, tmp("obs_rows"))
+        // the listener bus is async — let the job-start event drain
+        var waited = 0
+        while (jobs.isEmpty && waited < 5000) { Thread.sleep(50); waited += 50 }
+        Thread.sleep(300)
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(errs == 0 && written == expected,
+      "observed row count must equal the planned row count")
+    // two jobs are legitimate: the source read's schema-inference job
+    // (read.parquet) and the write itself. The OLD code added a third +
+    // fourth (target schema read + `count at Pipeline.scala`) — so the
+    // proof of the fix is: no `count` job, nothing after the write.
+    val seen = jobs.toArray(Array.empty[String])
+    assert(seen.length <= 2,
+      s"a plain transfer must run at most read-schema + write jobs, saw: ${seen.mkString(", ")}")
+    assert(!seen.exists(_.contains("count at")),
+      s"rowsWritten must not trigger a count job over the target, saw: ${seen.mkString(", ")}")
   }
 
   test("FAIR pools: per-class transfers land in their own scheduler pools (SURVEY §8)") {
