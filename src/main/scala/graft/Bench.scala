@@ -56,20 +56,35 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val coldTotal = if (firstRun.nonEmpty) firstRun.values.sum else 0.0
-    // Truncation-proof artifact (VERDICT r4 #1): the r4 driver capture
-    // kept only the TAIL of the one huge JSON line, so the surviving
-    // dict was the cold split and the warm headline was lost. Emit (a)
-    // a short self-contained headline line FIRST — total / cold_total /
-    // n_errors, with `queries` holding the top-5 slowest WARM entries
-    // (flagged partial_top5) so the line both survives any head-/line-
-    // based capture and still satisfies the one-line driver contract —
-    // then (b) the full per-query dict with the same summary fields
-    // REPEATED AT THE END of the line (survives a tail capture). Both
-    // lines are complete JSON objects with metric/value/unit/queries/sf.
+    // Truncation-proof artifact (VERDICT r4 #1, r6 #4): the driver
+    // keeps only the last ~2000 chars of stdout, so a single huge JSON
+    // line ALWAYS loses data — r6's tail was all error map, zero
+    // per-query timings. Three-part fix:
+    //  (a) the complete artifact is WRITTEN TO A FILE in the working
+    //      directory (driver runs from the repo; the end-of-round
+    //      snapshot commit picks it up) — per-query timings are always
+    //      recoverable regardless of stdout capture;
+    //  (b) the full per-query line prints FIRST, tagged
+    //      "metric":"per_query" so it can never be mistaken for the
+    //      headline;
+    //  (c) the compact headline — total / cold_total / n_queries /
+    //      n_errors / top-5 slowest / 80-char-truncated errors — prints
+    //      LAST (< ~1500 chars), so a tail capture always preserves the
+    //      whole summary AND it satisfies the one-line driver contract.
     val slowest = results.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","partial_top5":true,"cold_total":$coldTotal,"n_errors":${errors.size},"n_queries":${results.size},"queries":$slowest,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cold,"errors":$es,"sf":"$sfDir","n_queries":${results.size},"cold_total":$coldTotal,"n_errors":${errors.size},"total":$total}""")
+    val esShort = errors.map { case (k, v) =>
+      "\"" + esc(k) + "\":\"" + esc(v.take(80)) + "\""
+    }.mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"per_query","value":$total,"unit":"sec","queries":$qs,"cold":$cold,"errors":$es,"sf":"$sfDir","n_queries":${results.size},"cold_total":$coldTotal,"n_errors":${errors.size},"total":$total}"""
+    val headline = s"""{"metric":"total","value":$total,"unit":"sec","slowest_top5":$slowest,"errors":$esShort,"cold_total":$coldTotal,"n_errors":${errors.size},"n_queries":${results.size},"sf":"$sfDir","full_artifact":"BENCH_full_local.json"}"""
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_full_local.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // stdout lines still carry the data
+    println(fullLine)
+    println(headline)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -36,6 +36,7 @@ object SparkEntry {
     "etl_csv_roundtrip" -> (Etl.csvRoundtrip _),
     "etl_orc_roundtrip" -> (Etl.orcRoundtrip _),
     "etl_var_extract_path" -> (Etl.varExtractPath _),
+    "etl_route_file" -> (Etl.routeFile _),
     "etl_compact_files" -> (Etl.compactSmallFiles _),
     "text_quality_filter" -> (TextAnalysis.qualityFilter _),
     "text_source_mix" -> (TextAnalysis.sourceMix _),
@@ -585,6 +586,12 @@ object SparkEntry {
     "etl_orc_roundtrip" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n_orders, ${decSum("o_totalprice")} AS sum_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "etl_route_file" ->
+      """SELECT 'events_' || CAST(user_id % 4 AS VARCHAR) || '.parquet' AS src_file,
+        | COUNT(*) AS n_records,
+        | CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events WHERE event_id < 2000
+        |GROUP BY 1""".stripMargin,
     "etl_var_extract_path" ->
       """SELECT event_type AS src_type, COUNT(*) AS n_records,
         | CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents

@@ -122,6 +122,43 @@ object Etl {
         sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("sum_cents"))
   }
 
+  /** `<file>` target-key routing (reference transfer_service.go:713
+    * `<file>` replacement; util.go:122 extractFileNameFromURL): the
+    * file-mirror transfer shape — each source object's rows land under
+    * a target partition named after the source file. Stages four
+    * deterministically-NAMED source files (part-file names are
+    * nondeterministic, so each shard is written alone and renamed —
+    * driver-side, 4 bounded FS calls), then runs the REAL
+    * Pipeline.run path with a FileKey route: one distributed
+    * partitioned write replaces the reference's per-file copy loop.
+    * The aggregation reads the written target back, so the gate proves
+    * the key survives partitionBy round-trip (non-empty, decoded). */
+  def routeFile(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Pipeline
+    import org.apache.hadoop.fs.Path
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_routefile_${ProcessHandle.current().pid()}"
+    val ev = Tables.events(s, dir).filter(col("event_id") < 2000)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(base), true)
+    fs.mkdirs(new Path(s"$base/src"))
+    (0 until 4).foreach { shard =>
+      val stage = s"$base/stage_$shard"
+      ev.filter(pmod(col("user_id"), lit(4)) === shard)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = fs.globStatus(new Path(s"$stage/part-*"))(0).getPath
+      fs.rename(part, new Path(s"$base/src/events_$shard.parquet"))
+    }
+    val spec = Pipeline.TransferSpec(
+      source = Pipeline.SourceSpec(s"$base/src", Pipeline.Parquet),
+      routes = Seq(Pipeline.FileKey("src_file")))
+    Pipeline.run(s, spec, s"$base/out")
+    s.read.parquet(s"$base/out")
+      .groupBy(col("src_file"))
+      .agg(count(lit(1)).as("n_records"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("sum_cents"))
+  }
+
   /** Meta/progress analog (reference meta.go ObjectMeta: per-source
     * RecordProcessed / RecordSkipped): one aggregation computing both
     * counters, instead of mutexed driver-side counters. */

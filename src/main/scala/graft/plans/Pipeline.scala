@@ -69,11 +69,19 @@ object Pipeline {
     * file's rows land under a partition named after it — one
     * distributed write instead of a per-file copy loop.
     * `input_file_name()` is only defined between the scan and the first
-    * exchange, which is exactly a transfer pipeline's shape (all stages
-    * narrow); it returns '' past a shuffle, so this key is for
-    * transfer specs, not post-aggregation plans. */
+    * exchange; `applyStages` therefore materializes FileKey columns
+    * FIRST, before any enrich join can introduce a shuffle (a
+    * non-broadcast join would otherwise blank the key and silently
+    * route every row to one empty partition).
+    * The raw value is URI-encoded (a source named `my file.csv` shows
+    * as `my%20file.csv`), so the basename is %-decoded to match the
+    * reference's extractFileNameFromURL, which url.Parse-decodes before
+    * path.Split (util.go:122). `+` is pre-escaped to %2B first:
+    * url_decode is form-decoding (`+` → space), while a literal `+` in
+    * a file path must survive. */
   final case class FileKey(name: String) extends RouteKey {
-    def toColumn: Column = regexp_extract(input_file_name(), "([^/]+)$", 1)
+    def toColumn: Column = url_decode(regexp_replace(
+      regexp_extract(input_file_name(), "([^/]+)$", 1), "\\+", "%2B"))
   }
 
   /** Expand `##env.VAR##` occurrences (reference util.go:20
@@ -171,6 +179,14 @@ object Pipeline {
     * (shared by the full plan and the incremental TransferMeta path). */
   def applyStages(df0: DataFrame, spec: TransferSpec): DataFrame = {
     var df = df0
+    // FileKey columns materialize FIRST, directly over the scan:
+    // input_file_name() returns '' past any exchange, so routing them
+    // after a (possibly shuffle) enrich join would silently send every
+    // row to one empty partition. All other route keys are plain
+    // column expressions and keep their post-enrich position (they may
+    // legitimately reference enriched columns).
+    val (fileKeys, otherKeys) = spec.routes.partition(_.isInstanceOf[FileKey])
+    fileKeys.foreach(k => df = df.withColumn(k.name, k.toColumn))
     spec.filterExpr.foreach(f => df = df.filter(expr(f)))
     spec.transforms.foreach { case (name, e) => df = df.withColumn(name, expr(e)) }
     spec.enrich.foreach { en =>
@@ -181,7 +197,7 @@ object Pipeline {
       en.pick.foreach { case (from, to) => df = df.withColumnRenamed(from, to) }
       if (r != l) df = df.drop(r)
     }
-    spec.routes.foreach(k => df = df.withColumn(k.name, k.toColumn))
+    otherKeys.foreach(k => df = df.withColumn(k.name, k.toColumn))
     if (spec.select.nonEmpty) df.select(spec.select.map(col): _*) else df
   }
 

@@ -23,22 +23,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
-  /** events.ts has shipped as either parquet TIMESTAMP(NANOS) (which
-    * Spark's vectorized reader rejects — read nanos as long via the
-    * legacy conf and truncate to microsecond TimestampType, the same
-    * truncation DuckDB applies) or, in newer generations, plain
-    * TIMESTAMP(MICROS) that reads as a timestamp directly. Dispatch on
-    * the read type so both vintages load identically. `div` (integer
-    * division) is required in the nanos branch: nanos ~1.7e18 exceed a
-    * double's exact integer range.
+  /** events.ts has shipped in three parquet vintages: TIMESTAMP(NANOS)
+    * (which Spark's vectorized reader rejects — read nanos as long via
+    * the legacy conf and truncate to microsecond TimestampType, the
+    * same truncation DuckDB applies), TIMESTAMP(MICROS, adjustedToUTC)
+    * that reads as TimestampType directly, and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) that reads as TIMESTAMP_NTZ. Dispatch on
+    * the read type so every vintage normalizes to TimestampType — the
+    * session timezone is pinned to UTC (GraftSession), so the NTZ cast
+    * is wall-clock-preserving and hash-matches DuckDB's naive micros.
+    * `div` (integer division) is required in the nanos branch: nanos
+    * ~1.7e18 exceed a double's exact integer range.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }

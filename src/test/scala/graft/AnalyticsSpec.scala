@@ -23,6 +23,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) FROM events").collect()(0).getLong(0) > 0)
   }
 
+  test("Tables.events normalizes ts to TimestampType across parquet vintages") {
+    // The testdata regenerates between rounds with varying parquet
+    // timestamp physical types (NANOS, MICROS-UTC, MICROS-NTZ). Every
+    // downstream unix_micros(ts) call site requires TimestampType, so
+    // pin the normalized schema here: a new vintage that slips through
+    // the dispatch fails THIS spec instead of 8 gate queries.
+    val e = Tables.events(spark, sf)
+    assert(e.schema("ts").dataType == org.apache.spark.sql.types.TimestampType,
+      s"events.ts must normalize to TimestampType, got ${e.schema("ts").dataType}")
+    // unix_micros must analyze (it's the shared downstream requirement)
+    assert(e.select(unix_micros(col("ts"))).limit(1).collect().nonEmpty)
+  }
+
   test("q1 aggregates match a direct recomputation") {
     val rows = Analytics.q1Agg(spark, sf).collect()
     assert(rows.nonEmpty)

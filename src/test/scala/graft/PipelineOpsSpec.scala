@@ -214,6 +214,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(spec.filterExpr.contains("a > 0") && spec.transforms == Seq("b2" -> "upper(b)"))
     assert(spec.routes.map(_.name) == Seq("shard", "dt", "thread"))
     assert(spec.routes.head == ModKey("shard", "a", 8))
+    // `file` route type (reference transfer_service.go:713 `<file>`)
+    val Seq((fspec, _)) = ConfigJson.parseTransfers(
+      """{"Transfers":[{"Source":{"Path":"/in","Format":"parquet"},
+        |"Target":"/out","Routes":[{"Type":"file","Name":"src_file"}]}]}""".stripMargin)
+    assert(fspec.routes == Seq(FileKey("src_file")))
     assert(spec.select == Seq("a", "b2") && spec.validExpr.contains("a % 7 != 0"))
     assert(spec.policy == ErrorPolicy(5L, RouteQuarantine("/quar"), 2, Some(3000L)))
     // loud failures: malformed JSON, bad enum, missing required key
@@ -582,6 +587,60 @@ class PipelineOpsSpec extends AnyFunSuite {
       }
       assert(!ordered.last.getAs[Boolean]("is_current") ||
         ts(ordered.last, "valid_to").getYear == 9999)
+    }
+  }
+
+  test("FileKey: decoded basenames survive a forced-shuffle enrich, never empty") {
+    // The ADVICE r6 hazard: input_file_name() returns '' past any
+    // exchange, so a FileKey routed AFTER a shuffle enrich would send
+    // every row to one empty partition. applyStages now materializes
+    // FileKey first; prove it under the worst case — broadcast joins
+    // disabled so the enrich genuinely shuffles — with filenames that
+    // also exercise the %-decode path (space) and the literal-plus
+    // guard (url_decode alone would turn '+' into ' ').
+    import org.apache.hadoop.fs.Path
+    val base = tmp("filekey")
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$base/src"))
+    val names = Seq("alpha one.parquet", "beta+2.parquet")
+    names.zipWithIndex.foreach { case (n, i) =>
+      Tables.events(spark, sf).filter(pmod(col("event_id"), lit(2)) === i)
+        .filter(col("event_id") < 400)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/stage_$i")
+      val part = fs.globStatus(new Path(s"$base/stage_$i/part-*"))(0).getPath
+      fs.rename(part, new Path(s"$base/src/$n"))
+    }
+    val dim = Tables.events(spark, sf).select(col("user_id").as("dim_uid")).distinct()
+      .withColumn("tier", (pmod(col("dim_uid"), lit(3))).cast("int"))
+    val spec = TransferSpec(
+      source = SourceSpec(s"$base/src", Parquet),
+      enrich = Some(EnrichSpec(dim, ("user_id", "dim_uid"),
+        Seq("tier" -> "user_tier"), broadcastDim = false)),
+      routes = Seq(FileKey("src_file")))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val planned = Pipeline.plan(spark, spec)
+      assert(planned.queryExecution.executedPlan.toString.contains("Exchange"),
+        "test setup must force a shuffle enrich join")
+      Pipeline.run(spark, spec, s"$base/out")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
+    }
+    val out = spark.read.parquet(s"$base/out")
+    val keys = out.select("src_file").distinct().collect().map(_.getString(0)).sorted
+    assert(keys.toSeq == names.sorted,
+      s"expected decoded source basenames, got ${keys.toSeq}")
+    assert(out.filter(col("src_file").isNull || col("src_file") === "").count() == 0)
+    // per-file row counts survive the routed write exactly
+    names.zipWithIndex.foreach { case (n, i) =>
+      val expected = Tables.events(spark, sf)
+        .filter(pmod(col("event_id"), lit(2)) === i && col("event_id") < 400).count()
+      assert(out.filter(col("src_file") === n).count() == expected)
     }
   }
 }
