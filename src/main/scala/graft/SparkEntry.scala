@@ -37,6 +37,7 @@ object SparkEntry {
     "etl_orc_roundtrip" -> (Etl.orcRoundtrip _),
     "etl_var_extract_path" -> (Etl.varExtractPath _),
     "etl_route_file" -> (Etl.routeFile _),
+    "etl_datatype_match" -> (Etl.dataTypeMatch _),
     "etl_compact_files" -> (Etl.compactSmallFiles _),
     "text_quality_filter" -> (TextAnalysis.qualityFilter _),
     "text_source_mix" -> (TextAnalysis.sourceMix _),
@@ -592,6 +593,16 @@ object SparkEntry {
         | CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events WHERE event_id < 2000
         |GROUP BY 1""".stripMargin,
+    "etl_datatype_match" ->
+      """SELECT 'event' AS kind, COUNT(*) AS n_records,
+        | CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+        | CAST(NULL AS BIGINT) AS sum_chars
+        |FROM events WHERE event_id < 1500
+        |UNION ALL
+        |SELECT 'doc' AS kind, COUNT(*) AS n_records,
+        | CAST(NULL AS BIGINT) AS sum_event_id,
+        | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id < 300""".stripMargin,
     "etl_var_extract_path" ->
       """SELECT event_type AS src_type, COUNT(*) AS n_records,
         | CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents

@@ -159,6 +159,44 @@ object Etl {
         sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("sum_cents"))
   }
 
+  /** DataTypeMatch dispatch (reference config.go:247,
+    * transfer_object_service.go:180-193): one source directory holding
+    * MIXED record shapes — event records, document records, and
+    * corrupt records — routed per-record by content fragment to
+    * different schemas (and to exclusion). Stages the mixed ndjson from
+    * the base tables, runs the REAL Pipeline read path with TypeMatch
+    * rules, and aggregates the union-by-name frame per record kind so
+    * the oracle can verify both the routing and the exclusion exactly. */
+  def dataTypeMatch(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Pipeline
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_dtm_${ProcessHandle.current().pid()}"
+    // three record shapes in one directory: events (default schema),
+    // documents (matched by the "doc_id" fragment), corrupt lines
+    // (matched by the "corrupt" fragment → excluded)
+    val ev = Tables.events(s, dir).filter(col("event_id") < 1500)
+      .select(to_json(struct(col("event_id"), col("user_id"), col("value"))).as("value"))
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      .select(to_json(struct(col("doc_id"), col("n_chars"), col("source"))).as("value"))
+    val junk = Tables.events(s, dir).filter(col("event_id") >= 1500 && col("event_id") < 1600)
+      .select(concat(lit("""{"corrupt":true,"payload":"""),
+        col("event_id"), lit("}")).as("value"))
+    ev.unionAll(docs).unionAll(junk).write.mode("overwrite").text(s"$base/src")
+    val spec = Pipeline.TransferSpec(
+      source = Pipeline.SourceSpec(s"$base/src", Pipeline.NdJson,
+        schemaDdl = Some("event_id LONG, user_id LONG, value DOUBLE"),
+        typeMatches = Seq(
+          Pipeline.TypeMatch("\"doc_id\"",
+            Some("doc_id LONG, n_chars LONG, source STRING")),
+          Pipeline.TypeMatch("\"corrupt\"", None))))
+    val mixed = Pipeline.plan(s, spec)
+    mixed
+      .withColumn("kind", when(col("doc_id").isNotNull, "doc").otherwise("event"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(col("event_id")).as("sum_event_id"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
+
   /** Meta/progress analog (reference meta.go ObjectMeta: per-source
     * RecordProcessed / RecordSkipped): one aggregation computing both
     * counters, instead of mutexed driver-side counters. */

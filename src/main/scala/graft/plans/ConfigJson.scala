@@ -245,7 +245,25 @@ object ConfigJson {
       path = Pipeline.expandTarget(str(srcM.getOrElse("Path",
         throw new ConfigError("Source missing Path")), "Source.Path")),
       format = format(str(srcM.getOrElse("Format", JStr("parquet")), "Format")),
-      schemaDdl = srcM.get("Schema").map(str(_, "Schema")))
+      schemaDdl = srcM.get("Schema").map(str(_, "Schema")),
+      // reference config.go:115 Source.FilterRegExp — accepted under
+      // the reference's key name; the value is a GLOB (Spark's
+      // listing-time pathGlobFilter), not a regex. See SourceSpec doc.
+      filterGlob = srcM.get("FilterRegExp").map(str(_, "FilterRegExp")),
+      // reference config.go:247 DataTypeMatch — DataType here is the
+      // branch's schema DDL (our decoder "provider" IS the schema);
+      // empty/absent DataType keeps the reference's exclusion meaning
+      typeMatches = srcM.get("DataTypeMatch").toSeq.flatMap {
+        case JArr(ms) => ms.map { mv =>
+          val mm = obj(mv, "DataTypeMatch entry")
+          Pipeline.TypeMatch(
+            str(mm.getOrElse("MatchingFragment", throw new ConfigError(
+              "DataTypeMatch entry missing MatchingFragment")), "MatchingFragment"),
+            mm.get("DataType").map(str(_, "DataType")).filter(_.nonEmpty))
+        }
+        case other =>
+          throw new ConfigError(s"DataTypeMatch must be an array, got $other")
+      })
     val target = Pipeline.expandTarget(str(m.getOrElse("Target",
       throw new ConfigError("transfer missing Target")), "Target"))
     val transforms = m.get("Transforms").toSeq.flatMap {

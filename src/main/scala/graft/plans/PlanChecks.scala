@@ -41,8 +41,17 @@ object PlanChecks {
     def boundedPlan(p: LogicalPlan): Boolean = p match {
       case a: Aggregate if a.groupingExpressions.isEmpty => true
       case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation => fs.location.rootPaths.forall(rp =>
-          boundedTables.exists(t => rp.toString.contains(t)))
+        // Match the path's NAME component, not a raw substring of the
+        // whole URI (ADVICE r5: `/data/regional_facts.parquet` must NOT
+        // pass as bounded "region"): the declared table name must equal
+        // the final path segment exactly (`region.parquet`) or its stem
+        // up to the first extension dot (`region` matches `region`,
+        // `region.parquet`, `region.v2.orc` — never `regional_facts`).
+        case fs: HadoopFsRelation => fs.location.rootPaths.forall { rp =>
+          val name = rp.getName
+          val stem = name.takeWhile(_ != '.')
+          boundedTables.exists(t => t == name || t == stem)
+        }
         case _ => false
       }
       case _: LocalRelation => true

@@ -54,10 +54,36 @@ final class StatusServer(listener: TaskRegistry.Listener, port: Int = 0) {
       s""""startedMs":${t.startedMs},"updatedMs":${t.updatedMs}$extra}"""
   }
 
-  /** GET /graft/tasklist — GetTasksList analog (both registries). */
-  private def tasklistJson: String =
-    (listener.tasksList().map(streamTaskJson) ++
-      BatchTasks.tasksList().map(batchTaskJson)).mkString("[", ",", "]")
+  /** GET /graft/tasklist[?status=running|finished|failed] —
+    * GetTasksList analog (both registries). The optional state filter
+    * mirrors the reference's task-list `status` query parameter
+    * (reference server.go:71 `Parameters: []string{"status"}`; README
+    * `/etly/tasks?status=DONE`); matching is case-insensitive. */
+  private def tasklistJson(statusFilter: Option[String]): String = {
+    def streamState(t: TaskRegistry.TaskStatus): String = t.state match {
+      case TaskRegistry.Running   => "RUNNING"
+      case TaskRegistry.Finished  => "FINISHED"
+      case TaskRegistry.Failed(_) => "FAILED"
+    }
+    def batchState(t: BatchTasks.Status): String = t.state match {
+      case BatchTasks.Running        => "RUNNING"
+      case _: BatchTasks.Finished    => "FINISHED"
+      case _: BatchTasks.Failed      => "FAILED"
+    }
+    val want = statusFilter.map(_.toUpperCase)
+    def keep(state: String): Boolean = want.forall(_ == state)
+    (listener.tasksList().filter(t => keep(streamState(t))).map(streamTaskJson) ++
+      BatchTasks.tasksList().filter(t => keep(batchState(t))).map(batchTaskJson))
+      .mkString("[", ",", "]")
+  }
+
+  /** Parse a query string's `status` parameter (no full query-parser
+    * dependency; the endpoint takes exactly one optional parameter). */
+  private def statusParam(x: HttpExchange): Option[String] =
+    Option(x.getRequestURI.getQuery).flatMap(_.split('&').collectFirst {
+      case kv if kv.takeWhile(_ != '=') == "status" =>
+        java.net.URLDecoder.decode(kv.dropWhile(_ != '=').drop(1), "UTF-8")
+    }).filter(_.nonEmpty)
 
   /** GET /graft/errors — GetErrors analog. */
   private def errorsJson: String =
@@ -94,7 +120,8 @@ final class StatusServer(listener: TaskRegistry.Listener, port: Int = 0) {
       if (x.getRequestMethod != "GET")
         respond(x, 405, """{"error":"method not allowed"}""")
       else path match {
-        case "/graft/tasklist" | "/graft/tasklist/" => respond(x, 200, tasklistJson)
+        case "/graft/tasklist" | "/graft/tasklist/" =>
+          respond(x, 200, tasklistJson(statusParam(x)))
         case "/graft/status"  => respond(x, 200, statusJson)
         case "/graft/errors"  => respond(x, 200, errorsJson)
         case "/graft/version" =>

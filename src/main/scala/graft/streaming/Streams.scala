@@ -82,14 +82,43 @@ object Streams {
       .map(n => rdr.option("maxFilesPerTrigger", n)).getOrElse(rdr).json(srcDir)
     val out = in.filter(col("event_type") =!= "error")
       .withColumn("value_cents", (col("value").cast("decimal(18,2)") * 100).cast("long"))
-    val q = out.writeStream
-      .format("parquet")
-      .option("path", dstDir)
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q.recentProgress.count(_.numInputRows > 0).toLong
+    // Count data micro-batches via the listener bus, not
+    // `recentProgress` (ADVICE r5): recentProgress is a ring buffer
+    // (spark.sql.streaming.numRecentProgressUpdates, default 100), so a
+    // long drain — a big backlog under a small maxFilesPerTrigger —
+    // would silently undercount past 100 batches. The bus delivers
+    // every progress event; per-query events are ordered, so once the
+    // termination event for this query id arrives the count is final.
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val dataBatches = new java.util.concurrent.atomic.AtomicLong(0)
+    val terminated = new java.util.concurrent.CountDownLatch(1)
+    @volatile var queryId: java.util.UUID = null
+    val counter = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.id == queryId && e.progress.numInputRows > 0)
+          dataBatches.incrementAndGet()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == queryId) terminated.countDown()
+    }
+    s.streams.addListener(counter)
+    try {
+      val q = out.writeStream
+        .format("parquet")
+        .option("path", dstDir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      queryId = q.id
+      q.awaitTermination()
+      terminated.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      // recentProgress is complete (no wraparound) for ≤100 batches and
+      // covers the hairline race of a progress event dispatched before
+      // queryId was assigned; past 100 the listener count is the larger
+      // and the authoritative one.
+      math.max(dataBatches.get(),
+        q.recentProgress.count(_.numInputRows > 0).toLong)
+    } finally s.streams.removeListener(counter)
   }
 
   /** End-to-end streaming transfer for the correctness gate: stage a
