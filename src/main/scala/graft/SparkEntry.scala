@@ -130,9 +130,11 @@ object SparkEntry {
     "dedup_paragraph" -> (Dedup.paragraphs _),
     "dedup_components" -> (Dedup.components _),
     "dedup_components_incremental" -> (Dedup.componentsIncremental _),
+    "dedup_components_lineage" -> (Dedup.componentsLineage _),
     "dedup_cluster_stats" -> (Dedup.clusterStats _),
     "dedup_prefix_join" -> (Dedup.prefixJoin _),
     "dedup_survivors" -> (Dedup.survivors _),
+    "dedup_survivors_lineage" -> (Dedup.survivorsLineage _),
     // similarity search
     "sim_brute_topk" -> (Similarity.bruteTopK _),
     "sim_native_topk" -> (Similarity.nativeTopK _),
@@ -266,6 +268,34 @@ object SparkEntry {
     * list, transitive closure via a recursive CTE, label = component
     * minimum. Shared by the from-scratch and the incremental-merge
     * gates (the merge is exact, so both contracts are this labeling). */
+  /** Survivor-policy oracle: the components labeling (as in
+    * [[dedupComponentsSql]]) reduced to corpus counts. Shared by the
+    * recompute and staged-lineage gates. */
+  private def dedupSurvivorsSql: String =
+    """WITH RECURSIVE s AS (
+      | SELECT doc_id, list_distinct(list_transform(
+      |   range(1, len(string_split(text, ' ')) - 1),
+      |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+      |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+      | FROM documents),
+      |p AS (
+      | SELECT doc_a, doc_b FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      |  FROM s a, s b WHERE a.doc_id < b.doc_id) t
+      | WHERE jaccard >= 0.7),
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+      |r(a, b) AS (
+      | SELECT a, b FROM e
+      | UNION
+      | SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+      |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp FROM r GROUP BY a),
+      |removed AS (SELECT doc_id FROM comp WHERE doc_id <> comp)
+      |SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+      |       (SELECT COUNT(*) FROM removed) AS n_removed,
+      |       (SELECT COUNT(*) FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM removed)) AS n_survivors""".stripMargin
+
   private def dedupComponentsSql: String =
     """WITH RECURSIVE s AS (
       | SELECT doc_id, list_distinct(list_transform(
@@ -1165,30 +1195,12 @@ object SparkEntry {
         |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp FROM r GROUP BY a),
         |sizes AS (SELECT comp, COUNT(*) AS cluster_size FROM comp GROUP BY comp)
         |SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes GROUP BY cluster_size""".stripMargin,
-    "dedup_survivors" ->
-      """WITH RECURSIVE s AS (
-        | SELECT doc_id, list_distinct(list_transform(
-        |   range(1, len(string_split(text, ' ')) - 1),
-        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
-        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
-        | FROM documents),
-        |p AS (
-        | SELECT doc_a, doc_b FROM (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-        |  FROM s a, s b WHERE a.doc_id < b.doc_id) t
-        | WHERE jaccard >= 0.7),
-        |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
-        |r(a, b) AS (
-        | SELECT a, b FROM e
-        | UNION
-        | SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
-        |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp FROM r GROUP BY a),
-        |removed AS (SELECT doc_id FROM comp WHERE doc_id <> comp)
-        |SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
-        |       (SELECT COUNT(*) FROM removed) AS n_removed,
-        |       (SELECT COUNT(*) FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM removed)) AS n_survivors""".stripMargin,
+    "dedup_survivors" -> dedupSurvivorsSql,
+    // staged-lineage forms: one verify pass, derivations from the
+    // staged pair/label tables — the CONTRACT is unchanged, so the
+    // oracle is the recompute twins' SQL verbatim
+    "dedup_components_lineage" -> dedupComponentsSql,
+    "dedup_survivors_lineage" -> dedupSurvivorsSql,
     "dedup_lsh_verified" ->
       """WITH s AS (
         | SELECT doc_id, list_distinct(list_transform(

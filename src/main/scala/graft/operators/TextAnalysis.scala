@@ -495,9 +495,16 @@ object TextAnalysis {
     * (O(log n) id-only rounds) + one id-only left join + a narrow map;
     * at 100 TB the components output is exactly the lineage the dedup
     * pass already materializes, so the split is a free rider on it. */
-  def leakageFreeSplit(s: SparkSession, dir: String): DataFrame = {
+  def leakageFreeSplit(s: SparkSession, dir: String): DataFrame =
+    leakageFreeSplitFromLabels(s, dir, Dedup.components(s, dir))
+
+  /** Split from STAGED component labels (the pair-lineage tables the
+    * corpus build materializes — see Dedup.buildPairLineage): an
+    * id-only left join + a narrow map, zero signature recompute. */
+  def leakageFreeSplitFromLabels(s: SparkSession, dir: String,
+      labels: DataFrame): DataFrame = {
     val rep = Tables.documentsParallel(s, dir).select(col("doc_id"))
-      .join(Dedup.components(s, dir), Seq("doc_id"), "left")
+      .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("rep"))
     rep.select(col("doc_id"), col("rep"),
       when(pmod(pmod(col("rep") * 2654435761L + 104729L, lit(9973L)), lit(100L)) < 95,
