@@ -182,6 +182,7 @@ object SparkEntry {
     "text_chunk" -> (TextAnalysis.chunk _),
     "text_split" -> (TextAnalysis.trainValSplit _),
     "text_split_leakage_free" -> (TextAnalysis.leakageFreeSplit _),
+    "text_split_leakage_lineage" -> (TextAnalysis.leakageFreeSplitLineage _),
     "text_pack" -> (TextAnalysis.pack _),
     "text_decontaminate" -> (TextAnalysis.decontaminate _),
     "text_decontaminate_bloom" -> (TextAnalysis.decontaminateBloom _),
@@ -268,6 +269,34 @@ object SparkEntry {
     * list, transitive closure via a recursive CTE, label = component
     * minimum. Shared by the from-scratch and the incremental-merge
     * gates (the merge is exact, so both contracts are this labeling). */
+  /** Leakage-free split oracle: components labeling → representative →
+    * affine-hash split. Shared by the recompute and staged-lineage
+    * gates. */
+  private def textSplitLeakageSql: String =
+    """WITH RECURSIVE s AS (
+      | SELECT doc_id, list_distinct(list_transform(
+      |   range(1, len(string_split(text, ' ')) - 1),
+      |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+      |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+      | FROM documents),
+      |p AS (
+      | SELECT doc_a, doc_b FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      |  FROM s a, s b WHERE a.doc_id < b.doc_id) t
+      | WHERE jaccard >= 0.7),
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+      |r(a, b) AS (
+      | SELECT a, b FROM e
+      | UNION
+      | SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+      |c AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp FROM r GROUP BY a)
+      |SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS rep,
+      | CASE WHEN (COALESCE(c.comp, d.doc_id) * 2654435761 + 104729) % 9973 % 100 < 95
+      |  THEN 'train' ELSE 'val' END AS split
+      |FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id""".stripMargin
+
   /** Survivor-policy oracle: the components labeling (as in
     * [[dedupComponentsSql]]) reduced to corpus counts. Shared by the
     * recompute and staged-lineage gates. */
@@ -1398,30 +1427,8 @@ object SparkEntry {
         |  THEN 'train' ELSE 'val' END AS split,
         | COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1""".stripMargin,
-    "text_split_leakage_free" ->
-      """WITH RECURSIVE s AS (
-        | SELECT doc_id, list_distinct(list_transform(
-        |   range(1, len(string_split(text, ' ')) - 1),
-        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
-        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
-        | FROM documents),
-        |p AS (
-        | SELECT doc_a, doc_b FROM (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-        |  FROM s a, s b WHERE a.doc_id < b.doc_id) t
-        | WHERE jaccard >= 0.7),
-        |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
-        |r(a, b) AS (
-        | SELECT a, b FROM e
-        | UNION
-        | SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
-        |c AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp FROM r GROUP BY a)
-        |SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS rep,
-        | CASE WHEN (COALESCE(c.comp, d.doc_id) * 2654435761 + 104729) % 9973 % 100 < 95
-        |  THEN 'train' ELSE 'val' END AS split
-        |FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id""".stripMargin,
+    "text_split_leakage_free" -> textSplitLeakageSql,
+    "text_split_leakage_lineage" -> textSplitLeakageSql,
     "text_pack" ->
       s"""WITH d AS (SELECT doc_id,
         |  CAST((doc_id * 2654435761 + 104729) % 9973 % ${TextAnalysis.PackShards} AS BIGINT) AS shard,

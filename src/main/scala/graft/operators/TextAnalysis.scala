@@ -501,6 +501,14 @@ object TextAnalysis {
   /** Split from STAGED component labels (the pair-lineage tables the
     * corpus build materializes — see Dedup.buildPairLineage): an
     * id-only left join + a narrow map, zero signature recompute. */
+  /** Staged-lineage gate form: one corpus build, split derived from the
+    * staged labels (same oracle as the recompute twin). */
+  def leakageFreeSplitLineage(s: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_lineage_t_${ProcessHandle.current().pid()}"
+    val (_, labelsPath) = Dedup.buildPairLineage(s, dir, base)
+    leakageFreeSplitFromLabels(s, dir, s.read.parquet(labelsPath))
+  }
+
   def leakageFreeSplitFromLabels(s: SparkSession, dir: String,
       labels: DataFrame): DataFrame = {
     val rep = Tables.documentsParallel(s, dir).select(col("doc_id"))
