@@ -81,17 +81,27 @@ object Multimodal {
     * min-struct election as paragraph dedup; only (fingerprint, ids)
     * shuffle — frame bytes stay at the scan. */
   def frameDedup(s: SparkSession, dir: String): DataFrame = {
+    // ONE frame expansion (the fingerprint arithmetic is the dominant
+    // cost), materialized narrow (ids + 8-byte fp). The old shape
+    // joined the expanded frames back to the per-fp winners, re-running
+    // the whole expansion on both join sides; but per-doc kept-counts
+    // are derivable from the WINNER LIST alone — each fingerprint
+    // contributes exactly one kept (doc, frame), so n_kept(doc) is just
+    // the winner count per doc — leaving only two partial aggregations
+    // over the materialized frames and a per-doc-granularity join.
     val frames = frameSample(s, dir)
-    val keeper = frames.groupBy(col("frame_fp"))
+      .select(col("doc_id"), col("frame_id"), col("frame_fp"))
+      .localCheckpoint()
+    val keptPerDoc = frames.groupBy(col("frame_fp"))
       .agg(min(struct(col("doc_id"), col("frame_id"))).as("k"))
-    frames.join(keeper, "frame_fp")
-      .select(col("doc_id"), col("frame_id"),
-        (col("k.doc_id") === col("doc_id") && col("k.frame_id") === col("frame_id"))
-          .as("kept"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_frames"),
-        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_removed"))
+      .groupBy(col("k.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_kept"))
+    frames.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"))
+      .join(keptPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_frames") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
   /** Exact payload dedup — the media-side dedup pass (identical bytes

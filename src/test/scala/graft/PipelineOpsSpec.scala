@@ -348,6 +348,46 @@ class PipelineOpsSpec extends AnyFunSuite {
       "config-driven transfer must land byte-identical rows to the coded spec")
   }
 
+  test("JSON config: DataTypeMatch transfer equals the hand-built dispatch run") {
+    import graft.plans.ConfigJson
+    import org.apache.hadoop.fs.Path
+    // a mixed ndjson source: default-shaped records, doc-shaped records
+    // (fragment-matched to their own schema), corrupt records (excluded)
+    val base = tmp("dtm_cfg")
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(base))
+    val lines = Seq(
+      """{"a":1,"b":"x"}""", """{"a":2,"b":"y"}""",
+      """{"doc_id":10,"t":"alpha"}""", """{"doc_id":11,"t":"beta"}""",
+      """{"corrupt":true,"a":99}""")
+    import spark.implicits._
+    lines.toDF("value").coalesce(1).write.mode("overwrite").text(s"$base/src")
+    val json = s"""{"Transfers": [{
+      |  "Source": {"Path": "$base/src", "Format": "ndjson",
+      |    "Schema": "a LONG, b STRING",
+      |    "DataTypeMatch": [
+      |      {"MatchingFragment": "\\"doc_id\\"", "DataType": "doc_id LONG, t STRING"},
+      |      {"MatchingFragment": "corrupt", "DataType": ""}]},
+      |  "Target": "$base/out_json"
+      |}]}""".stripMargin
+    val Seq((written, errs)) = ConfigJson.run(spark, json)
+    val hand = TransferSpec(source = SourceSpec(s"$base/src", NdJson,
+      schemaDdl = Some("a LONG, b STRING"),
+      typeMatches = Seq(
+        TypeMatch("\"doc_id\"", Some("doc_id LONG, t STRING")),
+        TypeMatch("corrupt", None))))
+    val (writtenHand, errsHand) = Pipeline.run(spark, hand, s"$base/out_hand")
+    assert(errs == 0 && errsHand == 0 && written == writtenHand && written == 4,
+      s"corrupt record must be excluded, got written=$written")
+    def rows(p: String) = spark.read.parquet(p)
+      .select("doc_id", "t", "a", "b").orderBy("doc_id", "a").collect().toSeq
+    val got = rows(s"$base/out_json")
+    assert(got == rows(s"$base/out_hand"),
+      "config-driven dispatch must land identical rows to the coded spec")
+    // per-branch columns present, cross-branch columns null
+    assert(got.count(r => !r.isNullAt(0)) == 2 && got.count(r => !r.isNullAt(2)) == 2)
+  }
+
   test("persisted meta: re-run processes zero new files and zero rows") {
     val base = tmp("meta")
     val spec = TransferSpec(source = SourceSpec(s"$base/src", Parquet))
