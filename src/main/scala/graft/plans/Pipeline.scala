@@ -202,17 +202,17 @@ object Pipeline {
 
   /** DataTypeMatch dispatch (reference transfer_object_service.go:
     * 175-196): mixed record shapes in ONE source directory route to
-    * different schemas by content fragment. The Spark re-expression:
-    * read the raw lines once per branch, tag each line with its
-    * first-matching rule (an ordered when-chain, mirroring the
-    * reference's `break` on first match), parse each branch with its
-    * own from_json schema, drop exclusion branches, and unionByName
-    * with allowMissingColumns — the mixed frame keeps every branch's
-    * columns, null where a shape lacks them.
-    * Scale note: each branch re-scans the line-level text source (N+1
-    * pruned scans for N rules). The single-pass alternative — persist
-    * the tagged lines, then branch — trades a full materialization for
-    * the rescans; for the typical 1-3 rules the rescans are cheaper. */
+    * different schemas by content fragment. The Spark re-expression is
+    * a SINGLE text scan: tag each line with its first-matching rule
+    * (an ordered when-chain, mirroring the reference's `break` on
+    * first match), drop exclusion-tagged lines, parse each line with
+    * ITS branch's from_json schema behind a branch-tag guard, and emit
+    * the union-by-name column set (first branch's columns, then each
+    * later branch's new ones) by coalescing across the branch structs
+    * — a record never receives fields from a schema it didn't match.
+    * One pass where a per-branch union would re-scan the source once
+    * per rule; at 100 TB that's the difference between reading the
+    * mixed directory once and N+1 times. All narrow, codegen'd. */
   private def readTypeMatched(s: SparkSession, src: SourceSpec): DataFrame = {
     require(src.format == NdJson,
       "DataTypeMatch dispatch requires an ndjson source (per-record lines)")
@@ -227,15 +227,28 @@ object Pipeline {
         case (None, (cond, tag))      => Some(when(cond, tag))
         case (Some(acc), (cond, tag)) => Some(acc.when(cond, tag))
       }.get.otherwise(lit(-1))
-    val tagged = lines.withColumn("__graft_branch", branchCol)
     val parseBranches = src.typeMatches.zipWithIndex.collect {
       case (TypeMatch(_, Some(ddl)), i) => (i, ddl)
     } :+ (-1 -> defaultDdl)
-    parseBranches.map { case (i, ddl) =>
-      tagged.filter(col("__graft_branch") === i)
-        .select(from_json(col("value"), ddl, Map.empty[String, String]).as("__graft_rec"))
-        .select(col("__graft_rec.*"))
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val keepTags = parseBranches.map(_._1)
+    val structs = lines.withColumn("__graft_branch", branchCol)
+      .filter(col("__graft_branch").isInCollection(keepTags.map(lit)))
+      .select(col("__graft_branch") +: parseBranches.map { case (i, ddl) =>
+        when(col("__graft_branch") === i,
+          from_json(col("value"), ddl, Map.empty[String, String])).as(s"__graft_b$i")
+      }: _*)
+    // union-by-name column order; a column takes its value from the
+    // (unique, branch-guarded) struct(s) that declare it
+    val branchFields: Seq[(Int, Seq[String])] = parseBranches.map { case (i, ddl) =>
+      i -> org.apache.spark.sql.types.StructType.fromDDL(ddl).fieldNames.toSeq
+    }
+    val outCols = branchFields.flatMap(_._2).distinct
+    structs.select(outCols.map { c =>
+      val sources = branchFields.collect {
+        case (i, fields) if fields.contains(c) => col(s"__graft_b$i.$c")
+      }
+      (if (sources.size == 1) sources.head else coalesce(sources: _*)).as(c)
+    }: _*)
   }
 
   /** Apply a spec's declarative stages to an already-read source frame

@@ -386,6 +386,11 @@ class PipelineOpsSpec extends AnyFunSuite {
       "config-driven dispatch must land identical rows to the coded spec")
     // per-branch columns present, cross-branch columns null
     assert(got.count(r => !r.isNullAt(0)) == 2 && got.count(r => !r.isNullAt(2)) == 2)
+    // the dispatch is a SINGLE scan of the mixed source (one text
+    // FileScan in the plan), not one re-scan per branch
+    val planStr = Pipeline.plan(spark, hand).queryExecution.executedPlan.toString
+    val nScans = "FileScan text".r.findAllMatchIn(planStr).size
+    assert(nScans == 1, s"dispatch must read the mixed source once, saw $nScans scans")
   }
 
   test("persisted meta: re-run processes zero new files and zero rows") {
