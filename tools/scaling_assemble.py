@@ -3,10 +3,12 @@
 
 Usage: scaling_assemble.py out.json bench_sf0.001.txt bench_sf0.01.txt bench_sf0.1.txt
 
-Reads each bench output, takes the FULL per-query dict (the second JSON
-line — the one without "partial_top5"), and emits per-query warm times at
-each SF plus the sf0.01→sf0.1 ratio, flagging queries whose ratio exceeds
-3x (the honest data-linear growers) per VERDICT r4 item 5.
+Reads each bench output, takes the FULL per-query dict (since r7 the
+line tagged "metric":"per_query"; earlier formats: the line that carries
+a full "queries" dict and no "partial_top5" flag), and emits per-query
+warm times at each SF plus the sf0.01→sf0.1 ratio, flagging queries
+whose ratio exceeds 3x (the honest data-linear growers) per VERDICT r4
+item 5.
 """
 import json
 import re
@@ -24,9 +26,12 @@ def load_full_line(path):
                 d = json.loads(line)
             except json.JSONDecodeError:
                 continue
-            if d.get("partial_top5"):
-                continue
-            full = d
+            if d.get("metric") == "per_query":
+                full = d          # r7+ format: explicit tag
+            elif d.get("partial_top5") or "queries" not in d:
+                continue          # headline lines (old and new shapes)
+            elif full is None or full.get("metric") != "per_query":
+                full = d
     if full is None:
         raise SystemExit(f"no full bench line in {path}")
     return full
