@@ -127,6 +127,7 @@ object SparkEntry {
     "dedup_embedding" -> (Dedup.embedding _),
     "dedup_embedding_lsh" -> (Dedup.embeddingLsh _),
     "dedup_embedding_lsh_capped" -> (Dedup.embeddingLshCapped _),
+    "dedup_semantic" -> (Similarity.semanticDedup _),
     "dedup_paragraph" -> (Dedup.paragraphs _),
     "dedup_components" -> (Dedup.components _),
     "dedup_components_incremental" -> (Dedup.componentsIncremental _),
@@ -476,7 +477,12 @@ object SparkEntry {
     * top-IvfProbes centroids → exact cosine top-k over the probed
     * lists. Every arithmetic step mirrors operators.Similarity
     * bit-for-bit. */
-  private def simIvfTopkSql: String = {
+  /** Shared unrolled-Lloyd CTE prefix (seeds → IvfLloydIters ×
+    * [assign; exact mean]) + the cosine term against a centroid and the
+    * final centroid CTE name. Used by the IVF and semantic-dedup
+    * oracles — both must cluster bit-identically to Similarity's
+    * driver-resident k-means. */
+  private def lloydCtes(): (scala.collection.mutable.ArrayBuffer[String], String, String) = {
     val cc = cosineSql("v.demb", "v.nsq", "CAST(c.cent AS DOUBLE[])",
       "list_sum(list_transform(CAST(c.cent AS DOUBLE[]), x -> x*x))")
     val parts = scala.collection.mutable.ArrayBuffer(
@@ -500,7 +506,32 @@ object SparkEntry {
         |          FROM assign$it) u
         |    GROUP BY cent_id, i) m GROUP BY cent_id)""".stripMargin
     }
-    val fc = s"cents${Similarity.IvfLloydIters}"
+    (parts, cc, s"cents${Similarity.IvfLloydIters}")
+  }
+
+  /** SemDeDup oracle: same unrolled-Lloyd clustering, final nearest-
+    * centroid assignment over ALL vectors, then a vector is kept iff no
+    * earlier (lower vec_id) cluster-mate sits at cosine ≥ τ — the
+    * in-cluster pair semantics of Similarity.semanticDedup verbatim. */
+  private def dedupSemanticSql: String = {
+    val (parts, cc, fc) = lloydCtes()
+    parts += s"""assignF AS (
+      |  SELECT vec_id, demb, nsq, cent_id FROM (
+      |    SELECT v.vec_id, v.demb, v.nsq, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY $cc DESC, c.cent_id) AS rn
+      |    FROM e v, $fc c) t WHERE rn = 1)""".stripMargin
+    val pc = cosineSql("u.demb", "u.nsq", "v.demb", "v.nsq")
+    s"""WITH ${parts.mkString(",\n")}
+      |SELECT v.vec_id, v.cent_id,
+      |  NOT EXISTS (SELECT 1 FROM assignF u
+      |    WHERE u.cent_id = v.cent_id AND u.vec_id < v.vec_id
+      |      AND $pc >= ${Similarity.SemanticTau}) AS kept
+      |FROM assignF v""".stripMargin
+  }
+
+  private def simIvfTopkSql: String = {
+    val (parts, cc, fc) = lloydCtes()
     parts += s"""probes AS (
       |  SELECT query_id, q_demb, q_nsq, cent_id FROM (
       |    SELECT v.vec_id AS query_id, v.demb AS q_demb, v.nsq AS q_nsq, c.cent_id,
@@ -1523,6 +1554,7 @@ object SparkEntry {
         |   / 10000000 / COUNT(*) AS centroid_v
         |FROM v GROUP BY label, pos""".stripMargin,
     "sim_ivf_topk" -> simIvfTopkSql,
+    "dedup_semantic" -> dedupSemanticSql,
     "sim_pq_topk" -> simPqTopkSql,
     "sim_brute_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,

@@ -324,6 +324,43 @@ object Similarity {
     topKPerQuery(scored)
   }
 
+  /** Cosine threshold for semantic dedup — matches the embedding
+    * near-dup operators' 0.4 bar (this corpus's near-dup tail sits at
+    * cosine ≈ 0.4–0.5; there are no higher-cosine pairs at any SF). */
+  val SemanticTau = 0.4
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings with the same
+    * deterministic-seed Lloyd k-means the IVF index uses, then WITHIN
+    * each cluster drop every vector that has an earlier (lower vec_id)
+    * cluster-mate at cosine ≥ τ — pairwise comparison happens only
+    * inside clusters, never across the corpus, which is the method's
+    * entire scale story: ~√n-sized clusters make the pair stage
+    * Σ|cluster|² ≈ n^1.5 instead of n². Cross-cluster near-dups are
+    * structurally invisible — that approximation is SemDeDup itself,
+    * and the oracle replicates the identical clustering (unrolled
+    * Lloyd SQL) so the gate is still hash-exact, not recall-trusted.
+    * Output: every vector with its cluster and kept/removed verdict. */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val cents = kmeansCentroidSeq(s, dir)
+    val vecs = Tables.embeddingsParallel(s, dir)
+      .select(col("vec_id"), col("embedding"))
+    val assigned = assignNearestNarrow(vecs, cents, "vec_id", "embedding")
+    // in-cluster pairs only: equi-join on cent_id; the earlier side
+    // carries its embedding for the verify, ids stay the join payload
+    val earlier = assigned.select(col("cent_id"),
+      col("vec_id").as("earlier_id"), col("embedding").as("earlier_emb"))
+    val removed = assigned.join(earlier, Seq("cent_id"))
+      .filter(col("earlier_id") < col("vec_id"))
+      .filter(expr(s"graft_cosine(earlier_emb, embedding) >= $SemanticTau"))
+      .select(col("vec_id")).distinct()
+      .withColumn("removed", lit(true))
+    assigned.select(col("vec_id"), col("cent_id"))
+      .join(removed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"), col("removed").isNull.as("kept"))
+  }
+
   /** Per-label mean embedding — the distributed centroid build behind
     * class prototypes, dataset cartography and IVF-style training, as
     * a pure partial-aggregatable plan: posexplode to (label, pos, v),

@@ -604,6 +604,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(perQuery.nonEmpty && perQuery.forall(_.getLong(1) == Similarity.K))
   }
 
+  test("semantic dedup: kept set has no in-cluster pair at tau; planted twins collapse") {
+    val out = Similarity.semanticDedup(spark, sf)
+    val rows = out.collect()
+    assert(rows.length == Tables.embeddings(spark, sf).count(),
+      "every vector gets a verdict")
+    // exactness of the rule: the kept set must contain NO same-cluster
+    // pair at cosine >= tau (any such pair's larger member is removed)
+    val kept = out.filter(col("kept"))
+    val a = kept.select(col("cent_id"), col("vec_id").as("va"))
+    val b = kept.select(col("cent_id"), col("vec_id").as("vb"))
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    graft.functions.GraftFunctions.register(spark)
+    val keptPairsAtTau = a.join(b, Seq("cent_id")).filter(col("va") < col("vb"))
+      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
+      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
+      .filter(expr(s"graft_cosine(ea, eb) >= ${Similarity.SemanticTau}"))
+    assert(keptPairsAtTau.count() == 0,
+      "kept vectors must be pairwise below tau within every cluster")
+    // planted twins (cosine >= tau) that share a cluster must collapse:
+    // the larger id is removed
+    val assignments = out.select(col("vec_id"), col("cent_id"))
+    val twins = Dedup.embedding(spark, sf)
+      .filter(col("cosine") >= Similarity.SemanticTau)
+      .select(col("vec_a"), col("vec_b"))
+      .join(assignments.select(col("vec_id").as("vec_a"), col("cent_id").as("ca")), "vec_a")
+      .join(assignments.select(col("vec_id").as("vec_b"), col("cent_id").as("cb")), "vec_b")
+      .filter(col("ca") === col("cb"))
+    val nTwins = twins.count()
+    assert(nTwins > 0, "test corpus must have planted same-cluster twins")
+    val surviving = twins
+      .join(kept.select(col("vec_id").as("vec_b")), "vec_b")
+    assert(surviving.count() == 0,
+      "every same-cluster twin's larger member must be removed")
+  }
+
   test("pair lineage: ONE verify pass per corpus build; derivations hash-equal recompute") {
     // VERDICT r5 #2 / r6 #4: the corpus build stages the verified pair
     // list + component labels once; cluster stats, survivors, and the
