@@ -501,11 +501,11 @@ object TextAnalysis {
   /** Split from STAGED component labels (the pair-lineage tables the
     * corpus build materializes — see Dedup.buildPairLineage): an
     * id-only left join + a narrow map, zero signature recompute. */
-  /** Staged-lineage gate form: one corpus build, split derived from the
-    * staged labels (same oracle as the recompute twin). */
+  /** Staged-lineage gate form: reuses the session's one corpus build
+    * (Dedup.stagedPairLineage), split derived from the staged labels
+    * (same oracle as the recompute twin). */
   def leakageFreeSplitLineage(s: SparkSession, dir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_lineage_t_${ProcessHandle.current().pid()}"
-    val (_, labelsPath) = Dedup.buildPairLineage(s, dir, base)
+    val (_, labelsPath) = Dedup.stagedPairLineage(s, dir)
     leakageFreeSplitFromLabels(s, dir, s.read.parquet(labelsPath))
   }
 
