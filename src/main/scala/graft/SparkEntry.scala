@@ -42,6 +42,7 @@ object SparkEntry {
     "text_quality_filter" -> (TextAnalysis.qualityFilter _),
     "text_source_mix" -> (TextAnalysis.sourceMix _),
     "text_weighted_sample" -> (TextAnalysis.weightedSample _),
+    "text_token_budget" -> (TextAnalysis.tokenBudget _),
     "text_length_hist" -> (TextAnalysis.lengthHistogram _),
     "etl_error_tolerance" -> (Etl.errorTolerance _),
     "etl_dynamic_partition_write" -> (Etl.dynamicPartitionWrite _),
@@ -1229,6 +1230,17 @@ object SparkEntry {
         |    ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS BIGINT) AS rank
         | FROM tf JOIN df USING (term)) r
         |WHERE rank <= 3""".stripMargin,
+    "text_token_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  (CAST(substr(source, 4) AS INT) % 4) + 1 AS prio
+        | FROM documents),
+        |b AS (SELECT CAST(SUM(n_tokens) AS BIGINT) // 2 AS budget FROM d),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (ORDER BY prio DESC, doc_id) AS BIGINT) AS cum_tokens
+        | FROM d)
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= (SELECT budget FROM b)""".stripMargin,
     "dedup_components" -> dedupComponentsSql,
     // incremental merge is EXACT (rep contraction preserves component
     // minima) — its contract is the same full-recompute labeling

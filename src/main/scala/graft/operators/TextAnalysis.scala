@@ -519,6 +519,53 @@ object TextAnalysis {
         "train").otherwise("val").as("split"))
   }
 
+  /** Token-budget corpus selection — the "fill the training run up to
+    * N tokens, best docs first" pass every dataset build ends with:
+    * rank documents by priority (source weight desc, doc_id asc as the
+    * deterministic tie-break), take them in order while the RUNNING
+    * token total stays within the budget (here: half the corpus's
+    * tokens, a 1-row scalar both engines floor-divide identically).
+    *
+    * The running total is a GLOBAL prefix sum, computed scalably — a
+    * naive `Window.orderBy(...)` with no partition key collapses the
+    * whole corpus into one task, the classic 100 TB killer. Instead:
+    * range-repartition on the sort key (so partition i holds a
+    * contiguous key range), do a LOCAL per-partition cumulative sum
+    * (window partitioned by partition id — parallel), and add each
+    * partition's bounded offset (one ≤ #partitions-row collect,
+    * prefix-scanned on the driver, rejoined as a literal map). Exact
+    * long arithmetic end-to-end, so the result is independent of where
+    * the range boundaries land — the DuckDB oracle is the plain
+    * single-window cumsum and the outputs hash-match. */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documentsParallel(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("prio",
+        (substring(col("source"), 4, 10).cast("int") % 4 + 1).cast("long"))
+    val totalTokens = d.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    val budget = totalTokens / 2 // floor division, mirrored by the oracle
+    val ranged = d.repartitionByRange(col("prio").desc, col("doc_id").asc)
+      .withColumn("pid", spark_partition_id())
+    // bounded: one row per partition (spark.sql.shuffle.partitions)
+    val partSums = ranged.groupBy(col("pid")).agg(sum(col("n_tokens")).as("psum"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxPid = if (partSums.isEmpty) -1 else partSums.keys.max
+    val offsets: Map[Int, Long] = (0 to maxPid)
+      .scanLeft(0 -> 0L) { case ((_, acc), pid) =>
+        pid -> (acc + partSums.getOrElse(pid - 1, 0L))
+      }.tail.toMap // offset(pid) = sum of all earlier partitions' tokens
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid"))
+      .orderBy(col("prio").desc, col("doc_id").asc)
+    val offsetCol = coalesce(
+      element_at(typedLit(offsets), col("pid")), lit(0L))
+    ranged
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w) + offsetCol)
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+  }
+
   val WeightedSampleK = 64
   private val RaceMultipliers = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
   /** Deterministic weighted sampling without replacement — the INTEGER

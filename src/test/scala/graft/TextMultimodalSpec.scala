@@ -263,4 +263,39 @@ class TextMultimodalSpec extends AnyFunSuite {
       .map(_.getAs[Long]("doc_id")).toSet
     assert(again == sel.map(_.getAs[Long]("doc_id")).toSet)
   }
+
+  test("token budget: maximal prefix within budget, scalable cumsum, partition-independent") {
+    val out = TextAnalysis.tokenBudget(spark, sf)
+    val rows = out.collect().sortBy(_.getAs[Long]("cum_tokens"))
+    assert(rows.nonEmpty)
+    val d = Tables.documents(spark, sf).select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      (substring(col("source"), 4, 10).cast("int") % 4 + 1).cast("long").as("prio"))
+    val budget = d.agg(sum(col("n_tokens"))).head().getLong(0) / 2
+    // within budget, and the running total is the exact prefix sum
+    assert(rows.last.getAs[Long]("cum_tokens") <= budget)
+    val cums = rows.map(_.getAs[Long]("cum_tokens"))
+    val toks = rows.map(_.getAs[Long]("n_tokens"))
+    assert(cums.zip(toks.scanLeft(0L)(_ + _).tail).forall { case (a, b) => a == b },
+      "cum_tokens must be the exact running total in selection order")
+    // maximality: the next document in priority order would exceed the budget
+    val selected = rows.map(_.getAs[Long]("doc_id")).toSet
+    val next = d.collect().map(r => (r.getAs[Long]("prio"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens")))
+      .sortBy { case (p, id, _) => (-p, id) }
+      .find { case (_, id, _) => !selected(id) }
+    next.foreach { case (_, _, t) =>
+      assert(rows.last.getAs[Long]("cum_tokens") + t > budget,
+        "selection must be maximal: the next doc in order must not fit")
+    }
+    // the global window is partitioned (pid), never a single-partition sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(pid"),
+      s"cumsum window must partition by pid:\n${plan.take(2000)}")
+    // offsets make the result independent of input partitioning
+    // (different partition counts, same selected set + totals)
+    val again = TextAnalysis.tokenBudget(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum_tokens"))).toSet
+    assert(again == rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum_tokens"))).toSet)
+  }
 }
