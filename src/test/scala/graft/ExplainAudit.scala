@@ -14,7 +14,9 @@ object ExplainAudit {
       else Seq("text_decontaminate", "text_decontaminate_bloom", "dedup_paragraph",
         "dedup_components_incremental", "sim_rerank_topk",
         "q7_volume", "q13_custdist", "q17_small_qty", "q20_part_suppliers",
-        "mm_dedup", "text_pack")
+        "mm_dedup", "text_pack",
+        "dedup_semantic", "text_token_budget", "etl_datatype_match",
+        "etl_route_file", "dedup_components_lineage")
     targets.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       df.count() // materialize so AQE finalizes
