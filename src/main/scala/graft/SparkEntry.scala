@@ -94,6 +94,8 @@ object SparkEntry {
     "q20_part_suppliers" -> (Analytics3.q20PartSuppliers _),
     "q2_min_cost" -> (Analytics3.q2MinCost _),
     "q11_important_stock" -> (Analytics3.q11ImportantStock _),
+    "q_funnel" -> (Analytics3.qFunnel _),
+    "q_retention" -> (Analytics3.qRetention _),
     "q_window3" -> (Analytics2.qWindow3 _),
     "q_cube" -> (Analytics2.qCube _),
     "q_intersect_except" -> (Analytics2.qIntersectExcept _),
@@ -146,6 +148,7 @@ object SparkEntry {
     "sim_ivf_topk" -> (Similarity.ivfTopK _),
     "sim_pq_topk" -> (Similarity.pqTopK _),
     "sim_quantize" -> (Similarity.quantize _),
+    "sim_knn_graph" -> (Similarity.knnGraph _),
     // multimodal
     "mm_meta_extract" -> (Multimodal.metaExtract _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
@@ -190,6 +193,7 @@ object SparkEntry {
     "text_decontaminate_bloom" -> (TextAnalysis.decontaminateBloom _),
     "text_corpus_pipeline" -> (TextAnalysis.corpusPipeline _),
     "text_rarity" -> (TextAnalysis.rarity _),
+    "text_contamination_score" -> (TextAnalysis.contaminationScore _),
     "sim_label_centroids" -> (Similarity.labelCentroids _),
     "stream_enrich" -> (graft.streaming.Streams.streamEnrichTransfer _),
     "stream_jdbc_sink" -> (graft.streaming.Streams.streamJdbcSink _),
@@ -360,6 +364,45 @@ object SparkEntry {
       |tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
       |SELECT doc_id, CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_hit_ngrams
       |FROM tr JOIN ev USING (gram) GROUP BY doc_id""".stripMargin
+  }
+
+  /** Containment-score oracle: raw gram strings (collision tripwire for
+    * the Spark side's md5 fps); one LEFT join + one grouped pass, the
+    * terminal `/` on two BIGINTs is DuckDB's float division — the same
+    * double-over-exact-integers op as the Spark cast. */
+  private def textContaminationScoreSql: String = {
+    val n = TextAnalysis.DecontamN
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - ${n - 2}),
+      |    i -> array_to_string(w[i:i+${n - 1}], ' '))) AS gram
+      |  FROM d WHERE len(w) >= $n),
+      |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+      |tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+      |SELECT doc_id,
+      | CAST(COUNT(DISTINCT tr.gram) AS BIGINT) AS n_grams,
+      | CAST(COUNT(DISTINCT CASE WHEN ev.gram IS NOT NULL THEN tr.gram END) AS BIGINT)
+      |   AS n_leaked,
+      | COUNT(DISTINCT CASE WHEN ev.gram IS NOT NULL THEN tr.gram END)
+      |   / COUNT(DISTINCT tr.gram) AS containment
+      |FROM tr LEFT JOIN ev ON tr.gram = ev.gram GROUP BY doc_id""".stripMargin
+  }
+
+  /** kNN-graph oracle: the all-corpus directed variant of
+    * simLshTopkSql — same plane-bit replication, q.vec_id <> c.vec_id
+    * instead of a query/corpus split. */
+  private def simKnnGraphSql: String = {
+    import graft.functions.Planes.{sigsCteSql, cosineSql}
+    s"""WITH ${sigsCteSql(Similarity.KnnTables, Similarity.KnnPlanes)},
+      |cand AS (SELECT DISTINCT q.vec_id AS vec_id, c.vec_id AS nbr_id
+      |  FROM sigs q JOIN sigs c ON q.t = c.t AND q.sig = c.sig
+      |   AND q.vec_id <> c.vec_id),
+      |scored AS (SELECT cand.vec_id, cand.nbr_id,
+      |  ${cosineSql("ea.emb", "ea.nsq", "eb.emb", "eb.nsq")} AS cosine
+      | FROM cand JOIN e ea ON ea.vec_id = cand.vec_id
+      |  JOIN e eb ON eb.vec_id = cand.nbr_id)
+      |SELECT vec_id, nbr_id, cosine,
+      | CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS BIGINT) AS rank
+      |FROM scored QUALIFY rank <= ${Similarity.KnnK}""".stripMargin
   }
 
   /** Composite corpus-pipeline oracle: the quality-filter, exact-dedup
@@ -970,6 +1013,28 @@ object SparkEntry {
         | GROUP BY 1)
         |SELECT partkey, CAST(value_dec AS DOUBLE) AS value FROM pp
         |WHERE CAST(value_dec AS DOUBLE) > (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM pp) * 0.0001""".stripMargin,
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN v ON v.user_id = e.user_id AND e.ts > v.t
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN c ON c.user_id = e.user_id AND e.ts > c.t
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT 1 AS step, 'view' AS event_type, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+        |UNION ALL SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM c
+        |UNION ALL SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM p""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (SELECT user_id,
+        |  date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day FROM events),
+        |ch AS (SELECT user_id, CAST(floor(MIN(day) / 7) AS BIGINT) AS cohort_week
+        |  FROM e GROUP BY user_id)
+        |SELECT cohort_week,
+        | CAST(floor(day / 7) AS BIGINT) - cohort_week AS week_offset,
+        | CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN ch ON e.user_id = ch.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "q4_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders
         |FROM orders
@@ -1534,11 +1599,13 @@ object SparkEntry {
     "dedup_paragraph" -> dedupParagraphSql,
     "sim_lsh_topk" -> simLshTopkSql,
     "sim_multiprobe_topk" -> simMultiprobeTopkSql,
+    "sim_knn_graph" -> simKnnGraphSql,
     "sim_rerank_topk" -> simRerankTopkSql,
     "text_decontaminate" -> textDecontaminateSql,
     // the bloom path's exact-verify stage removes every bloom false
     // positive, so its contract IS the exact oracle — same SQL
     "text_decontaminate_bloom" -> textDecontaminateSql,
+    "text_contamination_score" -> textContaminationScoreSql,
     "text_corpus_pipeline" -> textCorpusPipelineSql,
     // raw words in the oracle (the Spark side joins md5 fps — collision tripwire)
     "text_rarity" ->

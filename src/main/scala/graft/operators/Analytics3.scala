@@ -232,4 +232,57 @@ object Analytics3 {
       .filter(col("value_dec").cast("double") > col("total") * 0.0001)
       .select(col("partkey"), col("value_dec").cast("double").as("value"))
   }
+
+  /** Ordered conversion funnel over the event stream (view → click →
+    * purchase, each step strictly AFTER the user's first completion of
+    * the previous one) — the product-analytics shape the reference's
+    * event transfers feed (reference: the events flowing through
+    * transfer_service.go end in exactly this kind of rollup). Each
+    * step is one groupBy(user_id) min-timestamp aggregate plus one
+    * equi-join back on user_id: all three shuffles share the user_id
+    * key so AQE/exchange-reuse co-partitions them, and only
+    * (user_id, ts) pairs ever cross an exchange — event payloads stay
+    * at the scan. Output is the 3-row step × distinct-user table. */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    def step(events: DataFrame, etype: String, after: Option[DataFrame]): DataFrame = {
+      val base = events.filter(col("event_type") === etype)
+      val scoped = after match {
+        case None => base
+        case Some(prev) =>
+          base.join(prev.select(col("user_id"), col("t_prev")), "user_id")
+            .filter(col("ts") > col("t_prev"))
+      }
+      scoped.groupBy(col("user_id")).agg(min(col("ts")).as("t_prev"))
+    }
+    val v = step(e, "view", None)
+    val c = step(e, "click", Some(v))
+    val p = step(e, "purchase", Some(c))
+    def row(n: Int, name: String, d: DataFrame): DataFrame =
+      d.agg(count(lit(1)).as("n_users"))
+        .select(lit(n).as("step"), lit(name).as("event_type"), col("n_users"))
+    row(1, "view", v).unionAll(row(2, "click", c)).unionAll(row(3, "purchase", p))
+  }
+
+  /** Cohort retention matrix: users grouped by first-seen week, counted
+    * per week-offset they returned in. Two aggregates and one
+    * user_id-keyed join (cohort assignment back onto the activity
+    * stream); week arithmetic is pure integer day-diff math (no engine
+    * week-truncation semantics to disagree on). The per-user cohort agg
+    * and the join co-key on user_id; the final distinct-count shuffles
+    * only (cohort_week, week_offset, user_id). */
+  def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val epoch = lit("2024-01-01")
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), datediff(col("ts").cast("date"), epoch).as("day"))
+    val cohort = e.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+      .select(col("user_id"), floor(col("first_day") / 7).as("cohort_week"))
+    e.join(cohort, "user_id")
+      .select(col("cohort_week"),
+        (floor(col("day") / 7) - col("cohort_week")).as("week_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
 }

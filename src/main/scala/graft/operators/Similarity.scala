@@ -460,4 +460,45 @@ object Similarity {
         expr("graft_cosine(q_emb, recon)").as("cosine"))
     topKPerQuery(scored)
   }
+
+  // kNN-graph banding: 8 planes/table make buckets ~|corpus|/256 so the
+  // all-corpus self-join stays near-linear; 8 tables keep planted
+  // near-dup recall > 0.999 (spec) — random-bulk neighbors are NOT the
+  // target of a curation kNN graph, near-dup structure is.
+  val KnnTables = 8
+  val KnnPlanes = 8
+  val KnnK = 3
+
+  /** Corpus-wide k-nearest-neighbor GRAPH (every vector → its top-k
+    * LSH-reachable neighbors) — the structure diversity analysis, graph
+    * clustering, and dataset-cartography passes consume. This is the
+    * ALL-vectors version of [[lshTopK]]: there is no bounded query
+    * side, so nothing is broadcast — candidate generation is a
+    * (table, sig) self-equi-join carrying only ids (never O(n²), never
+    * an embedding), embeddings join back per DISTINCT directed pair,
+    * and per-vector top-k runs through the bounded-buffer partial
+    * aggregate (k rows per vector per partition cross the exchange, no
+    * window sort of the candidate set). Hash-exact DuckDB oracle
+    * replicates the plane bits (graft.functions.Planes). */
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddingsParallel(s, dir).select(col("vec_id"), col("embedding"))
+    val dims = Planes.dimsOf(Tables.embeddings(s, dir), "embedding")
+    val sigs = Planes.withSigs(e, "embedding", KnnTables, KnnPlanes, dims)
+      .select(col("table"), col("sig"), col("vec_id"))
+    // directed pairs: each vector needs ITS OWN neighbor list, so keep
+    // (a, b) and (b, a) — candidatePairs' a<b canonical form would halve it
+    val cands = sigs
+      .join(sigs.select(col("table"), col("sig"), col("vec_id").as("nbr_id")),
+        Seq("table", "sig"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"))
+      .distinct()
+    val scored = cands
+      .join(e.select(col("vec_id"), col("embedding").as("a_emb")), "vec_id")
+      .join(e.select(col("vec_id").as("nbr_id"), col("embedding").as("b_emb")), "nbr_id")
+      .select(col("vec_id"), col("nbr_id"),
+        expr("graft_cosine(a_emb, b_emb)").as("cosine"))
+    graft.functions.TopK.perGroup(scored, "vec_id", "nbr_id", "cosine", KnnK)
+  }
 }

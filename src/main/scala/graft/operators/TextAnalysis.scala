@@ -381,6 +381,36 @@ object TextAnalysis {
       .agg(countDistinct(col("gram_fp")).as("n_hit_ngrams"))
   }
 
+  /** Containment SCORING — the graded companion to the binary
+    * [[decontaminate]] flag: every training document (with at least one
+    * n-gram) reports its distinct-gram count, how many of those grams
+    * the eval set contains, and the containment ratio n_leaked/n_grams
+    * (the asymmetric "how much of this doc is benchmark text" measure a
+    * threshold policy consumes — a 50-gram doc sharing 40 grams is a
+    * near-copy; a 5000-gram doc sharing 40 is background overlap).
+    * ONE fp equi-join (left, so clean docs keep score 0) and ONE
+    * aggregate: both distinct counts come out of the same grouped pass,
+    * so the corpus is scanned once. Shuffles carry (16-byte md5 fp,
+    * doc_id) only; the oracle joins raw gram strings, so an fp
+    * collision on the gate corpus fails the hash row loudly. The
+    * terminal divide is one double op over exact integers — engine-
+    * portable. */
+  def contaminationScore(s: SparkSession, dir: String): DataFrame = {
+    val n = DecontamN
+    val d = Tables.documentsParallel(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val evalFps = docGramFps(d.filter(col("doc_id") % 97 === 0), n)
+      .select(col("gram_fp")).distinct().withColumn("hit", lit(true))
+    docGramFps(d.filter(col("doc_id") % 97 =!= 0), n)
+      .join(evalFps, Seq("gram_fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("gram_fp")).as("n_grams"),
+        countDistinct(when(col("hit"), col("gram_fp"))).as("n_leaked"))
+      .select(col("doc_id"), col("n_grams"), col("n_leaked"),
+        (col("n_leaked").cast("double") / col("n_grams")).as("containment"))
+  }
+
   /** Document frequency a token must stay at or under to count as
     * rare. */
   val RareDf = 3

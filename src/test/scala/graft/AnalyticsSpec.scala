@@ -220,4 +220,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(joined.filter(col("us2") > col("prior_click_us")).count() == 0)
     assert(asof.filter(col("gap_us") < 0).count() == 0)
   }
+
+  test("funnel: steps shrink monotonically and step 1 counts exactly the viewing users") {
+    val rows = Analytics3.qFunnel(spark, sf).collect()
+      .map(r => r.getAs[Int]("step") -> r.getAs[Long]("n_users")).toMap
+    assert(rows.keySet == Set(1, 2, 3))
+    assert(rows(1) >= rows(2) && rows(2) >= rows(3),
+      s"funnel must be monotone: $rows")
+    assert(rows(3) > 0, "gate corpus should convert some users end-to-end")
+    val viewers = Tables.events(spark, sf)
+      .filter(col("event_type") === "view").select("user_id").distinct().count()
+    assert(rows(1) == viewers)
+  }
+
+  test("retention: every user anchors their own cohort at offset 0; offsets never negative") {
+    val r = Analytics3.qRetention(spark, sf)
+    assert(r.filter(col("week_offset") < 0).count() == 0)
+    val totalUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    val offset0 = r.filter(col("week_offset") === 0)
+      .agg(sum(col("n_users"))).collect()(0).getLong(0)
+    // a user's first event is in their cohort week, so offset 0 covers everyone
+    assert(offset0 == totalUsers)
+  }
 }

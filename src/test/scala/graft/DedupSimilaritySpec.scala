@@ -684,4 +684,53 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(minhashRuns.get() == 1,
       s"a corpus build must run the minhash/verify pass exactly once, ran ${minhashRuns.get()}")
   }
+
+  test("kNN graph: bounded directed neighbor lists, no self-edges, scores are true cosines") {
+    import org.apache.spark.sql.functions._
+    val g = Similarity.knnGraph(spark, sf)
+    assert(g.filter(col("vec_id") === col("nbr_id")).count() == 0)
+    assert(g.filter(col("rank") > Similarity.KnnK).count() == 0)
+    val overK = g.groupBy("vec_id").count().filter(col("count") > Similarity.KnnK)
+    assert(overK.count() == 0, "a vector may have at most K neighbors")
+    // rank order is (cosine desc, nbr_id asc) within each vector
+    val badOrder = g.alias("a").join(g.alias("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.rank") + 1 === col("b.rank"))
+      .filter(col("b.cosine") > col("a.cosine") ||
+        (col("b.cosine") === col("a.cosine") && col("b.nbr_id") < col("a.nbr_id")))
+    assert(badOrder.count() == 0, "neighbor lists must be cosine-desc, id-asc ordered")
+    // edge scores equal the exact cosine recomputed from the vectors
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val recheck = g
+      .join(e.select(col("vec_id"), col("embedding").as("ea")), "vec_id")
+      .join(e.select(col("vec_id").as("nbr_id"), col("embedding").as("eb")), "nbr_id")
+      .filter(expr("graft_cosine(ea, eb)") =!= col("cosine"))
+    assert(recheck.count() == 0, "graph edges must carry exact cosines")
+  }
+
+  test("kNN graph bands catch planted near-dup twins (the curation operating point)") {
+    // Same setup as the embedding-LSH recall test, at the graph's own
+    // banding (8×8): a mild deterministic perturbation keeps twins at
+    // cosine ≈ 0.99, where the curation kNN graph must connect them.
+    import org.apache.spark.sql.functions._
+    val base = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val n = base.count()
+    val planted = base.select((col("vec_id") + lit(100000)).as("vec_id"),
+      zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+        (x, d) => (x * (lit(1.0) + lit(0.08) *
+          (pmod(hash(col("vec_id"), d), lit(2)) * 2 - 1))).cast("float")).as("embedding"))
+    val all = base.union(planted)
+    val dims = graft.functions.Planes.dimsOf(all, "embedding")
+    val banded = graft.functions.Planes
+      .withSigs(all, "embedding", Similarity.KnnTables, Similarity.KnnPlanes, dims)
+      .select(col("table"), col("sig"), col("vec_id"))
+    val cands = banded.select(col("table"), col("sig"), col("vec_id").as("vec_a"))
+      .join(banded.select(col("table"), col("sig"), col("vec_id").as("vec_b")),
+        Seq("table", "sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = (0L until n).filterNot(v => cands.contains((v, v + 100000)))
+    assert(missed.size <= (n / 100).toInt,
+      s"kNN banding missed ${missed.size}/$n planted twins (allowing <1%)")
+  }
 }

@@ -16,7 +16,8 @@ object ExplainAudit {
         "q7_volume", "q13_custdist", "q17_small_qty", "q20_part_suppliers",
         "mm_dedup", "text_pack",
         "dedup_semantic", "text_token_budget", "etl_datatype_match",
-        "etl_route_file", "dedup_components_lineage")
+        "etl_route_file", "dedup_components_lineage",
+        "q_funnel", "q_retention", "text_contamination_score", "sim_knn_graph")
     targets.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       df.count() // materialize so AQE finalizes

@@ -298,4 +298,18 @@ class TextMultimodalSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum_tokens"))).toSet
     assert(again == rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum_tokens"))).toSet)
   }
+
+  test("contamination score: bounded ratio, and the positive set IS decontaminate's flag set") {
+    val score = TextAnalysis.contaminationScore(spark, sf)
+    assert(score.filter(col("containment") < 0 || col("containment") > 1).count() == 0)
+    assert(score.filter(col("n_leaked") > col("n_grams")).count() == 0)
+    // graded score ∘ (n_leaked > 0) must reduce to the binary decontaminate
+    // verdict, leak-count for leak-count
+    val flagged = TextAnalysis.decontaminate(spark, sf)
+    val joined = score.filter(col("n_leaked") > 0)
+      .join(flagged, Seq("doc_id"), "full")
+    assert(joined.filter(col("n_leaked").isNull || col("n_hit_ngrams").isNull).count() == 0,
+      "positive-containment docs must match decontaminate's flagged docs exactly")
+    assert(joined.filter(col("n_leaked") =!= col("n_hit_ngrams")).count() == 0)
+  }
 }
