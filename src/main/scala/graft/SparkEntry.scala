@@ -156,6 +156,7 @@ object SparkEntry {
     "mm_resize_meta" -> (Multimodal.resizeMeta _),
     "mm_dedup" -> (Multimodal.payloadDedup _),
     "mm_frame_dedup" -> (Multimodal.frameDedup _),
+    "mm_overlap_dedup" -> (Multimodal.overlapDedup _),
     // declarative pipeline config + real structured streaming
     "etl_pipeline_config" -> ((s, dir) => {
       import graft.plans.Pipeline._
@@ -1242,6 +1243,24 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         | CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
         |FROM r GROUP BY doc_id""".stripMargin,
+    "mm_overlap_dedup" ->
+      s"""WITH m AS (SELECT doc_id, text || text AS txt2,
+        |  CAST(2 * LENGTH(text) AS BIGINT) AS n_bytes FROM documents
+        | WHERE 2 * LENGTH(text) >= 64),
+        |f0 AS (SELECT doc_id,
+        | (${(0 until 8).map(j => s"CAST(ascii(substr(txt2, CAST(off AS BIGINT) + 1 + $j, 1)) AS BIGINT) * ${math.pow(131, 7 - j).toLong}").mkString(" + ")})
+        |   % 2147483647 AS frame_fp
+        | FROM (SELECT doc_id, txt2, unnest(range(0, n_bytes - 63, 128)) AS off FROM m) t),
+        |f AS (SELECT DISTINCT doc_id, frame_fp FROM f0),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY doc_id),
+        |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        | FROM f a JOIN f b ON a.frame_fp = b.frame_fp AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared, x.n AS n_a, y.n AS n_b,
+        | n_shared / (x.n + y.n - n_shared) AS jaccard
+        |FROM sh JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+        |WHERE n_shared / (x.n + y.n - n_shared) >= ${Multimodal.OverlapTau}""".stripMargin,
     "mm_resize_meta" ->
       """SELECT doc_id,
         | CAST(32 + (doc_id % 8) * 16 AS INTEGER) AS width,

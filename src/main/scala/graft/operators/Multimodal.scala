@@ -104,6 +104,41 @@ object Multimodal {
         (col("n_frames") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Overlap threshold for [[overlapDedup]] — pairs sharing a quarter
+    * of their distinct sampled frames are near-dup documents. */
+  val OverlapTau = 0.25
+
+  /** Media NEAR-dup by frame-set overlap — the "same video, different
+    * container / trimmed credits" pass that byte-exact [[payloadDedup]]
+    * cannot catch: two documents are near-dups when the Jaccard overlap
+    * of their DISTINCT sampled-frame fingerprints reaches
+    * [[OverlapTau]]. Candidate generation is the inverted frame index —
+    * an equi-join on frame_fp carrying only (doc_id, fp), so pairs are
+    * generated bucket-wise (never O(n²) and frame bytes never cross an
+    * exchange); overlap counting and the two size joins are all
+    * id-keyed. A degenerate hot fingerprint (a black frame) would fan
+    * out like any hot LSH bucket — at corpus scale drop such stop
+    * frames exactly like Planes.candidatePairs' maxBucketSize (the
+    * gate corpus tops out at 36 docs/fp, so the exact form stays
+    * oracle-able). One terminal double divide over exact counts. */
+  def overlapDedup(s: SparkSession, dir: String): DataFrame = {
+    val f = frameSample(s, dir)
+      .select(col("doc_id"), col("frame_fp")).distinct()
+      .localCheckpoint() // one frame expansion; reused three times below
+    val sizes = f.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"))
+    val shared = f.select(col("doc_id").as("doc_a"), col("frame_fp"))
+      .join(f.select(col("doc_id").as("doc_b"), col("frame_fp")), "frame_fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fps").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fps").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"), col("n_b"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared"))).as("jaccard"))
+      .filter(col("jaccard") >= OverlapTau)
+  }
+
   /** Exact payload dedup — the media-side dedup pass (identical bytes
     * re-uploaded under different records): fingerprint = md5 of the
     * binary payload, keep the minimum doc_id per fingerprint. The

@@ -17,7 +17,8 @@ object ExplainAudit {
         "mm_dedup", "text_pack",
         "dedup_semantic", "text_token_budget", "etl_datatype_match",
         "etl_route_file", "dedup_components_lineage",
-        "q_funnel", "q_retention", "text_contamination_score", "sim_knn_graph")
+        "q_funnel", "q_retention", "text_contamination_score", "sim_knn_graph",
+        "mm_overlap_dedup")
     targets.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       df.count() // materialize so AQE finalizes

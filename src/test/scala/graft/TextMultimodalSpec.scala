@@ -312,4 +312,25 @@ class TextMultimodalSpec extends AnyFunSuite {
       "positive-containment docs must match decontaminate's flagged docs exactly")
     assert(joined.filter(col("n_leaked") =!= col("n_hit_ngrams")).count() == 0)
   }
+
+  test("frame-overlap near-dup: canonical bounded pairs, and frame bytes never cross a shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val p = Multimodal.overlapDedup(spark, sf)
+    p.count()
+    assert(p.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    assert(p.filter(col("jaccard") < Multimodal.OverlapTau || col("jaccard") > 1).count() == 0)
+    assert(p.filter(col("n_shared") > least(col("n_a"), col("n_b"))).count() == 0)
+    assert(p.groupBy("doc_a", "doc_b").count().filter(col("count") > 1).count() == 0)
+    assert(p.count() > 0, "gate corpus should contain frame-overlap near-dups")
+    // the shuffles carry (ids, fps, counts) — never payload text
+    val root = p.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case q => q
+    }
+    root.collect { case e: ShuffleExchangeLike => e }.foreach { e =>
+      assert(!e.output.exists(c => c.name == "txt2" || c.name == "text"),
+        s"payload must not cross the exchange: ${e.output.map(_.name)}")
+    }
+  }
 }
