@@ -5,11 +5,14 @@ import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 import graft.plans.Pipeline.BatchTasks
 
-/** REST status endpoint — the reference's operational HTTP surface
-  * (reference server.go:26-108: GET /etly/tasklist, /etly/status,
-  * /etly/errors, /etly/info/{name}, /etly/version;
+/** REST status + submission endpoint — the reference's operational
+  * HTTP surface (reference server.go:26-108: GET /etly/tasklist,
+  * /etly/tasks/{ids}, /etly/status, /etly/errors, /etly/info/{name},
+  * /etly/version, POST /etly/transfer, /etly/transferOnce;
   * service_contract.go, status_info_response.go) served over the JDK's
-  * built-in HttpServer, no extra dependencies.
+  * built-in HttpServer, no extra dependencies. The POST endpoints
+  * accept the same reference-shaped config JSON plans.ConfigJson loads
+  * from disk and need the server constructed with a SparkSession.
   *
   * The registries stay the single source of truth — the streaming
   * TaskRegistry listener rides Spark's listener bus and BatchTasks is
@@ -17,7 +20,8 @@ import graft.plans.Pipeline.BatchTasks
   * them. Driver-side and O(#tasks): nothing here touches executors or
   * data, so the endpoint costs the same at sf0.001 and 100 TB.
   */
-final class StatusServer(listener: TaskRegistry.Listener, port: Int = 0) {
+final class StatusServer(listener: TaskRegistry.Listener, port: Int = 0,
+    transferSession: Option[org.apache.spark.sql.SparkSession] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
@@ -106,6 +110,73 @@ final class StatusServer(listener: TaskRegistry.Listener, port: Int = 0) {
     listener.status(name).map(streamTaskJson)
       .orElse(BatchTasks.status(name).map(batchTaskJson))
 
+  /** GET /graft/tasks/{ids}[?offset=&limit=] — GetTasks analog
+    * (reference server.go:57 `tasks/{ids}`, service.go:166): ids are
+    * comma-separated task names; empty ids = every task; offset/limit
+    * page the result like the reference's Form parameters. Unknown ids
+    * are skipped (the reference's GetByIDs contract). */
+  private def tasksJson(idsSeg: String, query: Option[String]): String = {
+    val all = listener.tasksList().map(t => t.name -> streamTaskJson(t)) ++
+      BatchTasks.tasksList().map(t => t.target -> batchTaskJson(t))
+    val ids = idsSeg.split(',').map(_.trim).filter(_.nonEmpty)
+    val picked =
+      if (ids.isEmpty) all.map(_._2)
+      else {
+        val byName = all.toMap
+        ids.toSeq.flatMap(byName.get)
+      }
+    def intParam(name: String): Option[Int] =
+      query.flatMap(_.split('&').collectFirst {
+        case kv if kv.takeWhile(_ != '=') == name =>
+          kv.dropWhile(_ != '=').drop(1)
+      }).flatMap(_.toIntOption).filter(_ >= 0)
+    val offset = intParam("offset").getOrElse(0)
+    val limit = intParam("limit").getOrElse(picked.size)
+    picked.slice(offset, offset + limit).mkString("[", ",", "]")
+  }
+
+  /** POST /graft/transfer — Transfer analog (reference server.go:93):
+    * the body is a reference-shaped transfer-config JSON document (the
+    * same shape plans.ConfigJson loads from disk); transfers run
+    * ASYNCHRONOUSLY on a daemon thread (the reference schedules and
+    * returns), registering in BatchTasks as they go — poll
+    * /graft/tasklist or /graft/info/{target} for completion. Responds
+    * 202 with the submitted target list, 400 on a malformed document,
+    * 503 when the server was started without a SparkSession. */
+  private def submitTransfer(body: String, once: Boolean): (Int, String) =
+    transferSession match {
+      case None => (503, """{"error":"no spark session attached for transfers"}""")
+      case Some(s) =>
+        import graft.plans.ConfigJson
+        val targets =
+          try ConfigJson.parseTransfers(body).map(_._2)
+          catch { case e: Exception =>
+            return (400, s"""{"error":"${esc(String.valueOf(e.getMessage))}"}""")
+          }
+        if (once) {
+          // transferOnce (server.go:100): run one pass NOW, answer with
+          // per-transfer results — the reference's DoResponse shape
+          try {
+            val rows = ConfigJson.run(s, body)
+            val tasks = targets.zip(rows).map { case (t, (w, e)) =>
+              s"""{"target":"${esc(t)}","rowsWritten":$w,"errorRows":$e}"""
+            }
+            (200, s"""{"status":"ok","tasks":${tasks.mkString("[", ",", "]")}}""")
+          } catch { case e: Exception =>
+            (500, s"""{"status":"error","error":"${esc(String.valueOf(e.getMessage))}"}""")
+          }
+        } else {
+          val th = new Thread(() =>
+            try ConfigJson.run(s, body)
+            catch { case _: Throwable => () /* BatchTasks carries the failure */ },
+            s"graft-transfer-${System.nanoTime}")
+          th.setDaemon(true)
+          th.start()
+          (202, s"""{"status":"submitted","targets":${
+            targets.map(t => s""""${esc(t)}"""").mkString("[", ",", "]")}}""")
+        }
+    }
+
   private def respond(x: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     x.getResponseHeaders.set("Content-Type", "application/json")
@@ -117,11 +188,22 @@ final class StatusServer(listener: TaskRegistry.Listener, port: Int = 0) {
   server.createContext("/graft/", (x: HttpExchange) =>
     try {
       val path = x.getRequestURI.getPath
-      if (x.getRequestMethod != "GET")
+      val isPostPath = path == "/graft/transfer" || path == "/graft/transferOnce"
+      if (x.getRequestMethod == "POST" && isPostPath) {
+        val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val (code, resp) = submitTransfer(body, once = path.endsWith("Once"))
+        respond(x, code, resp)
+      }
+      else if (x.getRequestMethod != "GET" || isPostPath)
         respond(x, 405, """{"error":"method not allowed"}""")
       else path match {
         case "/graft/tasklist" | "/graft/tasklist/" =>
           respond(x, 200, tasklistJson(statusParam(x)))
+        case "/graft/tasks" | "/graft/tasks/" =>
+          respond(x, 200, tasksJson("", Option(x.getRequestURI.getQuery)))
+        case p if p.startsWith("/graft/tasks/") =>
+          val ids = java.net.URLDecoder.decode(p.stripPrefix("/graft/tasks/"), "UTF-8")
+          respond(x, 200, tasksJson(ids, Option(x.getRequestURI.getQuery)))
         case "/graft/status"  => respond(x, 200, statusJson)
         case "/graft/errors"  => respond(x, 200, errorsJson)
         case "/graft/version" =>

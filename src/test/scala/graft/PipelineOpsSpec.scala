@@ -584,6 +584,66 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
   private def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
 
+  test("HTTP transfer submission: transferOnce runs sync, transfer runs async, tasks/{ids} pages") {
+    def http(port: Int, method: String, path: String, body: Option[String]): (Int, String) = {
+      val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod(method)
+      body.foreach { b =>
+        conn.setDoOutput(true)
+        val os = conn.getOutputStream
+        try os.write(b.getBytes("UTF-8")) finally os.close()
+      }
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val out = scala.io.Source.fromInputStream(is, "UTF-8").mkString
+      conn.disconnect()
+      (code, out)
+    }
+    val reg = new graft.streaming.TaskRegistry.Listener
+    val server = new graft.streaming.StatusServer(reg, transferSession = Some(spark))
+    val port = server.start()
+    try {
+      val base = tmp("http_post")
+      def cfg(out: String, cap: Int) = s"""{"Transfers": [{
+        |  "Source": {"Path": "$sf/orders.parquet", "Format": "parquet"},
+        |  "Target": "$out",
+        |  "Filter": "o_orderkey <= $cap"
+        |}]}""".stripMargin
+      // --- transferOnce: synchronous, returns per-transfer results ---
+      val expected = Tables.orders(spark, sf).filter(col("o_orderkey") <= 500).count()
+      val (oc, once) = http(port, "POST", "/graft/transferOnce", Some(cfg(s"$base/once", 500)))
+      assert(oc == 200 && once.contains(""""status":"ok"""")
+        && once.contains(s""""rowsWritten":$expected"""), s"transferOnce: $once")
+      assert(spark.read.parquet(s"$base/once").count() == expected)
+      // --- transfer: async submit, completion observable via the registry ---
+      val (ac, sub) = http(port, "POST", "/graft/transfer", Some(cfg(s"$base/async", 300)))
+      assert(ac == 202 && sub.contains(""""status":"submitted"""")
+        && sub.contains(esc(s"$base/async")), s"transfer submit: $sub")
+      val deadline = System.currentTimeMillis() + 30000
+      while (!Pipeline.BatchTasks.status(s"$base/async")
+          .exists(_.state.isInstanceOf[Pipeline.BatchTasks.Finished])
+          && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(spark.read.parquet(s"$base/async").count() ==
+        Tables.orders(spark, sf).filter(col("o_orderkey") <= 300).count())
+      // --- tasks/{ids}: exact lookup, unknown ids skipped, paging ---
+      val (tc, one) = http(port, "GET",
+        s"/graft/tasks/${java.net.URLEncoder.encode(s"$base/once", "UTF-8")},no_such", None)
+      assert(tc == 200 && one.contains(esc(s"$base/once"))
+        && !one.contains("no_such"), s"tasks/{ids}: $one")
+      assert(one.count(_ == '{') == 1, s"unknown ids must be skipped, got: $one")
+      val (pc, page) = http(port, "GET", "/graft/tasks?limit=1", None)
+      assert(pc == 200 && page.count(_ == '{') == 1, s"limit=1 must page: $page")
+      // --- contracts: malformed body 400, GET on POST path 405, no session 503 ---
+      assert(http(port, "POST", "/graft/transferOnce", Some("{nope"))._1 == 400)
+      assert(http(port, "GET", "/graft/transfer", None)._1 == 405)
+      val bare = new graft.streaming.StatusServer(reg)
+      val barePort = bare.start()
+      try assert(http(barePort, "POST", "/graft/transfer", Some(cfg(s"$base/x", 1)))._1 == 503)
+      finally bare.stop()
+    } finally server.stop()
+  }
+
   test("env/runtime target variables expand into routing partitions and paths") {
     val target = tmp("envkey")
     // HOME is in any test environment; RuntimeKey carries $thread/$batchCount-style values
