@@ -41,6 +41,7 @@ object SparkEntry {
     "etl_compact_files" -> (Etl.compactSmallFiles _),
     "text_quality_filter" -> (TextAnalysis.qualityFilter _),
     "text_source_mix" -> (TextAnalysis.sourceMix _),
+    "text_mix_rebalance" -> (TextAnalysis.mixRebalance _),
     "text_weighted_sample" -> (TextAnalysis.weightedSample _),
     "text_token_budget" -> (TextAnalysis.tokenBudget _),
     "text_length_hist" -> (TextAnalysis.lengthHistogram _),
@@ -96,6 +97,7 @@ object SparkEntry {
     "q11_important_stock" -> (Analytics3.q11ImportantStock _),
     "q_funnel" -> (Analytics3.qFunnel _),
     "q_retention" -> (Analytics3.qRetention _),
+    "q_attribution" -> (Analytics3.qAttribution _),
     "q_window3" -> (Analytics2.qWindow3 _),
     "q_cube" -> (Analytics2.qCube _),
     "q_intersect_except" -> (Analytics2.qIntersectExcept _),
@@ -147,6 +149,7 @@ object SparkEntry {
     "sim_rerank_topk" -> (Similarity.rerankTopK _),
     "sim_ivf_topk" -> (Similarity.ivfTopK _),
     "sim_pq_topk" -> (Similarity.pqTopK _),
+    "sim_ivf_pq_topk" -> (Similarity.ivfPqTopK _),
     "sim_quantize" -> (Similarity.quantize _),
     "sim_knn_graph" -> (Similarity.knnGraph _),
     // multimodal
@@ -637,6 +640,68 @@ object SparkEntry {
       |  FROM q, recon r) t WHERE rank <= ${Similarity.K}""".stripMargin
   }
 
+  /** Composed IVF+PQ+refine oracle: the unrolled-Lloyd centroid CTEs
+    * (shared with the IVF oracle) restrict candidates to the probed
+    * lists, the PQ oracle's codebook/encode/reconstruct CTEs supply the
+    * coarse score, top-RerankCoarse per query by reconstructed cosine,
+    * then the exact-embedding re-rank to top-K. Every arithmetic step
+    * is lifted verbatim from the two standalone oracles, so the
+    * composition stays hash-exact. */
+  private def simIvfPqTopkSql: String = {
+    import graft.functions.Planes.cosineSql
+    val (parts, cc, fc) = lloydCtes()
+    parts += s"""probes AS (
+      |  SELECT query_id, cent_id FROM (
+      |    SELECT v.vec_id AS query_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY $cc DESC, c.cent_id) AS rn
+      |    FROM e v, $fc c WHERE v.vec_id < 10) t WHERE rn <= ${Similarity.IvfProbes})""".stripMargin
+    parts += s"""assigned AS (
+      |  SELECT cand_id, cent_id FROM (
+      |    SELECT v.vec_id AS cand_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY $cc DESC, c.cent_id) AS rn
+      |    FROM e v, $fc c WHERE v.vec_id >= 10) t WHERE rn = 1)""".stripMargin
+    val m = Similarity.PqSubspaces
+    val k = Similarity.PqCodewords
+    val l2 = (vec: String) =>
+      s"""list_sum(list_transform(list_zip($vec, s.csub),
+         |       x -> (x[1]-x[2])*(x[1]-x[2])))""".stripMargin
+    parts += s"""pqp AS (SELECT GREATEST(1, COUNT(*) // $k) AS stride,
+      |  (SELECT len(embedding) // $m FROM embeddings LIMIT 1) AS sub FROM embeddings)""".stripMargin
+    parts += s"""book AS (SELECT vec_id // stride AS code_id, embedding AS cw
+      |  FROM embeddings, pqp WHERE vec_id % stride = 0 AND vec_id // stride < $k)""".stripMargin
+    parts += s"""subs AS (SELECT code_id, m.m AS m,
+      |   CAST(list_slice(cw, m.m*sub+1, (m.m+1)*sub) AS DOUBLE[]) AS csub
+      |  FROM book, pqp, range(0,$m) m(m))""".stripMargin
+    parts += s"""enc AS (SELECT cand_id, m, csub FROM (
+      |   SELECT c.vec_id AS cand_id, s.m, s.csub,
+      |     row_number() OVER (PARTITION BY c.vec_id, s.m ORDER BY
+      |       ${l2(s"CAST(list_slice(c.embedding, s.m*pqp.sub+1, (s.m+1)*pqp.sub) AS DOUBLE[])")} ASC,
+      |       s.code_id ASC) AS rn
+      |   FROM embeddings c, subs s, pqp WHERE c.vec_id >= 10) t WHERE rn = 1)""".stripMargin
+    parts += """recon AS (SELECT cand_id, remb, list_sum(list_transform(remb, x -> x*x)) AS rnsq
+      |  FROM (SELECT cand_id, flatten(list(csub ORDER BY m)) AS remb FROM enc GROUP BY cand_id) f)""".stripMargin
+    val pqCos = cosineSql("eq.demb", "eq.nsq", "r.remb", "r.rnsq")
+    parts += s"""coarse AS (SELECT p.query_id, a.cand_id, $pqCos AS pq_cos
+      |  FROM probes p JOIN assigned a USING (cent_id)
+      |  JOIN recon r ON r.cand_id = a.cand_id
+      |  JOIN e eq ON eq.vec_id = p.query_id)""".stripMargin
+    parts += s"""topc AS (SELECT query_id, cand_id FROM (
+      |  SELECT query_id, cand_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY pq_cos DESC, cand_id) AS crn
+      |  FROM coarse) t WHERE crn <= ${Similarity.RerankCoarse})""".stripMargin
+    val sc = cosineSql("eq.demb", "eq.nsq", "ec.demb", "ec.nsq")
+    s"""WITH ${parts.mkString(",\n")}
+      |SELECT query_id, cand_id, cosine, rank FROM (
+      |  SELECT query_id, cand_id, $sc AS cosine,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY $sc DESC, cand_id) AS BIGINT) AS rank
+      |  FROM topc JOIN e eq ON eq.vec_id = query_id
+      |  JOIN e ec ON ec.vec_id = cand_id) t
+      |WHERE rank <= ${Similarity.K}""".stripMargin
+  }
+
   private val decSum = (c: String) => s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
   private val revenue =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
@@ -778,6 +843,21 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN bucket < pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         | CAST(SUM(CASE WHEN bucket < pct THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
         |FROM m GROUP BY source""".stripMargin,
+    "text_mix_rebalance" ->
+      """WITH d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+        |  CASE WHEN source = 'src0' THEN 250 WHEN source = 'src1' THEN 100
+        |       WHEN source = 'src2' THEN 50 WHEN source = 'src3' THEN 125
+        |       ELSE 10 END AS pct,
+        |  (doc_id * 2654435761 + 104729) % 9973 % 100 AS bucket
+        | FROM documents),
+        |c AS (SELECT source, n_tokens,
+        |  pct // 100 + CASE WHEN bucket < pct % 100 THEN 1 ELSE 0 END AS n_copies
+        | FROM d)
+        |SELECT source, COUNT(*) AS n_docs,
+        | CAST(SUM(CASE WHEN n_copies > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+        | CAST(SUM(n_copies) AS BIGINT) AS n_rows_out,
+        | CAST(SUM(n_copies * n_tokens) AS BIGINT) AS n_tokens_out
+        |FROM c GROUP BY source""".stripMargin,
     "text_weighted_sample" ->
       s"""WITH d AS (SELECT doc_id, source,
         |  (CAST(substr(source, 4) AS INT) % 4) + 1 AS weight,
@@ -1036,6 +1116,15 @@ object SparkEntry {
         | CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
         |FROM e JOIN ch ON e.user_id = ch.user_id
         |GROUP BY 1, 2""".stripMargin,
+    "q_attribution" ->
+      """WITH w AS (SELECT event_type, value, user_id,
+        |  LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT COALESCE(touch, 'direct') AS channel, COUNT(*) AS n_purchases,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM w WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
     "q4_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders
         |FROM orders
@@ -1654,6 +1743,7 @@ object SparkEntry {
     "sim_ivf_topk" -> simIvfTopkSql,
     "dedup_semantic" -> dedupSemanticSql,
     "sim_pq_topk" -> simPqTopkSql,
+    "sim_ivf_pq_topk" -> simIvfPqTopkSql,
     "sim_brute_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
         |  list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS nsq

@@ -285,4 +285,31 @@ object Analytics3 {
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
+
+  /** Last-touch attribution — the revenue-credit rollup completing the
+    * funnel/retention event-analytics family: every purchase credits
+    * the user's most recent PRECEDING non-purchase event (its
+    * event_type is the "channel"); purchases with no preceding touch
+    * credit "direct". One carried-forward window per user — the LOCF
+    * recipe q_asof_join uses, so the whole operator is a single
+    * user_id shuffle + per-partition sort, and only (user_id, ts,
+    * event_type, value, event_id) ever cross the exchange. Ordering
+    * ties break on event_id (unique), making the credited channel
+    * deterministic on both engines; revenue sums in decimal with one
+    * terminal double cast → hash-exact oracle. */
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(dec)).cast("double").as("revenue"))
+  }
 }

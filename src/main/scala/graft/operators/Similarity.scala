@@ -304,20 +304,25 @@ object Similarity {
     * and the bounded top-k partial agg. At 100 TB: embeddings never
     * cross an exchange; the centroid literal is ~100 KB in the task
     * binary. */
-  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
-    val cents = kmeansCentroidSeq(s, dir)
-    val assigned = assignNearestNarrow(corpus(s, dir), cents, "cand_id", "c_emb")
-    // per query: rank all ≤ nlist centroids in one array expression and
-    // keep the IvfProbes best — (−cos, cent_id) sorts ascending to the
-    // same order as the r3 window (cos desc, cent_id asc)
+  /** Per query: rank all ≤ nlist centroids in one array expression and
+    * keep the IvfProbes best — (−cos, cent_id) sorts ascending to the
+    * same order as the r3 window (cos desc, cent_id asc). Narrow: the
+    * probe ranking is an array_sort of ≤ nlist structs per query row. */
+  private def probeTopCentroids(qdf: DataFrame,
+      cents: Seq[(Long, Seq[Float])]): DataFrame = {
     val ranked = array_sort(transform(typedLit(cents), c =>
       struct(
         (-call_function("graft_cosine", col("q_emb"), c.getField("_2"))).as("ncos"),
         c.getField("_1").as("cid"))))
-    val probes = queries(s, dir)
-      .select(col("query_id"), col("q_emb"),
+    qdf.select(col("query_id"), col("q_emb"),
         explode(slice(ranked, 1, IvfProbes)).as("p"))
       .select(col("query_id"), col("q_emb"), col("p.cid").as("cent_id"))
+  }
+
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val cents = kmeansCentroidSeq(s, dir)
+    val assigned = assignNearestNarrow(corpus(s, dir), cents, "cand_id", "c_emb")
+    val probes = probeTopCentroids(queries(s, dir), cents)
     val scored = broadcast(probes).join(assigned, Seq("cent_id"))
       .select(col("query_id"), col("cand_id"),
         expr("graft_cosine(q_emb, c_emb)").as("cosine"))
@@ -459,6 +464,46 @@ object Similarity {
       .select(col("query_id"), col("cand_id"),
         expr("graft_cosine(q_emb, recon)").as("cosine"))
     topKPerQuery(scored)
+  }
+
+  /** IVF + PQ + exact refine — the full billion-vector serving stack
+    * (the FAISS IVFPQ shape) composed from the three tiers this module
+    * already oracles: the IVF coarse quantizer restricts each query to
+    * its IvfProbes nearest centroid LISTS (the probed fraction of the
+    * corpus is all that is ever scanned), candidates inside those lists
+    * score against their PQ codeword RECONSTRUCTION (M·log2(K) bits per
+    * vector — at 100 TB the list scan reads codes, not floats), and the
+    * RerankCoarse best per query re-rank through one exact
+    * graft_cosine pass over the raw embeddings. Corpus-side work is ONE
+    * narrow projection (centroid argmax + per-subspace argmin encode
+    * fused over the scan — zero joins, zero shuffles); the only
+    * exchanges in the whole query are the probe equi-join, the two
+    * bounded top-k partial aggs, and the id-keyed exact-rerank join.
+    * Every stage reuses the bit-exact arithmetic of its standalone gate
+    * (unrolled-Lloyd centroids, stride codebook, shared cosine fold),
+    * so the composed oracle is hash-exact too. */
+  def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val cents = kmeansCentroidSeq(s, dir)
+    val book = pqCodebook(s, dir)
+    require(book.nonEmpty, "empty PQ codebook")
+    val sub = book.head._2.length / PqSubspaces
+    val assigned = assignNearestNarrow(corpus(s, dir), cents, "cand_id", "c_emb")
+    val recon = assigned.select(col("cent_id"), col("cand_id"),
+      concat((0 until PqSubspaces).map(m =>
+        pqBest(book, "c_emb", m, sub).getField("sub")): _*).as("recon"))
+    val probes = probeTopCentroids(queries(s, dir), cents)
+    val coarse = broadcast(probes).join(recon, Seq("cent_id"))
+      .select(col("query_id"), col("cand_id"),
+        expr("graft_cosine(q_emb, recon)").as("pq_cos"))
+    val topC = graft.functions.TopK.perGroup(
+      coarse, "query_id", "cand_id", "pq_cos", RerankCoarse)
+    val exact = topC
+      .join(corpus(s, dir), "cand_id")
+      .join(broadcast(queries(s, dir)), "query_id")
+      .select(col("query_id"), col("cand_id"),
+        expr("graft_cosine(q_emb, c_emb)").as("cosine"))
+    topKPerQuery(exact)
   }
 
   // kNN-graph banding: 8 planes/table make buckets ~|corpus|/256 so the

@@ -309,6 +309,69 @@ object TextAnalysis {
         sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"))
   }
 
+  /** Per-source epoch multipliers in HUNDREDTHS (250 = 2.5 epochs) —
+    * the LLaMA-style training-mix table: upsample scarce high-quality
+    * sources past 1.0, downsample abundant ones below it. Data, not
+    * structure — swap the table, same plan. */
+  private def mixEpochPct: Column =
+    when(col("source") === "src0", 250)
+      .when(col("source") === "src1", 100)
+      .when(col("source") === "src2", 50)
+      .when(col("source") === "src3", 125)
+      .otherwise(10)
+
+  /** Per-document copy count for the target mix: every doc gets
+    * floor(epochs) whole copies, plus one more iff its portable affine
+    * hash bucket falls under the fractional remainder — so expected
+    * copies equal the target epochs exactly, membership of the extra
+    * copy is deterministic across runs AND engines (pure 64-bit integer
+    * arithmetic, the text_split hash), and a re-ingest never flips
+    * which docs carry it. */
+  private def mixCopies: Column = {
+    val bucket = pmod(col("doc_id") * 2654435761L + 104729L, lit(9973L)) % 100
+    (floor(col("pct") / 100) + when(bucket < col("pct") % 100, 1L).otherwise(0L))
+      .cast("long")
+  }
+
+  /** Source-mix REBALANCING to target epoch weights — sourceMix keeps
+    * or drops documents (sampling rates ≤ 1); real training mixes also
+    * UPSAMPLE (epochs > 1: the same document appears in multiple
+    * training passes). The gate output is the per-source audit report
+    * (docs in, docs surviving, replicated rows out, replicated tokens
+    * out) computed as pure per-doc integer arithmetic + ONE grouped
+    * aggregate — map-side partials collapse each partition to ≤
+    * |sources| rows before the exchange, so the report costs O(sources)
+    * shuffle at any corpus size. [[mixRebalanceCorpus]] is the
+    * materializing entry point (explode to physical copies); the spec
+    * proves its row counts equal this report. */
+  def mixRebalance(s: SparkSession, dir: String): DataFrame =
+    Tables.documentsParallel(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        mixEpochPct.as("pct"))
+      .withColumn("n_copies", mixCopies)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_copies") > 0, 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(col("n_copies")).as("n_rows_out"),
+        sum(col("n_copies") * col("n_tokens")).as("n_tokens_out"))
+
+  /** The materialized rebalanced corpus: one physical row per training
+    * copy, (doc_id, copy_idx) keyed. The explode is NARROW (no
+    * shuffle) and fans out only the upsampled rows; zero-copy docs are
+    * filtered before the sequence so the generator never sees an empty
+    * range. At 100 TB a consumer would write this partitioned by
+    * source — the explode rides the same scan. */
+  def mixRebalanceCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.documentsParallel(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        mixEpochPct.as("pct"))
+      .withColumn("n_copies", mixCopies)
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        explode(sequence(lit(1L), col("n_copies"), lit(1L))).as("copy_idx"))
+
   /** Eval-set decontamination n-gram width. Real pipelines use 8-13
     * word n-grams (the GPT-3/PaLM recipe); this synthetic corpus's
     * small vocabulary only produces meaningful overlap at 3, and the

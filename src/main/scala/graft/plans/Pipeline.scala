@@ -168,17 +168,31 @@ object Pipeline {
 
     final case class Status(target: String, state: State, startedMs: Long, updatedMs: Long)
 
+    /** Bounded terminal-task history (reference task_registry.go:8
+      * MaxHistory): Running tasks are never evicted, but once more
+      * than MaxHistory tasks sit in a terminal state
+      * (Finished/Failed) the oldest — by last update, ties by target —
+      * roll off, so a long-lived service's registry memory stays
+      * bounded no matter how many transfers it has run. */
+    val MaxHistory = 20
+
     private val tasks = scala.collection.concurrent.TrieMap.empty[String, Status]
-    private[Pipeline] def start(target: String): Unit = {
+    private[graft] def start(target: String): Unit = {
       val now = System.currentTimeMillis()
       tasks.put(target, Status(target, Running, now, now))
     }
-    private[Pipeline] def finish(target: String, st: State): Unit =
+    private[graft] def finish(target: String, st: State): Unit = {
       tasks.updateWith(target) {
         case Some(t) => Some(t.copy(state = st, updatedMs = System.currentTimeMillis()))
         case None => Some(Status(target, st,
           System.currentTimeMillis(), System.currentTimeMillis()))
       }
+      val terminal = tasks.values.filter(_.state != Running).toSeq
+      if (terminal.size > MaxHistory)
+        terminal.sortBy(t => (t.updatedMs, t.target))
+          .dropRight(MaxHistory)
+          .foreach(t => tasks.remove(t.target))
+    }
     def tasksList(): Seq[Status] = tasks.values.toSeq.sortBy(_.target)
     def status(target: String): Option[Status] = tasks.get(target)
     def errors(): Seq[(String, String)] = tasks.values.collect {

@@ -16,6 +16,10 @@ import scala.collection.concurrent.TrieMap
   */
 object TaskRegistry {
 
+  /** Terminal-history cap shared by both registries (reference
+    * task_registry.go:8). */
+  val MaxHistory = 20
+
   sealed trait State
   case object Running extends State
   case object Finished extends State
@@ -48,12 +52,35 @@ object TaskRegistry {
       }
     }
 
-    override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
       tasks.updateWith(e.id) {
         case Some(t) => Some(t.copy(state =
           e.exception.map(Failed(_): State).getOrElse(Finished)))
         case None => None
       }
+      evictTerminal()
+    }
+
+    /** Bounded terminal-task history (reference task_registry.go:8
+      * MaxHistory): Running queries are never evicted; beyond
+      * MaxHistory terminal entries the oldest by last progress roll
+      * off — the listener's map stays bounded across an unbounded
+      * stream of scheduled transfers. */
+    private def evictTerminal(): Unit = {
+      val terminal = tasks.values.filter(_.state != Running).toSeq
+      if (terminal.size > TaskRegistry.MaxHistory)
+        terminal.sortBy(t => (t.lastProgressMs, t.name))
+          .dropRight(TaskRegistry.MaxHistory)
+          .foreach(t => tasks.remove(t.id))
+    }
+
+    /** Test seam: inject a task row directly (the listener events have
+      * private[sql] constructors) and apply the same terminal-history
+      * eviction a real termination triggers. */
+    private[graft] def record(t: TaskStatus): Unit = {
+      tasks.put(t.id, t)
+      if (t.state != Running) evictTerminal()
+    }
 
     /** service.go GetTasksList analog. */
     def tasksList(): Seq[TaskStatus] = tasks.values.toSeq.sortBy(_.name)

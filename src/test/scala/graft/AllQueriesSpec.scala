@@ -50,7 +50,7 @@ class AllQueriesSpec extends AnyFunSuite {
   private val allowedQueryBatchBroadcast = Set(
     "sim_brute_topk", "sim_native_topk", "sim_lsh_topk",
     "sim_multiprobe_topk", "sim_ivf_topk", "sim_rerank_topk",
-    "sim_pq_topk")
+    "sim_pq_topk", "sim_ivf_pq_topk")
 
   /** Repo-wide growing-hint gate (VERDICT r3 #1): a broadcast hint is
     * legal ONLY on (a) a subtree whose every leaf is a bounded relation

@@ -242,4 +242,27 @@ class AnalyticsSpec extends AnyFunSuite {
     // a user's first event is in their cohort week, so offset 0 covers everyone
     assert(offset0 == totalUsers)
   }
+
+  test("attribution: purchases partition exactly across channels; direct = no prior touch") {
+    val a = Analytics3.qAttribution(spark, sf)
+    assert(a.filter(col("channel") === "purchase").count() == 0,
+      "a purchase can never be its own credited touch")
+    val e = Tables.events(spark, sf)
+    val purchases = e.filter(col("event_type") === "purchase")
+    assert(a.agg(sum(col("n_purchases"))).collect()(0).getLong(0) == purchases.count(),
+      "every purchase is credited exactly once")
+    // independent formulation of 'direct': purchases with ZERO strictly
+    // earlier (ts, event_id) non-purchase events by the same user
+    val touches = e.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts").as("t_ts"), col("event_id").as("t_id"))
+    val withPrior = purchases.join(touches,
+        purchases("user_id") === touches("user_id") &&
+          (touches("t_ts") < purchases("ts") ||
+            (touches("t_ts") === purchases("ts") && touches("t_id") < purchases("event_id"))),
+        "left_semi")
+    val expectDirect = purchases.count() - withPrior.count()
+    val gotDirect = a.filter(col("channel") === "direct")
+      .agg(coalesce(sum(col("n_purchases")), lit(0L))).collect()(0).getLong(0)
+    assert(gotDirect == expectDirect, s"direct: got $gotDirect expected $expectDirect")
+  }
 }

@@ -155,6 +155,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall@5 = $recall")
   }
 
+  test("IVFPQ: composed candidates are a subset of the probed IVF lists; refine bounds loss vs IVF") {
+    // the composition draws from the SAME probed lists as plain IVF and
+    // can only LOSE candidates (the PQ coarse ranking may misorder past
+    // RerankCoarse) — so rank-by-rank, plain IVF's exact cosines must
+    // DOMINATE IVFPQ's: a composed rank-i cosine above IVF's rank-i
+    // would mean a candidate from outside the probed pool leaked in.
+    def ranked(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
+      df.select("query_id", "cosine", "rank").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.sortBy(_.getLong(2)).map(_.getDouble(1)).toSeq }
+    val ivfR = ranked(Similarity.ivfTopK(spark, sf))
+    val pqR = ranked(Similarity.ivfPqTopK(spark, sf))
+    pqR.foreach { case (q, cosines) =>
+      val ref = ivfR(q)
+      cosines.zipWithIndex.foreach { case (c, i) =>
+        assert(i >= ref.length || c <= ref(i),
+          s"query $q rank ${i + 1}: IVFPQ cosine $c exceeds IVF ${ref(i)}")
+      }
+    }
+    // sanity floor on agreement — this corpus is uniform random vectors
+    // (PQ reconstruction is weakest exactly there; see the class note),
+    // so the floor is deliberately loose. On structured corpora the
+    // planted-pair tests are the recall instrument.
+    val ivf = Similarity.ivfTopK(spark, sf).select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Similarity.ivfPqTopK(spark, sf).select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vsIvf = ivf.count(ivfpq.contains).toDouble / math.max(ivf.size, 1)
+    assert(vsIvf >= 0.3, s"IVFPQ agreement with plain IVF = $vsIvf")
+    // exact re-rank means cosines in the output are TRUE cosines: every
+    // reported (query, cand) pair must carry the same cosine brute force
+    // computes for it
+    val bruteCos = Similarity.bruteTopK(spark, sf)
+      .select("query_id", "cand_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Similarity.ivfPqTopK(spark, sf).select("query_id", "cand_id", "cosine")
+      .collect().foreach { r =>
+        val k = (r.getLong(0), r.getLong(1))
+        bruteCos.get(k).foreach(b => assert(b == r.getDouble(2),
+          s"refined cosine for $k must be the exact cosine"))
+      }
+  }
+
   test("multiprobe LSH: half the tables, comparable recall (VERDICT r2 #7 tradeoff)") {
     import org.apache.spark.sql.functions._
     val brute = Similarity.bruteTopK(spark, sf).select("query_id", "cand_id")

@@ -18,7 +18,8 @@ object ExplainAudit {
         "dedup_semantic", "text_token_budget", "etl_datatype_match",
         "etl_route_file", "dedup_components_lineage",
         "q_funnel", "q_retention", "text_contamination_score", "sim_knn_graph",
-        "mm_overlap_dedup")
+        "mm_overlap_dedup",
+        "q_attribution", "text_mix_rebalance", "sim_ivf_pq_topk")
     targets.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       df.count() // materialize so AQE finalizes

@@ -866,4 +866,40 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(out.filter(col("src_file") === n).count() == expected)
     }
   }
+
+  test("task history is bounded at MaxHistory terminal entries; running tasks never evicted (task_registry.go:8)") {
+    // batch registry: plant 30 finished + 2 running beyond whatever the
+    // suite already recorded; newest terminals survive, running always do
+    import Pipeline.BatchTasks
+    (1 to 30).foreach { i =>
+      BatchTasks.start(s"/hist/t$i")
+      BatchTasks.finish(s"/hist/t$i", BatchTasks.Finished(i.toLong, 0L, 1))
+    }
+    BatchTasks.start("/hist/running1")
+    BatchTasks.start("/hist/running2")
+    val terminal = BatchTasks.tasksList().filter(_.state != BatchTasks.Running)
+    assert(terminal.size <= BatchTasks.MaxHistory,
+      s"terminal history ${terminal.size} exceeds cap ${BatchTasks.MaxHistory}")
+    assert(BatchTasks.status("/hist/t30").isDefined, "newest terminal must survive")
+    assert(BatchTasks.status("/hist/t1").isEmpty, "oldest terminal must roll off")
+    assert(BatchTasks.status("/hist/running1").isDefined
+      && BatchTasks.status("/hist/running2").isDefined,
+      "running tasks are never evicted")
+    BatchTasks.finish("/hist/running1", BatchTasks.Finished(0L, 0L, 1))
+    BatchTasks.finish("/hist/running2", BatchTasks.Finished(0L, 0L, 1))
+
+    // streaming registry: same policy through the listener's map
+    import graft.streaming.TaskRegistry
+    val reg = new TaskRegistry.Listener
+    val runningId = java.util.UUID.randomUUID()
+    reg.record(TaskRegistry.TaskStatus("live", runningId, TaskRegistry.Running, 1L, 10L, 0L))
+    (1 to 30).foreach { i =>
+      reg.record(TaskRegistry.TaskStatus(s"done$i", java.util.UUID.randomUUID(),
+        TaskRegistry.Finished, 1L, 10L, i.toLong))
+    }
+    val streamTerminal = reg.tasksList().filter(_.state != TaskRegistry.Running)
+    assert(streamTerminal.size == TaskRegistry.MaxHistory)
+    assert(reg.status("done30").isDefined && reg.status("done1").isEmpty)
+    assert(reg.status("live").isDefined, "running query survives any amount of history")
+  }
 }

@@ -243,6 +243,42 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(nVal > 0.005 && nVal < 0.15, s"val fraction $nVal out of band")
   }
 
+  test("mix rebalance: report matches the materialized corpus; 1.0-epoch source passes through") {
+    val report = TextAnalysis.mixRebalance(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_docs_kept"),
+          r.getAs[Long]("n_rows_out"), r.getAs[Long]("n_tokens_out")))).toMap
+    // the materializing entry point agrees row-for-row with the report
+    val corpus = TextAnalysis.mixRebalanceCorpus(spark, sf)
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("docs"), count(lit(1)).as("rows"),
+        sum(col("n_tokens")).as("toks"))
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("docs"), r.getAs[Long]("rows"), r.getAs[Long]("toks")))).toMap
+    report.foreach { case (src, (_, kept, rowsOut, toksOut)) =>
+      if (rowsOut > 0) {
+        val (cDocs, cRows, cToks) = corpus(src)
+        assert(cDocs == kept && cRows == rowsOut && cToks == toksOut,
+          s"$src: corpus ($cDocs,$cRows,$cToks) != report ($kept,$rowsOut,$toksOut)")
+      } else assert(!corpus.contains(src), s"$src: zero copies but corpus rows exist")
+    }
+    // src1 = 100 hundredths = exactly 1.0 epochs: identity pass-through
+    report.get("src1").foreach { case (n, kept, rowsOut, _) =>
+      assert(kept == n && rowsOut == n, s"src1 must pass through 1:1, got $kept/$rowsOut of $n")
+    }
+    // src0 = 2.5 epochs: every doc at least twice, never more than thrice
+    report.get("src0").foreach { case (n, kept, rowsOut, _) =>
+      assert(kept == n && rowsOut >= 2 * n && rowsOut <= 3 * n,
+        s"src0 replication $rowsOut out of [${2 * n}, ${3 * n}]")
+    }
+    // copy_idx is dense 1..n_copies per doc (the sequence contract)
+    val maxIdx = TextAnalysis.mixRebalanceCorpus(spark, sf)
+      .groupBy(col("doc_id")).agg(max(col("copy_idx")).as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n")).count()
+    assert(maxIdx == 0, "copy_idx must be dense per doc")
+  }
+
   test("weighted sample: top-k plan (no global sort) and selection biased toward heavy sources") {
     import org.apache.spark.sql.functions._
     val df = TextAnalysis.weightedSample(spark, sf)
