@@ -160,6 +160,7 @@ object SparkEntry {
     "mm_dedup" -> (Multimodal.payloadDedup _),
     "mm_frame_dedup" -> (Multimodal.frameDedup _),
     "mm_overlap_dedup" -> (Multimodal.overlapDedup _),
+    "mm_phash_dedup" -> (Multimodal.phashDedup _),
     // declarative pipeline config + real structured streaming
     "etl_pipeline_config" -> ((s, dir) => {
       import graft.plans.Pipeline._
@@ -1350,6 +1351,30 @@ object SparkEntry {
         | n_shared / (x.n + y.n - n_shared) AS jaccard
         |FROM sh JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
         |WHERE n_shared / (x.n + y.n - n_shared) >= ${Multimodal.OverlapTau}""".stripMargin,
+    "mm_phash_dedup" ->
+      s"""WITH src AS (SELECT doc_id AS src_id, text FROM documents),
+        |m AS (SELECT d.doc_id, s.text || '#' || CAST(d.doc_id % 7 AS VARCHAR) AS p
+        |      FROM documents d JOIN src s ON s.src_id = d.doc_id - d.doc_id % 7),
+        |samp AS (SELECT doc_id,
+        |  list_transform(range(0, 64), j -> ascii(substr(p, CAST((j * len(p)) // 64 AS INT) + 1, 1))) AS b
+        | FROM m),
+        |h AS (SELECT doc_id, b, list_sum(b) AS s FROM samp),
+        |bands AS (SELECT doc_id, bd.bd AS band,
+        |   CAST(list_sum(list_transform(range(0, ${Multimodal.PhashBandBits}),
+        |     i -> CASE WHEN b[CAST(bd.bd*${Multimodal.PhashBandBits} + i + 1 AS INT)] * 64 >= s
+        |          THEN (1 << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS band_val
+        |  FROM h, range(0, ${Multimodal.PhashBands}) bd(bd)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        |  FROM bands a JOIN bands b2 ON a.band = b2.band AND a.band_val = b2.band_val
+        |   AND a.doc_id < b2.doc_id),
+        |pb AS (SELECT doc_id, list(band_val ORDER BY band) AS bv FROM bands GROUP BY doc_id)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(list_sum(list_transform(list_zip(pa.bv, pbb.bv),
+        |      x -> bit_count(xor(x[1], x[2])))) AS BIGINT) AS hamming
+        |  FROM cand c JOIN pb pa ON pa.doc_id = c.doc_a
+        |  JOIN pb pbb ON pbb.doc_id = c.doc_b) t
+        |WHERE hamming <= ${Multimodal.PhashMaxHamming}""".stripMargin,
     "mm_resize_meta" ->
       """SELECT doc_id,
         | CAST(32 + (doc_id % 8) * 16 AS INTEGER) AS width,

@@ -158,6 +158,67 @@ object Multimodal {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
   }
 
+  // Perceptual-hash banding: 64 sample positions → 4 bands × 16 bits.
+  // Pigeonhole: any pair within PhashMaxHamming = 3 differs in at most
+  // 3 bands, so at least one band matches exactly — the banded
+  // candidate join is provably COMPLETE at the threshold (spec asserts
+  // set equality with the brute-force pair set, both directions).
+  val PhashBands = 4
+  val PhashBandBits = 16
+  val PhashMaxHamming = 3
+
+  /** aHash-style perceptual hash per media payload: 64 bytes sampled at
+    * proportional positions (j·n/64 — the byte analog of resizing an
+    * image to a fixed 8×8 grid), each thresholded against the sample
+    * mean. The compare is `byte·64 ≥ Σsamples` — mean-threshold without
+    * a division, pure integer, bit-identical across engines. Variants
+    * of the same source payload (re-encodes/trims — here a 2-char
+    * variant tail) perturb few sample positions, landing within small
+    * hamming distance — what byte-exact [[payloadDedup]] cannot catch.
+    * One narrow projection per row; at 100 TB the hash table is n rows
+    * × 4 longs, the payload never leaves the scan. */
+  private[graft] def phashTable(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"))
+      .withColumn("src_id", col("doc_id") - col("doc_id") % 7)
+    val src = Tables.documents(s, dir).select(col("doc_id").as("src_id"), col("text"))
+    d.join(src, "src_id")
+      .withColumn("p", concat(col("text"), lit("#"), (col("doc_id") % 7).cast("string")))
+      .withColumn("b", expr(
+        "transform(sequence(0, 63), j -> ascii(substr(p, CAST((j * length(p)) div 64 AS INT) + 1, 1)))"))
+      .withColumn("ssum", expr("aggregate(b, 0L, (acc, x) -> acc + x)"))
+      .withColumn("bands", expr(
+        s"""transform(sequence(0, ${PhashBands - 1}), bd ->
+           |  aggregate(sequence(0, ${PhashBandBits - 1}), 0L,
+           |    (acc, i) -> acc + IF(element_at(b, CAST(bd * $PhashBandBits + i + 1 AS INT)) * 64 >= ssum,
+           |      shiftleft(1L, CAST(i AS INT)), 0L)))""".stripMargin))
+      .select(col("doc_id"), col("bands"))
+  }
+
+  /** Perceptual near-dup pairs: banded candidate equi-join on
+    * (band, band_val) carrying ids only — bucket-wise, never O(n²),
+    * payload bytes never cross an exchange — then an exact hamming
+    * verify over the 4-long band vectors joined back by id. A hot
+    * degenerate band value (flat payloads) would fan out like any hot
+    * LSH bucket; at corpus scale drop such stop values exactly like
+    * Planes.candidatePairs' maxBucketSize (the gate corpus tops out at
+    * 14 docs/bucket, so the exact form stays oracle-able). */
+  def phashDedup(s: SparkSession, dir: String): DataFrame = {
+    val t = phashTable(s, dir).localCheckpoint() // one hash pass; reused below
+    val bands = t.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "band_val")))
+    val cands = bands
+      .join(bands.select(col("band"), col("band_val"), col("doc_id").as("doc_b")),
+        Seq("band", "band_val"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
+    cands
+      .join(t.select(col("doc_id").as("doc_a"), col("bands").as("bands_a")), "doc_a")
+      .join(t.select(col("doc_id").as("doc_b"), col("bands").as("bands_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("aggregate(zip_with(bands_a, bands_b, (x, y) -> bit_count(x ^ y)), 0L, (acc, v) -> acc + CAST(v AS BIGINT))")
+          .as("hamming"))
+      .filter(col("hamming") <= PhashMaxHamming)
+  }
+
   /** Case classes for the typed decode path. */
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
   final case class MediaFeatures(doc_id: Long, n_bytes: Long,

@@ -19,7 +19,8 @@ object ExplainAudit {
         "etl_route_file", "dedup_components_lineage",
         "q_funnel", "q_retention", "text_contamination_score", "sim_knn_graph",
         "mm_overlap_dedup",
-        "q_attribution", "text_mix_rebalance", "sim_ivf_pq_topk")
+        "q_attribution", "text_mix_rebalance", "sim_ivf_pq_topk",
+        "mm_phash_dedup")
     targets.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       df.count() // materialize so AQE finalizes

@@ -369,4 +369,26 @@ class TextMultimodalSpec extends AnyFunSuite {
         s"payload must not cross the exchange: ${e.output.map(_.name)}")
     }
   }
+
+  test("phash near-dup: banded candidates are COMPLETE at the hamming threshold (pigeonhole)") {
+    // 4 bands × 16 bits with threshold 3: any pair within hamming 3
+    // leaves at least one band untouched, so the banded join must find
+    // EXACTLY the brute-force pair set — equality both directions.
+    val hashes = Multimodal.phashTable(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1)
+    val brute = (for {
+      i <- hashes.indices; j <- (i + 1) until hashes.length
+      h = hashes(i)._2.zip(hashes(j)._2)
+        .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum
+      if h <= Multimodal.PhashMaxHamming
+    } yield (hashes(i)._1, hashes(j)._1, h.toLong)).toSet
+    val got = Multimodal.phashDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute,
+      s"banded pairs must equal brute force: missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+    assert(brute.nonEmpty, "gate corpus should contain perceptual near-dups")
+    // payload variants of one source should overwhelmingly be caught
+    val variantPairs = got.count { case (a, b, _) => a - a % 7 == b - b % 7 }
+    assert(variantPairs > 0, "planted same-source variants must appear")
+  }
 }
