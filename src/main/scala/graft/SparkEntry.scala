@@ -179,6 +179,7 @@ object SparkEntry {
     "stream_scheduled" -> (graft.streaming.Streams.streamScheduledTransfer _),
     "stream_dedup" -> (graft.streaming.Streams.streamDedupTransfer _),
     "stream_sessionize" -> (graft.streaming.Streams.streamSessionize _),
+    "stream_attribution" -> (graft.streaming.Streams.streamAttribution _),
     // text analysis
     "text_quality" -> (TextAnalysis.quality _),
     "text_lang_topk_native" -> (TextAnalysis.langTopQualityNative _),
@@ -1123,6 +1124,17 @@ object SparkEntry {
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
         |  FROM events)
+        |SELECT COALESCE(touch, 'direct') AS channel, COUNT(*) AS n_purchases,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM w WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+    // the streaming twin carries the touch as custom state instead of a
+    // window; same contract over the staged slice
+    "stream_attribution" ->
+      """WITH w AS (SELECT event_type, value, user_id,
+        |  LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events WHERE event_id < 2000)
         |SELECT COALESCE(touch, 'direct') AS channel, COUNT(*) AS n_purchases,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM w WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,

@@ -20,6 +20,11 @@ final case class SessionAgg(user_id: Long, n_events: Long,
 
 final case class SessionState(n: Long, startUs: Long, lastUs: Long)
 
+final case class AttribState(touch: String)
+
+final case class Attribution(user_id: Long, event_id: Long,
+  channel: String, value: Double)
+
 object Streams {
 
   /** State-store sizing rule (VERDICT r3 #3, SURVEY §4): a stateful
@@ -436,6 +441,68 @@ object Streams {
     }
     q.awaitTermination()
     s.read.parquet(s"$base/dst")
+  }
+
+  /** Streaming last-touch attribution — the real-time twin of
+    * Analytics3.qAttribution: per user, the most recent non-purchase
+    * event is carried as state, and every purchase emits immediately
+    * with the channel it credits (no window over history — the state
+    * IS the LOCF carry, so attribution latency is one micro-batch and
+    * per-user state is ONE string regardless of history length).
+    * Events are sorted (ts, event_id) within each batch group for
+    * batch-order parity; cross-batch order is the file source's
+    * responsibility (the gate stages one file = one batch). */
+  def attribute(events: Dataset[Event]): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttribState, Attribution](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[AttribState]) =>
+          def micros(t: Timestamp): Long =
+            t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var touch = state.getOption.map(_.touch).getOrElse("")
+          val out = scala.collection.mutable.ArrayBuffer[Attribution]()
+          sorted.foreach { e =>
+            if (e.event_type == "purchase")
+              out += Attribution(uid, e.event_id,
+                if (touch.isEmpty) "direct" else touch, e.value)
+            else touch = e.event_type
+          }
+          state.update(AttribState(touch))
+          out.iterator
+      }
+  }
+
+  /** Gate query: streaming attribution end-to-end — events staged as an
+    * ndjson stream, attributed purchases written AvailableNow to a
+    * parquet sink, rolled up to the same (channel, n_purchases,
+    * revenue) contract as the batch q_attribution; the oracle is the
+    * batch LOCF window over the same slice, so the stream's per-event
+    * state carry is verified hash-exact against the declarative form. */
+  def streamAttribution(s: SparkSession, dir: String): DataFrame = {
+    val base = System.getProperty("java.io.tmpdir") + "/graft_sattr_" + System.nanoTime
+    val in = stageStream(s,
+      graft.sources.Tables.events(s, dir).filter(col("event_id") < 2000)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("ts_us")),
+      s"$base/src",
+      "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts_us LONG",
+      tsFromUs = true)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    import s.implicits._
+    val q = withShufflePartitions(s, StateSizedPartitions) {
+      attribute(in.as[Event]).toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$base/dst").option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    s.read.parquet(s"$base/dst")
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("revenue"))
   }
 
   /** Custom stateful sessionization with flatMapGroupsWithState —

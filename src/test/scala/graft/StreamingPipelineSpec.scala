@@ -84,6 +84,25 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(streamed == closed)
   }
 
+  test("streaming last-touch attribution matches the batch LOCF window exactly") {
+    val got = Streams.streamAttribution(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val exp = Tables.events(spark, sf).filter(col("event_id") < 2000)
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("rev"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == exp, s"stream $got != batch $exp")
+    assert(got.nonEmpty, "gate slice must contain attributed purchases")
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
