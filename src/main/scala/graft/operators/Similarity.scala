@@ -259,7 +259,21 @@ object Similarity {
     * full-corpus vec_id shuffle CARRYING THE EMBEDDINGS, a second
     * aggregation shuffle and a localCheckpoint materialization. Floats
     * round-trip the driver bit-exactly, so the oracle lockstep holds. */
-  private[graft] def kmeansCentroidSeq(s: SparkSession, dir: String): Seq[(Long, Seq[Float])] = {
+  /** One coarse-quantizer training per (session, corpus dir) — the
+    * stagedPairLineage contract applied to the k-means build: IVF
+    * retrieval, IVFPQ retrieval, and semantic dedup all consume the
+    * SAME Lloyd-refined centroid set, and a production index trains its
+    * quantizer once per corpus, not once per query. The build is
+    * deterministic (stride seeds + exact means), so memoizing it
+    * changes nothing downstream; the cache holds ≤ IvfMaxNlist × dims
+    * floats per corpus (≈100 KB). Spec proves the second consumer runs
+    * ZERO Spark jobs for its centroids. */
+  private val centroidCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(Long, Seq[Float])]]
+  private[graft] def kmeansCentroidSeq(s: SparkSession, dir: String): Seq[(Long, Seq[Float])] =
+    centroidCache.getOrElseUpdate(dir, kmeansCentroidBuild(s, dir))
+
+  private def kmeansCentroidBuild(s: SparkSession, dir: String): Seq[(Long, Seq[Float])] = {
     graft.functions.GraftFunctions.register(s)
     val corpusV = Tables.embeddingsParallel(s, dir)
       .select(col("vec_id"), col("embedding"))
@@ -401,7 +415,14 @@ object Similarity {
     * ids). Sampled codewords beat trained ones for oracle lockstep and
     * are the standard cold-start book; swapping in Lloyd-refined
     * codewords per subspace would reuse kmeansCentroidSeq unchanged. */
-  private[graft] def pqCodebook(s: SparkSession, dir: String): Seq[(Long, Seq[Float])] = {
+  private val codebookCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(Long, Seq[Float])]]
+  /** Memoized like [[kmeansCentroidSeq]]: one codebook per corpus per
+    * session (deterministic stride sample, ≈2 KB). */
+  private[graft] def pqCodebook(s: SparkSession, dir: String): Seq[(Long, Seq[Float])] =
+    codebookCache.getOrElseUpdate(dir, pqCodebookBuild(s, dir))
+
+  private def pqCodebookBuild(s: SparkSession, dir: String): Seq[(Long, Seq[Float])] = {
     val n = Tables.embeddings(s, dir).count() // one scalar action (as IVF)
     val stride = math.max(1L, n / PqCodewords)
     Tables.embeddings(s, dir)

@@ -522,6 +522,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"components on a 128-chain should stay ≤ 85 jobs (measured 78; r4 shape ran 92); ran $n")
   }
 
+  test("coarse quantizer trains once per corpus: a second consumer runs zero centroid jobs") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    // warm the cache (first consumer pays the Lloyd sweeps)
+    val first = Similarity.kmeansCentroidSeq(spark, sf)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val second = try {
+      val r = Similarity.kmeansCentroidSeq(spark, sf)
+      Thread.sleep(300) // let queued listener events drain
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 0,
+      s"second centroid consumer must reuse the session-cached build, ran ${jobs.get()} jobs")
+    assert(second == first, "cache must return the identical centroid set")
+  }
+
   test("IVF job count is bounded and embeddings never cross an exchange (VERDICT r3 #4)") {
     // each Lloyd sweep = ONE distributed pass (narrow literal-argmax
     // assignment + one partial-agg shuffle + bounded collect); the r3
