@@ -180,6 +180,7 @@ object SparkEntry {
     "stream_dedup" -> (graft.streaming.Streams.streamDedupTransfer _),
     "stream_sessionize" -> (graft.streaming.Streams.streamSessionize _),
     "stream_attribution" -> (graft.streaming.Streams.streamAttribution _),
+    "stream_late_data" -> (graft.streaming.Streams.streamLateData _),
     // text analysis
     "text_quality" -> (TextAnalysis.quality _),
     "text_lang_topk_native" -> (TextAnalysis.langTopQualityNative _),
@@ -1127,6 +1128,21 @@ object SparkEntry {
         |SELECT COALESCE(touch, 'direct') AS channel, COUNT(*) AS n_purchases,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM w WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+    // watermark semantics in SQL: the late slice (first UTC day,
+    // arriving as the second micro-batch) is dropped, and only windows
+    // the final watermark (max on-time ts − 30 min) passed are emitted
+    "stream_late_data" ->
+      """WITH sl AS (SELECT event_type, value, CAST(epoch(ts) AS BIGINT) AS es
+        |  FROM events WHERE event_id < 2000),
+        |p AS (SELECT MIN(es) // 86400 * 86400 + 86400 AS cut FROM sl),
+        |a AS (SELECT sl.* FROM sl, p WHERE es >= cut),
+        |wm AS (SELECT MAX(es) - 1800 AS w FROM a)
+        |SELECT win_start_s, event_type, n_events, sum_value FROM (
+        |  SELECT es // 3600 * 3600 AS win_start_s, event_type,
+        |    COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM a GROUP BY 1, 2) t, wm
+        |WHERE win_start_s + 3600 <= w""".stripMargin,
     // the streaming twin carries the touch as custom state instead of a
     // window; same contract over the staged slice
     "stream_attribution" ->

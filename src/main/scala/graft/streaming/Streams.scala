@@ -373,6 +373,67 @@ object Streams {
     s.read.parquet(s"$base/dst")
   }
 
+  /** Gate query: WATERMARK LATE-DATA semantics across REAL
+    * micro-batches — the one streaming behavior a single-batch gate
+    * cannot exercise. The slice splits at the end of its first UTC day:
+    * the newer rows stage as the first TWO source files (halved by
+    * event parity), the first-day rows as the THIRD (mtime-ordered —
+    * the file source processes oldest mtime first under
+    * maxFilesPerTrigger=1, so each file is its own micro-batch). The
+    * late slice must arrive at batch THREE because Spark filters late
+    * events with the PREVIOUS trigger's watermark (one batch of
+    * grace): the filter wm for batch N is the one computed after batch
+    * N−2, so batch 2's late rows meet the batch-0 watermark —
+    * max(on-time even) − 30 min, days past them — and drop
+    * (empirically: numRowsDroppedByWatermark covers the whole late
+    * batch, nothing late reaches the sink). Append mode then emits
+    * exactly the on-time windows the final watermark passed. The
+    * oracle replicates both rules in SQL (late slice excluded,
+    * trailing windows behind max−30min excluded), making watermark
+    * drop/emit semantics themselves hash-gated. */
+  def streamLateData(s: SparkSession, dir: String): DataFrame = {
+    val base = System.getProperty("java.io.tmpdir") + "/graft_slate_" + System.nanoTime
+    val ev = graft.sources.Tables.events(s, dir).filter(col("event_id") < 2000)
+      .select(col("event_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+    val minS = ev.agg(min(expr("ts_us div 1000000"))).head().getLong(0)
+    val cutS = minS / 86400 * 86400 + 86400 // end of the slice's first UTC day
+    new java.io.File(s"$base/src").mkdirs()
+    def stageFile(df: DataFrame, tmpDir: String, dest: String, mtime: Long): Unit = {
+      df.coalesce(1).write.json(tmpDir)
+      val part = new java.io.File(tmpDir).listFiles()
+        .filter(_.getName.endsWith(".json")).head
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dest))
+      assert(new java.io.File(dest).setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis()
+    val onTime = ev.filter(expr(s"ts_us div 1000000 >= $cutS"))
+    stageFile(onTime.filter(col("event_id") % 2 === 0),
+      s"$base/t0", s"$base/src/a_even.json", t0 - 120000)
+    stageFile(onTime.filter(col("event_id") % 2 === 1),
+      s"$base/t1", s"$base/src/b_odd.json", t0 - 60000)
+    stageFile(ev.filter(expr(s"ts_us div 1000000 < $cutS")),
+      s"$base/t2", s"$base/src/c_late.json", t0)
+    val in = s.readStream
+      .schema("event_id LONG, event_type STRING, value DOUBLE, ts_us LONG")
+      .option("maxFilesPerTrigger", 1).json(s"$base/src")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val agg = in.withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("win.start")).as("win_start_s"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    val q = withShufflePartitions(s, StateSizedPartitions) {
+      agg.writeStream.format("parquet")
+        .option("path", s"$base/dst").option("checkpointLocation", s"$base/cp")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    s.read.parquet(s"$base/dst")
+  }
+
   /** Streaming exact dedup bounded by watermark: the streaming form of
     * Dedup.exactKeyed (idempotent re-delivery collapsing). */
   def dedupStream(events: DataFrame): DataFrame =
