@@ -123,6 +123,7 @@ object SparkEntry {
     // dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_incremental" -> (Dedup.incremental _),
+    "dedup_incremental_bloom" -> (Dedup.incrementalBloom _),
     "dedup_incremental_near" -> (Dedup.incrementalNear _),
     "dedup_exact_keyed" -> (Dedup.exactKeyed _),
     "dedup_minhash_lsh" -> (Dedup.minhashAudit _),
@@ -704,6 +705,22 @@ object SparkEntry {
       |  JOIN e ec ON ec.vec_id = cand_id) t
       |WHERE rank <= ${Similarity.K}""".stripMargin
   }
+
+  /** Shared by the exact and Bloom-pruned incremental-dedup gates
+    * (both produce bit-identical output — the Bloom path exact-verifies
+    * its survivors). Raw-text grouping keeps the fp-collision
+    * tripwire. */
+  private def dedupIncrementalSql: String =
+    """WITH batch AS (
+      | SELECT doc_id, text FROM documents WHERE source = 'src0'
+      | UNION ALL SELECT doc_id + 1000000, text FROM documents
+      |  WHERE source <> 'src0' AND doc_id % 7 = 0
+      | UNION ALL SELECT doc_id + 3000000, text FROM documents
+      |  WHERE source = 'src0' AND doc_id % 11 = 0),
+      |snap AS (SELECT DISTINCT text FROM documents WHERE source <> 'src0')
+      |SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+      |FROM batch WHERE text NOT IN (SELECT text FROM snap)
+      |GROUP BY text""".stripMargin
 
   private val decSum = (c: String) => s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
   private val revenue =
@@ -1527,17 +1544,10 @@ object SparkEntry {
         |WHERE jaccard >= 0.7""".stripMargin,
     "dedup_exact" ->
       "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents GROUP BY text",
-    "dedup_incremental" ->
-      """WITH batch AS (
-        | SELECT doc_id, text FROM documents WHERE source = 'src0'
-        | UNION ALL SELECT doc_id + 1000000, text FROM documents
-        |  WHERE source <> 'src0' AND doc_id % 7 = 0
-        | UNION ALL SELECT doc_id + 3000000, text FROM documents
-        |  WHERE source = 'src0' AND doc_id % 11 = 0),
-        |snap AS (SELECT DISTINCT text FROM documents WHERE source <> 'src0')
-        |SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
-        |FROM batch WHERE text NOT IN (SELECT text FROM snap)
-        |GROUP BY text""".stripMargin,
+    "dedup_incremental" -> dedupIncrementalSql,
+    // the Bloom-pruned path's exact-verify stage removes every Bloom
+    // false positive, so its contract IS the exact oracle — same SQL
+    "dedup_incremental_bloom" -> dedupIncrementalSql,
     "dedup_incremental_near" ->
       """WITH sh AS (SELECT doc_id, source, list_distinct(list_transform(
         |   range(1, len(string_split(text, ' ')) - 1),

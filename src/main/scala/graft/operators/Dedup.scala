@@ -64,6 +64,40 @@ object Dedup {
     electMinId(textFingerprints(batch).join(snapFp, Seq("fp"), "left_anti"))
   }
 
+  /** Bloom-pruned incremental dedup — the 100 TB scan shape of
+    * [[incremental]] (the text_decontaminate_bloom recipe applied to
+    * the nightly crawl): the snapshot's fingerprint set compresses
+    * into ONE scalar-subquery Bloom filter, so every batch doc the
+    * filter rejects is DEFINITELY new and flows through with zero
+    * joins — only Bloom-positive docs (true re-deliveries + the false-
+    * positive rate) reach the exact anti-join, whose verification
+    * removes every false positive. At a 10-billion-doc snapshot the
+    * anti-join's build side shrinks from the whole fingerprint index
+    * to the matched sliver; output is bit-identical to [[incremental]]
+    * (same oracle row; parity spec). */
+  def incrementalBloom(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documentsParallel(s, dir)
+    val snapDocs = docs.filter(col("source") =!= "src0")
+    val batch = docs.filter(col("source") === "src0")
+      .select(col("doc_id"), col("text"))
+      .union(snapDocs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .union(docs.filter(col("source") === "src0" && col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+    val snapFp = snapDocs.select(unhex(md5(col("text"))).as("fp")).distinct()
+    val bloom = snapFp
+      .agg(expr("graft_bloom_agg(xxhash64(fp), 100000L, 960000L)").as("bf"))
+    val batchFps = textFingerprints(batch)
+      .withColumn("maybe_seen", call_function("graft_bloom_contains",
+        bloom.scalar(), xxhash64(col("fp"))))
+    val definitelyNew = batchFps.filter(!col("maybe_seen")).drop("maybe_seen")
+    val verifiedNew = batchFps.filter(col("maybe_seen")).drop("maybe_seen")
+      .join(snapFp, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp")) // anti-join fronts the key; union is positional
+    electMinId(definitelyNew.select(col("doc_id"), col("fp")).unionAll(verifiedNew))
+  }
+
   /** Incremental NEAR-dup dedup — the nightly-crawl twin of
     * [[incremental]]: each batch doc (source src0) is dropped when its
     * exact shingle Jaccard with ANY snapshot doc reaches 0.7, with

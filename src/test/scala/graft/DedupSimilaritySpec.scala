@@ -522,6 +522,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"components on a 128-chain should stay ≤ 85 jobs (measured 78; r4 shape ran 92); ran $n")
   }
 
+  test("bloom incremental dedup: bit-identical to the exact path, prune sits before the anti-join") {
+    val exact = Dedup.incremental(spark, sf).orderBy("doc_id").collect()
+    val bloomed = Dedup.incrementalBloom(spark, sf).orderBy("doc_id").collect()
+    assert(exact.nonEmpty && exact.sameElements(bloomed),
+      "exact anti-join verification must cancel every bloom false positive")
+    // structural: might_contain fed by a scalar subquery (the 1-row
+    // bloom build) prunes the batch before the fp anti-join
+    val plan = Dedup.incrementalBloom(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom prune missing from plan:\n$plan")
+    assert(plan.contains("Subquery") || plan.contains("subquery"),
+      "bloom must arrive as a scalar subquery")
+  }
+
   test("coarse quantizer trains once per corpus: a second consumer runs zero centroid jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     // warm the cache (first consumer pays the Lloyd sweeps)
