@@ -1145,13 +1145,16 @@ object SparkEntry {
         |SELECT COALESCE(touch, 'direct') AS channel, COUNT(*) AS n_purchases,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM w WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
-    // watermark semantics in SQL: the late slice (first UTC day,
-    // arriving as the second micro-batch) is dropped, and only windows
-    // the final watermark (max on-time ts − 30 min) passed are emitted
+    // watermark semantics in SQL: the late slice (first three hours,
+    // arriving as the third micro-batch) is dropped, and only windows
+    // the final watermark (max on-time ts − 30 min) passed are emitted.
+    // FLOOR before the cast: CAST(double AS BIGINT) rounds half-up in
+    // DuckDB while the Spark side floors via `ts_us div 1000000`
     "stream_late_data" ->
-      """WITH sl AS (SELECT event_type, value, CAST(epoch(ts) AS BIGINT) AS es
+      """WITH sl AS (SELECT event_type, value,
+        |   CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
         |  FROM events WHERE event_id < 2000),
-        |p AS (SELECT MIN(es) // 86400 * 86400 + 86400 AS cut FROM sl),
+        |p AS (SELECT MIN(es) // 3600 * 3600 + 3 * 3600 AS cut FROM sl),
         |a AS (SELECT sl.* FROM sl, p WHERE es >= cut),
         |wm AS (SELECT MAX(es) - 1800 AS w FROM a)
         |SELECT win_start_s, event_type, n_events, sum_value FROM (

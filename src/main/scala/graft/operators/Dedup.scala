@@ -51,7 +51,13 @@ object Dedup {
     * B/doc) a crawl joins against daily; the batch shuffles (fp, id)
     * pairs only. The oracle joins raw text, so an md5 collision on the
     * gate corpus would fail the hash row loudly. */
-  def incremental(s: SparkSession, dir: String): DataFrame = {
+  /** Shared staged-crawl construction for the incremental-dedup parity
+    * pair ([[incremental]] / [[incrementalBloom]] gate on bit-identical
+    * output, so the planted re-delivery recipe must not drift between
+    * them): batch = the src0 crawl plus planted re-deliveries
+    * (snapshot docs re-entering under new ids, a double-delivered
+    * batch doc), snapFp = the snapshot's distinct fingerprint index. */
+  private def crawlBatchAndSnapshot(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documentsParallel(s, dir)
     val snapDocs = docs.filter(col("source") =!= "src0")
     val batch = docs.filter(col("source") === "src0")
@@ -61,6 +67,11 @@ object Dedup {
       .union(docs.filter(col("source") === "src0" && col("doc_id") % 11 === 0)
         .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
     val snapFp = snapDocs.select(unhex(md5(col("text"))).as("fp")).distinct()
+    (batch, snapFp)
+  }
+
+  def incremental(s: SparkSession, dir: String): DataFrame = {
+    val (batch, snapFp) = crawlBatchAndSnapshot(s, dir)
     electMinId(textFingerprints(batch).join(snapFp, Seq("fp"), "left_anti"))
   }
 
@@ -77,20 +88,15 @@ object Dedup {
     * (same oracle row; parity spec). */
   def incrementalBloom(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val docs = Tables.documentsParallel(s, dir)
-    val snapDocs = docs.filter(col("source") =!= "src0")
-    val batch = docs.filter(col("source") === "src0")
-      .select(col("doc_id"), col("text"))
-      .union(snapDocs.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      .union(docs.filter(col("source") === "src0" && col("doc_id") % 11 === 0)
-        .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
-    val snapFp = snapDocs.select(unhex(md5(col("text"))).as("fp")).distinct()
+    val (batch, snapFp) = crawlBatchAndSnapshot(s, dir)
     val bloom = snapFp
       .agg(expr("graft_bloom_agg(xxhash64(fp), 100000L, 960000L)").as("bf"))
+    // coalesce(…, false): an EMPTY snapshot aggregates to a NULL bloom
+    // and might_contain(null, x) is null — which must read as "never
+    // seen" (everything new), not reject the whole batch
     val batchFps = textFingerprints(batch)
-      .withColumn("maybe_seen", call_function("graft_bloom_contains",
-        bloom.scalar(), xxhash64(col("fp"))))
+      .withColumn("maybe_seen", coalesce(call_function("graft_bloom_contains",
+        bloom.scalar(), xxhash64(col("fp"))), lit(false)))
     val definitelyNew = batchFps.filter(!col("maybe_seen")).drop("maybe_seen")
     val verifiedNew = batchFps.filter(col("maybe_seen")).drop("maybe_seen")
       .join(snapFp, Seq("fp"), "left_anti")

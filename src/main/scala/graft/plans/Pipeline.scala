@@ -169,12 +169,13 @@ object Pipeline {
     final case class Status(target: String, state: State, startedMs: Long, updatedMs: Long)
 
     /** Bounded terminal-task history (reference task_registry.go:8
-      * MaxHistory): Running tasks are never evicted, but once more
-      * than MaxHistory tasks sit in a terminal state
+      * MaxHistory — the one constant both registries share, owned by
+      * streaming.TaskRegistry): Running tasks are never evicted, but
+      * once more than MaxHistory tasks sit in a terminal state
       * (Finished/Failed) the oldest — by last update, ties by target —
       * roll off, so a long-lived service's registry memory stays
       * bounded no matter how many transfers it has run. */
-    val MaxHistory = 20
+    def MaxHistory: Int = graft.streaming.TaskRegistry.MaxHistory
 
     private val tasks = scala.collection.concurrent.TrieMap.empty[String, Status]
     private[graft] def start(target: String): Unit = {
@@ -191,7 +192,10 @@ object Pipeline {
       if (terminal.size > MaxHistory)
         terminal.sortBy(t => (t.updatedMs, t.target))
           .dropRight(MaxHistory)
-          .foreach(t => tasks.remove(t.target))
+          // conditional remove: a target that restarted (start() re-put
+          // it as Running) between the snapshot and here must survive —
+          // only the exact snapshotted terminal value is evicted
+          .foreach(t => tasks.remove(t.target, t))
     }
     def tasksList(): Seq[Status] = tasks.values.toSeq.sortBy(_.target)
     def status(target: String): Option[Status] = tasks.get(target)

@@ -375,29 +375,34 @@ object Streams {
 
   /** Gate query: WATERMARK LATE-DATA semantics across REAL
     * micro-batches — the one streaming behavior a single-batch gate
-    * cannot exercise. The slice splits at the end of its first UTC day:
+    * cannot exercise. The slice splits THREE hours after its first
+    * event, hour-aligned (a fixed offset from the data, NOT a calendar
+    * boundary — a UTC-day cut broke at sf0.1 where the 2000-event
+    * slice spans only 14 hours and the on-time side came up empty):
     * the newer rows stage as the first TWO source files (halved by
-    * event parity), the first-day rows as the THIRD (mtime-ordered —
-    * the file source processes oldest mtime first under
-    * maxFilesPerTrigger=1, so each file is its own micro-batch). The
-    * late slice must arrive at batch THREE because Spark filters late
-    * events with the PREVIOUS trigger's watermark (one batch of
-    * grace): the filter wm for batch N is the one computed after batch
-    * N−2, so batch 2's late rows meet the batch-0 watermark —
-    * max(on-time even) − 30 min, days past them — and drop
-    * (empirically: numRowsDroppedByWatermark covers the whole late
-    * batch, nothing late reaches the sink). Append mode then emits
-    * exactly the on-time windows the final watermark passed. The
-    * oracle replicates both rules in SQL (late slice excluded,
-    * trailing windows behind max−30min excluded), making watermark
-    * drop/emit semantics themselves hash-gated. */
+    * event parity), the first-three-hours rows as the THIRD
+    * (mtime-ordered — the file source processes oldest mtime first
+    * under maxFilesPerTrigger=1, so each file is its own
+    * micro-batch). The late slice must arrive at batch THREE because
+    * Spark filters late events with the PREVIOUS trigger's watermark
+    * (one batch of grace): the filter wm for batch N is the one
+    * computed after batch N−2, so batch 2's late rows meet the
+    * batch-0 watermark — max(on-time even) − 30 min, hours past them
+    * at every SF — and drop (empirically:
+    * numRowsDroppedByWatermark covers the whole late batch, nothing
+    * late reaches the sink). Append mode then emits exactly the
+    * on-time windows the final watermark passed. The oracle
+    * replicates both rules in SQL (late slice excluded, trailing
+    * windows behind max−30min excluded), making watermark drop/emit
+    * semantics themselves hash-gated. */
   def streamLateData(s: SparkSession, dir: String): DataFrame = {
     val base = System.getProperty("java.io.tmpdir") + "/graft_slate_" + System.nanoTime
     val ev = graft.sources.Tables.events(s, dir).filter(col("event_id") < 2000)
       .select(col("event_id"), col("event_type"), col("value"),
         unix_micros(col("ts")).as("ts_us"))
     val minS = ev.agg(min(expr("ts_us div 1000000"))).head().getLong(0)
-    val cutS = minS / 86400 * 86400 + 86400 // end of the slice's first UTC day
+    // hour-aligned so no window straddles the late/on-time boundary
+    val cutS = minS / 3600 * 3600 + 3 * 3600
     new java.io.File(s"$base/src").mkdirs()
     def stageFile(df: DataFrame, tmpDir: String, dest: String, mtime: Long): Unit = {
       df.coalesce(1).write.json(tmpDir)

@@ -54,8 +54,13 @@ object TaskRegistry {
 
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
       tasks.updateWith(e.id) {
-        case Some(t) => Some(t.copy(state =
-          e.exception.map(Failed(_): State).getOrElse(Finished)))
+        // stamp the TERMINATION time: eviction ages terminal entries by
+        // lastProgressMs, and a long-idle query that fails NOW must not
+        // sort older than entries that finished an hour ago (its Failed
+        // error is exactly what errors() exists to surface)
+        case Some(t) => Some(t.copy(
+          state = e.exception.map(Failed(_): State).getOrElse(Finished),
+          lastProgressMs = System.currentTimeMillis()))
         case None => None
       }
       evictTerminal()
@@ -63,7 +68,7 @@ object TaskRegistry {
 
     /** Bounded terminal-task history (reference task_registry.go:8
       * MaxHistory): Running queries are never evicted; beyond
-      * MaxHistory terminal entries the oldest by last progress roll
+      * MaxHistory terminal entries the oldest by termination time roll
       * off — the listener's map stays bounded across an unbounded
       * stream of scheduled transfers. */
     private def evictTerminal(): Unit = {
@@ -71,7 +76,10 @@ object TaskRegistry {
       if (terminal.size > TaskRegistry.MaxHistory)
         terminal.sortBy(t => (t.lastProgressMs, t.name))
           .dropRight(TaskRegistry.MaxHistory)
-          .foreach(t => tasks.remove(t.id))
+          // conditional remove: a query id that re-registered as
+          // Running (checkpoint restart) between snapshot and here
+          // must survive — only the snapshotted terminal value goes
+          .foreach(t => tasks.remove(t.id, t))
     }
 
     /** Test seam: inject a task row directly (the listener events have
