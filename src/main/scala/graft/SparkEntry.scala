@@ -182,6 +182,7 @@ object SparkEntry {
     "stream_sessionize" -> (graft.streaming.Streams.streamSessionize _),
     "stream_attribution" -> (graft.streaming.Streams.streamAttribution _),
     "stream_late_data" -> (graft.streaming.Streams.streamLateData _),
+    "stream_resume" -> (graft.streaming.Streams.streamResume _),
     // text analysis
     "text_quality" -> (TextAnalysis.quality _),
     "text_lang_topk_native" -> (TextAnalysis.langTopQualityNative _),
@@ -1145,6 +1146,12 @@ object SparkEntry {
         |SELECT COALESCE(touch, 'direct') AS channel, COUNT(*) AS n_purchases,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM w WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+    // exactly-once across a checkpoint restart: the whole slice counted
+    // ONCE — any reprocessing doubles a count and fails the hash
+    "stream_resume" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events WHERE event_id < 2000 GROUP BY 1""".stripMargin,
     // watermark semantics in SQL: the late slice (first three hours,
     // arriving as the third micro-batch) is dropped, and only windows
     // the final watermark (max on-time ts − 30 min) passed are emitted.

@@ -70,6 +70,18 @@ object Streams {
     if (tsFromUs) in.withColumn("ts", timestamp_micros(col("ts_us"))) else in
   }
 
+  /** Stages a slice as ONE named json file with a controlled mtime —
+    * the multi-file gates (late data, checkpoint resume) order their
+    * micro-batches by source-file modification time. */
+  private def stageNamedFile(df: DataFrame, tmpDir: String, dest: String,
+      mtime: Long): Unit = {
+    df.coalesce(1).write.json(tmpDir)
+    val part = new java.io.File(tmpDir).listFiles()
+      .filter(_.getName.endsWith(".json")).head
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dest))
+    assert(new java.io.File(dest).setLastModified(mtime))
+  }
+
   /** Streaming file transfer: ndjson in → filter/transform → parquet
     * out, Trigger.AvailableNow (process-everything-then-stop — the
     * batch-parity mode used by the correctness gate).
@@ -404,13 +416,8 @@ object Streams {
     // hour-aligned so no window straddles the late/on-time boundary
     val cutS = minS / 3600 * 3600 + 3 * 3600
     new java.io.File(s"$base/src").mkdirs()
-    def stageFile(df: DataFrame, tmpDir: String, dest: String, mtime: Long): Unit = {
-      df.coalesce(1).write.json(tmpDir)
-      val part = new java.io.File(tmpDir).listFiles()
-        .filter(_.getName.endsWith(".json")).head
-      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dest))
-      assert(new java.io.File(dest).setLastModified(mtime))
-    }
+    def stageFile(df: DataFrame, tmpDir: String, dest: String, mtime: Long): Unit =
+      stageNamedFile(df, tmpDir, dest, mtime)
     val t0 = System.currentTimeMillis()
     val onTime = ev.filter(expr(s"ts_us div 1000000 >= $cutS"))
     stageFile(onTime.filter(col("event_id") % 2 === 0),
@@ -437,6 +444,42 @@ object Streams {
     }
     q.awaitTermination()
     s.read.parquet(s"$base/dst")
+  }
+
+  /** Gate query: checkpoint RECOVERY exactly-once — the transactional
+    * property the reference's persisted transfer meta provides
+    * (meta.go: processed objects are never re-read), here carried by
+    * the streaming checkpoint. Run 1 stages half the slice and drains
+    * it AvailableNow; run 2 starts a FRESH query from the SAME
+    * checkpoint after the second half lands — the committed offsets
+    * skip everything run 1 processed, so the sink holds each event
+    * exactly once across the restart. The oracle aggregates the whole
+    * slice once; any reprocessing doubles counts and fails the hash. */
+  def streamResume(s: SparkSession, dir: String): DataFrame = {
+    val base = System.getProperty("java.io.tmpdir") + "/graft_sres_" + System.nanoTime
+    val ev = graft.sources.Tables.events(s, dir).filter(col("event_id") < 2000)
+      .select(col("event_id"), col("event_type"), col("value"))
+    new java.io.File(s"$base/src").mkdirs()
+    def drain(): Unit = {
+      val in = s.readStream
+        .schema("event_id LONG, event_type STRING, value DOUBLE")
+        .json(s"$base/src")
+      val q = in.writeStream.format("parquet")
+        .option("path", s"$base/dst").option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val t0 = System.currentTimeMillis()
+    stageNamedFile(ev.filter(col("event_id") % 2 === 0),
+      s"$base/t0", s"$base/src/a_first.json", t0 - 60000)
+    drain() // run 1: processes the first half, commits its offsets
+    stageNamedFile(ev.filter(col("event_id") % 2 === 1),
+      s"$base/t1", s"$base/src/b_second.json", t0)
+    drain() // run 2: resumes from the checkpoint — only the new file
+    s.read.parquet(s"$base/dst")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("sum_cents"))
   }
 
   /** Streaming exact dedup bounded by watermark: the streaming form of

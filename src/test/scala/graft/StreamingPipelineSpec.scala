@@ -103,6 +103,18 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(got.nonEmpty, "gate slice must contain attributed purchases")
   }
 
+  test("checkpoint resume: each staged event lands exactly once across a query restart") {
+    val got = Streams.streamResume(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val exp = Tables.events(spark, sf).filter(col("event_id") < 2000)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("cents"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == exp,
+      s"resumed stream must process each event exactly once: $got vs $exp")
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
