@@ -162,6 +162,7 @@ object SparkEntry {
     "mm_frame_dedup" -> (Multimodal.frameDedup _),
     "mm_overlap_dedup" -> (Multimodal.overlapDedup _),
     "mm_phash_dedup" -> (Multimodal.phashDedup _),
+    "mm_phash_dedup_capped" -> (Multimodal.phashDedupCapped _),
     // declarative pipeline config + real structured streaming
     "etl_pipeline_config" -> ((s, dir) => {
       import graft.plans.Pipeline._
@@ -705,6 +706,55 @@ object SparkEntry {
       |  FROM topc JOIN e eq ON eq.vec_id = query_id
       |  JOIN e ec ON ec.vec_id = cand_id) t
       |WHERE rank <= ${Similarity.K}""".stripMargin
+  }
+
+  /** Perceptual-hash near-dup oracle (both forms): 64 proportional
+    * byte samples thresholded against the sample mean (byte·64 ≥ Σ —
+    * no division) into 4×16-bit bands; banded candidates; exact
+    * hamming verify. `capped` replicates phashDedupCapped's
+    * stop-bucket HAVING at the candidate stage. */
+  private def mmPhashSql(capped: Boolean): String = {
+    val candSrc = if (capped) "keptb" else "bands"
+    val cappedCtes = if (capped)
+      s"""okb AS (SELECT band, band_val FROM bands GROUP BY 1, 2
+        |  HAVING COUNT(*) <= ${Multimodal.PhashMaxBucket}),
+        |keptb AS (SELECT b.doc_id, b.band, b.band_val
+        |  FROM bands b JOIN okb USING (band, band_val)),
+        |""".stripMargin
+    else ""
+    // the capped gate runs over the PLANTED corpus: doc_id % 13 = 0
+    // docs all carry doc 0's text verbatim (one degenerate clique)
+    val mCte = if (capped)
+      """m AS (SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 13 = 0 THEN s.text
+        |       ELSE s.text || '#' || CAST(d.doc_id % 7 AS VARCHAR) END AS p
+        |      FROM documents d JOIN src s ON s.src_id =
+        |        CASE WHEN d.doc_id % 13 = 0 THEN 0 ELSE d.doc_id - d.doc_id % 7 END),""".stripMargin
+    else
+      """m AS (SELECT d.doc_id, s.text || '#' || CAST(d.doc_id % 7 AS VARCHAR) AS p
+        |      FROM documents d JOIN src s ON s.src_id = d.doc_id - d.doc_id % 7),""".stripMargin
+    s"""WITH src AS (SELECT doc_id AS src_id, text FROM documents),
+      |$mCte
+      |samp AS (SELECT doc_id,
+      |  list_transform(range(0, 64), j -> ascii(substr(p, CAST((j * len(p)) // 64 AS INT) + 1, 1))) AS b
+      | FROM m),
+      |h AS (SELECT doc_id, b, list_sum(b) AS s FROM samp),
+      |bands AS (SELECT doc_id, bd.bd AS band,
+      |   CAST(list_sum(list_transform(range(0, ${Multimodal.PhashBandBits}),
+      |     i -> CASE WHEN b[CAST(bd.bd*${Multimodal.PhashBandBits} + i + 1 AS INT)] * 64 >= s
+      |          THEN (1 << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS band_val
+      |  FROM h, range(0, ${Multimodal.PhashBands}) bd(bd)),
+      |${cappedCtes}cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      |  FROM $candSrc a JOIN $candSrc b2 ON a.band = b2.band AND a.band_val = b2.band_val
+      |   AND a.doc_id < b2.doc_id),
+      |pb AS (SELECT doc_id, list(band_val ORDER BY band) AS bv FROM bands GROUP BY doc_id)
+      |SELECT doc_a, doc_b, hamming FROM (
+      |  SELECT c.doc_a, c.doc_b,
+      |    CAST(list_sum(list_transform(list_zip(pa.bv, pbb.bv),
+      |      x -> bit_count(xor(x[1], x[2])))) AS BIGINT) AS hamming
+      |  FROM cand c JOIN pb pa ON pa.doc_id = c.doc_a
+      |  JOIN pb pbb ON pbb.doc_id = c.doc_b) t
+      |WHERE hamming <= ${Multimodal.PhashMaxHamming}""".stripMargin
   }
 
   /** Shared by the exact and Bloom-pruned incremental-dedup gates
@@ -1406,30 +1456,9 @@ object SparkEntry {
         | n_shared / (x.n + y.n - n_shared) AS jaccard
         |FROM sh JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
         |WHERE n_shared / (x.n + y.n - n_shared) >= ${Multimodal.OverlapTau}""".stripMargin,
-    "mm_phash_dedup" ->
-      s"""WITH src AS (SELECT doc_id AS src_id, text FROM documents),
-        |m AS (SELECT d.doc_id, s.text || '#' || CAST(d.doc_id % 7 AS VARCHAR) AS p
-        |      FROM documents d JOIN src s ON s.src_id = d.doc_id - d.doc_id % 7),
-        |samp AS (SELECT doc_id,
-        |  list_transform(range(0, 64), j -> ascii(substr(p, CAST((j * len(p)) // 64 AS INT) + 1, 1))) AS b
-        | FROM m),
-        |h AS (SELECT doc_id, b, list_sum(b) AS s FROM samp),
-        |bands AS (SELECT doc_id, bd.bd AS band,
-        |   CAST(list_sum(list_transform(range(0, ${Multimodal.PhashBandBits}),
-        |     i -> CASE WHEN b[CAST(bd.bd*${Multimodal.PhashBandBits} + i + 1 AS INT)] * 64 >= s
-        |          THEN (1 << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS band_val
-        |  FROM h, range(0, ${Multimodal.PhashBands}) bd(bd)),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-        |  FROM bands a JOIN bands b2 ON a.band = b2.band AND a.band_val = b2.band_val
-        |   AND a.doc_id < b2.doc_id),
-        |pb AS (SELECT doc_id, list(band_val ORDER BY band) AS bv FROM bands GROUP BY doc_id)
-        |SELECT doc_a, doc_b, hamming FROM (
-        |  SELECT c.doc_a, c.doc_b,
-        |    CAST(list_sum(list_transform(list_zip(pa.bv, pbb.bv),
-        |      x -> bit_count(xor(x[1], x[2])))) AS BIGINT) AS hamming
-        |  FROM cand c JOIN pb pa ON pa.doc_id = c.doc_a
-        |  JOIN pb pbb ON pbb.doc_id = c.doc_b) t
-        |WHERE hamming <= ${Multimodal.PhashMaxHamming}""".stripMargin,
+    "mm_phash_dedup" -> mmPhashSql(capped = false),
+    // the capped twin replicates the stop-bucket HAVING in SQL
+    "mm_phash_dedup_capped" -> mmPhashSql(capped = true),
     "mm_resize_meta" ->
       """SELECT doc_id,
         | CAST(32 + (doc_id % 8) * 16 AS INTEGER) AS width,

@@ -177,12 +177,31 @@ object Multimodal {
     * hamming distance — what byte-exact [[payloadDedup]] cannot catch.
     * One narrow projection per row; at 100 TB the hash table is n rows
     * × 4 longs, the payload never leaves the scan. */
-  private[graft] def phashTable(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def phashTable(s: SparkSession, dir: String): DataFrame =
+    phashTableFrom(s, dir, planted = false)
+
+  /** `planted = true` is the capped gate's corpus: every doc_id % 13
+    * == 0 document carries THE IDENTICAL payload (source text of doc
+    * 0, no variant tail) — one hamming-0 clique of ~n/13 docs whose
+    * four band buckets all blow past [[PhashMaxBucket]], the
+    * degenerate-bucket scenario the stop-bucket cap exists for (the
+    * dedup_embedding_lsh_capped planting recipe). */
+  private[graft] def phashTableFrom(s: SparkSession, dir: String,
+      planted: Boolean): DataFrame = {
+    val srcId =
+      if (planted)
+        when(col("doc_id") % 13 === 0, lit(0L))
+          .otherwise(col("doc_id") - col("doc_id") % 7)
+      else col("doc_id") - col("doc_id") % 7
     val d = Tables.documents(s, dir).select(col("doc_id"))
-      .withColumn("src_id", col("doc_id") - col("doc_id") % 7)
+      .withColumn("src_id", srcId)
     val src = Tables.documents(s, dir).select(col("doc_id").as("src_id"), col("text"))
+    val variantTail = concat(col("text"), lit("#"), (col("doc_id") % 7).cast("string"))
+    val payload =
+      if (planted) when(col("doc_id") % 13 === 0, col("text")).otherwise(variantTail)
+      else variantTail
     d.join(src, "src_id")
-      .withColumn("p", concat(col("text"), lit("#"), (col("doc_id") % 7).cast("string")))
+      .withColumn("p", payload)
       .withColumn("b", expr(
         "transform(sequence(0, 63), j -> ascii(substr(p, CAST((j * length(p)) div 64 AS INT) + 1, 1)))"))
       .withColumn("ssum", expr("aggregate(b, 0L, (acc, x) -> acc + x)"))
@@ -202,11 +221,24 @@ object Multimodal {
     * LSH bucket; at corpus scale drop such stop values exactly like
     * Planes.candidatePairs' maxBucketSize (the gate corpus tops out at
     * 14 docs/bucket, so the exact form stays oracle-able). */
-  def phashDedup(s: SparkSession, dir: String): DataFrame = {
-    val t = phashTable(s, dir).localCheckpoint() // one hash pass; reused below
+  def phashDedup(s: SparkSession, dir: String): DataFrame =
+    phashPairs(phashTable(s, dir).localCheckpoint(), capped = false)
+
+  /** Banded candidates → exact hamming verify over a hash table.
+    * `capped` drops over-[[PhashMaxBucket]] band buckets at the
+    * candidate stage (the stop-bucket knob). The localCheckpoint'd
+    * table is the one hash pass, reused by every join below. */
+  private def phashPairs(t: DataFrame, capped: Boolean): DataFrame = {
     val bands = t.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "band_val")))
-    val cands = bands
-      .join(bands.select(col("band"), col("band_val"), col("doc_id").as("doc_b")),
+    val candBands =
+      if (!capped) bands
+      else bands.join(
+        bands.groupBy(col("band"), col("band_val"))
+          .agg(count(lit(1)).as("n")).filter(col("n") <= PhashMaxBucket)
+          .select(col("band"), col("band_val")),
+        Seq("band", "band_val"))
+    val cands = candBands
+      .join(candBands.select(col("band"), col("band_val"), col("doc_id").as("doc_b")),
         Seq("band", "band_val"))
       .filter(col("doc_id") < col("doc_b"))
       .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
@@ -218,6 +250,28 @@ object Multimodal {
           .as("hamming"))
       .filter(col("hamming") <= PhashMaxHamming)
   }
+
+  /** Stop-bucket cap for [[phashDedupCapped]] — the production knob
+    * for hot degenerate band values (flat/black payloads hashing to
+    * one bucket): buckets over the cap drop like LSH stop buckets,
+    * bounding candidate-pair growth at |cap|²·#buckets regardless of
+    * corpus skew. The gate cap binds on the sf corpus (max bucket 14),
+    * so the capped row genuinely diverges from the exact one and the
+    * oracle replicates the cap as a HAVING CTE. */
+  val PhashMaxBucket = 10
+
+  /** [[phashDedup]] with the stop-bucket cap, over the PLANTED corpus
+    * (one identical-payload clique of ~n/13 docs — the degenerate
+    * scenario: a black frame, a blank page re-uploaded thousands of
+    * times). The clique's four band buckets blow past the cap and
+    * drop like LSH stop buckets, so its |clique|² pair explosion never
+    * reaches verify — while every organic near-dup pair stays
+    * reachable through its small buckets (spec: dropped pairs are
+    * EXACTLY the planted clique's). This is the shape that holds
+    * candidate growth flat at 100 TB; the oracle replicates planting
+    * and cap, keeping the row hash-exact. */
+  def phashDedupCapped(s: SparkSession, dir: String): DataFrame =
+    phashPairs(phashTableFrom(s, dir, planted = true).localCheckpoint(), capped = true)
 
   /** Case classes for the typed decode path. */
   final case class MediaRow(doc_id: Long, payload: Array[Byte])

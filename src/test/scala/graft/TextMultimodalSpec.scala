@@ -391,4 +391,29 @@ class TextMultimodalSpec extends AnyFunSuite {
     val variantPairs = got.count { case (a, b, _) => a - a % 7 == b - b % 7 }
     assert(variantPairs > 0, "planted same-source variants must appear")
   }
+
+  test("phash stop-bucket cap: only the planted degenerate clique loses reachability") {
+    // uncapped pairs over the SAME planted corpus = ground truth; the
+    // cap must drop EXACTLY the clique's pairs (both endpoints %13==0:
+    // identical payloads → identical hashes → reachable only through
+    // the four over-cap clique buckets) and nothing else
+    val planted = Multimodal.phashTableFrom(spark, sf, planted = true).localCheckpoint()
+    val hashes = planted.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1)
+    val uncapped = (for {
+      i <- hashes.indices; j <- (i + 1) until hashes.length
+      h = hashes(i)._2.zip(hashes(j)._2)
+        .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum
+      if h <= Multimodal.PhashMaxHamming
+    } yield (hashes(i)._1, hashes(j)._1)).toSet
+    val capped = Multimodal.phashDedupCapped(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped), "cap can only remove candidate reachability")
+    val dropped = uncapped -- capped
+    assert(dropped.nonEmpty, "the planted clique must bind the cap")
+    assert(dropped.forall { case (a, b) => a % 13 == 0 && b % 13 == 0 },
+      s"only clique pairs may drop, got ${dropped.filterNot { case (a, b) => a % 13 == 0 && b % 13 == 0 }.take(3)}")
+    val cliquePairs = uncapped.count { case (a, b) => a % 13 == 0 && b % 13 == 0 }
+    assert(dropped.size == cliquePairs,
+      s"ALL clique pairs must drop: dropped ${dropped.size} of $cliquePairs")
+  }
 }
