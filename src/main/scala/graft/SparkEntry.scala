@@ -42,6 +42,7 @@ object SparkEntry {
     "text_quality_filter" -> (TextAnalysis.qualityFilter _),
     "text_source_mix" -> (TextAnalysis.sourceMix _),
     "text_mix_rebalance" -> (TextAnalysis.mixRebalance _),
+    "text_heavy_hitters" -> (TextAnalysis.heavyHitters _),
     "text_weighted_sample" -> (TextAnalysis.weightedSample _),
     "text_token_budget" -> (TextAnalysis.tokenBudget _),
     "text_length_hist" -> (TextAnalysis.lengthHistogram _),
@@ -914,6 +915,16 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN bucket < pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         | CAST(SUM(CASE WHEN bucket < pct THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
         |FROM m GROUP BY source""".stripMargin,
+    // the sketch's exact-verify pass makes the output the TRUE
+    // frequent set, so the oracle is a plain GROUP BY ... HAVING
+    "text_heavy_hitters" ->
+      s"""WITH d AS (SELECT string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |t AS (SELECT unnest(list_transform(range(1, len(w)),
+        |  i -> w[i] || ' ' || w[i+1])) AS bg FROM d),
+        |n AS (SELECT COUNT(*) AS n FROM t)
+        |SELECT bg, COUNT(*) AS n_occurrences FROM t GROUP BY bg
+        |HAVING COUNT(*) > (SELECT n // ${TextAnalysis.HhDivisor} FROM n)""".stripMargin,
     "text_mix_rebalance" ->
       """WITH d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
         |  CASE WHEN source = 'src0' THEN 250 WHEN source = 'src1' THEN 100

@@ -372,6 +372,42 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("n_tokens"),
         explode(sequence(lit(1L), col("n_copies"), lit(1L))).as("copy_idx"))
 
+  /** Heavy-hitter support: candidates = items the Karp/Misra-Gries
+    * pass says exceed this frequency fraction (no false negatives,
+    * bounded ≤ 1/support candidates); the exact threshold is the
+    * integer form `count > n // HhDivisor`. */
+  val HhDivisor = 1000L
+
+  /** Exact corpus HEAVY-HITTERS — the "most frequent n-grams / URLs /
+    * tokens at 100 TB" pass — in the repo's sketch-then-verify shape
+    * (the bloom/LSH-verified philosophy applied to frequency): Spark's
+    * single-pass bounded-memory frequent-items sketch (Karp et al. —
+    * ≤ 1/support counters per partition, NO global group-by of the
+    * full item universe) nominates a driver-resident candidate set
+    * with NO false negatives; one exact count pass over just the
+    * candidates kills the false positives. Output is therefore
+    * EXACTLY the items with count > n/HhDivisor — deterministic and
+    * SQL-oracle-able no matter how the sketch's false positives vary
+    * with partitioning. At 100 TB the full bigram universe never
+    * shuffles: the sketch is a narrow pass, and the verify count
+    * touches O(1/support) items. */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val bigrams = Tables.documentsParallel(s, dir)
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(col("w")) - 2),
+        i => concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
+        .as("bg"))
+    val n = bigrams.count() // one scalar action (the threshold input)
+    val cands = bigrams.stat.freqItems(Seq("bg"), 1.0 / HhDivisor)
+      .collect()(0).getSeq[String](0) // bounded: ≤ HhDivisor candidates
+    bigrams.filter(col("bg").isin(cands: _*))
+      .groupBy(col("bg"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") > n / HhDivisor)
+  }
+
   /** Eval-set decontamination n-gram width. Real pipelines use 8-13
     * word n-grams (the GPT-3/PaLM recipe); this synthetic corpus's
     * small vocabulary only produces meaningful overlap at 3, and the

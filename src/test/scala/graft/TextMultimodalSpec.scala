@@ -243,6 +243,26 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(nVal > 0.005 && nVal < 0.15, s"val fraction $nVal out of band")
   }
 
+  test("heavy hitters: sketch+verify equals the exhaustive group-by exactly") {
+    val got = TextAnalysis.heavyHitters(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exhaustive truth: group EVERY bigram (the shape the sketch avoids)
+    val bigrams = Tables.documents(spark, sf)
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(col("w")) - 2),
+        i => concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
+        .as("bg"))
+    val n = bigrams.count()
+    val exact = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > n / TextAnalysis.HhDivisor)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact,
+      s"sketch+verify must equal exhaustive truth (got ${got.size}, exact ${exact.size})")
+    assert(got.nonEmpty, "spec corpus must contain heavy hitters at this support")
+  }
+
   test("mix rebalance: report matches the materialized corpus; 1.0-epoch source passes through") {
     val report = TextAnalysis.mixRebalance(spark, sf).collect()
       .map(r => r.getAs[String]("source") ->
