@@ -99,6 +99,7 @@ object SparkEntry {
     "q_funnel" -> (Analytics3.qFunnel _),
     "q_retention" -> (Analytics3.qRetention _),
     "q_attribution" -> (Analytics3.qAttribution _),
+    "q_journeys" -> (Analytics3.qJourneys _),
     "q_window3" -> (Analytics2.qWindow3 _),
     "q_cube" -> (Analytics2.qCube _),
     "q_intersect_except" -> (Analytics2.qIntersectExcept _),
@@ -1207,6 +1208,11 @@ object SparkEntry {
         |SELECT COALESCE(touch, 'direct') AS channel, COUNT(*) AS n_purchases,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM w WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+    "q_journeys" ->
+      """WITH j AS (SELECT user_id,
+        |  array_to_string(list(event_type ORDER BY ts, event_id)[1:3], '>') AS journey
+        | FROM events GROUP BY user_id)
+        |SELECT journey, COUNT(*) AS n_users FROM j GROUP BY 1""".stripMargin,
     // exactly-once across a checkpoint restart: the whole slice counted
     // ONCE — any reprocessing doubles a count and fails the hash
     "stream_resume" ->

@@ -297,6 +297,26 @@ object Analytics3 {
     * ties break on event_id (unique), making the credited channel
     * deterministic on both engines; revenue sums in decimal with one
     * terminal double cast → hash-exact oracle. */
+  /** Top user JOURNEYS — the path-analysis member of the event-
+    * analytics family (funnel asks "did they convert", retention "did
+    * they return", attribution "what gets credit", journeys "what do
+    * users actually DO"): each user's first three events in (ts,
+    * event_id) order become a `a>b>c` path string, counted across
+    * users. ONE user_id shuffle; the per-user collect is bounded by
+    * per-user event volume (product-analytics reality), then only
+    * (journey, 1) rows enter the second — map-side-combined,
+    * ≤ |event_types|³ groups — aggregate. Struct sort keys (ts,
+    * event_id, type) make the path deterministic; exact oracle. */
+  def qJourneys(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"), col("event_type")).as("ev"))
+      .groupBy(col("user_id"))
+      .agg(slice(sort_array(collect_list(col("ev"))), 1, 3).as("first3"))
+      .select(array_join(expr("transform(first3, x -> x.event_type)"), ">").as("journey"))
+      .groupBy(col("journey"))
+      .agg(count(lit(1)).as("n_users"))
+
   def qAttribution(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

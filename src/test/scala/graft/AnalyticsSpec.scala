@@ -243,6 +243,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(offset0 == totalUsers)
   }
 
+  test("journeys: every user contributes exactly one path; steps bounded by 3") {
+    val j = Analytics3.qJourneys(spark, sf)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(j.agg(sum(col("n_users"))).collect()(0).getLong(0) == users,
+      "paths must partition the user population exactly")
+    j.collect().foreach { r =>
+      val steps = r.getString(0).split(">")
+      assert(steps.length >= 1 && steps.length <= 3)
+      assert(steps.forall(Set("view", "click", "purchase", "signup", "error")))
+    }
+    // spot-check one user's path against their raw ordered events
+    val uid = Tables.events(spark, sf).select("user_id").head().getLong(0)
+    val expected = Tables.events(spark, sf).filter(col("user_id") === uid)
+      .orderBy(col("ts"), col("event_id")).select("event_type")
+      .collect().map(_.getString(0)).take(3).mkString(">")
+    // the aggregate hides which journey is whose, so recompute the
+    // per-user slice with the operator's own ordering and compare
+    val perUser = Tables.events(spark, sf)
+      .select(col("user_id"), struct(col("ts"), col("event_id"), col("event_type")).as("ev"))
+      .groupBy(col("user_id"))
+      .agg(slice(sort_array(collect_list(col("ev"))), 1, 3).as("f3"))
+      .filter(col("user_id") === uid)
+      .select(array_join(expr("transform(f3, x -> x.event_type)"), ">"))
+      .head().getString(0)
+    assert(perUser == expected, s"ordered path $perUser != raw order $expected")
+  }
+
   test("attribution: purchases partition exactly across channels; direct = no prior touch") {
     val a = Analytics3.qAttribution(spark, sf)
     assert(a.filter(col("channel") === "purchase").count() == 0,
