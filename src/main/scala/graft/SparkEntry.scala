@@ -186,6 +186,7 @@ object SparkEntry {
     "stream_attribution" -> (graft.streaming.Streams.streamAttribution _),
     "stream_late_data" -> (graft.streaming.Streams.streamLateData _),
     "stream_resume" -> (graft.streaming.Streams.streamResume _),
+    "stream_ann_serving" -> (graft.streaming.Streams.streamAnnServing _),
     // text analysis
     "text_quality" -> (TextAnalysis.quality _),
     "text_lang_topk_native" -> (TextAnalysis.langTopQualityNative _),
@@ -1825,6 +1826,9 @@ object SparkEntry {
     "dedup_embedding_lsh_capped" -> dedupEmbeddingLshCappedSql,
     "dedup_paragraph" -> dedupParagraphSql,
     "sim_lsh_topk" -> simLshTopkSql,
+    // serving a query stream against the static index IS the batch
+    // retrieval — identical candidate stage and ranking, same oracle
+    "stream_ann_serving" -> simLshTopkSql,
     "sim_multiprobe_topk" -> simMultiprobeTopkSql,
     "sim_knn_graph" -> simKnnGraphSql,
     "sim_rerank_topk" -> simRerankTopkSql,

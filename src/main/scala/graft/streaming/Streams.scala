@@ -482,6 +482,48 @@ object Streams {
         sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("sum_cents"))
   }
 
+  /** Gate query: streaming ANN SERVING — the retrieval shape where
+    * queries ARRIVE as a stream and the corpus is a static index. The
+    * corpus-side LSH signature index is built ONCE outside the stream
+    * (at 100 TB it is the persisted index a serving fleet mounts);
+    * each micro-batch of query vectors signs itself (tiny side),
+    * equi-joins the index on (table, sig), exact-ranks its candidates
+    * through the bounded-buffer top-k, and appends results to the
+    * sink. Query embeddings survive the ndjson hop bit-exactly (Java
+    * float→string is shortest-roundtrip), so the gate hash-matches
+    * the BATCH LSH oracle for the same query set — serving a query
+    * stream and running the batch retrieval are the same answer. */
+  def streamAnnServing(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import graft.functions.Planes
+    import graft.operators.Similarity.{LshTables, LshPlanesPerTable, K}
+    val base = System.getProperty("java.io.tmpdir") + "/graft_sann_" + System.nanoTime
+    val emb = graft.sources.Tables.embeddings(s, dir)
+    emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .coalesce(1).write.json(s"$base/src")
+    val dims = Planes.dimsOf(emb, "embedding")
+    val corpusSigs = Planes.withSigs(
+      graft.sources.Tables.embeddingsParallel(s, dir).filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb")),
+      "c_emb", LshTables, LshPlanesPerTable, dims)
+    val in = s.readStream.schema("query_id LONG, q_emb ARRAY<FLOAT>").json(s"$base/src")
+    val q = in.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val qs = Planes.withSigs(batch, "q_emb", LshTables, LshPlanesPerTable, dims)
+      val cands = broadcast(qs).join(corpusSigs, Seq("table", "sig"))
+        .select(col("query_id"), col("cand_id"), col("q_emb"), col("c_emb"))
+        .dropDuplicates("query_id", "cand_id")
+      val scored = cands.select(col("query_id"), col("cand_id"),
+        expr("graft_cosine(q_emb, c_emb)").as("cosine"))
+      graft.functions.TopK.perGroup(scored, "query_id", "cand_id", "cosine", K)
+        .write.mode("append").parquet(s"$base/dst")
+      ()
+    }.option("checkpointLocation", s"$base/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/dst")
+  }
+
   /** Streaming exact dedup bounded by watermark: the streaming form of
     * Dedup.exactKeyed (idempotent re-delivery collapsing). */
   def dedupStream(events: DataFrame): DataFrame =

@@ -103,6 +103,16 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(got.nonEmpty, "gate slice must contain attributed purchases")
   }
 
+  test("streaming ANN serving equals the batch LSH retrieval bit-for-bit") {
+    val served = Streams.streamAnnServing(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.Similarity.lshTopK(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(served == batch,
+      "a query served from the stream must rank identically to the batch retrieval")
+    assert(served.nonEmpty)
+  }
+
   test("checkpoint resume: each staged event lands exactly once across a query restart") {
     val got = Streams.streamResume(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
