@@ -20,7 +20,15 @@ object Bench {
     // as a fast success (VERDICT r1 item 4) — it lands in "errors" and
     // is excluded from the total.
     val runs = math.max(3, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
-    val timed = SparkEntry.benchQueries.map { name =>
+    // dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q1_agg,mm_phash_dedup
+    // times just those queries (the committed artifact never sets it)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.benchQueries.filter(names)
+      case None => SparkEntry.benchQueries
+    }
+    val timed = selected.map { name =>
       // audits/tolerance checks bench their production shape instead
       val fn = SparkEntry.benchOverrides.getOrElse(name, SparkEntry.queries(name))
       def once(): Either[String, Double] = {

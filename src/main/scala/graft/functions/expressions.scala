@@ -278,6 +278,71 @@ case class LshSigs(child: Expression, tables: Int, planesPerTable: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fused kernel for PhashBands — the aHash band vector in one pass.
+  * Bit-identical to the HOF reference in Multimodal.phashTableFrom:
+  * b(j) = ascii(substr(p, (j*numChars) div 64 + 1, 1)) — Spark 4's
+  * Ascii is String.codePointAt(0) and Substring indexes by code point,
+  * so the kernel samples a codepoint array (same indexing, same
+  * values); ssum accumulates in j order; band bit i set iff
+  * b(band*16+i)*64 >= ssum. Empty string → all-zero samples, ssum 0,
+  * 0 >= 0 → every bit set, exactly like the SQL form. */
+object PhashKernel {
+  val Samples = 64
+  def bands(s: org.apache.spark.unsafe.types.UTF8String,
+      nBands: Int, bandBits: Int): ArrayData = {
+    val cps = s.toString.codePoints.toArray
+    val len = cps.length
+    val b = new Array[Long](Samples)
+    var j = 0
+    while (j < Samples) {
+      b(j) = if (len == 0) 0L else cps(j * len / Samples).toLong
+      j += 1
+    }
+    var ssum = 0L; j = 0
+    while (j < Samples) { ssum += b(j); j += 1 }
+    val out = new Array[Long](nBands)
+    var bd = 0
+    while (bd < nBands) {
+      var v = 0L; var i = 0
+      while (i < bandBits) {
+        if (b(bd * bandBits + i) * 64 >= ssum) v |= (1L << i)
+        i += 1
+      }
+      out(bd) = v; bd += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** graft_phash_bands(text): the 4×16-bit aHash band vector as
+  * array<long> — the fused form of the 64-sample mean-threshold
+  * perceptual hash (Multimodal.phashTableFrom's HOF pipeline costs 64
+  * O(position) substr scans plus three interpreted aggregate lambdas
+  * per row; this is one codepoint scan and two tight loops inside
+  * whole-stage codegen). Parity with the HOF form is spec-gated. */
+case class PhashBands(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_phash_bands"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_phash_bands expects string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    PhashKernel.bands(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], 4, 16)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PhashKernel.bands($c, 4, 16);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Registration: via extensions (GraftExtensions) or imperatively on a
   * live session (registry is idempotent — re-register overwrites). */
 object GraftFunctions {
@@ -290,6 +355,7 @@ object GraftFunctions {
         s"graft_minhash k must be an int literal, got $other")
     }),
     "graft_simhash64" -> ((args: Seq[Expression]) => SimHash64(args(0))),
+    "graft_phash_bands" -> ((args: Seq[Expression]) => PhashBands(args(0))),
     "graft_lsh_sigs" -> ((args: Seq[Expression]) => (args(1), args(2)) match {
       case (Literal(t: Int, IntegerType), Literal(p: Int, IntegerType)) =>
         LshSigs(args(0), t, p)

@@ -187,7 +187,15 @@ object Multimodal {
     * degenerate-bucket scenario the stop-bucket cap exists for (the
     * dedup_embedding_lsh_capped planting recipe). */
   private[graft] def phashTableFrom(s: SparkSession, dir: String,
-      planted: Boolean): DataFrame = {
+      planted: Boolean): DataFrame = phashTableFrom(s, dir, planted, fused = true)
+
+  /** `fused = true` (production) computes the band vector with the
+    * codegen'd graft_phash_bands kernel — one codepoint scan per row;
+    * `fused = false` keeps the HOF reference formulation (64 substr
+    * samples + aggregate lambdas) that the fused kernel is spec-proven
+    * bit-identical to (MultimodalSpec "fused phash parity"). */
+  private[graft] def phashTableFrom(s: SparkSession, dir: String,
+      planted: Boolean, fused: Boolean): DataFrame = {
     val srcId =
       if (planted)
         when(col("doc_id") % 13 === 0, lit(0L))
@@ -200,17 +208,19 @@ object Multimodal {
     val payload =
       if (planted) when(col("doc_id") % 13 === 0, col("text")).otherwise(variantTail)
       else variantTail
-    d.join(src, "src_id")
-      .withColumn("p", payload)
-      .withColumn("b", expr(
-        "transform(sequence(0, 63), j -> ascii(substr(p, CAST((j * length(p)) div 64 AS INT) + 1, 1)))"))
-      .withColumn("ssum", expr("aggregate(b, 0L, (acc, x) -> acc + x)"))
-      .withColumn("bands", expr(
-        s"""transform(sequence(0, ${PhashBands - 1}), bd ->
-           |  aggregate(sequence(0, ${PhashBandBits - 1}), 0L,
-           |    (acc, i) -> acc + IF(element_at(b, CAST(bd * $PhashBandBits + i + 1 AS INT)) * 64 >= ssum,
-           |      shiftleft(1L, CAST(i AS INT)), 0L)))""".stripMargin))
-      .select(col("doc_id"), col("bands"))
+    val joined = d.join(src, "src_id").withColumn("p", payload)
+    val withBands =
+      if (fused) joined.withColumn("bands", expr("graft_phash_bands(p)"))
+      else joined
+        .withColumn("b", expr(
+          "transform(sequence(0, 63), j -> ascii(substr(p, CAST((j * length(p)) div 64 AS INT) + 1, 1)))"))
+        .withColumn("ssum", expr("aggregate(b, 0L, (acc, x) -> acc + x)"))
+        .withColumn("bands", expr(
+          s"""transform(sequence(0, ${PhashBands - 1}), bd ->
+             |  aggregate(sequence(0, ${PhashBandBits - 1}), 0L,
+             |    (acc, i) -> acc + IF(element_at(b, CAST(bd * $PhashBandBits + i + 1 AS INT)) * 64 >= ssum,
+             |      shiftleft(1L, CAST(i AS INT)), 0L)))""".stripMargin))
+    withBands.select(col("doc_id"), col("bands"))
   }
 
   /** Perceptual near-dup pairs: banded candidate equi-join on

@@ -412,6 +412,38 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(variantPairs > 0, "planted same-source variants must appear")
   }
 
+  test("fused phash parity: graft_phash_bands is bit-identical to the HOF formulation") {
+    // the production path computes the aHash band vector with the
+    // fused codegen kernel; the HOF reference (64 substr samples +
+    // aggregate lambdas) must agree long-for-long on every doc of the
+    // real corpus, both vintages (plain + planted)
+    for (planted <- Seq(false, true)) {
+      val fused = Multimodal.phashTableFrom(spark, sf, planted, fused = true)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+      val hof = Multimodal.phashTableFrom(spark, sf, planted, fused = false)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+      assert(fused.keySet == hof.keySet)
+      val diff = fused.collect { case (id, v) if hof(id) != v => (id, v, hof(id)) }
+      assert(diff.isEmpty, s"planted=$planted first divergence: ${diff.take(2)}")
+    }
+    // edge cases the corpus can't produce: empty string (all bits set
+    // — 0 >= 0 per sample) and non-ASCII codepoints (Ascii is
+    // codePointAt, not first-byte)
+    val edge = spark.sql(
+      "SELECT graft_phash_bands('') AS e, graft_phash_bands('é€漢a') AS u")
+    val row = edge.collect()(0)
+    assert(row.getSeq[Long](0) == Seq(0xFFFFL, 0xFFFFL, 0xFFFFL, 0xFFFFL))
+    val hofU = spark.sql(
+      """SELECT transform(sequence(0, 3), bd ->
+        |  aggregate(sequence(0, 15), 0L, (acc, i) -> acc +
+        |    IF(element_at(b, CAST(bd * 16 + i + 1 AS INT)) * 64 >= aggregate(b, 0L, (a2, x) -> a2 + x),
+        |      shiftleft(1L, CAST(i AS INT)), 0L))) AS u
+        |FROM (SELECT transform(sequence(0, 63),
+        |  j -> ascii(substr(p, CAST((j * length(p)) div 64 AS INT) + 1, 1))) AS b
+        |  FROM (SELECT 'é€漢a' AS p))""".stripMargin).collect()(0).getSeq[Long](0)
+    assert(row.getSeq[Long](1) == hofU, "non-ASCII parity with the HOF form")
+  }
+
   test("phash stop-bucket cap: only the planted degenerate clique loses reachability") {
     // uncapped pairs over the SAME planted corpus = ground truth; the
     // cap must drop EXACTLY the clique's pairs (both endpoints %13==0:
