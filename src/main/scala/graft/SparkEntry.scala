@@ -100,6 +100,8 @@ object SparkEntry {
     "q_retention" -> (Analytics3.qRetention _),
     "q_attribution" -> (Analytics3.qAttribution _),
     "q_journeys" -> (Analytics3.qJourneys _),
+    "q_gap_fill" -> (TimeSeries.gapFill _),
+    "q_anomaly" -> (TimeSeries.anomaly _),
     "q_window3" -> (Analytics2.qWindow3 _),
     "q_cube" -> (Analytics2.qCube _),
     "q_intersect_except" -> (Analytics2.qIntersectExcept _),
@@ -148,6 +150,7 @@ object SparkEntry {
     "sim_brute_topk" -> (Similarity.bruteTopK _),
     "sim_native_topk" -> (Similarity.nativeTopK _),
     "sim_lsh_topk" -> (Similarity.lshTopK _),
+    "sim_range_search" -> (Similarity.rangeSearch _),
     "sim_multiprobe_topk" -> (Similarity.multiprobeTopK _),
     "sim_rerank_topk" -> (Similarity.rerankTopK _),
     "sim_ivf_topk" -> (Similarity.ivfTopK _),
@@ -194,6 +197,7 @@ object SparkEntry {
     "text_langid" -> (TextAnalysis.langid _),
     "text_ngrams" -> (TextAnalysis.ngrams _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "text_feature_hash" -> (TextAnalysis.featureHash _),
     "text_top_terms" -> (TextAnalysis.topTerms _),
     "text_redact" -> (TextAnalysis.redact _),
     "text_repetition" -> (TextAnalysis.repetition _),
@@ -513,6 +517,19 @@ object SparkEntry {
       |SELECT query_id, cand_id, cosine,
       | CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS BIGINT) AS rank
       |FROM scored QUALIFY rank <= ${Similarity.K}""".stripMargin
+
+  /** Range-search oracle: the lshTopk candidate CTE with an exact
+    * cosine radius filter instead of the per-query top-k. */
+  private def simRangeSearchSql: String =
+    s"""WITH ${sigsCteSql(Similarity.LshTables, Similarity.LshPlanesPerTable)},
+      |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+      |  FROM sigs q JOIN sigs c ON q.t = c.t AND q.sig = c.sig
+      |  WHERE q.vec_id < 10 AND c.vec_id >= 10),
+      |scored AS (SELECT query_id, cand_id,
+      |  ${cosineSql("eq.emb", "eq.nsq", "ec.emb", "ec.nsq")} AS cosine
+      | FROM cand JOIN e eq ON eq.vec_id = query_id JOIN e ec ON ec.vec_id = cand_id)
+      |SELECT query_id, cand_id, cosine FROM scored
+      |WHERE cosine >= ${Similarity.RangeTau}""".stripMargin
 
   private def simLshTopkSql: String =
     s"""WITH ${sigsCteSql(Similarity.LshTables, Similarity.LshPlanesPerTable)},
@@ -1214,6 +1231,39 @@ object SparkEntry {
         |  array_to_string(list(event_type ORDER BY ts, event_id)[1:3], '>') AS journey
         | FROM events GROUP BY user_id)
         |SELECT journey, COUNT(*) AS n_users FROM j GROUP BY 1""".stripMargin,
+    // hourly LOCF grid: generate_series replicates sequence(h0, h1);
+    // the IGNORE-NULLS running last over the DECIMAL hourly sum is the
+    // q_asof_join LOCF recipe on a generated grid
+    "q_gap_fill" ->
+      """WITH e AS (SELECT user_id,
+        |  epoch_us(ts) // 1000000 // 3600 AS hour, value FROM events),
+        |hourly AS (SELECT user_id, hour, COUNT(*) AS n_events,
+        |  SUM(CAST(value AS DECIMAL(18,2))) AS hv FROM e GROUP BY 1, 2),
+        |spans AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
+        |  FROM hourly GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hour FROM spans)
+        |SELECT g.user_id, g.hour, COALESCE(h.n_events, 0) AS n_events,
+        | CAST(last_value(h.hv IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |   ORDER BY g.hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS DOUBLE) AS filled_value
+        |FROM grid g LEFT JOIN hourly h
+        |  ON g.user_id = h.user_id AND g.hour = h.hour""".stripMargin,
+    // quantile_cont == Spark's exact `percentile` (linear
+    // interpolation — the q_percentile parity recipe), so med/MAD and
+    // the 3×MAD cut are the same doubles on both engines
+    "q_anomaly" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (SELECT e.event_type,
+        |  quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        | FROM events e JOIN med m ON e.event_type = m.event_type
+        | GROUP BY e.event_type)
+        |SELECT e.event_type, COUNT(*) AS n_events,
+        | MAX(m.med) AS med, MAX(d.mad) AS mad,
+        | COUNT(CASE WHEN abs(e.value - m.med) > 3.0 * d.mad THEN 1 END) AS n_outliers
+        |FROM events e JOIN med m ON e.event_type = m.event_type
+        | JOIN mad d ON e.event_type = d.event_type
+        |GROUP BY e.event_type""".stripMargin,
     // exactly-once across a checkpoint restart: the whole slice counted
     // ONCE — any reprocessing doubles a count and fails the hash
     "stream_resume" ->
@@ -1831,6 +1881,7 @@ object SparkEntry {
     "stream_ann_serving" -> simLshTopkSql,
     "sim_multiprobe_topk" -> simMultiprobeTopkSql,
     "sim_knn_graph" -> simKnnGraphSql,
+    "sim_range_search" -> simRangeSearchSql,
     "sim_rerank_topk" -> simRerankTopkSql,
     "text_decontaminate" -> textDecontaminateSql,
     // the bloom path's exact-verify stage removes every bloom false
@@ -1924,6 +1975,15 @@ object SparkEntry {
         | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
         | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_bpeish_tokens
         |FROM documents""".stripMargin,
+    // hashing-trick BOW: first md5 hex byte = bucket, portable on
+    // both engines (Spark conv(hex,16,10) == DuckDB CAST('0x..'))
+    "text_feature_hash" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents)
+        |SELECT doc_id,
+        | CAST(CONCAT('0x', substr(md5(tok), 1, 2)) AS BIGINT) AS bucket,
+        | COUNT(*) AS n
+        |FROM t GROUP BY 1, 2""".stripMargin,
     "text_langid" ->
       """WITH t AS (SELECT doc_id, lang AS lang_true,
         | CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','hash','order','table'))) AS BIGINT) AS score_en,

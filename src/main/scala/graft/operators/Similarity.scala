@@ -567,4 +567,30 @@ object Similarity {
         expr("graft_cosine(a_emb, b_emb)").as("cosine"))
     graft.functions.TopK.perGroup(scored, "vec_id", "nbr_id", "cosine", KnnK)
   }
+
+  /** Radius for [[rangeSearch]] — sized so the synthetic corpus (cosine
+    * ≈ N(0, 0.13) between unrelated vectors) yields a non-trivial but
+    * selective neighbor set (~1% of candidates). */
+  val RangeTau = 0.3
+
+  /** Range search (FAISS range_search): ALL corpus vectors within
+    * cosine ≥ [[RangeTau]] of each query — the retrieval shape when
+    * the consumer wants "everything this similar", not a fixed k
+    * (dedup sweeps, recall-first RAG). Same LSH candidate stage as
+    * [[lshTopK]] (16-table bucket join, ids only), then an exact
+    * cosine filter instead of a top-k — NO per-query sort at all, so
+    * the operator is one broadcast bucket join + one filter at any
+    * scale. Hash-exact: the DuckDB oracle replicates the plane bits;
+    * recall vs the brute-force radius truth is spec-asserted. */
+  def rangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val dims = Planes.dimsOf(Tables.embeddings(s, dir), "embedding")
+    val qs = Planes.withSigs(queries(s, dir), "q_emb", LshTables, LshPlanesPerTable, dims)
+    val cs = Planes.withSigs(corpus(s, dir), "c_emb", LshTables, LshPlanesPerTable, dims)
+    broadcast(qs).join(cs, Seq("table", "sig"))
+      .select(col("query_id"), col("cand_id"), col("q_emb"), col("c_emb"))
+      .dropDuplicates("query_id", "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        expr("graft_cosine(q_emb, c_emb)").as("cosine"))
+      .filter(col("cosine") >= lit(RangeTau))
+  }
 }

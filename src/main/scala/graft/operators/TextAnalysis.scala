@@ -727,4 +727,24 @@ object TextAnalysis {
       .limit(WeightedSampleK)
       .select(col("doc_id"), col("source"), col("weight"))
   }
+
+  /** Feature-hashing (hashing-trick) bag-of-words: each token maps to
+    * one of 256 buckets by the first md5 hex byte, producing a SPARSE
+    * (doc_id, bucket, n) document vector — the Vowpal-Wabbit /
+    * sklearn-HashingVectorizer recipe that needs NO vocabulary build
+    * (the whole point at 100 TB: no global term dictionary, no second
+    * pass, new tokens never resize anything). md5 is the portable
+    * hash both engines compute identically; the sparse triplet form
+    * is the scalable one (a dense 256-wide row per doc would mostly
+    * hold zeros; downstream consumers — the kNN graph, centroid
+    * prototypes — consume (bucket, n) pairs directly). One explode +
+    * one partial-agg count per doc — no joins, no vocabulary
+    * broadcast. */
+  def featureHash(s: SparkSession, dir: String): DataFrame =
+    Tables.documentsParallel(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long").as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
 }

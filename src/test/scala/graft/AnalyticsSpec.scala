@@ -292,4 +292,60 @@ class AnalyticsSpec extends AnyFunSuite {
       .agg(coalesce(sum(col("n_purchases")), lit(0L))).collect()(0).getLong(0)
     assert(gotDirect == expectDirect, s"direct: got $gotDirect expected $expectDirect")
   }
+
+  test("gap fill: contiguous per-user hourly grid, LOCF equals the last active hour's sum") {
+    val g = TimeSeries.gapFill(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byUser = g.groupBy(_._1)
+    byUser.foreach { case (u, rows) =>
+      val hours = rows.map(_._2).sorted
+      assert(hours.distinct.length == hours.length, s"user $u: duplicate hours")
+      assert(hours.last - hours.head + 1 == hours.length,
+        s"user $u: grid has holes (${hours.length} rows over ${hours.last - hours.head + 1} hours)")
+      // first grid hour comes from a real event; LOCF means filled is
+      // never null and only changes on active hours
+      rows.sortBy(_._2).foldLeft(Option.empty[Double]) {
+        case (prev, (_, _, n, filled)) =>
+          if (n == 0) assert(prev.contains(filled),
+            s"user $u: idle hour must carry the previous value")
+          Some(filled)
+      }
+    }
+    // the grid adds rows (idle hours) but never loses events
+    val totalEvents = g.map(_._3).sum
+    assert(totalEvents == Tables.events(spark, sf).count(), "event conservation")
+    assert(g.length > totalEvents / 10, "grid should materialize idle hours too")
+  }
+
+  test("anomaly: med/MAD and outlier counts match a driver-side exact reference") {
+    val got = TimeSeries.anomaly(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    def medianOf(xs: Array[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      val pos = 0.5 * (n - 1); val lo = pos.toInt
+      if (lo == n - 1) s(lo) else s(lo) + (pos - lo) * (s(lo + 1) - s(lo))
+    }
+    val vals = Tables.events(spark, sf).select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).groupBy(_._1)
+    assert(got.keySet == vals.keySet)
+    vals.foreach { case (et, rows) =>
+      val xs = rows.map(_._2)
+      val med = medianOf(xs)
+      val mad = medianOf(xs.map(x => math.abs(x - med)))
+      val (n, gmed, gmad, gout) = got(et)
+      // med/MAD: tolerance compare (Spark's percentile may interpolate
+      // with a different floating op ORDER than this reference — the
+      // engine-vs-engine bit-parity is the DuckDB oracle's job)
+      assert(n == xs.length, s"$et: n")
+      assert(math.abs(gmed - med) <= 1e-9 * math.max(1.0, math.abs(med)), s"$et: med")
+      assert(math.abs(gmad - mad) <= 1e-9 * math.max(1.0, math.abs(mad)), s"$et: mad")
+      // outlier count: exact, recomputed against the OPERATOR's own
+      // med/MAD so the test pins the counting logic, not percentile ulp
+      val outliers = xs.count(x => math.abs(x - gmed) > TimeSeries.MadK * gmad)
+      assert(gout == outliers, s"$et: outliers got $gout expected $outliers")
+      assert(gout > 0 || mad == 0.0 || xs.length < 30,
+        s"$et: a heavy-tailed synthetic stream should show some outliers")
+    }
+  }
 }

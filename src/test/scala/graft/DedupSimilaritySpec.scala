@@ -782,6 +782,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recheck.count() == 0, "graph edges must carry exact cosines")
   }
 
+  test("range search: results are exactly the radius-true candidates; recall vs brute truth") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.rangeSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every result genuinely clears the radius with its exact cosine
+    assert(got.forall(_._3 >= Similarity.RangeTau))
+    assert(got.map(t => (t._1, t._2)).distinct.length == got.length, "no duplicate pairs")
+    // brute-force radius truth (small corpus: all query×corpus pairs)
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val (qs, cs) = e.partition(_._1 < 10)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val truth = for { (q, qe) <- qs; (c, ce) <- cs
+      if cos(qe, ce) >= Similarity.RangeTau } yield (q, c)
+    assert(truth.nonEmpty, "radius truth must be non-trivial on the gate corpus")
+    val gotSet = got.map(t => (t._1, t._2)).toSet
+    assert(gotSet.subsetOf(truth.toSet),
+      "LSH range results can only be radius-true pairs")
+    val recall = gotSet.size.toDouble / truth.length
+    assert(recall >= 0.7,
+      s"16-table LSH should recall >=70% of radius-$tauStr truth, got $recall")
+  }
+  private def tauStr = Similarity.RangeTau.toString
+
   test("kNN graph bands catch planted near-dup twins (the curation operating point)") {
     // Same setup as the embedding-LSH recall test, at the graph's own
     // banding (8×8): a mild deterministic perturbation keeps twins at

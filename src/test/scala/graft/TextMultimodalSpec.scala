@@ -412,6 +412,24 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(variantPairs > 0, "planted same-source variants must appear")
   }
 
+  test("feature hash: sparse BOW conserves tokens, buckets bounded, stable across runs") {
+    val fh = TextAnalysis.featureHash(spark, sf)
+    val rows = fh.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall { case (_, b, _) => b >= 0 && b <= 255 },
+      "bucket = first md5 hex byte, must be 0..255")
+    // token conservation: per-doc bucket counts sum to the doc's
+    // whitespace token count (the hashing trick loses identity, never mass)
+    val sums = rows.groupBy(_._1).map { case (d, rs) => d -> rs.map(_._3).sum }
+    val expected = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sums == expected, "bucket counts must conserve the token count per doc")
+    // no vocabulary anywhere in the plan: the only exchange carries
+    // (doc_id, bucket) group keys — assert no join materialized
+    val plan = fh.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), "hashing trick needs no vocabulary join")
+  }
+
   test("fused phash parity: graft_phash_bands is bit-identical to the HOF formulation") {
     // the production path computes the aHash band vector with the
     // fused codegen kernel; the HOF reference (64 substr samples +
