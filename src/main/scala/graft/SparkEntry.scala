@@ -102,6 +102,8 @@ object SparkEntry {
     "q_journeys" -> (Analytics3.qJourneys _),
     "q_gap_fill" -> (TimeSeries.gapFill _),
     "q_anomaly" -> (TimeSeries.anomaly _),
+    "q_trend" -> (TimeSeries.trend _),
+    "stream_anomaly" -> (graft.streaming.Streams.streamAnomaly _),
     "q_window3" -> (Analytics2.qWindow3 _),
     "q_cube" -> (Analytics2.qCube _),
     "q_intersect_except" -> (Analytics2.qIntersectExcept _),
@@ -517,6 +519,24 @@ object SparkEntry {
       |SELECT query_id, cand_id, cosine,
       | CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS BIGINT) AS rank
       |FROM scored QUALIFY rank <= ${Similarity.K}""".stripMargin
+
+  /** Robust-anomaly oracle, shared by the batch row (q_anomaly) and
+    * its streaming face (stream_anomaly): partial counts summed across
+    * micro-batches against the same offline stats are additive, so
+    * both compute this exact result. */
+  private def anomalySql: String =
+    """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY 1),
+      |mad AS (SELECT e.event_type,
+      |  quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      | FROM events e JOIN med m ON e.event_type = m.event_type
+      | GROUP BY e.event_type)
+      |SELECT e.event_type, COUNT(*) AS n_events,
+      | MAX(m.med) AS med, MAX(d.mad) AS mad,
+      | COUNT(CASE WHEN abs(e.value - m.med) > 3.0 * d.mad THEN 1 END) AS n_outliers
+      |FROM events e JOIN med m ON e.event_type = m.event_type
+      | JOIN mad d ON e.event_type = d.event_type
+      |GROUP BY e.event_type""".stripMargin
 
   /** Range-search oracle: the lshTopk candidate CTE with an exact
     * cosine radius filter instead of the per-query top-k. */
@@ -1251,19 +1271,27 @@ object SparkEntry {
     // quantile_cont == Spark's exact `percentile` (linear
     // interpolation — the q_percentile parity recipe), so med/MAD and
     // the 3×MAD cut are the same doubles on both engines
-    "q_anomaly" ->
-      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
-        |  FROM events GROUP BY 1),
-        |mad AS (SELECT e.event_type,
-        |  quantile_cont(abs(e.value - m.med), 0.5) AS mad
-        | FROM events e JOIN med m ON e.event_type = m.event_type
-        | GROUP BY e.event_type)
-        |SELECT e.event_type, COUNT(*) AS n_events,
-        | MAX(m.med) AS med, MAX(d.mad) AS mad,
-        | COUNT(CASE WHEN abs(e.value - m.med) > 3.0 * d.mad THEN 1 END) AS n_outliers
-        |FROM events e JOIN med m ON e.event_type = m.event_type
-        | JOIN mad d ON e.event_type = d.event_type
-        |GROUP BY e.event_type""".stripMargin,
+    "q_anomaly" -> anomalySql,
+    // the streaming scorer sums per-micro-batch partial counts against
+    // the SAME offline-trained stats — additive counting makes it
+    // hash-equal to the batch row, so it shares the oracle verbatim
+    "stream_anomaly" -> anomalySql,
+    // exact integer least squares: x centered to the global min hour,
+    // y in cents; sums stay BIGINT on both engines (DuckDB SUM →
+    // HUGEINT, hence the CASTs), slope is one terminal double divide
+    "q_trend" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS hour,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+        |h AS (SELECT event_type, hour, CAST(SUM(cents) AS BIGINT) AS y
+        |  FROM e GROUP BY 1, 2),
+        |m AS (SELECT MIN(hour) AS h0 FROM e),
+        |c AS (SELECT event_type, hour - h0 AS x, y FROM h, m),
+        |a AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |  CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |  CAST(SUM(x * x) AS BIGINT) AS sxx FROM c GROUP BY 1)
+        |SELECT event_type, n AS n_hours, sy AS sum_cents,
+        | CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+        |FROM a""".stripMargin,
     // exactly-once across a checkpoint restart: the whole slice counted
     // ONCE — any reprocessing doubles a count and fails the hash
     "stream_resume" ->

@@ -53,6 +53,34 @@ object TimeSeries {
           .cast("double").as("filled_value"))
   }
 
+  /** Per-event-type least-squares TREND over the hourly revenue
+    * series — closed-form slope from exact integer sums, no iteration
+    * and no floating accumulation: x = hour index re-centered to the
+    * global minimum hour (slope is shift-invariant, and centering
+    * keeps every cross-sum far inside BIGINT — uncentered epoch-hours
+    * × 10×-scale cent sums would overflow sx·sy at sf≈1), y = hourly
+    * cents (the stream_resume integer-cents recipe). One grouped
+    * rollup to hours, one 1-row broadcast for the min hour, one
+    * grouped sum pass; the only doubles are the two terminal casts in
+    * slope = (n·Σxy − ΣxΣy) / (n·Σx² − (Σx)²), computed from
+    * bit-equal integers on both engines → hash-exact. */
+  def trend(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_type"),
+      expr("unix_micros(ts) div 1000000 div 3600").as("hour"),
+      (col("value").cast(dec) * 100).cast("long").as("cents"))
+    val hourly = e.groupBy(col("event_type"), col("hour"))
+      .agg(sum(col("cents")).as("y"))
+    val minH = e.agg(min(col("hour")).as("h0"))
+    hourly.crossJoin(broadcast(minH))
+      .select(col("event_type"), (col("hour") - col("h0")).as("x"), col("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n").as("n_hours"), col("sy").as("sum_cents"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")).as("slope"))
+  }
+
   /** Outlier multiplier: |value − median| > MadK × MAD flags a row. */
   val MadK = 3.0
 
@@ -63,17 +91,26 @@ object TimeSeries {
     * parity recipe); the deviation pass re-reads only (event_type,
     * value) and the median join is a broadcast of ≤|event types|
     * rows. */
-  def anomaly(s: SparkSession, dir: String): DataFrame = {
+  /** The trained "model": exact per-event-type median and MAD — two
+    * grouped exact-percentile passes; ≤|event types| rows, broadcast
+    * by every consumer (the batch scorer below and the streaming
+    * scorer in streaming.Streams.streamAnomaly). */
+  private[graft] def robustStats(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir).select(col("event_type"), col("value"))
     val med = e.groupBy(col("event_type"))
       .agg(expr("percentile(value, 0.5)").as("med"))
-    val mad = e.join(broadcast(med), "event_type")
+    e.join(broadcast(med), "event_type")
       .groupBy(col("event_type"))
-      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      .agg(first(col("med")).as("med"),
+        expr("percentile(abs(value - med), 0.5)").as("mad"))
+  }
+
+  def anomaly(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_type"), col("value"))
     // exact median/MAD need three passes over (event_type, value) —
     // a 100 TB run caches that 2-column projection once; each later
     // pass joins only the ≤|event types|-row broadcast stats
-    e.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+    e.join(broadcast(robustStats(s, dir)), "event_type")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         first(col("med")).as("med"),

@@ -524,6 +524,53 @@ object Streams {
     s.read.parquet(s"$base/dst")
   }
 
+  /** Gate query: streaming ANOMALY SCORING — the monitoring shape
+    * where robust stats are TRAINED OFFLINE (TimeSeries.robustStats:
+    * exact median/MAD over the full history) and events arrive as a
+    * stream scored against the static broadcast stats. Four staged
+    * files under maxFilesPerTrigger=1 force four REAL micro-batches;
+    * each batch appends its per-type partial counts and the terminal
+    * read re-sums them — counting is additive, so the result
+    * hash-matches the batch q_anomaly row REGARDLESS of micro-batch
+    * boundaries (value doubles survive the ndjson hop bit-exactly:
+    * shortest-roundtrip rendering). At scale the stats frame is the
+    * persisted model a monitoring fleet refreshes offline; the stream
+    * side is one broadcast join + one partial agg per batch — no
+    * state store, no shuffle wider than |event types|. */
+  def streamAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val base = System.getProperty("java.io.tmpdir") + "/graft_sanom_" + System.nanoTime
+    val stats = graft.operators.TimeSeries.robustStats(s, dir)
+      .select(col("event_type"), col("med"), col("mad"))
+    val ev = graft.sources.Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    new java.io.File(s"$base/src").mkdirs()
+    val t0 = System.currentTimeMillis()
+    for (i <- 0 until 4)
+      stageNamedFile(ev.filter(col("event_id") % 4 === i),
+        s"$base/t$i", s"$base/src/${('a' + i).toChar}_slice.json", t0 - (3 - i) * 60000)
+    val in = s.readStream.schema("event_id LONG, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1).json(s"$base/src")
+    val madK = graft.operators.TimeSeries.MadK
+    val q = in.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      batch.join(broadcast(stats), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(when(abs(col("value") - col("med")) > lit(madK) * col("mad"), 1))
+            .as("n_outliers"))
+        .write.mode("append").parquet(s"$base/dst")
+      ()
+    }.option("checkpointLocation", s"$base/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/dst")
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("n_outliers")).as("n_outliers"))
+      .join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("n_events"), col("med"), col("mad"),
+        col("n_outliers"))
+  }
+
   /** Streaming exact dedup bounded by watermark: the streaming form of
     * Dedup.exactKeyed (idempotent re-delivery collapsing). */
   def dedupStream(events: DataFrame): DataFrame =

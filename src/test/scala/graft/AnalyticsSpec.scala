@@ -317,6 +317,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(g.length > totalEvents / 10, "grid should materialize idle hours too")
   }
 
+  test("trend: slope equals an exact integer least-squares reference, bit for bit") {
+    // the operator's sums are all BIGINT, so a driver-side replica of
+    // the same integer arithmetic must produce the IDENTICAL double
+    val hourly = Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 1000000 div 3600").as("hour"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy("event_type", "hour").agg(sum("cents").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val h0 = hourly.map(_._2).min
+    val got = TimeSeries.trend(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    hourly.groupBy(_._1).foreach { case (et, rows) =>
+      val xs = rows.map(t => t._2 - h0); val ys = rows.map(_._3)
+      val n = rows.length.toLong
+      val sx = xs.sum; val sy = ys.sum
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val sxx = xs.map(x => x * x).sum
+      val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      val (gn, gsum, gslope) = got(et)
+      assert(gn == n && gsum == sy && gslope == slope,
+        s"$et: got ($gn,$gsum,$gslope) expected ($n,$sy,$slope)")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("anomaly: med/MAD and outlier counts match a driver-side exact reference") {
     val got = TimeSeries.anomaly(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))

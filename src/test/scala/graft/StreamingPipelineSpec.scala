@@ -298,4 +298,17 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(back.count() == plan(spark, spec).count())
     assert(back.columns.contains("yr"))
   }
+
+  test("streaming anomaly scoring equals the batch row across real micro-batches") {
+    import org.apache.spark.sql.Row
+    // counting against static offline stats is additive, so 4 staged
+    // files × maxFilesPerTrigger=1 must sum to exactly the batch result
+    val streamed = graft.streaming.Streams.streamAnomaly(spark, sf).collect().toSet
+    val batch = graft.operators.TimeSeries.anomaly(spark, sf).collect().toSet
+    def key(r: Row) = (r.getString(0), r.getLong(1), r.getDouble(2),
+      r.getDouble(3), r.getLong(4))
+    assert(streamed.map(key) == batch.map(key),
+      s"streamed ${streamed.map(key)} != batch ${batch.map(key)}")
+    assert(streamed.nonEmpty)
+  }
 }
