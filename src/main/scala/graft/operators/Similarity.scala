@@ -586,11 +586,17 @@ object Similarity {
     val dims = Planes.dimsOf(Tables.embeddings(s, dir), "embedding")
     val qs = Planes.withSigs(queries(s, dir), "q_emb", LshTables, LshPlanesPerTable, dims)
     val cs = Planes.withSigs(corpus(s, dir), "c_emb", LshTables, LshPlanesPerTable, dims)
+    // score and radius-filter BEFORE the pair dedup: a pair seen in k
+    // tables scores k times (the fused cosine is cheap, map-side, and
+    // identical every time), but only radius-passing (id, id, cosine)
+    // triplets ever reach the distinct's exchange — ~1% of candidates
+    // and 16 bytes of ids + one double, instead of every candidate
+    // dragging BOTH embeddings through a SortAggregate (the
+    // dedup-first shape the plan audit caught)
     broadcast(qs).join(cs, Seq("table", "sig"))
-      .select(col("query_id"), col("cand_id"), col("q_emb"), col("c_emb"))
-      .dropDuplicates("query_id", "cand_id")
       .select(col("query_id"), col("cand_id"),
         expr("graft_cosine(q_emb, c_emb)").as("cosine"))
       .filter(col("cosine") >= lit(RangeTau))
+      .dropDuplicates("query_id", "cand_id")
   }
 }

@@ -70,7 +70,10 @@ object TimeSeries {
       (col("value").cast(dec) * 100).cast("long").as("cents"))
     val hourly = e.groupBy(col("event_type"), col("hour"))
       .agg(sum(col("cents")).as("y"))
-    val minH = e.agg(min(col("hour")).as("h0"))
+    // min over the rollup == min over the raw rows, and deriving it
+    // from `hourly` lets Spark reuse the rollup's exchange instead of
+    // scanning the source a second time (plan-audit finding)
+    val minH = hourly.agg(min(col("hour")).as("h0"))
     hourly.crossJoin(broadcast(minH))
       .select(col("event_type"), (col("hour") - col("h0")).as("x"), col("y"))
       .groupBy(col("event_type"))

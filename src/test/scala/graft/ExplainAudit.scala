@@ -20,7 +20,9 @@ object ExplainAudit {
         "q_funnel", "q_retention", "text_contamination_score", "sim_knn_graph",
         "mm_overlap_dedup",
         "q_attribution", "text_mix_rebalance", "sim_ivf_pq_topk",
-        "mm_phash_dedup")
+        "mm_phash_dedup",
+        "q_gap_fill", "q_anomaly", "q_trend", "sim_range_search",
+        "text_feature_hash")
     targets.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       df.count() // materialize so AQE finalizes
