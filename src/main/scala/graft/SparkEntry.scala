@@ -32,6 +32,7 @@ object SparkEntry {
     "etl_upsert_merge" -> (Etl.upsertMerge _),
     "etl_scd2_history" -> (Etl.scd2History _),
     "etl_partition_pruning" -> (Etl.partitionPruning _),
+    "etl_retention_sweep" -> (Etl.retentionSweep _),
     "etl_ndjson_roundtrip" -> (Etl.ndjsonRoundtrip _),
     "etl_csv_roundtrip" -> (Etl.csvRoundtrip _),
     "etl_orc_roundtrip" -> (Etl.orcRoundtrip _),
@@ -155,6 +156,7 @@ object SparkEntry {
     "sim_range_search" -> (Similarity.rangeSearch _),
     "sim_multiprobe_topk" -> (Similarity.multiprobeTopK _),
     "sim_rerank_topk" -> (Similarity.rerankTopK _),
+    "sim_matryoshka_topk" -> (Similarity.matryoshkaTopK _),
     "sim_ivf_topk" -> (Similarity.ivfTopK _),
     "sim_pq_topk" -> (Similarity.pqTopK _),
     "sim_ivf_pq_topk" -> (Similarity.ivfPqTopK _),
@@ -490,6 +492,32 @@ object SparkEntry {
       |coarse AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
       |  $intDot * c.amax AS coarse
       | FROM coded q, coded c WHERE q.vec_id < 10 AND c.vec_id >= 10),
+      |topc AS (SELECT query_id, cand_id FROM (
+      |  SELECT query_id, cand_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY coarse DESC, cand_id) AS crn
+      |  FROM coarse) t WHERE crn <= ${Similarity.RerankCoarse}),
+      |scored AS (SELECT query_id, cand_id,
+      |  ${cosineSql("eq.emb", "eq.nsq", "ec.emb", "ec.nsq")} AS cosine
+      | FROM topc JOIN e eq ON eq.vec_id = query_id JOIN e ec ON ec.vec_id = cand_id)
+      |SELECT query_id, cand_id, cosine,
+      | CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS BIGINT) AS rank
+      |FROM scored QUALIFY rank <= ${Similarity.K}""".stripMargin
+  }
+
+  /** Matryoshka oracle: prefix-dim coarse cosine (DuckDB list slice ==
+    * Spark slice(); both cosines fold sequentially), top-RerankCoarse,
+    * exact full-width re-rank — simRerankTopkSql with truncation as
+    * the compression axis. */
+  private def simMatryoshkaTopkSql: String = {
+    val p = Similarity.MatPrefixDims
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |  list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)) AS nsq
+      | FROM embeddings),
+      |pre AS (SELECT vec_id, emb[1:$p] AS pemb,
+      |  list_sum(list_transform(emb[1:$p], x -> x*x)) AS pnsq FROM e),
+      |coarse AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |  ${cosineSql("q.pemb", "q.pnsq", "c.pemb", "c.pnsq")} AS coarse
+      | FROM pre q, pre c WHERE q.vec_id < 10 AND c.vec_id >= 10),
       |topc AS (SELECT query_id, cand_id FROM (
       |  SELECT query_id, cand_id,
       |    row_number() OVER (PARTITION BY query_id ORDER BY coarse DESC, cand_id) AS crn
@@ -858,6 +886,13 @@ object SparkEntry {
       s"""SELECT event_type, COUNT(*) AS n_records, ${decSum("value")} AS sum_value
         |FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-03'
         |GROUP BY event_type""".stripMargin,
+    // the sweep drops whole partition directories below the cutoff;
+    // what must survive is exactly the retained window
+    "etl_retention_sweep" ->
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS dt, COUNT(*) AS n_records,
+        | ${decSum("value")} AS sum_value
+        |FROM events WHERE strftime(ts, '%Y-%m-%d') >= '${operators.Etl.RetentionCutoff}'
+        |GROUP BY 1""".stripMargin,
     "etl_upsert_merge" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
@@ -1911,6 +1946,7 @@ object SparkEntry {
     "sim_knn_graph" -> simKnnGraphSql,
     "sim_range_search" -> simRangeSearchSql,
     "sim_rerank_topk" -> simRerankTopkSql,
+    "sim_matryoshka_topk" -> simMatryoshkaTopkSql,
     "text_decontaminate" -> textDecontaminateSql,
     // the bloom path's exact-verify stage removes every bloom false
     // positive, so its contract IS the exact oracle — same SQL

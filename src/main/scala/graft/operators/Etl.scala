@@ -316,6 +316,40 @@ object Etl {
     * directories (PartitionFilters in the scan; asserted in EtlSpec).
     * At 100 TB this is the difference between scanning a day and
     * scanning a decade. */
+  /** Retention cutoff for [[retentionSweep]] — keep the final week of
+    * the 30-day event window. */
+  val RetentionCutoff = "2024-01-24"
+
+  /** Partition RETENTION sweep — the other lake-maintenance transfer
+    * next to [[compactSmallFiles]] (TTL/GDPR expiry: "keep 7 days"):
+    * stage a dt-partitioned table, then DROP whole partition
+    * directories below the cutoff. The sweep itself reads no data and
+    * shuffles nothing — it is a partition LISTING plus unlink per
+    * expired partition, which is what makes date-partitioned layouts
+    * the retention answer at 100 TB (row-level deletes would rewrite
+    * the table). The read-back aggregate proves exactly the retained
+    * window survives; the oracle filters the source to the same
+    * window, so the row is hash-exact. */
+  def retentionSweep(s: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_retain_${ProcessHandle.current().pid()}"
+    Tables.events(s, dir)
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .repartition(col("dt"))
+      .write.mode("overwrite").partitionBy("dt").parquet(base)
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(del)
+      f.delete(); ()
+    }
+    new java.io.File(base).listFiles()
+      .filter(f => f.getName.startsWith("dt=") &&
+        f.getName.stripPrefix("dt=") < RetentionCutoff)
+      .foreach(del)
+    s.read.parquet(base)
+      .groupBy(col("dt").cast("string").as("dt"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+  }
+
   def partitionPruning(s: SparkSession, dir: String): DataFrame = {
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_prune_${ProcessHandle.current().pid()}"
     Tables.events(s, dir)

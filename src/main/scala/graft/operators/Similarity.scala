@@ -193,6 +193,44 @@ object Similarity {
     topKPerQuery(exact)
   }
 
+  /** Prefix width for [[matryoshkaTopK]] — half the trained width. A
+    * REAL Matryoshka embedding concentrates signal in its prefix and
+    * serves 4-8× truncation; this corpus is untrained random noise
+    * with uniform per-dim information, so the demonstration width is
+    * 2× (a 16/64 prefix recalls only ~half the true top-k here, which
+    * no amount of engineering fixes — it is a property of the data). */
+  val MatPrefixDims = 32
+
+  /** Matryoshka two-stage retrieval (MRL, arXiv:2205.13147): the coarse
+    * pass ranks on the FIRST [[MatPrefixDims]] dimensions only — the
+    * truncation trick modern embedding APIs expose, where prefixes of
+    * one trained vector are themselves usable embeddings. 4× fewer
+    * multiplies and (with a truncated copy of the store) 4× fewer
+    * bytes scanned per query; per-query exact work then drops to
+    * [[RerankCoarse]] full-width cosines — [[rerankTopK]]'s pipeline
+    * with dimension truncation instead of int8 quantization as the
+    * compression axis (the two compose in practice). slice() and the
+    * sequential-fold cosine are bit-identical to DuckDB list slicing,
+    * so the row is hash-exact. */
+  def matryoshkaTopK(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val q = queries(s, dir)
+      .select(col("query_id"), slice(col("q_emb"), 1, MatPrefixDims).as("q_pre"))
+    val c = corpus(s, dir)
+      .select(col("cand_id"), slice(col("c_emb"), 1, MatPrefixDims).as("c_pre"))
+    val coarse = broadcast(q).crossJoin(c)
+      .select(col("query_id"), col("cand_id"),
+        expr("graft_cosine(q_pre, c_pre)").as("coarse"))
+    val topC = graft.functions.TopK.perGroup(
+      coarse, "query_id", "cand_id", "coarse", RerankCoarse)
+    val exact = topC
+      .join(corpus(s, dir), "cand_id")
+      .join(broadcast(queries(s, dir)), "query_id")
+      .select(col("query_id"), col("cand_id"),
+        expr("graft_cosine(q_emb, c_emb)").as("cosine"))
+    topKPerQuery(exact)
+  }
+
   val IvfProbes = 10
   val IvfLloydIters = 3
 

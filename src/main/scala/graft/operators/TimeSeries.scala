@@ -94,18 +94,30 @@ object TimeSeries {
     * parity recipe); the deviation pass re-reads only (event_type,
     * value) and the median join is a broadcast of ≤|event types|
     * rows. */
+  /** Bounded frame → driver-resident LocalRelation: the
+    * centroid/codebook contract (Similarity.kmeansCentroidSeq) applied
+    * to the anomaly model — collect is legal ONLY because cardinality
+    * is bounded by the schema (≤|event types| rows), and the payoff is
+    * that every downstream broadcast hint sits on a LocalRelation leaf
+    * (a bounded relation under the PlanChecks growing-hint gate, and a
+    * plain cheap broadcast inside every streaming micro-batch). */
+  private def localized(s: SparkSession, df: DataFrame): DataFrame = {
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    s.createDataFrame(rows, df.schema)
+  }
+
   /** The trained "model": exact per-event-type median and MAD — two
-    * grouped exact-percentile passes; ≤|event types| rows, broadcast
-    * by every consumer (the batch scorer below and the streaming
-    * scorer in streaming.Streams.streamAnomaly). */
+    * grouped exact-percentile passes; ≤|event types| rows,
+    * driver-resident, broadcast by every consumer (the batch scorer
+    * below and the streaming scorer in Streams.streamAnomaly). */
   private[graft] def robustStats(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir).select(col("event_type"), col("value"))
-    val med = e.groupBy(col("event_type"))
-      .agg(expr("percentile(value, 0.5)").as("med"))
-    e.join(broadcast(med), "event_type")
+    val med = localized(s, e.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med")))
+    localized(s, e.join(broadcast(med), "event_type")
       .groupBy(col("event_type"))
       .agg(first(col("med")).as("med"),
-        expr("percentile(abs(value - med), 0.5)").as("mad"))
+        expr("percentile(abs(value - med), 0.5)").as("mad")))
   }
 
   def anomaly(s: SparkSession, dir: String): DataFrame = {

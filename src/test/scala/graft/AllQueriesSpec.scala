@@ -22,7 +22,9 @@ class AllQueriesSpec extends AnyFunSuite {
     "dedup_minhash_lsh",                       // audit: cross join of two 1-row counts
     "pat_skew_join",                           // dim × salts replication (3×8 rows BY DESIGN)
     "sim_rerank_topk",                         // coarse int8 scan IS a broadcast full scan
-    "sim_pq_topk")                             // reconstruction scan (broadcast query batch)
+    "sim_pq_topk",                             // reconstruction scan (broadcast query batch)
+    "sim_matryoshka_topk",                     // coarse prefix scan (broadcast query batch)
+    "q_trend")                                 // 1-row global-min-hour broadcast combine
 
   test("every query returns rows at sf0.001 and has a sane join plan") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
@@ -50,7 +52,8 @@ class AllQueriesSpec extends AnyFunSuite {
   private val allowedQueryBatchBroadcast = Set(
     "sim_brute_topk", "sim_native_topk", "sim_lsh_topk",
     "sim_multiprobe_topk", "sim_ivf_topk", "sim_rerank_topk",
-    "sim_pq_topk", "sim_ivf_pq_topk")
+    "sim_pq_topk", "sim_ivf_pq_topk", "sim_range_search",
+    "sim_matryoshka_topk")
 
   /** Repo-wide growing-hint gate (VERDICT r3 #1): a broadcast hint is
     * legal ONLY on (a) a subtree whose every leaf is a bounded relation

@@ -902,4 +902,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(reg.status("done30").isDefined && reg.status("done1").isEmpty)
     assert(reg.status("live").isDefined, "running query survives any amount of history")
   }
+
+  test("retention sweep drops exactly the expired partitions without scanning data") {
+    import graft.operators.Etl
+    val out = Etl.retentionSweep(spark, sf)
+    val dts = out.collect().map(_.getString(0)).sorted
+    assert(dts.nonEmpty && dts.forall(_ >= Etl.RetentionCutoff),
+      s"expired partitions must be gone: ${dts.take(3)}")
+    // the retained slice is complete: every source day >= cutoff survives
+    val expect = Tables.events(spark, sf)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("dt")).distinct()
+      .collect().map(_.getString(0)).filter(_ >= Etl.RetentionCutoff).sorted
+    assert(dts.toSeq == expect.toSeq, "retained partition set must equal the window")
+    // and the physical layout agrees: only retained dt= dirs remain
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_retain_${ProcessHandle.current().pid()}"
+    val dirs = new java.io.File(base).listFiles()
+      .filter(_.getName.startsWith("dt=")).map(_.getName.stripPrefix("dt=")).sorted
+    assert(dirs.toSeq == expect.toSeq, "sweep must unlink expired dirs on disk")
+  }
 }
