@@ -38,9 +38,14 @@ object TimeSeries {
       .select(col("user_id"),
         expr("unix_micros(ts) div 1000000 div 3600").as("hour"),
         col("value"))
+    // materialize the rollup once: both the span derivation and the
+    // grid join consume it, and without the checkpoint Spark expands
+    // the subtree twice — two full source scans instead of one scan
+    // plus a (users × active-hours) rollup reuse
     val hourly = e.groupBy(col("user_id"), col("hour"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(dec)).as("hour_value_dec"))
+      .localCheckpoint()
     val grid = hourly.groupBy(col("user_id"))
       .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
       .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour"))
@@ -109,15 +114,31 @@ object TimeSeries {
   /** The trained "model": exact per-event-type median and MAD — two
     * grouped exact-percentile passes; ≤|event types| rows,
     * driver-resident, broadcast by every consumer (the batch scorer
-    * below and the streaming scorer in Streams.streamAnomaly). */
+    * below and the streaming scorer in Streams.streamAnomaly).
+    * Memoized per corpus dir like Similarity's centroids/codebooks
+    * (the train-once-per-session contract): the batch and streaming
+    * scorers share ONE training pass per run. */
+  private val statsCache = scala.collection.concurrent.TrieMap.empty[String, Seq[org.apache.spark.sql.Row]]
+
   private[graft] def robustStats(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir).select(col("event_type"), col("value"))
-    val med = localized(s, e.groupBy(col("event_type"))
-      .agg(expr("percentile(value, 0.5)").as("med")))
-    localized(s, e.join(broadcast(med), "event_type")
-      .groupBy(col("event_type"))
-      .agg(first(col("med")).as("med"),
-        expr("percentile(abs(value - med), 0.5)").as("mad")))
+    val rows = statsCache.getOrElseUpdate(dir, {
+      val e = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val med = localized(s, e.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med")))
+      e.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"))
+        .agg(first(col("med")).as("med"),
+          expr("percentile(abs(value - med), 0.5)").as("mad"))
+        .collect().toSeq
+    })
+    s.createDataFrame(java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("med",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("mad",
+          org.apache.spark.sql.types.DoubleType))))
   }
 
   def anomaly(s: SparkSession, dir: String): DataFrame = {
