@@ -215,6 +215,8 @@ object SparkEntry {
     "text_corpus_pipeline" -> (TextAnalysis.corpusPipeline _),
     "text_rarity" -> (TextAnalysis.rarity _),
     "text_contamination_score" -> (TextAnalysis.contaminationScore _),
+    "text_lm_score" -> (TextAnalysis.lmScore _),
+    "text_bpe_merges" -> (TextAnalysis.bpeMerges _),
     "sim_label_centroids" -> (Similarity.labelCentroids _),
     "stream_enrich" -> (graft.streaming.Streams.streamEnrichTransfer _),
     "stream_jdbc_sink" -> (graft.streaming.Streams.streamJdbcSink _),
@@ -1953,6 +1955,33 @@ object SparkEntry {
     "text_decontaminate_bloom" -> textDecontaminateSql,
     "text_contamination_score" -> textContaminationScoreSql,
     "text_corpus_pipeline" -> textCorpusPipelineSql,
+    // bounded reference bigram model (lang='en' slice, top-V by count,
+    // ties on text) broadcast-scored over every doc; integer sums, one
+    // terminal divide — n_bigrams>0 always holds for surviving rows
+    // (empty bigram lists drop in both engines)
+    "text_lm_score" ->
+      s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, lang,
+        |  unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM w),
+        |model AS (SELECT bigram, COUNT(*) AS c FROM b WHERE lang = 'en'
+        |  GROUP BY bigram ORDER BY c DESC, bigram LIMIT ${TextAnalysis.LmVocab}),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, COUNT(model.c) AS n_hits,
+        |    CAST(COALESCE(SUM(model.c), 0) AS BIGINT) AS sum_count
+        |  FROM b LEFT JOIN model USING (bigram) GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, n_hits, sum_count,
+        | CAST(sum_count AS DOUBLE) / n_bigrams AS lm_score
+        |FROM agg""".stripMargin,
+    // corpus → vocabulary → weighted char-pair counts → top-K merges;
+    // all-integer, LIMIT cut made total by the (n desc, pair) order
+    "text_bpe_merges" ->
+      s"""WITH v AS (SELECT word, COUNT(*) AS wc FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word),
+        |p AS (SELECT wc, unnest(list_transform(range(1, LENGTH(word)),
+        |    i -> word[i] || word[i+1])) AS pair FROM v)
+        |SELECT pair, CAST(SUM(wc) AS BIGINT) AS n FROM p GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT ${TextAnalysis.BpeTopMerges}""".stripMargin,
     // raw words in the oracle (the Spark side joins md5 fps — collision tripwire)
     "text_rarity" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

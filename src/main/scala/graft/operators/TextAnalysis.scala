@@ -747,4 +747,86 @@ object TextAnalysis {
         conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long").as("bucket"))
       .groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("n"))
+
+  /** Bounded size of the reference bigram model for [[lmScore]]. */
+  val LmVocab = 512
+
+  /** Reference-LM familiarity scoring — the CCNet / Gopher "train a
+    * small LM on a trusted corpus, score candidates by how predictable
+    * they look under it" quality signal (Wenzek et al., CCNet,
+    * arXiv:1911.00359 use a Wikipedia KenLM; here the trusted slice is
+    * the `lang='en'` documents). The model is the top-[[LmVocab]]
+    * bigrams of the reference slice by count (ties on bigram text), so
+    * it is BOUNDED no matter the corpus size — at 100 TB it is still
+    * 512 rows, built with one vocab-bounded aggregation + a
+    * TakeOrdered, then BROADCAST to score every document: explode doc
+    * bigrams, broadcast-hash left join, re-aggregate per doc (map-side
+    * combine collapses the exploded rows back to ~1 row/doc before the
+    * exchange). The score is integer-exact: per-doc matched-bigram
+    * count and summed model counts, with ONE terminal double divide —
+    * no logs/exps, whose last-ulp engine differences would break
+    * hash-parity (true perplexity needs log(p); the familiarity ratio
+    * ranks documents the same way for filtering). Documents with fewer
+    * than 2 tokens have no bigrams and drop out in both engines
+    * (explode and unnest both erase empty arrays). */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documentsParallel(s, dir)
+    // materialize the split (HOF lambdas are interpreted and would
+    // re-split per element access); size>=2 guards sequence(1, 0),
+    // which Spark generates DESCENDING, not empty — and matches the
+    // oracle's empty-range row drop for sub-bigram docs
+    val withW = d.select(col("doc_id"), col("lang"),
+        words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    val w = col("w")
+    val bigrams = withW.select(col("doc_id"), col("lang"),
+      explode(transform(sequence(lit(1), size(w) - 1),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+        .as("bigram"))
+    val model = bigrams.filter(col("lang") === "en")
+      .groupBy("bigram").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("bigram"))
+      .limit(LmVocab)
+    bigrams
+      .join(broadcast(model), Seq("bigram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("c")).as("n_hits"),
+        coalesce(sum(col("c")), lit(0L)).as("sum_count"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_hits"), col("sum_count"),
+        (col("sum_count").cast("double") / col("n_bigrams")).as("lm_score"))
+  }
+
+  /** Number of top merge pairs reported by [[bpeMerges]]. */
+  val BpeTopMerges = 50
+
+  /** BPE tokenizer-training statistics — the pair-count step of
+    * byte-pair encoding (Sennrich et al., arXiv:1508.07909): count
+    * adjacent character pairs across the corpus, weighted by word
+    * frequency; the top pair is the next merge rule. The 100 TB shape
+    * is the point: the corpus collapses to its VOCABULARY first (one
+    * word-count aggregation — the only corpus-sized shuffle, bounded
+    * by distinct words, with map-side combine), and the per-word
+    * character-pair explode runs over vocab rows, not corpus rows —
+    * a trillion-token corpus with a 10M-word vocab does the pair
+    * arithmetic on 10M rows. The pair aggregation is bounded by
+    * charset² and the top-[[BpeTopMerges]] cut is a TakeOrdered with
+    * a total order (count desc, pair asc) — no full sort. All counts
+    * are integers: bit-exact on any engine. */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documentsParallel(s, dir)
+    val vocab = d.select(explode(words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    // length>=2 guards sequence(1, 0) (Spark generates it DESCENDING,
+    // not empty) and matches the oracle's empty-range drop of
+    // single-char words
+    val pair = vocab.filter(length(col("word")) >= 2)
+      .select(col("wc"), explode(transform(
+        sequence(lit(1), length(col("word")) - 1),
+        i => concat(col("word").substr(i, lit(1)),
+          col("word").substr(i + 1, lit(1))))).as("pair"))
+    pair.groupBy("pair").agg(sum(col("wc")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(BpeTopMerges)
+  }
 }

@@ -22,7 +22,7 @@ object ExplainAudit {
         "q_attribution", "text_mix_rebalance", "sim_ivf_pq_topk",
         "mm_phash_dedup",
         "q_gap_fill", "q_anomaly", "q_trend", "sim_range_search",
-        "text_feature_hash")
+        "text_feature_hash", "text_lm_score", "text_bpe_merges")
     targets.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       df.count() // materialize so AQE finalizes

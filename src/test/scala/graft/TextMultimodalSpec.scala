@@ -486,4 +486,47 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(dropped.size == cliquePairs,
       s"ALL clique pairs must drop: dropped ${dropped.size} of $cliquePairs")
   }
+
+  test("lm score: invariants hold, model join broadcasts, en slice self-fits") {
+    val df = TextAnalysis.lmScore(spark, sf)
+    // bounded model must cross as a broadcast, never a shuffle join
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "reference-model join must be broadcast")
+    val rows = df.collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    // exactly the >=2-token docs appear
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet ==
+      docs.filter(_._2._2 >= 2).keySet)
+    rows.foreach { r =>
+      val (nb, nh, sc) = (r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("sum_count"))
+      assert(nb == docs(r.getAs[Long]("doc_id"))._2 - 1, "bigrams = tokens - 1")
+      assert(nh <= nb, "hits cannot exceed bigrams")
+      assert(sc >= nh, "every matched bigram has model count >= 1")
+      assert(r.getAs[Double]("lm_score") == sc.toDouble / nb)
+    }
+    // the model is trained on the en slice, so en docs must look more
+    // familiar under it than the rest of the corpus on average
+    def mean(f: Seq[Double]): Double = f.sum / f.size
+    val (en, rest) = rows.partition(r => docs(r.getAs[Long]("doc_id"))._1 == "en")
+    assert(mean(en.map(_.getAs[Double]("lm_score")).toSeq) >
+      mean(rest.map(_.getAs[Double]("lm_score")).toSeq),
+      "en docs must self-fit the en-trained model")
+  }
+
+  test("bpe merges: equals the brute-force pair count oracle") {
+    val got = TextAnalysis.bpeMerges(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val wordCounts = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    val exp = wordCounts.toSeq.filter(_._1.length >= 2)
+      .flatMap { case (w, c) => w.sliding(2).map(_ -> c) }
+      .groupBy(_._1).map { case (p, g) => (p, g.map(_._2).sum) }
+      .toSeq.sortBy { case (p, n) => (-n, p) }
+      .take(TextAnalysis.BpeTopMerges)
+    assert(got.toSeq == exp, "top merge pairs must match the brute-force oracle")
+  }
 }
