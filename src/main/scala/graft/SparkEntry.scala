@@ -142,6 +142,7 @@ object SparkEntry {
     "dedup_embedding_lsh_capped" -> (Dedup.embeddingLshCapped _),
     "dedup_semantic" -> (Similarity.semanticDedup _),
     "dedup_paragraph" -> (Dedup.paragraphs _),
+    "dedup_substring" -> (Dedup.substrings _),
     "dedup_components" -> (Dedup.components _),
     "dedup_components_incremental" -> (Dedup.componentsIncremental _),
     "dedup_components_lineage" -> (Dedup.componentsLineage _),
@@ -154,6 +155,7 @@ object SparkEntry {
     "sim_native_topk" -> (Similarity.nativeTopK _),
     "sim_lsh_topk" -> (Similarity.lshTopK _),
     "sim_range_search" -> (Similarity.rangeSearch _),
+    "sim_recall_report" -> (Similarity.recallReport _),
     "sim_multiprobe_topk" -> (Similarity.multiprobeTopK _),
     "sim_rerank_topk" -> (Similarity.rerankTopK _),
     "sim_matryoshka_topk" -> (Similarity.matryoshkaTopK _),
@@ -477,6 +479,31 @@ object SparkEntry {
       |FROM r GROUP BY doc_id""".stripMargin
   }
 
+  /** Sliding-window substring-dedup oracle: same stride-1 windows over
+    * the space-split words, duplicated = span text occurring more than
+    * once anywhere (raw-span grouping — the fp-collision tripwire for
+    * the Spark side's md5 shuffle), coverage = distinct token
+    * positions under any duplicated window. */
+  private def dedupSubstringSql: String = {
+    val w = Dedup.SubstrWindow
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |win AS (SELECT doc_id, CAST(unnest(range(0, len(w) - ${w - 1})) AS BIGINT) AS pos, w
+      | FROM d WHERE len(w) >= $w),
+      |sp AS (SELECT doc_id, pos, array_to_string(w[(pos+1):(pos+$w)], ' ') AS span FROM win),
+      |dup AS (SELECT span, TRUE AS is_dup FROM sp GROUP BY span HAVING COUNT(*) > 1),
+      |fl AS (SELECT sp.doc_id, sp.pos, COALESCE(dup.is_dup, FALSE) AS is_dup
+      | FROM sp LEFT JOIN dup ON sp.span = dup.span),
+      |cov AS (SELECT doc_id, COUNT(DISTINCT tok) AS n_dup_positions FROM (
+      |  SELECT doc_id, pos + unnest(range(0, $w)) AS tok FROM fl WHERE is_dup)
+      | GROUP BY doc_id),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_windows,
+      |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+      | FROM fl GROUP BY doc_id)
+      |SELECT a.doc_id, a.n_windows, a.n_dup_windows,
+      | CAST(COALESCE(c.n_dup_positions, 0) AS BIGINT) AS n_dup_positions
+      |FROM agg a LEFT JOIN cov c USING (doc_id)""".stripMargin
+  }
+
   /** Two-stage rerank oracle: absmax int8 codes (sim_quantize
     * arithmetic), integer coarse dot × candidate scale, top-RerankCoarse
     * per query, exact cosine re-rank to top-K. */
@@ -592,6 +619,37 @@ object SparkEntry {
       |SELECT query_id, cand_id, cosine,
       | CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS BIGINT) AS rank
       |FROM scored QUALIFY rank <= ${Similarity.K}""".stripMargin
+
+  /** Recall audit oracle: the lsh top-k CTE chain and the brute-force
+    * top-k chain side by side, truth LEFT JOIN approx, integer hit
+    * counts — both top-k sets are already bit-exact individually, so
+    * their intersection size is too. */
+  private def simRecallReportSql: String = {
+    import graft.functions.Planes.{sigsCteSql, cosineSql}
+    s"""WITH ${sigsCteSql(Similarity.LshTables, Similarity.LshPlanesPerTable)},
+      |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+      |  FROM sigs q JOIN sigs c ON q.t = c.t AND q.sig = c.sig
+      |  WHERE q.vec_id < 10 AND c.vec_id >= 10),
+      |lscored AS (SELECT query_id, cand_id,
+      |  ${cosineSql("eq.emb", "eq.nsq", "ec.emb", "ec.nsq")} AS cosine
+      | FROM cand JOIN e eq ON eq.vec_id = query_id JOIN e ec ON ec.vec_id = cand_id),
+      |lsh AS (SELECT query_id, cand_id FROM (
+      |  SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, cand_id) AS rank FROM lscored) t
+      |  WHERE rank <= ${Similarity.K}),
+      |bscored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |  ${cosineSql("q.emb", "q.nsq", "c.emb", "c.nsq")} AS cosine
+      | FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id >= 10),
+      |brute AS (SELECT query_id, cand_id FROM (
+      |  SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, cand_id) AS rank FROM bscored) t
+      |  WHERE rank <= ${Similarity.K})
+      |SELECT b.query_id, CAST(COUNT(l.cand_id) AS BIGINT) AS n_hits,
+      | CAST(COUNT(l.cand_id) AS DOUBLE) / ${Similarity.K} AS recall_at_k
+      |FROM brute b LEFT JOIN lsh l
+      |  ON b.query_id = l.query_id AND b.cand_id = l.cand_id
+      |GROUP BY b.query_id""".stripMargin
+  }
 
   /** Unrolled-Lloyd IVF oracle: seeds = deterministic stride sample
     * sized by the √n-capped nlist policy (Similarity.ivfStrideSql is
@@ -1940,6 +1998,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> dedupEmbeddingLshSql,
     "dedup_embedding_lsh_capped" -> dedupEmbeddingLshCappedSql,
     "dedup_paragraph" -> dedupParagraphSql,
+    "dedup_substring" -> dedupSubstringSql,
     "sim_lsh_topk" -> simLshTopkSql,
     // serving a query stream against the static index IS the batch
     // retrieval — identical candidate stage and ranking, same oracle
@@ -1947,6 +2006,7 @@ object SparkEntry {
     "sim_multiprobe_topk" -> simMultiprobeTopkSql,
     "sim_knn_graph" -> simKnnGraphSql,
     "sim_range_search" -> simRangeSearchSql,
+    "sim_recall_report" -> simRecallReportSql,
     "sim_rerank_topk" -> simRerankTopkSql,
     "sim_matryoshka_topk" -> simMatryoshkaTopkSql,
     "text_decontaminate" -> textDecontaminateSql,

@@ -599,6 +599,64 @@ object Dedup {
         sum(when(!col("kept"), 1L).otherwise(0L)).as("n_removed"))
   }
 
+  /** Window width (words) for sliding-window exact-substring dedup. */
+  val SubstrWindow = 8
+
+  /** Exact-substring dedup statistics — the SLIDING-window face of
+    * span dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499: any ≥50-token substring
+    * shared between documents is a duplicate; Dolma/RedPajama
+    * productionize it as fixed-width window fingerprints because a
+    * distributed engine can't build one corpus-wide suffix array).
+    * Unlike [[paragraphs]] (disjoint spans — a duplicated passage
+    * straddling a span boundary is invisible), stride-1 windows of
+    * [[SubstrWindow]] words catch a shared run at ANY alignment: a
+    * duplicated passage of L ≥ W tokens always contains a shared
+    * window regardless of where it starts in each document.
+    *
+    * Scale shape: windows shuffle as (16-byte md5 fp, doc_id, pos) —
+    * never the window text (the exact-dedup election recipe; the
+    * oracle groups raw spans, so an fp collision on the gate corpus
+    * fails the hash row loudly). The duplicated-fp set comes from one
+    * partial-agg count per fp; the covered-position explode runs ONLY
+    * over duplicated windows (boilerplate volume, not corpus volume).
+    * Stride-1 costs W× the token count in fp rows — the price of
+    * alignment-free detection; production tunes W and stride, the
+    * semantics stay identical.
+    *
+    * Output per doc: total windows, duplicated windows, and the number
+    * of distinct token positions covered by any duplicated window
+    * (the "duplicated tokens" a removal pass would cut) — exact
+    * integers, hash-exact against the oracle. Docs shorter than W
+    * words have no windows and drop out in both engines. */
+  def substrings(s: SparkSession, dir: String): DataFrame = {
+    val W = SubstrWindow
+    val wins = Tables.documentsParallel(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= W)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(w) - $W), i -> array_join(slice(w, i + 1, $W), ' '))")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        unhex(md5(col("col"))).as("fp"))
+      .cache() // (fp, id, pos) triplets — consumed by the count and the flag join
+    val dup = wins.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+      .select(col("fp"), lit(true).as("is_dup"))
+    val flagged = wins.join(dup, Seq("fp"), "left")
+    val coverage = flagged.filter(col("is_dup"))
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${W - 1})")).as("tok"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_positions"))
+    flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_windows"))
+      .join(coverage, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"))
+  }
+
   /** 64-bit SimHash per doc via the native graft_simhash64 expression:
     * per-bit ±1 vote over word-unigram xxhash64, ONE narrow map — no
     * explode, no 64-column agg, no shuffle. */

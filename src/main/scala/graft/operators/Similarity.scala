@@ -637,4 +637,26 @@ object Similarity {
       .filter(col("cosine") >= lit(RangeTau))
       .dropDuplicates("query_id", "cand_id")
   }
+
+  /** Index-quality audit: per-query recall@k of the LSH index against
+    * the brute-force truth, in ONE plan — the production monitoring
+    * face of the ANN stack (FAISS users run exactly this sweep before
+    * trusting an index; at 100 TB it runs over a SAMPLED query set —
+    * here the 10-query gate set IS the sample, while the corpus side
+    * stays the full bucket-join candidate stage, so the audit costs
+    * one extra brute pass over |queries|×|corpus|, not |corpus|²).
+    * Truth side drives the join so every query reports even at recall
+    * 0; integer hit counts + one terminal divide keep the row
+    * hash-exact. The aggregate recall floor this reports is
+    * spec-asserted (DedupSimilaritySpec's measured-recall test). */
+  def recallReport(s: SparkSession, dir: String): DataFrame = {
+    val truth = bruteTopK(s, dir).select(col("query_id"), col("cand_id"))
+    val approx = lshTopK(s, dir)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / K).as("recall_at_k"))
+  }
 }

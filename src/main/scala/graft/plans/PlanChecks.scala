@@ -36,10 +36,14 @@ object PlanChecks {
     * whitelisting whole subtrees. */
   def growingBroadcastHints(df: DataFrame,
       boundedTables: Set[String]): Seq[String] = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LocalRelation, LogicalPlan, ResolvedHint, UnaryNode, Range => LRange}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join, LocalRelation, LogicalPlan, ResolvedHint, UnaryNode, Range => LRange}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     def boundedPlan(p: LogicalPlan): Boolean = p match {
       case a: Aggregate if a.groupingExpressions.isEmpty => true
+      // a global limit caps the subtree's cardinality at the literal
+      // no matter what grows beneath it (LocalLimit alone does NOT —
+      // its total is limit × partitions, and partitions grow with data)
+      case _: GlobalLimit => true
       case lr: LogicalRelation => lr.relation match {
         // Match the path's NAME component, not a raw substring of the
         // whole URI (ADVICE r5: `/data/regional_facts.parquet` must NOT

@@ -24,6 +24,7 @@ class AllQueriesSpec extends AnyFunSuite {
     "sim_rerank_topk",                         // coarse int8 scan IS a broadcast full scan
     "sim_pq_topk",                             // reconstruction scan (broadcast query batch)
     "sim_matryoshka_topk",                     // coarse prefix scan (broadcast query batch)
+    "sim_recall_report",                       // composes sim_brute_topk (truth side)
     "q_trend")                                 // 1-row global-min-hour broadcast combine
 
   test("every query returns rows at sf0.001 and has a sane join plan") {
@@ -53,7 +54,7 @@ class AllQueriesSpec extends AnyFunSuite {
     "sim_brute_topk", "sim_native_topk", "sim_lsh_topk",
     "sim_multiprobe_topk", "sim_ivf_topk", "sim_rerank_topk",
     "sim_pq_topk", "sim_ivf_pq_topk", "sim_range_search",
-    "sim_matryoshka_topk")
+    "sim_matryoshka_topk", "sim_recall_report")
 
   /** Repo-wide growing-hint gate (VERDICT r3 #1): a broadcast hint is
     * legal ONLY on (a) a subtree whose every leaf is a bounded relation

@@ -146,6 +146,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall@5 = $recall")
   }
 
+  test("recall report matches the independently-computed per-query recall") {
+    val brute = Similarity.bruteTopK(spark, sf).select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(spark, sf).select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val report = Similarity.recallReport(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(report.keySet == brute.map(_._1), "every query must report")
+    report.foreach { case (q, (hits, rec)) =>
+      val expected = brute.filter(_._1 == q).count(lsh.contains)
+      assert(hits == expected, s"query $q: $hits != $expected")
+      assert(rec == hits.toDouble / Similarity.K)
+    }
+  }
+
   test("IVF ANN recall against brute force (Lloyd-refined, VERDICT r1 bar)") {
     val brute = Similarity.bruteTopK(spark, sf).select("query_id", "cand_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -339,6 +354,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val nDistinct = spans.distinct().count()
     assert(rows.map(_.getAs[Long]("n_kept")).sum == nDistinct)
     assert(rows.map(_.getAs[Long]("n_removed")).sum == spans.count() - nDistinct)
+  }
+
+  test("substring dedup matches an independent sliding-window recompute") {
+    import org.apache.spark.sql.functions._
+    val W = Dedup.SubstrWindow
+    // independent recompute: driver-side sliding windows over raw text
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val wins = docs.toSeq.flatMap { case (id, w) =>
+      if (w.length < W) Nil
+      else (0 to w.length - W).map(i => (id, i.toLong, w.slice(i, i + W).mkString(" ")))
+    }
+    val counts = wins.groupBy(_._3).view.mapValues(_.size).toMap
+    val expected = wins.groupBy(_._1).map { case (id, ws) =>
+      val dupWs = ws.filter(t => counts(t._3) > 1)
+      val covered = dupWs.flatMap(t => t._2 until t._2 + W).distinct.size
+      id -> (ws.size.toLong, dupWs.size.toLong, covered.toLong)
+    }
+    val got = Dedup.substrings(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_windows"),
+        r.getAs[Long]("n_dup_windows"), r.getAs[Long]("n_dup_positions"))).toMap
+    assert(got.keySet == expected.keySet,
+      "every doc with >= W words must report, shorter docs must not")
+    expected.foreach { case (id, e) => assert(got(id) == e, s"doc $id: ${got(id)} != $e") }
+    // the point of stride-1 vs disjoint spans: at least one duplicated
+    // window exists (the corpus has repeated boilerplate)
+    assert(got.values.exists(_._2 > 0), "gate corpus must exercise the dup path")
+    // scale-shape gate: candidates come from an equi-join, never all-pairs
+    val plan = Dedup.substrings(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
   test("IVF centroid count is o(n): √n-capped policy bounds the broadcast (VERDICT r2 #2)") {

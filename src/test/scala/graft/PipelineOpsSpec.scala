@@ -231,7 +231,11 @@ class PipelineOpsSpec extends AnyFunSuite {
       col("l_orderkey") <= col("mx"))
     val okLocal = li.join(broadcast(Seq((1L, "a")).toDF("k", "v")),
       col("l_orderkey") === col("k"))
-    Seq(okDim, okAgg, okLocal).foreach(df =>
+    // a global limit caps the subtree no matter what grows beneath it
+    val okLimit = li.join(broadcast(
+      Tables.orders(spark, sf).orderBy(col("o_orderkey")).limit(3)),
+      col("l_orderkey") === col("o_orderkey"))
+    Seq(okDim, okAgg, okLocal, okLimit).foreach(df =>
       assert(PlanChecks.growingBroadcastHints(df, bounded).isEmpty))
     // but a hinted growing×one-row JOIN still grows → flagged
     val sneaky = li.join(broadcast(
