@@ -30,6 +30,7 @@ object SparkEntry {
     "etl_schema_map" -> (Etl.schemaMap _),
     "etl_sql_text_source" -> (Etl.sqlTextSource _),
     "etl_upsert_merge" -> (Etl.upsertMerge _),
+    "etl_incremental_agg" -> (Etl.incrementalAgg _),
     "etl_scd2_history" -> (Etl.scd2History _),
     "etl_partition_pruning" -> (Etl.partitionPruning _),
     "etl_retention_sweep" -> (Etl.retentionSweep _),
@@ -104,7 +105,9 @@ object SparkEntry {
     "q_gap_fill" -> (TimeSeries.gapFill _),
     "q_anomaly" -> (TimeSeries.anomaly _),
     "q_trend" -> (TimeSeries.trend _),
+    "q_sketch_merge" -> (Analytics3.sketchMerge _),
     "stream_anomaly" -> (graft.streaming.Streams.streamAnomaly _),
+    "stream_upsert" -> (graft.streaming.Streams.streamUpsert _),
     "q_window3" -> (Analytics2.qWindow3 _),
     "q_cube" -> (Analytics2.qCube _),
     "q_intersect_except" -> (Analytics2.qIntersectExcept _),
@@ -156,6 +159,7 @@ object SparkEntry {
     "sim_lsh_topk" -> (Similarity.lshTopK _),
     "sim_range_search" -> (Similarity.rangeSearch _),
     "sim_recall_report" -> (Similarity.recallReport _),
+    "sim_pagerank" -> (Similarity.pagerank _),
     "sim_multiprobe_topk" -> (Similarity.multiprobeTopK _),
     "sim_rerank_topk" -> (Similarity.rerankTopK _),
     "sim_matryoshka_topk" -> (Similarity.matryoshkaTopK _),
@@ -428,6 +432,42 @@ object SparkEntry {
       |SELECT vec_id, nbr_id, cosine,
       | CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS BIGINT) AS rank
       |FROM scored QUALIFY rank <= ${Similarity.KnnK}""".stripMargin
+  }
+
+  /** Integer PageRank oracle: the kNN-edge CTE chain, then
+    * [[graft.operators.Similarity.PrIters]] unrolled damped rounds in
+    * the IDENTICAL fixed-point arithmetic (floor division via `//`,
+    * ×85//100 damping, 15% base) — integer ops make the iteration
+    * order- and engine-independent, so the gate is hash-exact. */
+  private def simPagerankSql: String = {
+    import graft.functions.Planes.{sigsCteSql, cosineSql}
+    val scale = Similarity.PrScale
+    val base = scale * 15 / 100
+    val rounds = (1 to Similarity.PrIters).map { i =>
+      s"""i$i AS (SELECT ed.dst, CAST(SUM(r.rank_scaled // d.deg) AS BIGINT) AS in_sum
+        | FROM edges ed JOIN deg d USING (src)
+        | JOIN r${i - 1} r ON r.vec_id = ed.src GROUP BY ed.dst),
+        |r$i AS (SELECT n.vec_id,
+        |  CAST($base + (COALESCE(i$i.in_sum, 0) * 85) // 100 AS BIGINT) AS rank_scaled
+        | FROM n LEFT JOIN i$i ON i$i.dst = n.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${sigsCteSql(Similarity.KnnTables, Similarity.KnnPlanes)},
+      |cand AS (SELECT DISTINCT q.vec_id AS vec_id, c.vec_id AS nbr_id
+      |  FROM sigs q JOIN sigs c ON q.t = c.t AND q.sig = c.sig
+      |   AND q.vec_id <> c.vec_id),
+      |scored AS (SELECT cand.vec_id, cand.nbr_id,
+      |  ${cosineSql("ea.emb", "ea.nsq", "eb.emb", "eb.nsq")} AS cosine
+      | FROM cand JOIN e ea ON ea.vec_id = cand.vec_id
+      |  JOIN e eb ON eb.vec_id = cand.nbr_id),
+      |edges AS (SELECT vec_id AS src, nbr_id AS dst FROM (
+      |  SELECT vec_id, nbr_id, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY cosine DESC, nbr_id) AS rk FROM scored) t
+      | WHERE rk <= ${Similarity.KnnK}),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+      |n AS (SELECT vec_id FROM e),
+      |r0 AS (SELECT vec_id, CAST($scale AS BIGINT) AS rank_scaled FROM n),
+      |$rounds
+      |SELECT vec_id, rank_scaled FROM r${Similarity.PrIters}""".stripMargin
   }
 
   /** Composite corpus-pipeline oracle: the quality-filter, exact-dedup
@@ -964,6 +1004,34 @@ object SparkEntry {
         |   ELSE o_totalprice END AS o_totalprice
         | FROM orders) t
         |GROUP BY o_orderstatus""".stripMargin,
+    // incremental snapshot⊎delta maintenance must equal the one-pass
+    // full-scan aggregate — the merge-equals-recompute contract
+    "etl_incremental_agg" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id""".stripMargin,
+    // data-independent audit (DuckDB has no Datasketches): the sharded
+    // union and the single-pass sketch must each estimate within the
+    // 5% envelope (deterministic for the fixed gate data); the exact
+    // count is recomputed
+    "q_sketch_merge" ->
+      """SELECT TRUE AS union_within_5pct, TRUE AS direct_within_5pct,
+        | COUNT(DISTINCT o_custkey) AS exact_distinct FROM orders""".stripMargin,
+    // three change waves, highest version wins per key
+    "stream_upsert" ->
+      """WITH u AS (
+        | SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS version FROM orders
+        | UNION ALL
+        | SELECT o_orderkey, 'X', CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1 AS DOUBLE), 1
+        | FROM orders WHERE o_orderkey % 10 = 0
+        | UNION ALL
+        | SELECT o_orderkey, 'Y', CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 2 AS DOUBLE), 2
+        | FROM orders WHERE o_orderkey % 20 = 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |  ORDER BY version DESC) AS rn FROM u)
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM r WHERE rn = 1 GROUP BY o_orderstatus""".stripMargin,
     "etl_scd2_history" ->
       """WITH c AS (
         | SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
@@ -2007,6 +2075,7 @@ object SparkEntry {
     "sim_knn_graph" -> simKnnGraphSql,
     "sim_range_search" -> simRangeSearchSql,
     "sim_recall_report" -> simRecallReportSql,
+    "sim_pagerank" -> simPagerankSql,
     "sim_rerank_topk" -> simRerankTopkSql,
     "sim_matryoshka_topk" -> simMatryoshkaTopkSql,
     "text_decontaminate" -> textDecontaminateSql,

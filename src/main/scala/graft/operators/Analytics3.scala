@@ -332,4 +332,41 @@ object Analytics3 {
       .agg(count(lit(1)).as("n_purchases"),
         sum(col("value").cast(dec)).cast("double").as("revenue"))
   }
+
+  /** Mergeable-sketch shards — the cross-shard distinct-count contract
+    * a 100 TB deployment actually relies on: each shard (here 8
+    * orderkey-mod slices standing in for 8 table partitions / days /
+    * clusters) builds its own Datasketches HLL sketch, the driver
+    * unions the 8 small sketch blobs, and BOTH the union's estimate
+    * and the single-pass sketch's estimate must land inside the
+    * accuracy envelope of the exact count (lgK=12 gives ~1.6% standard
+    * error; the gate asserts 5%). Note the union and single-pass
+    * estimates are NOT asserted equal: a small-cardinality single-pass
+    * sketch stays in exact coupon mode while the union operator's
+    * internal gadget is dense HLL, so the two representations can
+    * legitimately differ inside the envelope — the production contract
+    * is that persisting per-day sketches and unioning them at query
+    * time (instead of rescanning a year of raw data) costs nothing
+    * beyond the sketch's own error bound. DuckDB cannot replicate
+    * Datasketches register values, so the gate row is the established
+    * data-independent-audit shape: two envelope booleans (deterministic
+    * for the fixed gate data) plus the exact distinct count the oracle
+    * recomputes. The two 1-row frames combine via a broadcast-trivial
+    * cross join (allowlisted). */
+  def sketchMerge(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), pmod(col("o_orderkey"), lit(8)).as("shard"))
+    val unioned = o.groupBy(col("shard"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("union_est"))
+    val direct = o.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("direct_est"),
+      count_distinct(col("o_custkey")).as("exact_distinct"))
+    def within5(est: Column): Column =
+      abs(est - col("exact_distinct")) <= col("exact_distinct") * lit(0.05)
+    unioned.crossJoin(direct)
+      .select(within5(col("union_est")).as("union_within_5pct"),
+        within5(col("direct_est")).as("direct_within_5pct"),
+        col("exact_distinct"))
+  }
 }

@@ -659,4 +659,51 @@ object Similarity {
       .select(col("query_id"), col("n_hits"),
         (col("n_hits").cast("double") / K).as("recall_at_k"))
   }
+
+  /** PageRank iterations and the fixed-point rank scale for
+    * [[pagerank]]. Overflow headroom: in-sums are bounded by
+    * |nodes| × PrScale; at PrScale 10¹² that caps the corpus at ~10⁵
+    * nodes before the ×85 step nears Long.Max — a 100 TB deployment
+    * drops PrScale to 10⁹ (same code, same determinism, 10⁹ still
+    * gives 9 significant digits of rank resolution). */
+  val PrIters = 3
+  val PrScale = 1000000000000L
+
+  /** Graph centrality over the kNN graph — the corpus-curation signal
+    * that picks REPRESENTATIVE documents (a vector many neighbor lists
+    * point at is central to its region; kNN-graph centrality is the
+    * standard diversity/coreset heuristic). Standard damped PageRank,
+    * but in FIXED-POINT INTEGER arithmetic: ranks are Longs scaled by
+    * [[PrScale]], each iteration distributes `rank div out_degree` to
+    * out-neighbors and damps with integer `(in_sum × 85) div 100 +
+    * 15% base` — floor division everywhere, so the result is
+    * bit-identical on any engine and any partitioning (a double-sum
+    * PageRank can NEVER be hash-gated: addition order changes ulps).
+    * Scale shape: the LSH-built edge list materializes ONCE
+    * (localCheckpoint — iterations must not re-run candidate
+    * generation), then each of the [[PrIters]] rounds is one edge⋈rank
+    * equi-join + one partial-agg sum keyed by dst — the canonical
+    * distributed PR round, O(iters) shuffles of (dst, long) pairs.
+    * Dangling mass (nodes whose buckets yielded no neighbors) is
+    * dropped, matching the oracle's identical truncation. */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = knnGraph(s, dir).select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, "src").localCheckpoint()
+    val nodes = Tables.embeddings(s, dir).select(col("vec_id"))
+    val base = PrScale * 15 / 100
+    var ranks = nodes.select(col("vec_id"), lit(PrScale).as("rank_scaled"))
+    for (_ <- 0 until PrIters) {
+      val in = withDeg
+        .join(ranks.withColumnRenamed("vec_id", "src"), "src")
+        .select(col("dst"), expr("rank_scaled div deg").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("in_sum"))
+      ranks = nodes
+        .join(in.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(base) + expr("(coalesce(in_sum, CAST(0 AS BIGINT)) * 85) div 100"))
+            .as("rank_scaled"))
+    }
+    ranks
+  }
 }

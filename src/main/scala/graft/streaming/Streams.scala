@@ -732,4 +732,67 @@ object Streams {
           closed.iterator
       }
   }
+
+  /** Gate query: streaming UPSERT sink — the foreachBatch keyed-merge
+    * pattern (the Delta-Lake MERGE recipe on a plain parquet snapshot;
+    * reference transfer_service.go's overwrite targets are the batch
+    * face). A change stream of order rows (base load, then two update
+    * waves touching overlapping key sets) arrives as three mtime-ordered
+    * files under maxFilesPerTrigger=1 — three REAL micro-batches; each
+    * batch merges into the current snapshot by keeping the highest
+    * version per key and writes the NEXT snapshot directory (named by
+    * batch id, so a replayed batch rewrites its own directory from the
+    * same immutable inputs — idempotent, the exactly-once contract on
+    * an at-least-once channel that streamJdbcSink provides with
+    * per-batch DELETEs). The merge is one keyed shuffle over snapshot
+    * ∪ batch — scales with live keys, not history; at 100 TB the
+    * snapshot would be bucketed by key so the merge co-locates without
+    * reshuffling the accumulated state. Gate output: per-status
+    * accounting of the FINAL snapshot, hash-exact vs the oracle's
+    * version-wins recompute of all three waves. */
+  def streamUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = System.getProperty("java.io.tmpdir") + "/graft_supsert_" + System.nanoTime
+    val o = graft.sources.Tables.orders(s, dir)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val baseLoad = o.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"), lit(0).as("version"))
+    val wave1 = o.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+        (col("o_totalprice").cast(dec) + 1).cast("double").as("o_totalprice"),
+        lit(1).as("version"))
+    val wave2 = o.filter(col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey"), lit("Y").as("o_orderstatus"),
+        (col("o_totalprice").cast(dec) + 2).cast("double").as("o_totalprice"),
+        lit(2).as("version"))
+    new java.io.File(s"$base/src").mkdirs()
+    val t0 = System.currentTimeMillis()
+    Seq(baseLoad, wave1, wave2).zipWithIndex.foreach { case (df, i) =>
+      stageNamedFile(df, s"$base/t$i", s"$base/src/${('a' + i).toChar}_wave.json",
+        t0 - (2 - i) * 60000)
+    }
+    val in = s.readStream
+      .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE, version INT")
+      .option("maxFilesPerTrigger", 1).json(s"$base/src")
+    // driver-held pointer to the latest committed snapshot directory
+    var current: Option[String] = None
+    val q = in.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderkey")).orderBy(col("version").desc)
+      val merged = current match {
+        case None => batch
+        case Some(p) => s.read.parquet(p).union(batch)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+      }
+      merged.write.mode("overwrite").parquet(s"$base/snap/$bid")
+      current = Some(s"$base/snap/$bid")
+      ()
+    }.option("checkpointLocation", s"$base/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(current.getOrElse(sys.error("no batch committed a snapshot")))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(dec)).cast("double").as("total_price"))
+  }
 }

@@ -18,6 +18,7 @@ class AllQueriesSpec extends AnyFunSuite {
     "q_scalar_subquery", "q22_dormant",        // scalar-subquery broadcast joins
     "q11_important_stock",                     // 1-row global-total broadcast (Q11 HAVING)
     "dedup_survivors",                         // cross join of three 1-row aggregates
+    "q_sketch_merge",                          // two 1-row sketch aggregates combined
     "dedup_survivors_lineage",                 // same 1-row-aggregate cross join shape
     "dedup_minhash_lsh",                       // audit: cross join of two 1-row counts
     "pat_skew_join",                           // dim × salts replication (3×8 rows BY DESIGN)

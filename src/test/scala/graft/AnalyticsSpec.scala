@@ -374,4 +374,17 @@ class AnalyticsSpec extends AnyFunSuite {
         s"$et: a heavy-tailed synthetic stream should show some outliers")
     }
   }
+
+  test("sketch merge: sharded HLL union and single pass both inside the 5% envelope") {
+    import org.apache.spark.sql.functions._
+    val r = graft.operators.Analytics3.sketchMerge(spark, sf).head()
+    assert(r.getBoolean(0), "union-of-shards estimate outside the envelope")
+    assert(r.getBoolean(1), "single-pass estimate outside the envelope")
+    assert(r.getLong(2) > 0)
+    // the combine stage is bounded: exactly 8 shard sketches feed the union
+    val shards = Tables.orders(spark, sf)
+      .select(pmod(col("o_orderkey"), lit(8)).as("shard"))
+      .distinct().count()
+    assert(shards <= 8)
+  }
 }

@@ -387,6 +387,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("pagerank matches a driver-side integer reference on the same edges") {
+    val edges = Similarity.knnGraph(spark, sf)
+      .select("vec_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = Tables.embeddings(spark, sf).select("vec_id")
+      .collect().map(_.getLong(0))
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val scale = Similarity.PrScale
+    val base = scale * 15 / 100
+    var r = nodes.map(_ -> scale).toMap
+    for (_ <- 0 until Similarity.PrIters) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (src, _) => r(src) / deg(src) }.sum).toMap
+      r = nodes.map(v => v -> (base + in.getOrElse(v, 0L) * 85 / 100)).toMap
+    }
+    val got = Similarity.pagerank(spark, sf).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == r, "distributed fixed-point PR must equal the reference bit-for-bit")
+    // centrality is non-trivial: in-degree variation must separate ranks
+    assert(got.values.toSet.size > 1, "all ranks equal — graph degenerated")
+    assert(got.values.forall(_ >= base), "every node keeps at least the damped base")
+  }
+
   test("IVF centroid count is o(n): √n-capped policy bounds the broadcast (VERDICT r2 #2)") {
     // policy function: ≈√n up to the cap, then constant — never n/const
     assert(Similarity.ivfNlist(100L) == 10L)

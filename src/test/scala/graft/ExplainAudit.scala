@@ -22,7 +22,9 @@ object ExplainAudit {
         "q_attribution", "text_mix_rebalance", "sim_ivf_pq_topk",
         "mm_phash_dedup",
         "q_gap_fill", "q_anomaly", "q_trend", "sim_range_search",
-        "text_feature_hash", "text_lm_score", "text_bpe_merges")
+        "text_feature_hash", "text_lm_score", "text_bpe_merges",
+        "dedup_substring", "sim_recall_report", "etl_incremental_agg",
+        "q_sketch_merge")
     targets.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       df.count() // materialize so AQE finalizes

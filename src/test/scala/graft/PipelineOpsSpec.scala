@@ -907,6 +907,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(reg.status("live").isDefined, "running query survives any amount of history")
   }
 
+  test("incremental agg: snapshot-plus-delta equals one-pass, delta scan is partition-pruned") {
+    import graft.operators.Etl
+    val got = Etl.incrementalAgg(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // one-pass recompute over the raw events — the merge-equals-recompute contract
+    val full = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("tv"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == full, "incremental snapshot must equal the full recompute bit-for-bit")
+    // pruning: the per-run delta reads ONLY its band's partitions — the dt
+    // predicate must reach the file listing as a partition filter
+    val staged = spark.read.parquet(
+      s"${System.getProperty("java.io.tmpdir")}/graft_incagg_${ProcessHandle.current().pid()}/events")
+    val days = staged.select(col("dt").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val delta = Etl.deltaScan(staged, days.take(days.length / 3))
+    // sparkPlan, not executedPlan: AQE hides the scan inside
+    // AdaptiveSparkPlanExec until execution
+    val scan = delta.queryExecution.sparkPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "dt")),
+      s"dt band must prune at listing, got filters: ${scan.partitionFilters}")
+    assert(scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .map(_.files.size).sum < staged.inputFiles.length,
+      "pruned listing must read fewer files than the full table")
+  }
+
   test("retention sweep drops exactly the expired partitions without scanning data") {
     import graft.operators.Etl
     val out = Etl.retentionSweep(spark, sf)

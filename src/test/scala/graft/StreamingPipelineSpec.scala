@@ -311,4 +311,32 @@ class StreamingPipelineSpec extends AnyFunSuite {
       s"streamed ${streamed.map(key)} != batch ${batch.map(key)}")
     assert(streamed.nonEmpty)
   }
+
+  test("streaming upsert: per-batch keyed merge converges to version-wins over all waves") {
+    import org.apache.spark.sql.functions._
+    val got = graft.streaming.Streams.streamUpsert(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // batch recompute: all three waves at once, highest version per key
+    val o = graft.sources.Tables.orders(spark, sf)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val all = o.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), lit(0).as("version"))
+      .union(o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("X"),
+          (col("o_totalprice").cast(dec) + 1).cast("double"), lit(1)))
+      .union(o.filter(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey"), lit("Y"),
+          (col("o_totalprice").cast(dec) + 2).cast("double"), lit(2)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderkey")).orderBy(col("version").desc)
+    val expected = all.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast(dec)).cast("double").as("tp"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expected, s"$got != $expected")
+    // the double-update keys must show wave-2's status: Y present, and
+    // X holds only the %10-but-not-%20 keys
+    assert(got.contains("Y") && got.contains("X"))
+  }
 }
