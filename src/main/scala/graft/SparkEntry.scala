@@ -31,6 +31,7 @@ object SparkEntry {
     "etl_sql_text_source" -> (Etl.sqlTextSource _),
     "etl_upsert_merge" -> (Etl.upsertMerge _),
     "etl_incremental_agg" -> (Etl.incrementalAgg _),
+    "etl_binary_ingest" -> (Etl.binaryIngest _),
     "etl_scd2_history" -> (Etl.scd2History _),
     "etl_partition_pruning" -> (Etl.partitionPruning _),
     "etl_retention_sweep" -> (Etl.retentionSweep _),
@@ -1010,6 +1011,12 @@ object SparkEntry {
       """SELECT user_id, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY user_id""".stripMargin,
+    // binaryFile whole-file ingest fidelity: the staged bytes are each
+    // document's utf8 text plus the text sink's '\n' terminator, so
+    // the oracle renders the identical byte stream independently
+    "etl_binary_ingest" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) + 1 AS BIGINT) AS n_bytes,
+        | md5(text || chr(10)) AS content_md5 FROM documents""".stripMargin,
     // data-independent audit (DuckDB has no Datasketches): the sharded
     // union and the single-pass sketch must each estimate within the
     // 5% envelope (deterministic for the fixed gate data); the exact

@@ -668,6 +668,40 @@ object Etl {
         col("sv").cast("double").as("total_value"))
   }
 
+  /** Opaque-blob ingest via Spark's `binaryFile` source — the seam a
+    * multimodal corpus actually enters through (image/audio/video
+    * arrive as FILES; the mm_* operators consume binary COLUMNS — this
+    * gate is the step between: distributed listing + whole-file read
+    * into (path, length, content) rows, no driver loop). Staging is
+    * itself distributed: a partitionBy(doc_id) text write puts each
+    * document's bytes in its own partition directory (each row lands
+    * terminated by '\n' — the text sink's framing, which the oracle
+    * accounts for), so no corpus bytes ever pass through the driver.
+    * The read proves three production knobs at once: partition-column
+    * recovery from directory names (doc_id comes back without parsing
+    * paths), `pathGlobFilter` restricting the LISTING to the sink's
+    * data files (Spark's file index already hides underscore-prefixed
+    * markers like _SUCCESS; the glob is the defense against stray
+    * non-data files a real landing zone accumulates), and content
+    * fidelity (byte length + md5 of the exact bytes, hash-checked
+    * against the oracle's independent utf8 rendering of the same
+    * documents). At 100 TB binaryFile scales
+    * like any file scan — splits are whole files, so partitioning is
+    * file-count-bound; pair with compaction for small-file corpora. */
+  def binaryIngest(s: SparkSession, dir: String): DataFrame = {
+    val staged = s"${System.getProperty("java.io.tmpdir")}/graft_blob_${ProcessHandle.current().pid()}"
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
+      .write.mode("overwrite").partitionBy("doc_id").text(staged)
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.txt")
+      .load(staged)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("content_md5"))
+  }
+
   /** The per-run delta: a dt-IN-band partition-pruned scan reduced to
     * the mergeable per-user state. Factored out so the spec can assert
     * the pruning on exactly the frame the operator runs. */
