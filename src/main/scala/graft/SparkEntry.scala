@@ -125,6 +125,7 @@ object SparkEntry {
     "pat_bucketed_join" -> (Patterns.bucketedJoin _),
     "pat_codec_roundtrip" -> (Patterns.codecRoundtrip _),
     "pat_zorder_skip" -> (Patterns.zorderSkip _),
+    "pat_exchange_reuse" -> (Patterns.exchangeReuse _),
     "pat_bloom_join" -> (Patterns.bloomJoin _),
     // streaming batch-equivalents (TimeWindow/Frequency transfers)
     "stream_tumbling" -> (Windows.tumbling _),
@@ -1668,6 +1669,16 @@ object SparkEntry {
         | CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey
         |FROM lineitem
         |WHERE l_partkey BETWEEN 1 AND 40 AND l_suppkey BETWEEN 1 AND 4""".stripMargin,
+    // exchange reuse changes the PLAN (one scan+shuffle), not the
+    // result: plain self-join of the per-order aggregate
+    "pat_exchange_reuse" ->
+      """WITH a AS (SELECT l_orderkey, COUNT(*) AS n,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+        | FROM lineitem GROUP BY l_orderkey)
+        |SELECT COUNT(*) AS n_pairs,
+        | CAST(SUM(x.n + y.n) AS BIGINT) AS sum_lines,
+        | CAST(SUM(x.q) + SUM(y.q) AS DOUBLE) AS sum_qty
+        |FROM a x JOIN a y ON y.l_orderkey = x.l_orderkey + 1""".stripMargin,
     // the bloom filter only removes rows that cannot match: plain join
     "pat_bloom_join" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_items, ${decSum("l_quantity")} AS sum_qty

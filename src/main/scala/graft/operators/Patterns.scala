@@ -251,4 +251,31 @@ object Patterns {
       .agg(count(lit(1)).as("n_suppliers"),
         sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
   }
+
+  /** Exchange reuse — the plan-dedup contract a declarative engine
+    * gives for free and a hand-scheduled pipeline never does: a
+    * self-join of the same aggregation (here each order's line stats
+    * joined to its successor key's stats) contains the identical
+    * Agg(Exchange(Scan)) subtree TWICE, and Spark's ReuseExchange rule
+    * materializes the scan + shuffle + partial agg ONCE, feeding the
+    * second occurrence a ReusedExchange node. At 100 TB that is the
+    * difference between one and two full passes over the fact table
+    * every time a derived frame meets itself (week-over-week,
+    * cohort-vs-cohort, self-similarity joins). Spec-gated: the
+    * executed plan must contain ReusedExchange. Decimal sums keep the
+    * gate hash-exact. */
+  def exchangeReuse(s: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+    val x = agg.select(col("l_orderkey").as("k"),
+      col("n_lines").as("xn"), col("qty").as("xq"))
+    val y = agg.select(col("l_orderkey").as("k2"),
+      col("n_lines").as("yn"), col("qty").as("yq"))
+    x.join(y, col("k") + 1 === col("k2"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("xn") + col("yn")).as("sum_lines"),
+        (sum(col("xq")) + sum(col("yq"))).cast("double").as("sum_qty"))
+  }
 }

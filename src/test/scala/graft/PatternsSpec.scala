@@ -121,4 +121,19 @@ class PatternsSpec extends AnyFunSuite {
       .agg(sum(col("n_suppliers"))).collect()(0).getLong(0)
     assert(n == Tables.supplier(spark, sf).count())
   }
+
+  test("self-joined aggregate materializes its scan+shuffle once (ReusedExchange)") {
+    val df = Patterns.exchangeReuse(spark, sf)
+    df.collect() // AQE finalizes subplans on execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||
+      plan.contains("TableCacheQueryStage"),
+      s"identical aggregate subtrees must share one exchange, got:\n${plan.take(3000)}")
+    // and the fact table appears as ONE scan in the FINAL plan (the
+    // adaptive toString also prints the pre-reuse Initial Plan section,
+    // which would double-count)
+    val finalSection = plan.split("== Initial Plan ==").head
+    val scans = "FileScan parquet".r.findAllIn(finalSection).length
+    assert(scans <= 1, s"expected a single lineitem scan, found $scans in:\n${finalSection.take(3000)}")
+  }
 }
