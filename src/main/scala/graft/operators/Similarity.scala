@@ -660,6 +660,48 @@ object Similarity {
         (col("n_hits").cast("double") / K).as("recall_at_k"))
   }
 
+  /** Fixed-point scale for [[centroidDrift]]'s exact coordinate sums
+    * (the [[labelCentroids]] convention: 1e7 ≈ float32's 7 significant
+    * digits, so the rounding is below the data's own precision). */
+  val DriftScale = 1e7
+
+  /** Embedding-drift monitoring — the ML-observability face of the
+    * centroid machinery: per label, how far has the class centroid of
+    * one corpus half moved relative to the other (deploy-time "has my
+    * embedding distribution shifted" check; here the halves are vec_id
+    * parity standing in for last-week/this-week snapshots). Exactness
+    * recipe: per-(label, half, dim) coordinate sums are integer-scaled
+    * Longs (the labelCentroids trick), the per-dim mean difference and
+    * its square are then computed in ONE fixed expression over a
+    * pos-sorted array, and the 64 squared terms fold LEFT-TO-RIGHT via
+    * the aggregate() HOF — identical IEEE operation order in Spark and
+    * DuckDB (the cosineSql contract), so the gate is hash-exact with no
+    * decimal gymnastics. Scale shape: one explode + one partial-agg sum
+    * keyed by (label, dim) — 10 labels × 64 dims of state no matter the
+    * corpus size; the collect_list is bounded at 64 structs per label. */
+  def centroidDrift(s: SparkSession, dir: String): DataFrame = {
+    val byHalf = Tables.embeddingsParallel(s, dir)
+      .select(col("label"), (col("vec_id") % 2).as("half"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("half"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("v").cast("double") * lit(DriftScale) + lit(0.5)).cast("long")).as("sv"))
+    val paired = byHalf.groupBy(col("label"), col("pos"))
+      .agg(sum(when(col("half") === 0, col("sv"))).as("s0"),
+        sum(when(col("half") === 1, col("sv"))).as("s1"),
+        sum(when(col("half") === 0, col("n"))).as("n0"),
+        sum(when(col("half") === 1, col("n"))).as("n1"))
+      .select(col("label"), col("pos"),
+        (col("s0").cast("double") / lit(DriftScale) / col("n0")
+          - col("s1").cast("double") / lit(DriftScale) / col("n1")).as("d"))
+    paired.groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("d")))).as("ds"),
+        max(col("pos")).as("max_pos"))
+      .select(col("label"), (col("max_pos") + 1).cast("long").as("n_dims"),
+        aggregate(expr("transform(ds, x -> x.d)"), lit(0.0d),
+          (acc, x) => acc + x * x).as("drift_sq"))
+  }
+
   /** PageRank iterations and the fixed-point rank scale for
     * [[pagerank]]. Overflow headroom: in-sums are bounded by
     * |nodes| × PrScale; at PrScale 10¹² that caps the corpus at ~10⁵

@@ -387,6 +387,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("centroid drift matches a driver-side reference with the same fold order") {
+    val rows = Tables.embeddings(spark, sf)
+      .select("label", "vec_id", "embedding").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2)))
+    val sc = Similarity.DriftScale
+    val byKey = rows.flatMap { case (l, id, emb) =>
+      emb.zipWithIndex.map { case (v, pos) =>
+        ((l, id % 2, pos), math.floor(v.toDouble * sc + 0.5).toLong) }
+    }.groupBy(_._1).view.mapValues(vs => (vs.length.toLong, vs.map(_._2).sum)).toMap
+    val expected = rows.map(_._1).distinct.map { l =>
+      val dims = byKey.keys.filter(_._1 == l).map(_._3).max + 1
+      val ds = (0 until dims).map { p =>
+        val (n0, s0) = byKey((l, 0L, p)); val (n1, s1) = byKey((l, 1L, p))
+        s0.toDouble / sc / n0 - s1.toDouble / sc / n1
+      }
+      l.toLong -> ds.foldLeft(0.0)((acc, d) => acc + d * d)
+    }.toMap
+    val got = Similarity.centroidDrift(spark, sf).collect()
+      .map(r => r.getInt(0).toLong -> r.getDouble(2)).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (l, e) =>
+      assert(got(l) == e, s"label $l: ${got(l)} != $e (must be bit-equal)") }
+    // parity halves of the same distribution: drift is small but nonzero
+    assert(expected.values.forall(v => v > 0))
+  }
+
   test("pagerank matches a driver-side integer reference on the same edges") {
     val edges = Similarity.knnGraph(spark, sf)
       .select("vec_id", "nbr_id").collect()
