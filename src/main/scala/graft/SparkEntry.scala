@@ -163,6 +163,7 @@ object SparkEntry {
     "sim_recall_report" -> (Similarity.recallReport _),
     "sim_pagerank" -> (Similarity.pagerank _),
     "sim_centroid_drift" -> (Similarity.centroidDrift _),
+    "sim_label_prop" -> (Similarity.labelProp _),
     "sim_multiprobe_topk" -> (Similarity.multiprobeTopK _),
     "sim_rerank_topk" -> (Similarity.rerankTopK _),
     "sim_matryoshka_topk" -> (Similarity.matryoshkaTopK _),
@@ -460,6 +461,43 @@ object SparkEntry {
       |  list(d ORDER BY pos) AS ds FROM paired GROUP BY label)
       |SELECT label, n_dims,
       | list_sum(list_transform(ds, x -> x * x)) AS drift_sq FROM ag""".stripMargin
+  }
+
+  /** LPA oracle: the kNN-edge chain made undirected, then
+    * [[graft.operators.Similarity.LpaIters]] unrolled synchronous
+    * rounds of most-frequent-neighbor-label with the identical
+    * (count desc, label asc) total-order tie-break — integer-only, so
+    * the election is engine-independent and the gate hash-exact. */
+  private def simLabelPropSql: String = {
+    import graft.functions.Planes.{sigsCteSql, cosineSql}
+    val rounds = (1 to Similarity.LpaIters).map { i =>
+      s"""c$i AS (SELECT ue.dst, l.lbl, COUNT(*) AS c
+        | FROM ue JOIN l${i - 1} l ON l.vec_id = ue.src GROUP BY ue.dst, l.lbl),
+        |p$i AS (SELECT dst, lbl FROM (SELECT dst, lbl,
+        |  row_number() OVER (PARTITION BY dst ORDER BY c DESC, lbl ASC) AS rn
+        | FROM c$i) t WHERE rn = 1),
+        |l$i AS (SELECT prev.vec_id, COALESCE(p$i.lbl, prev.lbl) AS lbl
+        | FROM l${i - 1} prev LEFT JOIN p$i ON p$i.dst = prev.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${sigsCteSql(Similarity.KnnTables, Similarity.KnnPlanes)},
+      |cand AS (SELECT DISTINCT q.vec_id AS vec_id, c.vec_id AS nbr_id
+      |  FROM sigs q JOIN sigs c ON q.t = c.t AND q.sig = c.sig
+      |   AND q.vec_id <> c.vec_id),
+      |scored AS (SELECT cand.vec_id, cand.nbr_id,
+      |  ${cosineSql("ea.emb", "ea.nsq", "eb.emb", "eb.nsq")} AS cosine
+      | FROM cand JOIN e ea ON ea.vec_id = cand.vec_id
+      |  JOIN e eb ON eb.vec_id = cand.nbr_id),
+      |ed AS (SELECT vec_id AS src, nbr_id AS dst FROM (
+      |  SELECT vec_id, nbr_id, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY cosine DESC, nbr_id) AS rk FROM scored) t
+      | WHERE rk <= ${Similarity.KnnK}),
+      |ue AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+      |l0 AS (SELECT vec_id, vec_id AS lbl FROM e),
+      |$rounds,
+      |sz AS (SELECT lbl, COUNT(*) AS community_size
+      | FROM l${Similarity.LpaIters} GROUP BY lbl)
+      |SELECT l.vec_id, l.lbl AS community, sz.community_size
+      |FROM l${Similarity.LpaIters} l JOIN sz ON sz.lbl = l.lbl""".stripMargin
   }
 
   /** Integer PageRank oracle: the kNN-edge CTE chain, then
@@ -2122,6 +2160,7 @@ object SparkEntry {
     "sim_recall_report" -> simRecallReportSql,
     "sim_pagerank" -> simPagerankSql,
     "sim_centroid_drift" -> simCentroidDriftSql,
+    "sim_label_prop" -> simLabelPropSql,
     "sim_rerank_topk" -> simRerankTopkSql,
     "sim_matryoshka_topk" -> simMatryoshkaTopkSql,
     "text_decontaminate" -> textDecontaminateSql,

@@ -702,6 +702,48 @@ object Similarity {
           (acc, x) => acc + x * x).as("drift_sq"))
   }
 
+  /** Synchronous rounds for [[labelProp]]. */
+  val LpaIters = 3
+
+  /** Community detection over the kNN graph — synchronous label
+    * propagation (Raghavan et al., arXiv:0709.2938): every node adopts
+    * the most frequent label among its neighbors each round, ties to
+    * the smallest label, seeded with vec_id. Like [[pagerank]] the
+    * whole algorithm is INTEGER-ONLY (counts + a total-order
+    * tie-break), so distributed execution is bit-identical to the
+    * oracle's unrolled rounds — LPA is usually presented as "random
+    * tie-breaking, unstable"; fixing the tie order makes it a
+    * deterministic, gateable operator, which is what a reproducible
+    * curation pipeline needs. The kNN edges are undirected first
+    * (union + swap + distinct: a neighbor relation, not a ranking);
+    * each round is one edge⋈label equi-join + one (dst, label) count +
+    * one max(struct) election per node — partial-agg friendly, no
+    * window over the corpus. Nodes keep their previous label when a
+    * round gives them no neighbors (isolated bucket misses). Output:
+    * final per-node community plus member count per community. */
+  def labelProp(s: SparkSession, dir: String): DataFrame = {
+    val e0 = knnGraph(s, dir).select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val ue = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val nodes = Tables.embeddings(s, dir).select(col("vec_id"))
+    var labels = nodes.select(col("vec_id"), col("vec_id").as("lbl"))
+    for (_ <- 0 until LpaIters) {
+      val counted = ue
+        .join(labels.select(col("vec_id").as("src"), col("lbl")), "src")
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val elected = counted
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("k"))
+        .select(col("dst").as("vec_id"), (-col("k.neg")).as("new_lbl"))
+      labels = labels.join(elected, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "lbl")
+      .select(col("vec_id"), col("lbl").as("community"), col("community_size"))
+  }
+
   /** PageRank iterations and the fixed-point rank scale for
     * [[pagerank]]. Overflow headroom: in-sums are bounded by
     * |nodes| × PrScale; at PrScale 10¹² that caps the corpus at ~10⁵

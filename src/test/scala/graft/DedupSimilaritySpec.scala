@@ -413,6 +413,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(expected.values.forall(v => v > 0))
   }
 
+  test("label propagation matches a driver-side synchronous reference") {
+    val e0 = Similarity.knnGraph(spark, sf).select("vec_id", "nbr_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ue = (e0 ++ e0.map(_.swap)).distinct
+    val nodes = Tables.embeddings(spark, sf).select("vec_id")
+      .collect().map(_.getLong(0))
+    var lbl = nodes.map(v => v -> v).toMap
+    for (_ <- 0 until Similarity.LpaIters) {
+      val elected = ue.groupBy(_._2).map { case (dst, es) =>
+        val counts = es.groupBy(e => lbl(e._1)).view.mapValues(_.size)
+        // most frequent neighbor label, ties to the SMALLEST label
+        dst -> counts.toSeq.maxBy { case (l, c) => (c, -l) }._1
+      }
+      lbl = nodes.map(v => v -> elected.getOrElse(v, lbl(v))).toMap
+    }
+    val got = Similarity.labelProp(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == lbl.keySet)
+    lbl.foreach { case (v, l) => assert(got(v)._1 == l, s"node $v: ${got(v)._1} != $l") }
+    val sizes = lbl.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (v, (l, sz)) => assert(sz == sizes(l)) }
+    // propagation actually merged nodes: fewer communities than nodes
+    assert(sizes.size < nodes.length, "no label ever propagated")
+  }
+
   test("pagerank matches a driver-side integer reference on the same edges") {
     val edges = Similarity.knnGraph(spark, sf)
       .select("vec_id", "nbr_id").collect()
