@@ -32,6 +32,7 @@ object SparkEntry {
     "etl_upsert_merge" -> (Etl.upsertMerge _),
     "etl_incremental_agg" -> (Etl.incrementalAgg _),
     "etl_binary_ingest" -> (Etl.binaryIngest _),
+    "etl_blob_compact" -> (Etl.blobCompact _),
     "etl_scd2_history" -> (Etl.scd2History _),
     "etl_partition_pruning" -> (Etl.partitionPruning _),
     "etl_retention_sweep" -> (Etl.retentionSweep _),
@@ -1083,6 +1084,14 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) + 1 AS BIGINT) AS n_bytes,
         | md5(text || chr(10)) AS content_md5 FROM documents
         |WHERE doc_id < 100""".stripMargin,
+    // bytes must survive BOTH hops (text files -> binaryFile -> parquet
+    // container); the 1-file collapse of the 100-inode zone is the
+    // compaction contract itself, data-independent
+    "etl_blob_compact" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) + 1 AS BIGINT) AS n_bytes,
+        | md5(text || chr(10)) AS content_md5,
+        | CAST(1 AS BIGINT) AS n_container_files
+        |FROM documents WHERE doc_id < 100""".stripMargin,
     // data-independent audit (DuckDB has no Datasketches): the sharded
     // union and the single-pass sketch must each estimate within the
     // 5% envelope (deterministic for the fixed gate data); the exact

@@ -708,6 +708,39 @@ object Etl {
         md5(col("content")).as("content_md5"))
   }
 
+  /** Landing-zone → container compaction — the at-scale answer
+    * [[binaryIngest]]'s doc-comment promises: whole-file blob corpora
+    * pay one task + one commit per FILE, so the production move is one
+    * distributed pass that folds the many small files into parquet
+    * rows with a binary `content` column (the mm_* shape), after which
+    * every downstream op scans splittable, batched, column-pruned
+    * parquet instead of re-listing a million inodes. The gate stages
+    * the same bounded 100-file zone as binaryIngest, compacts it to a
+    * single-file container (coalesce(1) — file-count control IS the
+    * point; a larger zone would target ~128 MB files), reads the
+    * CONTAINER back and proves bytes survived both hops (md5 + length
+    * vs the oracle's independent rendering) plus the file-count
+    * collapse (n_container_files=1 for 100 inputs, data-independent). */
+  def blobCompact(s: SparkSession, dir: String): DataFrame = {
+    val staged = s"${System.getProperty("java.io.tmpdir")}/graft_blob_${ProcessHandle.current().pid()}"
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
+      .write.mode("overwrite").partitionBy("doc_id").text(staged)
+    val container = s"${System.getProperty("java.io.tmpdir")}/graft_cont_${ProcessHandle.current().pid()}"
+    s.read.format("binaryFile").option("pathGlobFilter", "*.txt").load(staged)
+      .select(col("doc_id").cast("long").as("doc_id"), col("content"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(container)
+    val back = s.read.parquet(container)
+    val nFiles = back.inputFiles.length.toLong
+    back.select(col("doc_id"),
+      length(col("content")).cast("long").as("n_bytes"),
+      md5(col("content")).as("content_md5"),
+      lit(nFiles).as("n_container_files"))
+  }
+
   /** The per-run delta: a dt-IN-band partition-pruned scan reduced to
     * the mergeable per-user state. Factored out so the spec can assert
     * the pruning on exactly the frame the operator runs. */
