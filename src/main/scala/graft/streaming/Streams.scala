@@ -776,16 +776,7 @@ object Streams {
     // driver-held pointer to the latest committed snapshot directory
     var current: Option[String] = None
     val q = in.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("o_orderkey")).orderBy(col("version").desc)
-      val merged = current match {
-        case None => batch
-        case Some(p) => s.read.parquet(p).union(batch)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).drop("rn")
-      }
-      merged.write.mode("overwrite").parquet(s"$base/snap/$bid")
-      current = Some(s"$base/snap/$bid")
+      current = Some(mergeBatch(s, s"$base/snap", current, batch, bid))
       ()
     }.option("checkpointLocation", s"$base/cp")
       .trigger(Trigger.AvailableNow()).start()
@@ -794,5 +785,25 @@ object Streams {
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast(dec)).cast("double").as("total_price"))
+  }
+
+  /** The per-batch keyed merge behind [[streamUpsert]], factored out so
+    * the replay-idempotency claim is spec-provable: merging the SAME
+    * batch id twice from the same previous snapshot rewrites the same
+    * directory from the same immutable inputs — byte-identical result,
+    * which is exactly what happens when a failed micro-batch is
+    * re-delivered by the checkpoint. Returns the new snapshot path. */
+  private[graft] def mergeBatch(s: SparkSession, snapBase: String,
+      prev: Option[String], batch: DataFrame, bid: Long): String = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderkey")).orderBy(col("version").desc)
+    val merged = prev match {
+      case None => batch
+      case Some(p) => s.read.parquet(p).union(batch)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }
+    merged.write.mode("overwrite").parquet(s"$snapBase/$bid")
+    s"$snapBase/$bid"
   }
 }

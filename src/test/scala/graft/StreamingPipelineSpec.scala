@@ -339,4 +339,24 @@ class StreamingPipelineSpec extends AnyFunSuite {
     // X holds only the %10-but-not-%20 keys
     assert(got.contains("Y") && got.contains("X"))
   }
+
+  test("streaming upsert replay: re-merging the same batch id is byte-idempotent") {
+    import org.apache.spark.sql.functions._
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_replay_${System.nanoTime}"
+    val o = graft.sources.Tables.orders(spark, sf).limit(200)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), lit(0).as("version")).cache()
+    val batch1 = o.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("version", lit(1))
+    val snap0 = graft.streaming.Streams.mergeBatch(spark, s"$base/snap", None, o, 0L)
+    def rowsOf(p: String) = spark.read.parquet(p).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSet
+    val snap1 = graft.streaming.Streams.mergeBatch(spark, s"$base/snap", Some(snap0), batch1, 1L)
+    val first = rowsOf(snap1)
+    // the replay: same bid, same prev snapshot, same immutable batch
+    val replayed = graft.streaming.Streams.mergeBatch(spark, s"$base/snap", Some(snap0), batch1, 1L)
+    assert(replayed == snap1, "a replayed batch must rewrite its own directory")
+    assert(rowsOf(replayed) == first, "replay must be value-idempotent")
+    assert(first.count(_._4 == 1) == batch1.count(), "every update key upgraded once")
+  }
 }
