@@ -33,6 +33,7 @@ object SparkEntry {
     "etl_incremental_agg" -> (Etl.incrementalAgg _),
     "etl_binary_ingest" -> (Etl.binaryIngest _),
     "etl_blob_compact" -> (Etl.blobCompact _),
+    "etl_quality_constraints" -> (Etl.qualityConstraints _),
     "etl_scd2_history" -> (Etl.scd2History _),
     "etl_partition_pruning" -> (Etl.partitionPruning _),
     "etl_retention_sweep" -> (Etl.retentionSweep _),
@@ -1084,6 +1085,29 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) + 1 AS BIGINT) AS n_bytes,
         | md5(text || chr(10)) AS content_md5 FROM documents
         |WHERE doc_id < 100""".stripMargin,
+    // per-rule exact violation counts; n_rows repeated per row (the
+    // suite report shape). Surplus-row uniqueness counting matches the
+    // oracle's sum(c - 1) over duplicate keys.
+    "etl_quality_constraints" ->
+      """WITH n AS (SELECT COUNT(*) AS n_rows FROM orders),
+        |k AS (SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY o_custkey),
+        |r AS (
+        | SELECT 'customer_fk' AS rule, (SELECT COUNT(*) FROM orders o
+        |   WHERE o.o_custkey IS NOT NULL AND o.o_custkey NOT IN
+        |    (SELECT c_custkey FROM customer)) AS n_violations
+        | UNION ALL SELECT 'key_not_null',
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL)
+        | UNION ALL SELECT 'key_unique', (SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+        |   FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey) t WHERE c > 1)
+        | UNION ALL SELECT 'one_order_per_customer',
+        |  (SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM k WHERE c > 1)
+        | UNION ALL SELECT 'price_cap', (SELECT COUNT(*) FROM orders
+        |   WHERE NOT (o_totalprice >= 0 AND o_totalprice <= 100000))
+        | UNION ALL SELECT 'priority_format', (SELECT COUNT(*) FROM orders
+        |   WHERE NOT (o_orderpriority LIKE '%-%'))
+        | UNION ALL SELECT 'status_known', (SELECT COUNT(*) FROM orders
+        |   WHERE o_orderstatus NOT IN ('O', 'F')))
+        |SELECT r.rule, r.n_violations, n.n_rows FROM r, n""".stripMargin,
     // bytes must survive BOTH hops (text files -> binaryFile -> parquet
     // container); the 1-file collapse of the 100-inode zone is the
     // compaction contract itself, data-independent

@@ -741,6 +741,28 @@ object Etl {
       lit(nFiles).as("n_container_files"))
   }
 
+  /** Declarative data-quality suite over orders (the Deequ/dbt-tests
+    * face — see [[graft.plans.Constraints]]): six rules spanning every
+    * rule class. All four row-level rules share ONE aggregate scan; the
+    * uniqueness rule is one groupBy; the FK rule one left-anti join
+    * against customer. The suite mixes passing rules (key unique, FK
+    * intact, keys non-null) with genuinely-violated ones on this data
+    * (price cap, status set, one-customer-one-order), so the gate pins
+    * both zero and non-zero exact counts. */
+  def qualityConstraints(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Constraints._
+    val o = Tables.orders(s, dir)
+    val rules = Seq(
+      NotNull("key_not_null", "o_orderkey"),
+      InRange("price_cap", "o_totalprice", 0.0, 100000.0),
+      InSet("status_known", "o_orderstatus", Seq("O", "F")),
+      Satisfies("priority_format", "o_orderpriority LIKE '%-%'"),
+      Unique("key_unique", Seq("o_orderkey")),
+      Unique("one_order_per_customer", Seq("o_custkey")),
+      RefIntegrity("customer_fk", "o_custkey", Tables.customer(s, dir), "c_custkey"))
+    check(o, rules).orderBy(col("rule"))
+  }
+
   /** The per-run delta: a dt-IN-band partition-pruned scan reduced to
     * the mergeable per-user state. Factored out so the spec can assert
     * the pruning on exactly the frame the operator runs. */

@@ -937,6 +937,43 @@ class PipelineOpsSpec extends AnyFunSuite {
       "pruned listing must read fewer files than the full table")
   }
 
+  test("constraint suite: row-level rules share ONE aggregate job; counts exact") {
+    import graft.plans.Constraints._
+    val o = Tables.orders(spark, sf)
+    // independent recompute of each count
+    val expPrice = o.filter(!(col("o_totalprice") >= 0 && col("o_totalprice") <= 100000)).count()
+    val expStatus = o.filter(!col("o_orderstatus").isin("O", "F")).count()
+    val expDupCust = o.groupBy("o_custkey").count().filter(col("count") > 1)
+      .agg(coalesce(sum(col("count") - 1), lit(0L))).head().getLong(0)
+    val got = graft.operators.Etl.qualityConstraints(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("price_cap") == expPrice && got("status_known") == expStatus)
+    assert(got("one_order_per_customer") == expDupCust)
+    assert(got("key_unique") == 0 && got("customer_fk") == 0 && got("key_not_null") == 0)
+    // the one-pass claim: a row-level-only suite runs exactly ONE job
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.add(j.stageInfos.map(_.name).mkString("|"))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      check(o, Seq(
+        NotNull("a", "o_orderkey"),
+        InRange("b", "o_totalprice", 0, 100000),
+        InSet("c", "o_orderstatus", Seq("O", "F")),
+        Satisfies("d", "o_orderpriority LIKE '%-%'")))
+      var waited = 0
+      while (jobs.isEmpty && waited < 5000) { Thread.sleep(50); waited += 50 }
+      Thread.sleep(300)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // AQE runs the single aggregate as (shuffle stage, result stage) —
+    // up to 2 jobs. The property under test is that rules DON'T each
+    // add their own scan: 4 rules must not mean 4+ jobs.
+    assert(jobs.size <= 2,
+      s"4 row-level rules must fold into one aggregate pass, saw ${jobs.size}: ${jobs}")
+  }
+
   test("retention sweep drops exactly the expired partitions without scanning data") {
     import graft.operators.Etl
     val out = Etl.retentionSweep(spark, sf)
