@@ -111,6 +111,7 @@ object SparkEntry {
     "q_sketch_merge" -> (Analytics3.sketchMerge _),
     "stream_anomaly" -> (graft.streaming.Streams.streamAnomaly _),
     "stream_upsert" -> (graft.streaming.Streams.streamUpsert _),
+    "stream_trending" -> (graft.streaming.Streams.streamTrending _),
     "q_window3" -> (Analytics2.qWindow3 _),
     "q_cube" -> (Analytics2.qCube _),
     "q_intersect_except" -> (Analytics2.qIntersectExcept _),
@@ -1123,6 +1124,19 @@ object SparkEntry {
     "q_sketch_merge" ->
       """SELECT TRUE AS union_within_5pct, TRUE AS direct_within_5pct,
         | COUNT(DISTINCT o_custkey) AS exact_distinct FROM orders""".stripMargin,
+    // every REAL hour window closes via the sentinel-driven watermark
+    // and emits its final top-3 (count desc, type asc); the sentinel's
+    // own window never emits — mirror of the open current hour
+    "stream_trending" ->
+      """SELECT win_start_s, event_type, n_events,
+        | CAST(row_number() OVER (PARTITION BY win_start_s
+        |   ORDER BY n_events DESC, event_type ASC) AS BIGINT) AS rank
+        |FROM (
+        | SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start_s,
+        |  event_type, COUNT(*) AS n_events
+        | FROM events WHERE event_id < 2000
+        | GROUP BY win_start_s, event_type)
+        |QUALIFY rank <= 3""".stripMargin,
     // three change waves, highest version wins per key
     "stream_upsert" ->
       """WITH u AS (

@@ -787,6 +787,89 @@ object Streams {
         sum(col("o_totalprice").cast(dec)).cast("double").as("total_price"))
   }
 
+  /** Per-window top-k state for [[trending]]: event-type counts. */
+  final case class TrendState(counts: Map[String, Long])
+  /** One trending row: an hour window's rank-k event type. */
+  final case class Trend(win_start_s: Long, event_type: String,
+    n_events: Long, rank: Long)
+
+  /** In-stream windowed TOP-K — trending detection with EVENT-TIME
+    * TIMEOUT state (the one GroupStateTimeout face the session/attrib
+    * operators don't exercise): each hour window accumulates a bounded
+    * per-type count map as custom state and EMITS ITS FINAL TOP-3 only
+    * when the watermark passes the window end (hasTimedOut) — the
+    * aggregate-then-rank-then-emit-on-close shape a windowed
+    * `groupBy().count()` in Append mode cannot express (ranking needs
+    * the whole closed window). State per window is |event types|
+    * counters; emission is k rows; nothing ever holds raw events.
+    * Ties rank deterministically (count desc, type asc). */
+  def trending(events: Dataset[Event], k: Int = 3): Dataset[Trend] = {
+    import events.sparkSession.implicits._
+    def micros(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(e => micros(e.ts) / 3600000000L)
+      .flatMapGroupsWithState[TrendState, Trend](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (hour, rows, state: GroupState[TrendState]) =>
+          if (state.hasTimedOut) {
+            // the window closed: rank and emit, then drop the state
+            val top = state.get.counts.toSeq
+              .sortBy { case (t, c) => (-c, t) }.take(k)
+            state.remove()
+            top.zipWithIndex.map { case ((t, c), i) =>
+              Trend(hour * 3600L, t, c, i + 1L) }.iterator
+          } else {
+            val m = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+            val upd = rows.foldLeft(m) { (acc, e) =>
+              acc + (e.event_type -> (acc.getOrElse(e.event_type, 0L) + 1L)) }
+            state.update(TrendState(upd))
+            // fire when the watermark passes the window END (ms epoch)
+            state.setTimeoutTimestamp((hour + 1L) * 3600000L)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Gate query: streaming trending end-to-end. The real slice stages
+    * as file ONE; file TWO (later mtime) holds a single SENTINEL event
+    * 3 hours past the slice's max ts, whose only job is to push the
+    * final watermark beyond every real window end so every real window
+    * times out and emits (the sentinel's own window stays in state and
+    * never emits — exactly how a production stream works, where the
+    * current hour is always still open). A final no-data micro-batch
+    * under AvailableNow flushes the timeouts. Hash-exact vs the batch
+    * top-3-per-hour oracle over the real slice. */
+  def streamTrending(s: SparkSession, dir: String): DataFrame = {
+    val base = System.getProperty("java.io.tmpdir") + "/graft_strend_" + System.nanoTime
+    val ev = graft.sources.Tables.events(s, dir).filter(col("event_id") < 2000)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+    val maxUs = ev.agg(max(col("ts_us"))).head().getLong(0)
+    val sentinel = ev.limit(1).select(lit(-1L).as("event_id"), col("user_id"),
+      lit("click").as("event_type"), lit(0.0).as("value"),
+      lit(maxUs + 3L * 3600000000L).as("ts_us"))
+    new java.io.File(s"$base/src").mkdirs()
+    val t0 = System.currentTimeMillis()
+    stageNamedFile(ev, s"$base/t0", s"$base/src/a_real.json", t0 - 60000)
+    stageNamedFile(sentinel, s"$base/t1", s"$base/src/b_sentinel.json", t0)
+    val in = s.readStream
+      .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts_us LONG")
+      .option("maxFilesPerTrigger", 1).json(s"$base/src")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    import s.implicits._
+    val q = withShufflePartitions(s, StateSizedPartitions) {
+      trending(in.as[Event]).toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$base/dst").option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    s.read.parquet(s"$base/dst")
+  }
+
   /** The per-batch keyed merge behind [[streamUpsert]], factored out so
     * the replay-idempotency claim is spec-provable: merging the SAME
     * batch id twice from the same previous snapshot rewrites the same

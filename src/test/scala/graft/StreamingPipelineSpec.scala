@@ -340,6 +340,29 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(got.contains("Y") && got.contains("X"))
   }
 
+  test("streaming trending: every real window emits its closed top-3, sentinel stays open") {
+    import org.apache.spark.sql.functions._
+    val got = graft.streaming.Streams.streamTrending(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // batch recompute: top-3 per hour with the same (count desc, type asc) rank
+    val ev = graft.sources.Tables.events(spark, sf).filter(col("event_id") < 2000)
+      .select(expr("unix_micros(ts) div 3600000000 * 3600").as("win_start_s"),
+        col("event_type"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("win_start_s")).orderBy(col("n_events").desc, col("event_type"))
+    val expected = ev.groupBy("win_start_s", "event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected, "in-stream timeout emission must equal the closed-window batch rank")
+    // the sentinel's window (3h past max ts) must never appear
+    val maxReal = graft.sources.Tables.events(spark, sf).filter(col("event_id") < 2000)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    assert(got.forall(_._1 <= maxReal / 1000000L), "an unclosed window leaked an emission")
+    assert(got.groupBy(_._1).forall(_._2.size <= 3))
+  }
+
   test("streaming upsert replay: re-merging the same batch id is byte-idempotent") {
     import org.apache.spark.sql.functions._
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_replay_${System.nanoTime}"
