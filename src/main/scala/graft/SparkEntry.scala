@@ -80,6 +80,7 @@ object SparkEntry {
     "q_date_funcs" -> (Analytics.qDateFuncs _),
     "q_scalar_subquery" -> (Analytics.qScalarSubquery _),
     "q_pivot" -> (Analytics.qPivot _),
+    "q_unpivot" -> (Analytics.qUnpivot _),
     "q_range_join" -> (Analytics.qRangeJoin _),
     "q_asof_join" -> (Windows.asofJoin _),
     "q6_selective" -> (Analytics2.q6Selective _),
@@ -1384,6 +1385,17 @@ object SparkEntry {
         | COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
         | COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // melt of the pivot's wide counts back to long form; the lateral
+    // 3-row mapping replicates Spark's Expand emission order-agnostically
+    "q_unpivot" ->
+      """WITH p AS (SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        | FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, 'n_f' AS status_col, n_f AS n FROM p
+        |UNION ALL SELECT o_orderpriority, 'n_o', n_o FROM p
+        |UNION ALL SELECT o_orderpriority, 'n_p', n_p FROM p""".stripMargin,
     "q_range_join" ->
       """SELECT bucket, event_type, COUNT(*) AS n_events FROM (
         | SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) + d.off AS bucket, event_type

@@ -251,6 +251,19 @@ object Analytics {
         count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
         count(when(col("o_orderstatus") === "P", 1)).as("n_p"))
 
+  /** Unpivot (melt) — the inverse of [[qPivot]]: the wide per-priority
+    * status counts fold back to long (priority, status, n) rows via
+    * Spark's native unpivot operator (an Expand node: each input row
+    * emits one row per value column in a single narrow pass — no
+    * shuffle beyond the pivot's own aggregation, no join). The
+    * round-trip proves the wide↔long transforms are lossless. */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    qPivot(s, dir).unpivot(
+      ids = Array(col("o_orderpriority")),
+      values = Array(col("n_f"), col("n_o"), col("n_p")),
+      variableColumnName = "status_col",
+      valueColumnName = "n")
+
   /** Range join: events within a fixed interval around each hour bucket —
     * count of events per (hour-bucket, type) in [start, start+2h).
     * Scale: bucketize then equi-join on bucket (turns the range predicate
