@@ -34,6 +34,7 @@ object SparkEntry {
     "etl_binary_ingest" -> (Etl.binaryIngest _),
     "etl_blob_compact" -> (Etl.blobCompact _),
     "etl_quality_constraints" -> (Etl.qualityConstraints _),
+    "etl_partition_overwrite" -> (Etl.partitionOverwrite _),
     "etl_scd2_history" -> (Etl.scd2History _),
     "etl_partition_pruning" -> (Etl.partitionPruning _),
     "etl_retention_sweep" -> (Etl.retentionSweep _),
@@ -1087,6 +1088,18 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) + 1 AS BIGINT) AS n_bytes,
         | md5(text || chr(10)) AS content_md5 FROM documents
         |WHERE doc_id < 100""".stripMargin,
+    // dynamic overwrite re-states ONLY the last day (clicks survive
+    // there); every earlier day keeps all rows — static mode would
+    // have wiped them, so the values distinguish the two semantics
+    "etl_partition_overwrite" ->
+      """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS dt,
+        |  event_type, value FROM events),
+        |mx AS (SELECT MAX(dt) AS m FROM d)
+        |SELECT event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM d, mx
+        |WHERE dt < m OR (dt = m AND event_type = 'click')
+        |GROUP BY event_type""".stripMargin,
     // per-rule exact violation counts; n_rows repeated per row (the
     // suite report shape). Surplus-row uniqueness counting matches the
     // oracle's sum(c - 1) over duplicate keys.

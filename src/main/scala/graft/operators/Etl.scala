@@ -763,6 +763,37 @@ object Etl {
     check(o, rules).orderBy(col("rule"))
   }
 
+  /** Dynamic partition OVERWRITE — the selective-replacement semantics
+    * a nightly re-statement needs (reference transfer targets
+    * overwrite whole objects; a partitioned warehouse must replace
+    * ONLY the partitions the new batch touches). With
+    * `partitionOverwriteMode=dynamic`, mode("overwrite") deletes just
+    * the partition directories present in the incoming frame — here
+    * the LAST day is re-stated with its click events only, and every
+    * earlier day must survive untouched (STATIC mode would wipe them:
+    * the gate distinguishes the two behaviors by value). Gate output:
+    * per-type accounting of the final table — earlier days complete,
+    * last day clicks-only — hash-exact. */
+  def partitionOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val tgt = s"${System.getProperty("java.io.tmpdir")}/graft_dynover_${ProcessHandle.current().pid()}"
+    val ev = Tables.events(s, dir)
+      .withColumn("dt", to_date(col("ts")))
+      .select(col("dt"), col("event_type"), col("value"))
+    ev.repartition(col("dt"))
+      .write.mode("overwrite").partitionBy("dt").parquet(tgt)
+    val maxDt = ev.agg(max(col("dt"))).head().getDate(0)
+    val restated = ev.filter(col("dt") === lit(maxDt) && col("event_type") === "click")
+    graft.GraftSession.withSqlConfs(s,
+      "spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
+      restated.repartition(col("dt"))
+        .write.mode("overwrite").partitionBy("dt").parquet(tgt)
+    }
+    s.read.parquet(tgt)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+  }
+
   /** The per-run delta: a dt-IN-band partition-pruned scan reduced to
     * the mergeable per-user state. Factored out so the spec can assert
     * the pruning on exactly the frame the operator runs. */
