@@ -30,6 +30,7 @@ object SparkEntry {
     "etl_schema_map" -> (Etl.schemaMap _),
     "etl_sql_text_source" -> (Etl.sqlTextSource _),
     "etl_upsert_merge" -> (Etl.upsertMerge _),
+    "etl_cdc_apply" -> (Etl.cdcApply _),
     "etl_incremental_agg" -> (Etl.incrementalAgg _),
     "etl_binary_ingest" -> (Etl.binaryIngest _),
     "etl_blob_compact" -> (Etl.blobCompact _),
@@ -1074,6 +1075,32 @@ object SparkEntry {
         |   THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1 AS DOUBLE)
         |   ELSE o_totalprice END AS o_totalprice
         | FROM orders) t
+        |GROUP BY o_orderstatus""".stripMargin,
+    // CDC apply: latest-wins per key over a versioned I/U/D feed;
+    // DELETE tombstones drop rows. max_by is deterministic here —
+    // versions are unique per key by construction.
+    "etl_cdc_apply" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM (
+        | SELECT o_orderkey, max_by(op, version) AS op,
+        |  max_by(o_orderstatus, version) AS o_orderstatus,
+        |  max_by(o_totalprice, version) AS o_totalprice
+        | FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 'I' AS op, 0 AS version
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U',
+        |   CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 10 AS DOUBLE), 'U', 1
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 'D', 2
+        |  FROM orders WHERE o_orderkey % 13 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'N', o_totalprice, 'I', 1
+        |  FROM orders WHERE o_orderkey % 11 = 0
+        | ) feed GROUP BY o_orderkey
+        |) snap WHERE op <> 'D'
         |GROUP BY o_orderstatus""".stripMargin,
     // incremental snapshot⊎delta maintenance must equal the one-pass
     // full-scan aggregate — the merge-equals-recompute contract

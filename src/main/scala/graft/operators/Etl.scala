@@ -388,6 +388,45 @@ object Etl {
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
   }
 
+  /** CDC change-feed apply (the Debezium/DMS shape downstream of any
+    * reference "datastore" source, config.go:115): a feed of versioned
+    * INSERT/UPDATE/DELETE operations collapses onto the base snapshot.
+    * Latest-wins per key via `max_by(_, version)` — a PARTIAL-
+    * AGGREGATABLE election (map-side combine, no per-key window sort,
+    * only the winning row's columns cross the exchange), which is the
+    * shape that survives a 100 TB change log where a window + filter
+    * would sort every key group. DELETE tombstones drop the row
+    * entirely — the leg `etl_upsert_merge` (type-1 overwrite) doesn't
+    * carry. Feed is derived deterministically (mod-key legs, unique
+    * version per key) so the oracle rebuilds the identical apply. */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val base = o.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"), lit("I").as("op"), lit(0).as("version"))
+    val updates = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(18,2)") + 10).cast("double")
+          .as("o_totalprice"),
+        lit("U").as("op"), lit(1).as("version"))
+    val deletes = o.filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        lit("D").as("op"), lit(2).as("version"))
+    val inserts = o.filter(col("o_orderkey") % 11 === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"),
+        lit("I").as("op"), lit(1).as("version"))
+    base.union(updates).union(deletes).union(inserts)
+      .groupBy(col("o_orderkey"))
+      .agg(max_by(col("op"), col("version")).as("op"),
+        max_by(col("o_orderstatus"), col("version")).as("o_orderstatus"),
+        max_by(col("o_totalprice"), col("version")).as("o_totalprice"))
+      .filter(col("op") =!= "D")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+  }
+
   /** JDBC datastore roundtrip (reference config.go:115 "datastore"
     * source; pkg/bigquery/big_query.go DB target with schema mapping +
     * post-load verify): schema-mapped load into an embedded Derby
