@@ -167,9 +167,11 @@ object SparkEntry {
     "sim_lsh_topk" -> (Similarity.lshTopK _),
     "sim_range_search" -> (Similarity.rangeSearch _),
     "sim_recall_report" -> (Similarity.recallReport _),
-    "sim_pagerank" -> (Similarity.pagerank _),
+    // graph consumers are derivation-only (staged kNN lineage,
+    // VERDICT r7 #1); sim_knn_graph stays the recompute twin
+    "sim_pagerank" -> (Similarity.pagerankLineage _),
     "sim_centroid_drift" -> (Similarity.centroidDrift _),
-    "sim_label_prop" -> (Similarity.labelProp _),
+    "sim_label_prop" -> (Similarity.labelPropLineage _),
     "sim_multiprobe_topk" -> (Similarity.multiprobeTopK _),
     "sim_rerank_topk" -> (Similarity.rerankTopK _),
     "sim_matryoshka_topk" -> (Similarity.matryoshkaTopK _),
@@ -178,6 +180,7 @@ object SparkEntry {
     "sim_ivf_pq_topk" -> (Similarity.ivfPqTopK _),
     "sim_quantize" -> (Similarity.quantize _),
     "sim_knn_graph" -> (Similarity.knnGraph _),
+    "sim_knn_graph_lineage" -> (Similarity.knnGraphLineage _),
     // multimodal
     "mm_meta_extract" -> (Multimodal.metaExtract _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
@@ -462,7 +465,9 @@ object SparkEntry {
       |    / SUM(CASE WHEN half = 0 THEN n END)
       |  - CAST(SUM(CASE WHEN half = 1 THEN sv END) AS DOUBLE) / $sc
       |    / SUM(CASE WHEN half = 1 THEN n END) AS d
-      | FROM hs GROUP BY label, pos),
+      | FROM hs GROUP BY label, pos
+      | HAVING SUM(CASE WHEN half = 0 THEN n END) > 0
+      |    AND SUM(CASE WHEN half = 1 THEN n END) > 0),
       |ag AS (SELECT label, CAST(MAX(pos) + 1 AS BIGINT) AS n_dims,
       |  list(d ORDER BY pos) AS ds FROM paired GROUP BY label)
       |SELECT label, n_dims,
@@ -510,17 +515,20 @@ object SparkEntry {
     * [[graft.operators.Similarity.PrIters]] unrolled damped rounds in
     * the IDENTICAL fixed-point arithmetic (floor division via `//`,
     * ×85//100 damping, 15% base) — integer ops make the iteration
-    * order- and engine-independent, so the gate is hash-exact. */
+    * order- and engine-independent, so the gate is hash-exact. The
+    * scale replicates [[graft.operators.Similarity.prScaleFor]]: the
+    * `sc` CTE derives 10^max(16 − digits(n), 0) capped at PrScaleCap
+    * from the node count (digit count via VARCHAR length — exact, no
+    * log10 edge cases; power(10, k ≤ 12) is double-exact). */
   private def simPagerankSql: String = {
     import graft.functions.Planes.{sigsCteSql, cosineSql}
-    val scale = Similarity.PrScale
-    val base = scale * 15 / 100
+    val sc = "(SELECT scale FROM sc)"
     val rounds = (1 to Similarity.PrIters).map { i =>
       s"""i$i AS (SELECT ed.dst, CAST(SUM(r.rank_scaled // d.deg) AS BIGINT) AS in_sum
         | FROM edges ed JOIN deg d USING (src)
         | JOIN r${i - 1} r ON r.vec_id = ed.src GROUP BY ed.dst),
         |r$i AS (SELECT n.vec_id,
-        |  CAST($base + (COALESCE(i$i.in_sum, 0) * 85) // 100 AS BIGINT) AS rank_scaled
+        |  CAST($sc * 15 // 100 + (COALESCE(i$i.in_sum, 0) * 85) // 100 AS BIGINT) AS rank_scaled
         | FROM n LEFT JOIN i$i ON i$i.dst = n.vec_id)""".stripMargin
     }.mkString(",\n")
     s"""WITH ${sigsCteSql(Similarity.KnnTables, Similarity.KnnPlanes)},
@@ -537,7 +545,10 @@ object SparkEntry {
       | WHERE rk <= ${Similarity.KnnK}),
       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
       |n AS (SELECT vec_id FROM e),
-      |r0 AS (SELECT vec_id, CAST($scale AS BIGINT) AS rank_scaled FROM n),
+      |sc AS (SELECT LEAST(CAST(${Similarity.PrScaleCap} AS BIGINT),
+      |  CAST(power(10, GREATEST(16 - len(CAST(COUNT(*) AS VARCHAR)), 0)) AS BIGINT)) AS scale
+      | FROM n),
+      |r0 AS (SELECT vec_id, CAST($sc AS BIGINT) AS rank_scaled FROM n),
       |$rounds
       |SELECT vec_id, rank_scaled FROM r${Similarity.PrIters}""".stripMargin
   }
@@ -2255,6 +2266,9 @@ object SparkEntry {
     "stream_ann_serving" -> simLshTopkSql,
     "sim_multiprobe_topk" -> simMultiprobeTopkSql,
     "sim_knn_graph" -> simKnnGraphSql,
+    // the staged graph must read back bit-equal to the build — same
+    // oracle as the recompute twin
+    "sim_knn_graph_lineage" -> simKnnGraphSql,
     "sim_range_search" -> simRangeSearchSql,
     "sim_recall_report" -> simRecallReportSql,
     "sim_pagerank" -> simPagerankSql,

@@ -606,6 +606,38 @@ object Similarity {
     graft.functions.TopK.perGroup(scored, "vec_id", "nbr_id", "cosine", KnnK)
   }
 
+  /** Stage the verified kNN edge list — ONE LSH signature/verify pass —
+    * to parquet and return its path. The graph analog of
+    * [[graft.operators.Dedup.buildPairLineage]] (VERDICT r7 #1): at
+    * 100 TB the graph build (signature self-join + cosine verify) is
+    * the dominant cost, so it materializes once per corpus and every
+    * graph consumer ([[labelPropLineage]], [[pagerankLineage]],
+    * [[knnGraphLineage]]) is a marginal-cost parquet read. */
+  def buildKnnGraphLineage(s: SparkSession, dir: String,
+      base: String): String = {
+    val edgesPath = s"$base/knn_edges"
+    knnGraph(s, dir).write.mode("overwrite").parquet(edgesPath)
+    edgesPath
+  }
+
+  /** One graph build per (session, corpus dir) — the stagedPairLineage
+    * contract: session-lifetime cache, overwrite-idempotent build, so a
+    * rare concurrent double-build converges to identical files. */
+  private val stagedGraph =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def stagedKnnGraph(s: SparkSession, dir: String): String =
+    stagedGraph.getOrElseUpdate(dir, {
+      val key = java.lang.Integer.toHexString(dir.hashCode)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_knng_${ProcessHandle.current().pid()}_$key"
+      buildKnnGraphLineage(s, dir, base)
+    })
+
+  /** The staged kNN graph itself as a gate row — same oracle as the
+    * recompute twin [[knnGraph]], derivation-only plan (one parquet
+    * scan, zero signature work after the corpus build). */
+  def knnGraphLineage(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(stagedKnnGraph(s, dir))
+
   /** Radius for [[rangeSearch]] — sized so the synthetic corpus (cosine
     * ≈ N(0, 0.13) between unrelated vectors) yields a non-trivial but
     * selective neighbor set (~1% of candidates). */
@@ -691,6 +723,12 @@ object Similarity {
         sum(when(col("half") === 1, col("sv"))).as("s1"),
         sum(when(col("half") === 0, col("n"))).as("n0"),
         sum(when(col("half") === 1, col("n"))).as("n1"))
+      // a (label, pos) populated by only ONE parity half would put a
+      // NULL d into Spark's aggregate() fold but a SKIPPED element
+      // into DuckDB's list_sum (ADVICE r7 #3) — restrict to rows both
+      // halves populate so both engines fold the same terms (oracle:
+      // the matching HAVING on the paired CTE)
+      .filter(col("n0") > 0 && col("n1") > 0)
       .select(col("label"), col("pos"),
         (col("s0").cast("double") / lit(DriftScale) / col("n0")
           - col("s1").cast("double") / lit(DriftScale) / col("n1")).as("d"))
@@ -721,13 +759,26 @@ object Similarity {
     * window over the corpus. Nodes keep their previous label when a
     * round gives them no neighbors (isolated bucket misses). Output:
     * final per-node community plus member count per community. */
-  def labelProp(s: SparkSession, dir: String): DataFrame = {
-    val e0 = knnGraph(s, dir).select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+  def labelProp(s: SparkSession, dir: String): DataFrame =
+    labelPropFromEdges(s, dir, knnGraph(s, dir))
+
+  /** Derivation-only LPA: the staged graph, zero signature work. */
+  def labelPropLineage(s: SparkSession, dir: String): DataFrame =
+    labelPropFromEdges(s, dir, knnGraphLineage(s, dir))
+
+  /** LPA over a supplied edge list. Each round ends in a
+    * `localCheckpoint` of the (bounded: one row per node) label frame
+    * (VERDICT r7 #4) — plan depth and analysis cost stay CONSTANT per
+    * round, so `iters` can rise past the default without unbounded
+    * lineage growth (the connected-components contraction pattern). */
+  def labelPropFromEdges(s: SparkSession, dir: String, edges: DataFrame,
+      iters: Int = LpaIters): DataFrame = {
+    val e0 = edges.select(col("vec_id").as("src"), col("nbr_id").as("dst"))
     val ue = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
     val nodes = Tables.embeddings(s, dir).select(col("vec_id"))
     var labels = nodes.select(col("vec_id"), col("vec_id").as("lbl"))
-    for (_ <- 0 until LpaIters) {
+    for (_ <- 0 until iters) {
       val counted = ue
         .join(labels.select(col("vec_id").as("src"), col("lbl")), "src")
         .groupBy(col("dst"), col("lbl"))
@@ -738,27 +789,39 @@ object Similarity {
         .select(col("dst").as("vec_id"), (-col("k.neg")).as("new_lbl"))
       labels = labels.join(elected, Seq("vec_id"), "left")
         .select(col("vec_id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
     }
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
     labels.join(sizes, "lbl")
       .select(col("vec_id"), col("lbl").as("community"), col("community_size"))
   }
 
-  /** PageRank iterations and the fixed-point rank scale for
-    * [[pagerank]]. Overflow headroom: in-sums are bounded by
-    * |nodes| × PrScale; at PrScale 10¹² that caps the corpus at ~10⁵
-    * nodes before the ×85 step nears Long.Max — a 100 TB deployment
-    * drops PrScale to 10⁹ (same code, same determinism, 10⁹ still
-    * gives 9 significant digits of rank resolution). */
+  /** PageRank iterations and the fixed-point rank-scale CAP for
+    * [[pagerank]]. The effective scale is [[prScaleFor]] of the node
+    * count, capped here. */
   val PrIters = 3
-  val PrScale = 1000000000000L
+  val PrScaleCap = 1000000000000L
+
+  /** Fixed-point rank scale derived from the node count (VERDICT r7
+    * #4): the largest power of ten with n·scale ≤ 10¹⁶ — total rank
+    * mass converges to ≈ n·scale, so the per-node in-sum is bounded by
+    * it and the ×85 damping multiply stays an order of magnitude under
+    * Long.Max at ANY corpus size — capped at [[PrScaleCap]] so small
+    * corpora (every gate SF: ≤ 4-digit node counts) keep the exact
+    * 10¹² scale and hashes are unchanged. Mirrored verbatim by the
+    * oracle's `sc` CTE (digit count via VARCHAR length). */
+  def prScaleFor(n: Long): Long = {
+    val digits = math.max(n, 1L).toString.length
+    val k = math.max(16 - digits, 0)
+    math.min(PrScaleCap, (0 until k).foldLeft(1L)((a, _) => a * 10))
+  }
 
   /** Graph centrality over the kNN graph — the corpus-curation signal
     * that picks REPRESENTATIVE documents (a vector many neighbor lists
     * point at is central to its region; kNN-graph centrality is the
     * standard diversity/coreset heuristic). Standard damped PageRank,
     * but in FIXED-POINT INTEGER arithmetic: ranks are Longs scaled by
-    * [[PrScale]], each iteration distributes `rank div out_degree` to
+    * [[prScaleFor]](n), each iteration distributes `rank div out_degree` to
     * out-neighbors and damps with integer `(in_sum × 85) div 100 +
     * 15% base` — floor division everywhere, so the result is
     * bit-identical on any engine and any partitioning (a double-sum
@@ -770,14 +833,28 @@ object Similarity {
     * distributed PR round, O(iters) shuffles of (dst, long) pairs.
     * Dangling mass (nodes whose buckets yielded no neighbors) is
     * dropped, matching the oracle's identical truncation. */
-  def pagerank(s: SparkSession, dir: String): DataFrame = {
-    val edges = knnGraph(s, dir).select(col("vec_id").as("src"), col("nbr_id").as("dst"))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(deg, "src").localCheckpoint()
+  def pagerank(s: SparkSession, dir: String): DataFrame =
+    pagerankFromEdges(s, dir, knnGraph(s, dir))
+
+  /** Derivation-only PageRank: the staged graph, zero signature work. */
+  def pagerankLineage(s: SparkSession, dir: String): DataFrame =
+    pagerankFromEdges(s, dir, knnGraphLineage(s, dir))
+
+  /** PageRank over a supplied edge list. The scale comes from
+    * [[prScaleFor]] (one bounded count() — a global aggregate, the
+    * only driver-side value the iteration needs) and each round ends
+    * in a `localCheckpoint` of the one-row-per-node rank frame, so
+    * raising `iters` grows neither the plan nor the overflow risk. */
+  def pagerankFromEdges(s: SparkSession, dir: String, edges: DataFrame,
+      iters: Int = PrIters): DataFrame = {
+    val e = edges.select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(deg, "src").localCheckpoint()
     val nodes = Tables.embeddings(s, dir).select(col("vec_id"))
-    val base = PrScale * 15 / 100
-    var ranks = nodes.select(col("vec_id"), lit(PrScale).as("rank_scaled"))
-    for (_ <- 0 until PrIters) {
+    val scale = prScaleFor(nodes.count())
+    val base = scale * 15 / 100
+    var ranks = nodes.select(col("vec_id"), lit(scale).as("rank_scaled"))
+    for (_ <- 0 until iters) {
       val in = withDeg
         .join(ranks.withColumnRenamed("vec_id", "src"), "src")
         .select(col("dst"), expr("rank_scaled div deg").as("contrib"))
@@ -787,6 +864,7 @@ object Similarity {
         .select(col("vec_id"),
           (lit(base) + expr("(coalesce(in_sum, CAST(0 AS BIGINT)) * 85) div 100"))
             .as("rank_scaled"))
+        .localCheckpoint()
     }
     ranks
   }
