@@ -1108,7 +1108,8 @@ object SparkEntry {
         |  SELECT o_orderkey, o_orderstatus, o_totalprice, 'D', 2
         |  FROM orders WHERE o_orderkey % 13 = 0
         |  UNION ALL
-        |  SELECT o_orderkey + 100000000, 'N', o_totalprice, 'I', 1
+        |  SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders),
+        |   'N', o_totalprice, 'I', 1
         |  FROM orders WHERE o_orderkey % 11 = 0
         | ) feed GROUP BY o_orderkey
         |) snap WHERE op <> 'D'

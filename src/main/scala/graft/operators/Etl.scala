@@ -412,8 +412,13 @@ object Etl {
     val deletes = o.filter(col("o_orderkey") % 13 === 0)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         lit("D").as("op"), lit(2).as("version"))
+    // new-key inserts offset past max(o_orderkey) (ADVICE r7 #4): a
+    // fixed 1e8 offset collides with real keys once SF ≳ 17, making
+    // versions non-unique per key and the max_by election
+    // nondeterministic; the oracle derives the identical offset
+    val keyOffset = o.agg(max(col("o_orderkey"))).head().getLong(0) + 1L
     val inserts = o.filter(col("o_orderkey") % 11 === 0)
-      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+      .select((col("o_orderkey") + lit(keyOffset)).as("o_orderkey"),
         lit("N").as("o_orderstatus"), col("o_totalprice"),
         lit("I").as("op"), lit(1).as("version"))
     base.union(updates).union(deletes).union(inserts)
@@ -732,13 +737,23 @@ object Etl {
     * 100 TB blob corpora are compacted into container files (parquet
     * binary columns, the mm_* shape) and per-file ingest is reserved
     * for bounded landing zones like this audit. */
-  def binaryIngest(s: SparkSession, dir: String): DataFrame = {
-    val staged = s"${System.getProperty("java.io.tmpdir")}/graft_blob_${ProcessHandle.current().pid()}"
+  /** Stage the bounded 100-file text landing zone the blob gates
+    * ingest from. Each caller names its own zone so gates running
+    * concurrently in one JVM never race a mode(overwrite) write
+    * against another gate's binaryFile read (ADVICE r7 #1). */
+  private def stageLandingZone(s: SparkSession, dir: String,
+      name: String): String = {
+    val staged = s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${ProcessHandle.current().pid()}"
     Tables.documents(s, dir)
       .filter(col("doc_id") < 100)
       .select(col("doc_id"), col("text"))
       .repartition(col("doc_id"))
       .write.mode("overwrite").partitionBy("doc_id").text(staged)
+    staged
+  }
+
+  def binaryIngest(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageLandingZone(s, dir, "blob")
     s.read.format("binaryFile")
       .option("pathGlobFilter", "*.txt")
       .load(staged)
@@ -761,12 +776,10 @@ object Etl {
     * vs the oracle's independent rendering) plus the file-count
     * collapse (n_container_files=1 for 100 inputs, data-independent). */
   def blobCompact(s: SparkSession, dir: String): DataFrame = {
-    val staged = s"${System.getProperty("java.io.tmpdir")}/graft_blob_${ProcessHandle.current().pid()}"
-    Tables.documents(s, dir)
-      .filter(col("doc_id") < 100)
-      .select(col("doc_id"), col("text"))
-      .repartition(col("doc_id"))
-      .write.mode("overwrite").partitionBy("doc_id").text(staged)
+    // distinct staging suffix (ADVICE r7 #1): sharing binaryIngest's
+    // zone would let two concurrent gates race an overwrite-write
+    // against a binaryFile read of the same path
+    val staged = stageLandingZone(s, dir, "blobcomp")
     val container = s"${System.getProperty("java.io.tmpdir")}/graft_cont_${ProcessHandle.current().pid()}"
     s.read.format("binaryFile").option("pathGlobFilter", "*.txt").load(staged)
       .select(col("doc_id").cast("long").as("doc_id"), col("content"))
@@ -822,6 +835,12 @@ object Etl {
       .write.mode("overwrite").partitionBy("dt").parquet(tgt)
     val maxDt = ev.agg(max(col("dt"))).head().getDate(0)
     val restated = ev.filter(col("dt") === lit(maxDt) && col("event_type") === "click")
+    // data invariant made loud (ADVICE r7 #2): an EMPTY restatement
+    // under dynamic mode rewrites no partitions, silently keeping the
+    // whole last day and diverging from the oracle
+    require(!restated.isEmpty,
+      s"partitionOverwrite: no click events on last day $maxDt — " +
+        "dynamic overwrite would be a no-op")
     graft.GraftSession.withSqlConfs(s,
       "spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
       restated.repartition(col("dt"))
