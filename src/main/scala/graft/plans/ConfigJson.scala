@@ -15,7 +15,9 @@ import org.apache.spark.sql.SparkSession
   * {{{
   * {"Transfers": [{
   *   "Source": {"Path": "...", "Format": "parquet|ndjson|csv",
-  *              "Schema": "a LONG, b STRING"},        // Schema optional
+  *              "Schema": "a LONG, b STRING"},        // Schema optional;
+  *              // or a resource (reference config.go:96 Schema *Resource —
+  *              // the schema lives in its own file): {"URL": "/path.ddl"}
   *   "Target": "/out/path",            // ##env.VAR## expands (util.go:20)
   *   "Filter": "a > 0",                              // Filter registry
   *   "Transforms": [{"Name": "b2", "Expr": "upper(b)"}],   // Transformer
@@ -237,6 +239,32 @@ object ConfigJson {
     case f => throw new ConfigError(s"unsupported source Format '$f'")
   }
 
+  /** Schema as inline DDL or as a RESOURCE (reference config.go:96
+    * `Schema *Resource` — the reference's actual UX loads the schema
+    * from its own file/URL, not inline): a JSON object with a `URL`
+    * key resolves to the file's contents ('file://' prefix and
+    * `##env.VAR##` expansion accepted); a plain string stays inline
+    * DDL. Missing, unreadable, or empty resources fail loudly with
+    * the path — a transfer must never silently run schemaless because
+    * its schema file moved. */
+  private def schemaResource(v: JValue): String = v match {
+    case JStr(ddl) => ddl
+    case JObj(m) =>
+      val url = str(m.getOrElse("URL",
+        throw new ConfigError(s"Schema resource missing URL: $m")), "Schema.URL")
+      val path = Pipeline.expandTarget(url.stripPrefix("file://"))
+      val f = new java.io.File(path)
+      if (!f.isFile)
+        throw new ConfigError(s"Schema resource not readable: $url")
+      val ddl = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      if (ddl.isEmpty)
+        throw new ConfigError(s"Schema resource is empty: $url")
+      ddl
+    case other =>
+      throw new ConfigError(s"Schema must be a DDL string or {URL: path}, got $other")
+  }
+
   private def transfer(v: JValue): (Pipeline.TransferSpec, String, Int) = {
     val m = obj(v, "transfer")
     val srcM = obj(m.getOrElse("Source",
@@ -245,7 +273,7 @@ object ConfigJson {
       path = Pipeline.expandTarget(str(srcM.getOrElse("Path",
         throw new ConfigError("Source missing Path")), "Source.Path")),
       format = format(str(srcM.getOrElse("Format", JStr("parquet")), "Format")),
-      schemaDdl = srcM.get("Schema").map(str(_, "Schema")),
+      schemaDdl = srcM.get("Schema").map(schemaResource),
       // reference config.go:115 Source.FilterRegExp — accepted under
       // the reference's key name; the value is a GLOB (Spark's
       // listing-time pathGlobFilter), not a regex. See SourceSpec doc.

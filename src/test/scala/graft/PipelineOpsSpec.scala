@@ -352,6 +352,56 @@ class PipelineOpsSpec extends AnyFunSuite {
       "config-driven transfer must land byte-identical rows to the coded spec")
   }
 
+  test("JSON config: Schema as a resource file drives a transfer (reference config.go:96)") {
+    import graft.plans.ConfigJson
+    // the reference's Schema is a *Resource — the DDL lives in its own
+    // file, referenced by URL, not inline in the config document
+    val base = tmp("schema_res")
+    new java.io.File(base).mkdirs()
+    val ddlPath = s"$base/events.ddl"
+    java.nio.file.Files.write(java.nio.file.Paths.get(ddlPath),
+      "event_id LONG, user_id LONG, value DOUBLE\n".getBytes("UTF-8"))
+    import spark.implicits._
+    Seq("""{"event_id":1,"user_id":10,"value":1.5}""",
+        """{"event_id":2,"user_id":20,"value":2.5}""")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(s"$base/src")
+    val json = s"""{"Transfers": [{
+      |  "Source": {"Path": "$base/src", "Format": "ndjson",
+      |    "Schema": {"URL": "file://$ddlPath"}},
+      |  "Target": "$base/out"
+      |}]}""".stripMargin
+    val Seq((written, errs)) = ConfigJson.run(spark, json)
+    assert(errs == 0 && written == 2)
+    val out = spark.read.parquet(s"$base/out")
+    // the resource's DDL drove the read: typed columns, not raw text
+    assert(out.schema.fields.map(f => f.name -> f.dataType.simpleString).toSeq ==
+      Seq("event_id" -> "bigint", "user_id" -> "bigint", "value" -> "double"))
+    assert(out.select("event_id").orderBy("event_id").collect().map(_.getLong(0)).toSeq
+      == Seq(1L, 2L))
+    // loud-error contract: a moved/empty schema file must never let a
+    // transfer run schemaless
+    val missing = intercept[ConfigJson.ConfigError] {
+      ConfigJson.parseTransfers(s"""{"Transfers":[{"Source":{"Path":"/in",
+        |"Format":"ndjson","Schema":{"URL":"$base/gone.ddl"}},
+        |"Target":"/out"}]}""".stripMargin)
+    }
+    assert(missing.getMessage.contains("not readable"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/empty.ddl"),
+      "  \n".getBytes("UTF-8"))
+    val empty = intercept[ConfigJson.ConfigError] {
+      ConfigJson.parseTransfers(s"""{"Transfers":[{"Source":{"Path":"/in",
+        |"Format":"ndjson","Schema":{"URL":"$base/empty.ddl"}},
+        |"Target":"/out"}]}""".stripMargin)
+    }
+    assert(empty.getMessage.contains("empty"))
+    val noUrl = intercept[ConfigJson.ConfigError] {
+      ConfigJson.parseTransfers("""{"Transfers":[{"Source":{"Path":"/in",
+        |"Format":"ndjson","Schema":{"Path":"/x.ddl"}},
+        |"Target":"/out"}]}""".stripMargin)
+    }
+    assert(noUrl.getMessage.contains("missing URL"))
+  }
+
   test("JSON config: DataTypeMatch transfer equals the hand-built dispatch run") {
     import graft.plans.ConfigJson
     import org.apache.hadoop.fs.Path
