@@ -191,6 +191,7 @@ object SparkEntry {
     "mm_overlap_dedup" -> (Multimodal.overlapDedup _),
     "mm_phash_dedup" -> (Multimodal.phashDedup _),
     "mm_phash_dedup_capped" -> (Multimodal.phashDedupCapped _),
+    "mm_phash_dedup_unicode" -> (Multimodal.phashDedupUnicode _),
     // declarative pipeline config + real structured streaming
     "etl_pipeline_config" -> ((s, dir) => {
       import graft.plans.Pipeline._
@@ -964,7 +965,13 @@ object SparkEntry {
     * no division) into 4×16-bit bands; banded candidates; exact
     * hamming verify. `capped` replicates phashDedupCapped's
     * stop-bucket HAVING at the candidate stage. */
-  private def mmPhashSql(capped: Boolean): String = {
+  /** `variant`: "plain" (variant-tail payloads), "capped" (planted
+    * degenerate clique + stop-bucket HAVING), or "unicode" (multi-byte
+    * tails + empty payloads — DuckDB's len/substr/ascii are codepoint-
+    * based exactly like the fused kernel's codepoint scan, so the row
+    * stays hash-exact). */
+  private def mmPhashSql(variant: String): String = {
+    val capped = variant == "capped"
     val candSrc = if (capped) "keptb" else "bands"
     val cappedCtes = if (capped)
       s"""okb AS (SELECT band, band_val FROM bands GROUP BY 1, 2
@@ -975,15 +982,22 @@ object SparkEntry {
     else ""
     // the capped gate runs over the PLANTED corpus: doc_id % 13 = 0
     // docs all carry doc 0's text verbatim (one degenerate clique)
-    val mCte = if (capped)
-      """m AS (SELECT d.doc_id,
-        |  CASE WHEN d.doc_id % 13 = 0 THEN s.text
-        |       ELSE s.text || '#' || CAST(d.doc_id % 7 AS VARCHAR) END AS p
-        |      FROM documents d JOIN src s ON s.src_id =
-        |        CASE WHEN d.doc_id % 13 = 0 THEN 0 ELSE d.doc_id - d.doc_id % 7 END),""".stripMargin
-    else
-      """m AS (SELECT d.doc_id, s.text || '#' || CAST(d.doc_id % 7 AS VARCHAR) AS p
-        |      FROM documents d JOIN src s ON s.src_id = d.doc_id - d.doc_id % 7),""".stripMargin
+    val mCte = variant match {
+      case "capped" =>
+        """m AS (SELECT d.doc_id,
+          |  CASE WHEN d.doc_id % 13 = 0 THEN s.text
+          |       ELSE s.text || '#' || CAST(d.doc_id % 7 AS VARCHAR) END AS p
+          |      FROM documents d JOIN src s ON s.src_id =
+          |        CASE WHEN d.doc_id % 13 = 0 THEN 0 ELSE d.doc_id - d.doc_id % 7 END),""".stripMargin
+      case "unicode" =>
+        """m AS (SELECT d.doc_id,
+          |  CASE WHEN d.doc_id % 17 = 0 THEN ''
+          |       ELSE s.text || '§λ漢' || CAST(d.doc_id % 7 AS VARCHAR) END AS p
+          |      FROM documents d JOIN src s ON s.src_id = d.doc_id - d.doc_id % 7),""".stripMargin
+      case _ =>
+        """m AS (SELECT d.doc_id, s.text || '#' || CAST(d.doc_id % 7 AS VARCHAR) AS p
+          |      FROM documents d JOIN src s ON s.src_id = d.doc_id - d.doc_id % 7),""".stripMargin
+    }
     s"""WITH src AS (SELECT doc_id AS src_id, text FROM documents),
       |$mCte
       |samp AS (SELECT doc_id,
@@ -1909,9 +1923,12 @@ object SparkEntry {
         | n_shared / (x.n + y.n - n_shared) AS jaccard
         |FROM sh JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
         |WHERE n_shared / (x.n + y.n - n_shared) >= ${Multimodal.OverlapTau}""".stripMargin,
-    "mm_phash_dedup" -> mmPhashSql(capped = false),
+    "mm_phash_dedup" -> mmPhashSql("plain"),
     // the capped twin replicates the stop-bucket HAVING in SQL
-    "mm_phash_dedup_capped" -> mmPhashSql(capped = true),
+    "mm_phash_dedup_capped" -> mmPhashSql("capped"),
+    // multi-byte + empty payloads: codepoint-indexing bit-parity of
+    // the fused kernel as a gate row (VERDICT r7 #7)
+    "mm_phash_dedup_unicode" -> mmPhashSql("unicode"),
     "mm_resize_meta" ->
       """SELECT doc_id,
         | CAST(32 + (doc_id % 8) * 16 AS INTEGER) AS width,

@@ -196,6 +196,10 @@ object Multimodal {
     * bit-identical to (MultimodalSpec "fused phash parity"). */
   private[graft] def phashTableFrom(s: SparkSession, dir: String,
       planted: Boolean, fused: Boolean): DataFrame = {
+    // self-sufficient registration: a filtered Verify run may reach
+    // this gate before any similarity/dedup query has registered the
+    // graft_* functions on the session
+    graft.functions.GraftFunctions.register(s)
     val srcId =
       if (planted)
         when(col("doc_id") % 13 === 0, lit(0L))
@@ -209,6 +213,13 @@ object Multimodal {
       if (planted) when(col("doc_id") % 13 === 0, col("text")).otherwise(variantTail)
       else variantTail
     val joined = d.join(src, "src_id").withColumn("p", payload)
+    withPhashBands(joined, fused)
+  }
+
+  /** Band-vector step shared by every phash corpus variant: the fused
+    * codegen kernel in production, the HOF reference formulation for
+    * the parity specs. */
+  private def withPhashBands(joined: DataFrame, fused: Boolean): DataFrame = {
     val withBands =
       if (fused) joined.withColumn("bands", expr("graft_phash_bands(p)"))
       else joined
@@ -222,6 +233,32 @@ object Multimodal {
              |      shiftleft(1L, CAST(i AS INT)), 0L)))""".stripMargin))
     withBands.select(col("doc_id"), col("bands"))
   }
+
+  /** Non-ASCII / empty-payload corpus for [[phashDedupUnicode]]:
+    * every payload gains a multi-byte UTF-8 tail (Latin-1 supplement
+    * + Greek + CJK — one, two, and three UTF-8 bytes per codepoint,
+    * the classes where byte- and codepoint-indexing diverge) and every
+    * doc_id % 17 == 0 payload is the EMPTY string (the all-bits-set
+    * degenerate hash: 0 samples, mean 0, 0·64 ≥ 0 sets every bit). */
+  private[graft] def phashTableUnicode(s: SparkSession, dir: String,
+      fused: Boolean = true): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val d = Tables.documents(s, dir).select(col("doc_id"))
+      .withColumn("src_id", col("doc_id") - col("doc_id") % 7)
+    val src = Tables.documents(s, dir).select(col("doc_id").as("src_id"), col("text"))
+    val payload = when(col("doc_id") % 17 === 0, lit(""))
+      .otherwise(concat(col("text"), lit("§λ漢"), (col("doc_id") % 7).cast("string")))
+    withPhashBands(d.join(src, "src_id").withColumn("p", payload), fused)
+  }
+
+  /** [[phashDedup]] over the non-ASCII/empty corpus — the gate-row
+    * (hash-exact, oracle-replicated) form of what was previously a
+    * spec-only edge of the hand-written graft_phash_bands codegen
+    * kernel (VERDICT r7 #7): multi-byte codepoints must sample
+    * identically in both engines, and the empty-payload clique rides
+    * the normal banded-candidate → hamming-verify path. */
+  def phashDedupUnicode(s: SparkSession, dir: String): DataFrame =
+    phashPairs(phashTableUnicode(s, dir).localCheckpoint(), capped = false)
 
   /** Perceptual near-dup pairs: banded candidate equi-join on
     * (band, band_val) carrying ids only — bucket-wise, never O(n²),

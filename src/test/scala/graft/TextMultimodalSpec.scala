@@ -444,6 +444,16 @@ class TextMultimodalSpec extends AnyFunSuite {
       val diff = fused.collect { case (id, v) if hof(id) != v => (id, v, hof(id)) }
       assert(diff.isEmpty, s"planted=$planted first divergence: ${diff.take(2)}")
     }
+    // the unicode/empty gate corpus (mm_phash_dedup_unicode) must also
+    // agree fused-vs-HOF — multi-byte tails and empty payloads ride
+    // the same kernel the gate hashes against DuckDB
+    val fusedU = Multimodal.phashTableUnicode(spark, sf, fused = true)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val hofU2 = Multimodal.phashTableUnicode(spark, sf, fused = false)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    assert(fusedU.keySet == hofU2.keySet)
+    val diffU = fusedU.collect { case (id, v) if hofU2(id) != v => (id, v, hofU2(id)) }
+    assert(diffU.isEmpty, s"unicode corpus first divergence: ${diffU.take(2)}")
     // edge cases the corpus can't produce: empty string (all bits set
     // — 0 >= 0 per sample) and non-ASCII codepoints (Ascii is
     // codePointAt, not first-byte)
