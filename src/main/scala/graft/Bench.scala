@@ -28,18 +28,27 @@ object Bench {
       case Some(names) => SparkEntry.benchQueries.filter(names)
       case None => SparkEntry.benchQueries
     }
-    val timed = selected.map { name =>
-      // audits/tolerance checks bench their production shape instead
-      val fn = SparkEntry.benchOverrides.getOrElse(name, SparkEntry.queries(name))
-      def once(): Either[String, Double] = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
-        }
+    // audits/tolerance checks bench their production shape instead
+    val fns = selected.map(name =>
+      name -> SparkEntry.benchOverrides.getOrElse(name, SparkEntry.queries(name)))
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
       }
-      name -> Seq.fill(runs)(once())
     }
+    // repetitions interleave ROUND-ROBIN across the query list
+    // (VERDICT r7 #6): back-to-back samples let one transient host
+    // stall land all N samples of a single query, which min-of-N can't
+    // absorb — spreading each query's samples ~a full sweep apart
+    // makes the min robust to stalls shorter than a sweep. Pass 0
+    // remains every query's cold run, exactly as before.
+    val acc = collection.mutable.LinkedHashMap[String, Vector[Either[String, Double]]]()
+    for (_ <- 0 until runs; (name, fn) <- fns)
+      acc(name) = acc.getOrElse(name, Vector.empty) :+ once(fn)
+    val timed = fns.map { case (name, _) => name -> acc(name) }
     val results = timed.collect {
       case (n, rs) if rs.forall(_.isRight) =>
         n -> rs.collect { case Right(t) => t }.min
