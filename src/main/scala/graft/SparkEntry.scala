@@ -181,6 +181,7 @@ object SparkEntry {
     "sim_quantize" -> (Similarity.quantize _),
     "sim_knn_graph" -> (Similarity.knnGraph _),
     "sim_knn_graph_lineage" -> (Similarity.knnGraphLineage _),
+    "sim_knn_components" -> (Similarity.knnComponents _),
     // multimodal
     "mm_meta_extract" -> (Multimodal.metaExtract _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
@@ -510,6 +511,34 @@ object SparkEntry {
       | FROM l${Similarity.LpaIters} GROUP BY lbl)
       |SELECT l.vec_id, l.lbl AS community, sz.community_size
       |FROM l${Similarity.LpaIters} l JOIN sz ON sz.lbl = l.lbl""".stripMargin
+  }
+
+  /** kNN-cluster oracle: the kNN-edge CTE chain made undirected, then
+    * a recursive-CTE transitive closure labeling every node with its
+    * reachable minimum (the dedupComponentsSql recipe over the graph's
+    * edges); isolated vectors label to themselves. */
+  private def simKnnComponentsSql: String = {
+    import graft.functions.Planes.{sigsCteSql, cosineSql}
+    s"""WITH RECURSIVE ${sigsCteSql(Similarity.KnnTables, Similarity.KnnPlanes)},
+      |cand AS (SELECT DISTINCT q.vec_id AS vec_id, c.vec_id AS nbr_id
+      |  FROM sigs q JOIN sigs c ON q.t = c.t AND q.sig = c.sig
+      |   AND q.vec_id <> c.vec_id),
+      |scored AS (SELECT cand.vec_id, cand.nbr_id,
+      |  ${cosineSql("ea.emb", "ea.nsq", "eb.emb", "eb.nsq")} AS cosine
+      | FROM cand JOIN e ea ON ea.vec_id = cand.vec_id
+      |  JOIN e eb ON eb.vec_id = cand.nbr_id),
+      |ed AS (SELECT vec_id AS src, nbr_id AS dst FROM (
+      |  SELECT vec_id, nbr_id, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY cosine DESC, nbr_id) AS rk FROM scored) t
+      | WHERE rk <= ${Similarity.KnnK}),
+      |ue AS (SELECT src AS a, dst AS b FROM ed UNION SELECT dst, src FROM ed),
+      |r(a, b) AS (
+      | SELECT a, b FROM ue
+      | UNION
+      | SELECT r.a, ue.b FROM r JOIN ue ON r.b = ue.a),
+      |c AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS comp FROM r GROUP BY a)
+      |SELECT n.vec_id, COALESCE(c.comp, n.vec_id) AS comp
+      |FROM (SELECT vec_id FROM e) n LEFT JOIN c ON c.vec_id = n.vec_id""".stripMargin
   }
 
   /** Integer PageRank oracle: the kNN-edge CTE chain, then
@@ -2287,6 +2316,7 @@ object SparkEntry {
     // the staged graph must read back bit-equal to the build — same
     // oracle as the recompute twin
     "sim_knn_graph_lineage" -> simKnnGraphSql,
+    "sim_knn_components" -> simKnnComponentsSql,
     "sim_range_search" -> simRangeSearchSql,
     "sim_recall_report" -> simRecallReportSql,
     "sim_pagerank" -> simPagerankSql,

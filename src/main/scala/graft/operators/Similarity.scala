@@ -638,6 +638,28 @@ object Similarity {
   def knnGraphLineage(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(stagedKnnGraph(s, dir))
 
+  /** Exact similarity CLUSTERS over the kNN graph — the transitive-
+    * closure view (connected components) that turns neighbor edges
+    * into disjoint clusters, the input to per-cluster sampling /
+    * coreset picks (where LPA gives frequency-elected communities,
+    * this gives the exact reachability partition). Derivation-only:
+    * reads the staged edge list (zero signature work) and reuses the
+    * dedup star-contraction machinery ([[Dedup.connectedComponents]],
+    * O(log n) rounds independent of cluster diameter); vectors whose
+    * buckets yielded no neighbors are singleton components. Output:
+    * every vector with its component id (= min reachable vec_id).
+    * Hash-exact oracle: recursive-CTE closure over the replicated
+    * edge chain. */
+  def knnComponents(s: SparkSession, dir: String): DataFrame = {
+    val edges = knnGraphLineage(s, dir)
+      .select(col("vec_id").as("doc_a"), col("nbr_id").as("doc_b"))
+    val labels = Dedup.connectedComponents(edges)
+      .withColumnRenamed("doc_id", "vec_id")
+    Tables.embeddings(s, dir).select(col("vec_id"))
+      .join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("comp"))
+  }
+
   /** Radius for [[rangeSearch]] — sized so the synthetic corpus (cosine
     * ≈ N(0, 0.13) between unrelated vectors) yields a non-trivial but
     * selective neighbor set (~1% of candidates). */

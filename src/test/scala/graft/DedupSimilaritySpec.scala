@@ -947,6 +947,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"a graph build must run the signature/verify pass exactly once, ran ${sigRuns.get()}")
   }
 
+  test("kNN components: exact reachability partition over the staged graph") {
+    val comp = Similarity.knnComponents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = Tables.embeddings(spark, sf).count()
+    assert(comp.size == n.toInt, "every vector must receive a component label")
+    // every edge's endpoints share a component (closure property)
+    val edges = Similarity.knnGraphLineage(spark, sf)
+      .select("vec_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    edges.foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"edge ($a,$b) spans components") }
+    // each component's label is its minimum member (canonical rep)
+    comp.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min == c, s"component $c labeled above its minimum") }
+    // the graph actually connects something: fewer components than nodes
+    assert(comp.values.toSet.size < n, "no component ever merged")
+  }
+
   test("raised-iteration graph loops: per-round checkpoints keep the plan bounded (VERDICT r7 #4)") {
     // 4× the default round count must neither blow analysis/plan depth
     // nor change the algebra: each round starts from a checkpointed
