@@ -176,6 +176,7 @@ object SparkEntry {
     "sim_rerank_topk" -> (Similarity.rerankTopK _),
     "sim_matryoshka_topk" -> (Similarity.matryoshkaTopK _),
     "sim_ivf_topk" -> (Similarity.ivfTopK _),
+    "sim_ivf_index_topk" -> (Similarity.ivfTopKIndexed _),
     "sim_pq_topk" -> (Similarity.pqTopK _),
     "sim_ivf_pq_topk" -> (Similarity.ivfPqTopK _),
     "sim_quantize" -> (Similarity.quantize _),
@@ -2383,6 +2384,9 @@ object SparkEntry {
         |   / 10000000 / COUNT(*) AS centroid_v
         |FROM v GROUP BY label, pos""".stripMargin,
     "sim_ivf_topk" -> simIvfTopkSql,
+    // serving from the persisted index is bit-equal to the in-memory
+    // IVF path (floats round-trip parquet exactly) — same oracle
+    "sim_ivf_index_topk" -> simIvfTopkSql,
     "dedup_semantic" -> dedupSemanticSql,
     "sim_pq_topk" -> simPqTopkSql,
     "sim_ivf_pq_topk" -> simIvfPqTopkSql,

@@ -381,6 +381,60 @@ object Similarity {
     topKPerQuery(scored)
   }
 
+  /** Build the PERSISTED IVF index — the FAISS index-file shape, done
+    * Spark-native: the bounded centroid table goes to one parquet file
+    * and the corpus goes to parquet PARTITIONED BY its inverted-list id
+    * (`partitionBy(cent_id)` — the inverted lists ARE the filesystem
+    * partitions, ≤ [[IvfMaxNlist]] directories at any corpus size).
+    * Serving then needs zero training jobs even in a fresh process,
+    * and a probe only READS the probed lists: the broadcast probe join
+    * triggers dynamic partition pruning on the postings scan
+    * (spec-asserted), so serving I/O is |probed lists| / nlist of the
+    * corpus — the on-disk analog of an in-memory inverted index. */
+  def buildIvfIndexLineage(s: SparkSession, dir: String,
+      base: String): String = {
+    val cents = kmeansCentroids(s, dir)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
+    assignNearestNarrow(corpus(s, dir), kmeansCentroidSeq(s, dir),
+        "cand_id", "c_emb")
+      .write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$base/postings")
+    base
+  }
+
+  private val stagedIvfIdx =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def stagedIvfIndex(s: SparkSession, dir: String): String =
+    stagedIvfIdx.getOrElseUpdate(dir, {
+      val key = java.lang.Integer.toHexString(dir.hashCode)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivfidx_${ProcessHandle.current().pid()}_$key"
+      buildIvfIndexLineage(s, dir, base)
+    })
+
+  /** IVF retrieval served from the PERSISTED index: centroids read
+    * back from parquet (bounded ≤ nlist rows — floats round-trip
+    * parquet bit-exactly, so probing is identical to the in-memory
+    * path), postings read with an explicit schema (pinning the
+    * partition column back to BIGINT), and the probe join prunes
+    * unprobed list partitions at runtime. Bit-equal to [[ivfTopK]] —
+    * same oracle. */
+  def ivfTopKIndexed(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val base = stagedIvfIndex(s, dir)
+    val cents = s.read.parquet(s"$base/centroids")
+      .collect() // bounded: ≤ IvfMaxNlist rows
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1).toSeq
+    val postings = s.read
+      .schema("cand_id BIGINT, c_emb ARRAY<FLOAT>, cent_id BIGINT")
+      .parquet(s"$base/postings")
+    val probes = probeTopCentroids(queries(s, dir), cents)
+    val scored = broadcast(probes).join(postings, Seq("cent_id"))
+      .select(col("query_id"), col("cand_id"),
+        expr("graft_cosine(q_emb, c_emb)").as("cosine"))
+    topKPerQuery(scored)
+  }
+
   /** Cosine threshold for semantic dedup — matches the embedding
     * near-dup operators' 0.4 bar (this corpus's near-dup tail sits at
     * cosine ≈ 0.4–0.5; there are no higher-cosine pairs at any SF). */

@@ -53,7 +53,8 @@ class AllQueriesSpec extends AnyFunSuite {
     * embeddings table, which the structural gate below cannot see. */
   private val allowedQueryBatchBroadcast = Set(
     "sim_brute_topk", "sim_native_topk", "sim_lsh_topk",
-    "sim_multiprobe_topk", "sim_ivf_topk", "sim_rerank_topk",
+    "sim_multiprobe_topk", "sim_ivf_topk", "sim_ivf_index_topk",
+    "sim_rerank_topk",
     "sim_pq_topk", "sim_ivf_pq_topk", "sim_range_search",
     "sim_matryoshka_topk", "sim_recall_report")
 

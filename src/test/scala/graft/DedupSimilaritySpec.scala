@@ -947,6 +947,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"a graph build must run the signature/verify pass exactly once, ran ${sigRuns.get()}")
   }
 
+  test("persisted IVF index: bit-equal serving, inverted lists pruned as partitions") {
+    // the FAISS index-file shape done Spark-native: centroids + the
+    // partitionBy(cent_id) postings must serve results bit-equal to
+    // the in-memory IVF path...
+    val mem = Similarity.ivfTopK(spark, sf).collect().map(_.toString).toSet
+    val idx = Similarity.ivfTopKIndexed(spark, sf)
+    assert(idx.collect().map(_.toString).toSet == mem,
+      "persisted-index serving must equal the in-memory IVF results")
+    // ...and the probe join must prune unprobed list partitions at
+    // runtime: the broadcast probe side induces a dynamic partition
+    // pruning subquery on the postings scan
+    val plan = idx.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"postings scan must carry a dynamic partition pruning filter:\n$plan")
+  }
+
   test("kNN components: exact reachability partition over the staged graph") {
     val comp = Similarity.knnComponents(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
