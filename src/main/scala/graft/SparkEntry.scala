@@ -179,6 +179,7 @@ object SparkEntry {
     "sim_ivf_index_topk" -> (Similarity.ivfTopKIndexed _),
     "sim_pq_topk" -> (Similarity.pqTopK _),
     "sim_ivf_pq_topk" -> (Similarity.ivfPqTopK _),
+    "sim_ivf_pq_index_topk" -> (Similarity.ivfPqTopKIndexed _),
     "sim_quantize" -> (Similarity.quantize _),
     "sim_knn_graph" -> (Similarity.knnGraph _),
     "sim_knn_graph_lineage" -> (Similarity.knnGraphLineage _),
@@ -2390,6 +2391,10 @@ object SparkEntry {
     "dedup_semantic" -> dedupSemanticSql,
     "sim_pq_topk" -> simPqTopkSql,
     "sim_ivf_pq_topk" -> simIvfPqTopkSql,
+    // coarse stage served from on-disk codes reconstructs bit-equal
+    // codewords (codes are integers, codewords round-trip parquet
+    // exactly) — same composed oracle
+    "sim_ivf_pq_index_topk" -> simIvfPqTopkSql,
     "sim_brute_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
         |  list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS nsq

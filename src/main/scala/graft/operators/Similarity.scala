@@ -619,6 +619,87 @@ object Similarity {
     topKPerQuery(exact)
   }
 
+  /** Build the FULL persisted IVFPQ index — centroids + PQ codebook +
+    * postings carrying (cand_id, codes) partitioned by inverted-list
+    * id. This is the complete FAISS-style index FILE: the coarse
+    * serving stage reads CODES off disk (M·log2(K) bits per vector,
+    * never the floats), reconstruction happens at serve time from the
+    * ≤ PqCodewords codebook literal, and raw embeddings are touched
+    * only by the bounded exact-refine join. */
+  def buildIvfPqIndexLineage(s: SparkSession, dir: String,
+      base: String): String = {
+    import s.implicits._
+    kmeansCentroids(s, dir).coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/centroids")
+    pqCodebook(s, dir).map { case (cid, cw) => (cid, cw.toArray) }
+      .toDF("code_id", "codeword").coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/codebook")
+    val book = pqCodebook(s, dir)
+    require(book.nonEmpty, "empty PQ codebook")
+    val sub = book.head._2.length / PqSubspaces
+    assignNearestNarrow(corpus(s, dir), kmeansCentroidSeq(s, dir),
+        "cand_id", "c_emb")
+      .select(col("cand_id"),
+        array((0 until PqSubspaces).map(m =>
+          pqBest(book, "c_emb", m, sub).getField("cid")): _*).as("codes"),
+        col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$base/postings")
+    base
+  }
+
+  private val stagedIvfPqIdx =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def stagedIvfPqIndex(s: SparkSession, dir: String): String =
+    stagedIvfPqIdx.getOrElseUpdate(dir, {
+      val key = java.lang.Integer.toHexString(dir.hashCode)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqidx_${ProcessHandle.current().pid()}_$key"
+      buildIvfPqIndexLineage(s, dir, base)
+    })
+
+  /** IVFPQ retrieval served ENTIRELY from the persisted index for the
+    * coarse stage: probes prune the postings partitions (DPP, as
+    * [[ivfTopKIndexed]]), candidates score against a reconstruction
+    * assembled from their on-disk CODES and the codebook literal
+    * (element_at per subspace — the scan reads 2 bytes of codes per
+    * vector where the in-memory path reads 256 bytes of floats), then
+    * the RerankCoarse best per query refine through one exact cosine
+    * pass over raw embeddings. Bit-equal to [[ivfPqTopK]] — same
+    * composed oracle. */
+  def ivfPqTopKIndexed(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val base = stagedIvfPqIndex(s, dir)
+    val cents = s.read.parquet(s"$base/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1).toSeq
+    val book = s.read.parquet(s"$base/codebook")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1).toSeq
+    require(book.zipWithIndex.forall { case ((cid, _), i) => cid == i.toLong },
+      "codebook ids must be dense 0..K-1 for positional reconstruction")
+    val sub = book.head._2.length / PqSubspaces
+    val subBooks = (0 until PqSubspaces).map(m =>
+      book.map(_._2.slice(m * sub, (m + 1) * sub)))
+    val postings = s.read
+      .schema("cand_id BIGINT, codes ARRAY<BIGINT>, cent_id BIGINT")
+      .parquet(s"$base/postings")
+    val recon = concat((0 until PqSubspaces).map(m =>
+      element_at(typedLit(subBooks(m)),
+        (col("codes")(m) + 1L).cast("int"))): _*)
+    val probes = probeTopCentroids(queries(s, dir), cents)
+    val coarse = broadcast(probes).join(postings, Seq("cent_id"))
+      .select(col("query_id"), col("cand_id"),
+        call_function("graft_cosine", col("q_emb"), recon).as("pq_cos"))
+    val topC = graft.functions.TopK.perGroup(
+      coarse, "query_id", "cand_id", "pq_cos", RerankCoarse)
+    val exact = topC
+      .join(corpus(s, dir), "cand_id")
+      .join(broadcast(queries(s, dir)), "query_id")
+      .select(col("query_id"), col("cand_id"),
+        expr("graft_cosine(q_emb, c_emb)").as("cosine"))
+    topKPerQuery(exact)
+  }
+
   // kNN-graph banding: 8 planes/table make buckets ~|corpus|/256 so the
   // all-corpus self-join stays near-linear; 8 tables keep planted
   // near-dup recall > 0.999 (spec) — random-bulk neighbors are NOT the

@@ -55,7 +55,8 @@ class AllQueriesSpec extends AnyFunSuite {
     "sim_brute_topk", "sim_native_topk", "sim_lsh_topk",
     "sim_multiprobe_topk", "sim_ivf_topk", "sim_ivf_index_topk",
     "sim_rerank_topk",
-    "sim_pq_topk", "sim_ivf_pq_topk", "sim_range_search",
+    "sim_pq_topk", "sim_ivf_pq_topk", "sim_ivf_pq_index_topk",
+    "sim_range_search",
     "sim_matryoshka_topk", "sim_recall_report")
 
   /** Repo-wide growing-hint gate (VERDICT r3 #1): a broadcast hint is

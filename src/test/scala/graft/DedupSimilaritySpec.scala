@@ -963,6 +963,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"postings scan must carry a dynamic partition pruning filter:\n$plan")
   }
 
+  test("persisted IVFPQ index: codes-on-disk serving is bit-equal, scan reads codes not floats") {
+    val mem = Similarity.ivfPqTopK(spark, sf).collect().map(_.toString).toSet
+    val idx = Similarity.ivfPqTopKIndexed(spark, sf)
+    assert(idx.collect().map(_.toString).toSet == mem,
+      "serving from persisted codes must equal the in-memory IVFPQ results")
+    val plan = idx.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "postings scan must carry a dynamic partition pruning filter")
+    // the coarse stage's postings scan reads the CODES column, never an
+    // embedding column — the 128x byte-volume cut is the point
+    val postingsScan = plan.linesIterator
+      .filter(l => l.contains("postings")).mkString("\n")
+    assert(postingsScan.nonEmpty && !postingsScan.contains("emb"),
+      s"postings scan must not read embeddings:\n$postingsScan")
+  }
+
   test("kNN components: exact reachability partition over the staged graph") {
     val comp = Similarity.knnComponents(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
