@@ -183,6 +183,7 @@ object SparkEntry {
     "sim_quantize" -> (Similarity.quantize _),
     "sim_knn_graph" -> (Similarity.knnGraph _),
     "sim_knn_graph_lineage" -> (Similarity.knnGraphLineage _),
+    "sim_knn_graph_incremental" -> (Similarity.knnGraphIncremental _),
     "sim_knn_components" -> (Similarity.knnComponents _),
     // multimodal
     "mm_meta_extract" -> (Multimodal.metaExtract _),
@@ -2318,6 +2319,9 @@ object SparkEntry {
     // the staged graph must read back bit-equal to the build — same
     // oracle as the recompute twin
     "sim_knn_graph_lineage" -> simKnnGraphSql,
+    // staged-snapshot merge must equal the full rebuild bit-for-bit
+    // (top-k dominance argument — see knnGraphIncremental scaladoc)
+    "sim_knn_graph_incremental" -> simKnnGraphSql,
     "sim_knn_components" -> simKnnComponentsSql,
     "sim_range_search" -> simRangeSearchSql,
     "sim_recall_report" -> simRecallReportSql,

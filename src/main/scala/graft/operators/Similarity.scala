@@ -725,21 +725,33 @@ object Similarity {
     val dims = Planes.dimsOf(Tables.embeddings(s, dir), "embedding")
     val sigs = Planes.withSigs(e, "embedding", KnnTables, KnnPlanes, dims)
       .select(col("table"), col("sig"), col("vec_id"))
-    // directed pairs: each vector needs ITS OWN neighbor list, so keep
-    // (a, b) and (b, a) — candidatePairs' a<b canonical form would halve it
+    graphEdges(e, sigs)
+  }
+
+  /** Per-vector top-k over the DIRECTED bucket pairs of a banded
+    * signature frame: each vector needs ITS OWN neighbor list, so the
+    * self-join keeps (a, b) and (b, a) — candidatePairs' a<b canonical
+    * form would halve it. `vecs` supplies the embeddings for the
+    * verify; shared by the full build and the incremental merge. */
+  private def graphEdges(vecs: DataFrame, sigs: DataFrame): DataFrame = {
     val cands = sigs
       .join(sigs.select(col("table"), col("sig"), col("vec_id").as("nbr_id")),
         Seq("table", "sig"))
       .filter(col("vec_id") =!= col("nbr_id"))
       .select(col("vec_id"), col("nbr_id"))
       .distinct()
-    val scored = cands
-      .join(e.select(col("vec_id"), col("embedding").as("a_emb")), "vec_id")
-      .join(e.select(col("vec_id").as("nbr_id"), col("embedding").as("b_emb")), "nbr_id")
+    graft.functions.TopK.perGroup(scoreDirected(vecs, cands),
+      "vec_id", "nbr_id", "cosine", KnnK)
+  }
+
+  /** Exact cosine for a directed (vec_id, nbr_id) candidate list. */
+  private def scoreDirected(vecs: DataFrame, cands: DataFrame): DataFrame =
+    cands
+      .join(vecs.select(col("vec_id"), col("embedding").as("a_emb")), "vec_id")
+      .join(vecs.select(col("vec_id").as("nbr_id"), col("embedding").as("b_emb")),
+        "nbr_id")
       .select(col("vec_id"), col("nbr_id"),
         expr("graft_cosine(a_emb, b_emb)").as("cosine"))
-    graft.functions.TopK.perGroup(scored, "vec_id", "nbr_id", "cosine", KnnK)
-  }
 
   /** Stage the verified kNN edge list — ONE LSH signature/verify pass —
     * to parquet and return its path. The graph analog of
@@ -772,6 +784,83 @@ object Similarity {
     * scan, zero signature work after the corpus build). */
   def knnGraphLineage(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(stagedKnnGraph(s, dir))
+
+  /** Nightly-batch split for the incremental graph gate: the snapshot
+    * corpus is vec_id % 5 != 0; the remaining 1/5 "arrives tonight". */
+  private def graphSnapshotVecs(all: DataFrame): DataFrame =
+    all.filter(col("vec_id") % 5 =!= 0)
+  private def graphBatchVecs(all: DataFrame): DataFrame =
+    all.filter(col("vec_id") % 5 === 0)
+
+  /** Stage last night's graph state: the snapshot corpus's banded
+    * SIGNATURES (what a new batch must probe against) and its verified
+    * top-k edge list WITH scores (what the merge re-elects over). */
+  def buildIncGraphLineage(s: SparkSession, dir: String,
+      base: String): String = {
+    graft.functions.GraftFunctions.register(s)
+    val all = Tables.embeddingsParallel(s, dir)
+      .select(col("vec_id"), col("embedding"))
+    val dims = Planes.dimsOf(Tables.embeddings(s, dir), "embedding")
+    val oldV = graphSnapshotVecs(all)
+    val sigs = Planes.withSigs(oldV, "embedding", KnnTables, KnnPlanes, dims)
+      .select(col("table"), col("sig"), col("vec_id"))
+    sigs.write.mode("overwrite").parquet(s"$base/sigs")
+    graphEdges(oldV, s.read.parquet(s"$base/sigs"))
+      .write.mode("overwrite").parquet(s"$base/edges")
+    base
+  }
+
+  private val stagedIncGraph =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def stagedIncGraphBase(s: SparkSession, dir: String): String =
+    stagedIncGraph.getOrElseUpdate(dir, {
+      val key = java.lang.Integer.toHexString(dir.hashCode)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_incg_${ProcessHandle.current().pid()}_$key"
+      buildIncGraphLineage(s, dir, base)
+    })
+
+  /** INCREMENTAL kNN-graph maintenance — the nightly-crawl path: a new
+    * embedding batch lands and the graph must update WITHOUT re-running
+    * candidate generation over corpus history. Only the batch computes
+    * signatures; its bucket joins against the STAGED snapshot
+    * signatures (plus itself, both directions) yield every pair a full
+    * rebuild would score that touches a new vector, and the per-vector
+    * top-k re-elects over staged-edges ∪ new-pair scores. This is
+    * EXACT, not approximate: for any vector, top-k(old ∪ new
+    * candidates) ⊆ top-k(old) ∪ new candidates — an old candidate
+    * outside last night's top-k is already dominated by k old
+    * neighbors, so dropping it can never change the merged election —
+    * and the gate's oracle is the full from-scratch rebuild
+    * (`sim_knn_graph`'s SQL verbatim), hash-identical. Per-night cost
+    * scales with the batch (batch sigs + batch-touching pairs + one
+    * k-bounded re-election), not with corpus age — the
+    * dedup_components_incremental contract applied to the ANN graph. */
+  def knnGraphIncremental(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val all = Tables.embeddingsParallel(s, dir)
+      .select(col("vec_id"), col("embedding"))
+    val dims = Planes.dimsOf(Tables.embeddings(s, dir), "embedding")
+    val base = stagedIncGraphBase(s, dir)
+    val oldSigs = s.read.parquet(s"$base/sigs")
+    val oldEdges = s.read.parquet(s"$base/edges")
+      .select(col("vec_id"), col("nbr_id"), col("cosine"))
+    val newSigs = Planes.withSigs(graphBatchVecs(all), "embedding",
+        KnnTables, KnnPlanes, dims)
+      .select(col("table"), col("sig"), col("vec_id"))
+    // every bucket pair touching the batch: new⋈(old ∪ new), then both
+    // directions (the old side needs the new arrivals in ITS list too)
+    val touched = newSigs
+      .join(oldSigs.union(newSigs)
+          .select(col("table"), col("sig"), col("vec_id").as("nbr_id")),
+        Seq("table", "sig"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"))
+    val cands = touched
+      .union(touched.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
+      .distinct()
+    val merged = oldEdges.union(scoreDirected(all, cands))
+    graft.functions.TopK.perGroup(merged, "vec_id", "nbr_id", "cosine", KnnK)
+  }
 
   /** Exact similarity CLUSTERS over the kNN graph — the transitive-
     * closure view (connected components) that turns neighbor edges

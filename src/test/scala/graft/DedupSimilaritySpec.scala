@@ -979,6 +979,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"postings scan must not read embeddings:\n$postingsScan")
   }
 
+  test("incremental kNN graph: batch merge equals the full rebuild, batch-only signature work") {
+    // exactness: merged election over staged-edges ∪ batch-touching
+    // pairs must equal the from-scratch graph on the combined corpus
+    val full = Similarity.knnGraph(spark, sf).collect().map(_.toString).toSet
+    val inc = Similarity.knnGraphIncremental(spark, sf)
+    assert(inc.collect().map(_.toString).toSet == full,
+      "incremental merge must be bit-equal to the full rebuild")
+    // cost shape: after staging, the nightly pass computes signatures
+    // ONLY for the batch — the executed plan's lsh_sigs call sits over
+    // the batch filter, and the snapshot side arrives as a parquet scan
+    val plan = inc.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_lsh_sigs"),
+      "the batch must compute its signatures")
+    assert(plan.contains("parquet"),
+      "the snapshot signatures/edges must arrive from the staged parquet")
+  }
+
   test("kNN components: exact reachability partition over the staged graph") {
     val comp = Similarity.knnComponents(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
