@@ -218,6 +218,7 @@ object SparkEntry {
     "stream_late_data" -> (graft.streaming.Streams.streamLateData _),
     "stream_resume" -> (graft.streaming.Streams.streamResume _),
     "stream_ann_serving" -> (graft.streaming.Streams.streamAnnServing _),
+    "stream_ivf_serving" -> (graft.streaming.Streams.streamIvfServing _),
     // text analysis
     "text_quality" -> (TextAnalysis.quality _),
     "text_lang_topk_native" -> (TextAnalysis.langTopQualityNative _),
@@ -2392,6 +2393,9 @@ object SparkEntry {
     // serving from the persisted index is bit-equal to the in-memory
     // IVF path (floats round-trip parquet exactly) — same oracle
     "sim_ivf_index_topk" -> simIvfTopkSql,
+    // stateless per-query retrieval: micro-batch boundaries cannot
+    // change results, so the stream shares the batch oracle
+    "stream_ivf_serving" -> simIvfTopkSql,
     "dedup_semantic" -> dedupSemanticSql,
     "sim_pq_topk" -> simPqTopkSql,
     "sim_ivf_pq_topk" -> simIvfPqTopkSql,

@@ -418,7 +418,14 @@ object Similarity {
     * partition column back to BIGINT), and the probe join prunes
     * unprobed list partitions at runtime. Bit-equal to [[ivfTopK]] —
     * same oracle. */
-  def ivfTopKIndexed(s: SparkSession, dir: String): DataFrame = {
+  def ivfTopKIndexed(s: SparkSession, dir: String): DataFrame =
+    ivfIndexedServe(s, dir, queries(s, dir))
+
+  /** Serve an arbitrary (query_id, q_emb) batch from the persisted
+    * index — the entry point the streaming gate reuses per
+    * micro-batch. */
+  private[graft] def ivfIndexedServe(s: SparkSession, dir: String,
+      qdf: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val base = stagedIvfIndex(s, dir)
     val cents = s.read.parquet(s"$base/centroids")
@@ -428,7 +435,7 @@ object Similarity {
     val postings = s.read
       .schema("cand_id BIGINT, c_emb ARRAY<FLOAT>, cent_id BIGINT")
       .parquet(s"$base/postings")
-    val probes = probeTopCentroids(queries(s, dir), cents)
+    val probes = probeTopCentroids(qdf, cents)
     val scored = broadcast(probes).join(postings, Seq("cent_id"))
       .select(col("query_id"), col("cand_id"),
         expr("graft_cosine(q_emb, c_emb)").as("cosine"))

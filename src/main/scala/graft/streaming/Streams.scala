@@ -524,6 +524,33 @@ object Streams {
     s.read.parquet(s"$base/dst")
   }
 
+  /** Gate query: streaming retrieval against the PERSISTED IVF index
+    * (the [[streamAnnServing]] shape moved onto the on-disk index):
+    * the index — centroids + cent_id-partitioned postings — is built
+    * ONCE (session-staged, a fresh serving process would read the same
+    * files), queries arrive as a stream, and every micro-batch probes
+    * the static index through the same dynamic-partition-pruned join
+    * the batch gate uses. Retrieval is per-query (no cross-batch
+    * state), so micro-batch boundaries cannot change results and the
+    * stream output is bit-equal to batch `sim_ivf_topk` — the gate
+    * shares its oracle verbatim. */
+  def streamIvfServing(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val base = System.getProperty("java.io.tmpdir") + "/graft_sivf_" + System.nanoTime
+    graft.sources.Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .coalesce(1).write.json(s"$base/src")
+    val in = s.readStream.schema("query_id LONG, q_emb ARRAY<FLOAT>").json(s"$base/src")
+    val q = in.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.operators.Similarity.ivfIndexedServe(s, dir, batch)
+        .write.mode("append").parquet(s"$base/dst")
+      ()
+    }.option("checkpointLocation", s"$base/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/dst")
+  }
+
   /** Gate query: streaming ANOMALY SCORING — the monitoring shape
     * where robust stats are TRAINED OFFLINE (TimeSeries.robustStats:
     * exact median/MAD over the full history) and events arrive as a
