@@ -153,6 +153,7 @@ object SparkEntry {
     "dedup_embedding_lsh_capped" -> (Dedup.embeddingLshCapped _),
     "dedup_semantic" -> (Similarity.semanticDedup _),
     "dedup_paragraph" -> (Dedup.paragraphs _),
+    "dedup_paragraph_apply" -> (Dedup.paragraphsApply _),
     "dedup_substring" -> (Dedup.substrings _),
     "dedup_components" -> (Dedup.components _),
     "dedup_components_incremental" -> (Dedup.componentsIncremental _),
@@ -2310,6 +2311,21 @@ object SparkEntry {
     "dedup_embedding_lsh" -> dedupEmbeddingLshSql,
     "dedup_embedding_lsh_capped" -> dedupEmbeddingLshCappedSql,
     "dedup_paragraph" -> dedupParagraphSql,
+    // the cleaned-corpus artifact: same election, rewritten text —
+    // raw-span grouping keeps the fp-collision tripwire
+    "dedup_paragraph_apply" -> {
+      val sw = Dedup.SpanWords
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |i AS (SELECT doc_id, unnest(range(0, CAST(ceil(len(w)/$sw.0) AS BIGINT))) AS j, w FROM d),
+        |sp AS (SELECT doc_id, CAST(j AS BIGINT) AS span_idx,
+        |  array_to_string(w[(j*$sw+1):(j*$sw+$sw)], ' ') AS span FROM i),
+        |r AS (SELECT doc_id, span_idx, span,
+        |  row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn FROM sp)
+        |SELECT doc_id,
+        | COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY span_idx), '') AS clean_text,
+        | CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM r GROUP BY doc_id""".stripMargin
+    },
     "dedup_substring" -> dedupSubstringSql,
     "sim_lsh_topk" -> simLshTopkSql,
     // serving a query stream against the static index IS the batch

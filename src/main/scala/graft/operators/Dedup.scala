@@ -599,6 +599,39 @@ object Dedup {
         sum(when(!col("kept"), 1L).otherwise(0L)).as("n_removed"))
   }
 
+  /** The cleaned-corpus ARTIFACT of span dedup — [[paragraphs]] reports
+    * accounting; this emits the REWRITTEN text with every non-first
+    * duplicate span dropped, which is the actual C4 output a training
+    * pipeline stores. Scale shape: the election is the same
+    * fp-keyed min(struct) groupBy, the per-doc kept-span set crosses
+    * the exchange as (doc_id, span_idx) LONGS ONLY (sorted bounded
+    * list), and the clean text is rebuilt NARROW from the original
+    * document — span text never shuffles, exactly the paragraphs
+    * contract. Docs whose every span drops emit the empty string. */
+  def paragraphsApply(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documentsParallel(s, dir)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+    val spans = d.select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CAST(ceil(size(w) / ${SpanWords}.0) AS INT) - 1),
+           |  j -> array_join(slice(w, j * $SpanWords + 1, $SpanWords), ' '))""".stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("span_idx"),
+        unhex(md5(col("col"))).as("span_fp"))
+    val keeper = spans.groupBy(col("span_fp"))
+      .agg(min(struct(col("doc_id"), col("span_idx"))).as("k"))
+    val keptIdx = spans.join(keeper, "span_fp")
+      .filter(col("k.doc_id") === col("doc_id") && col("k.span_idx") === col("span_idx"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("span_idx"))).as("keep"))
+    d.join(keptIdx, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(expr(
+          s"array_join(transform(keep, j -> array_join(slice(w, CAST(j AS INT) * $SpanWords + 1, $SpanWords), ' ')), ' ')"),
+          lit("")).as("clean_text"),
+        // size(NULL) is -1 under legacy sizeOfNull — branch, don't coalesce
+        when(col("keep").isNull, lit(0L))
+          .otherwise(size(col("keep")).cast("long")).as("n_kept"))
+  }
+
   /** Window width (words) for sliding-window exact-substring dedup. */
   val SubstrWindow = 8
 

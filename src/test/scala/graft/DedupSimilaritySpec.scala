@@ -1051,6 +1051,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
       }
   }
 
+  test("paragraph apply: cleaned text agrees with the accounting gate") {
+    val acc = Dedup.paragraphs(spark, sf).select("doc_id", "n_kept")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val app = Dedup.paragraphsApply(spark, sf).collect()
+    assert(app.length == acc.size, "one cleaned row per document")
+    app.foreach { r =>
+      val (id, txt, kept) = (r.getLong(0), r.getString(1), r.getLong(2))
+      assert(kept == acc(id), s"doc $id: apply kept $kept, accounting says ${acc(id)}")
+      assert((txt.isEmpty) == (kept == 0L),
+        s"doc $id: empty text iff zero kept spans")
+    }
+  }
+
   test("kNN graph: bounded directed neighbor lists, no self-edges, scores are true cosines") {
     import org.apache.spark.sql.functions._
     val g = Similarity.knnGraph(spark, sf)
