@@ -62,6 +62,7 @@ object SparkEntry {
     "etl_meta_incremental" -> (Etl.metaIncremental _),
     "etl_max_transfers" -> (Etl.maxTransfersDrain _),
     "etl_config_json" -> (Etl.configJsonTransfer _),
+    "etl_config_scheduled" -> (Etl.configScheduledTransfer _),
     // query engine
     "q1_agg" -> (Analytics.q1Agg _),
     "q3_join" -> (Analytics.q3Join _),
@@ -2175,6 +2176,13 @@ object SparkEntry {
       """SELECT CAST(o_custkey % 4 AS INT) AS shard, COUNT(*) AS n,
         | CAST(SUM(CAST(FLOOR(o_totalprice / 100000) AS INT)) AS BIGINT) AS sum_band
         |FROM orders WHERE o_orderkey <= 2000 GROUP BY 1""".stripMargin,
+    // one config key (Frequency) moves the same document to the
+    // periodic streaming path — the data contract must not move
+    "etl_config_scheduled" ->
+      """SELECT CAST(user_id % 4 AS INT) AS shard, COUNT(*) AS n,
+        | CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events WHERE event_id < 2000 AND event_type <> 'error'
+        |GROUP BY 1""".stripMargin,
     "stream_scheduled" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents

@@ -613,6 +613,36 @@ object Etl {
       .agg(count(lit(1)).as("n"), sum(col("band")).as("sum_band"))
   }
 
+  /** Config-driven SCHEDULED transfer (reference config.go:21
+    * Frequency + scheduleNextRun): the one-key config escalation from
+    * batch to periodic — the same declarative document, plus a
+    * Frequency duration, drives a ProcessingTime streaming query
+    * through the identical stage chain (filter → transform → mod
+    * route → partitioned sink). Gate stages an ndjson slice, runs the
+    * document, and aggregates the partitioned sink — hash-exact
+    * against the direct batch SQL, proving the trigger mechanics
+    * change nothing about the data contract. */
+  def configScheduledTransfer(s: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_cfgsched_${System.nanoTime}"
+    Tables.events(s, dir).filter(col("event_id") < 2000)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .write.json(s"$base/src")
+    val cfg = s"""{"Transfers": [{
+      |  "Source": {"Path": "$base/src", "Format": "ndjson",
+      |    "Schema": "event_id LONG, user_id LONG, event_type STRING, value DOUBLE"},
+      |  "Target": "$base/out",
+      |  "Filter": "event_type <> 'error'",
+      |  "Transforms": [{"Name": "value_cents",
+      |                  "Expr": "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"}],
+      |  "Routes": [{"Type": "mod", "Name": "shard", "Src": "user_id", "N": 4}],
+      |  "Frequency": {"Duration": 100, "Unit": "milli"}
+      |}]}""".stripMargin
+    graft.plans.ConfigJson.run(s, cfg)
+    s.read.parquet(s"$base/out")
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_cents"))
+  }
+
   /** Dynamic-partitioned sink (reference transfer.go getTargetKey →
     * per-key target files): one distributed write, partition dirs are
     * the dynamic targets. Returns the read-back per-partition counts so

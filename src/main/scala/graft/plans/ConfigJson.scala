@@ -34,6 +34,9 @@ import org.apache.spark.sql.SparkSession
   *   "MaxErrorCounts": 0,              // config.go:27
   *   "FailRetry": 2,                   // config.go:34
   *   "TimeOut": {"Duration": 300, "Unit": "milli"},   // config.go:31
+  *   "Frequency": {"Duration": 100, "Unit": "milli"}, // config.go:21 —
+  *                 // routes the transfer through the periodic
+  *                 // streaming path (Pipeline.runScheduled)
   *   "Quarantine": "/quar/path",       // RouteQuarantine sink
   *   "MaxParallelTransfers": 2         // config.go:18 (max over transfers)
   * }]}
@@ -195,10 +198,10 @@ object ConfigJson {
 
   /** Duration object → milliseconds (reference Duration units,
     * util.go Get: milli/sec/min/hour). */
-  private def durationMs(v: JValue): Long = {
-    val m = obj(v, "TimeOut")
+  private def durationMs(v: JValue, what: String = "TimeOut"): Long = {
+    val m = obj(v, what)
     val d = long(m.getOrElse("Duration",
-      throw new ConfigError("TimeOut.Duration missing")), "Duration")
+      throw new ConfigError(s"$what.Duration missing")), "Duration")
     str(m.getOrElse("Unit", JStr("milli")), "Unit") match {
       case "milli" | "ms"      => d
       case "sec" | "second"    => d * 1000L
@@ -265,7 +268,14 @@ object ConfigJson {
       throw new ConfigError(s"Schema must be a DDL string or {URL: path}, got $other")
   }
 
-  private def transfer(v: JValue): (Pipeline.TransferSpec, String, Int) = {
+  /** One parsed transfer: the spec, its expanded target, the declared
+    * parallelism, and — when the document carries a `Frequency`
+    * duration (reference config.go:21) — the periodic interval that
+    * routes it through [[Pipeline.runScheduled]]. */
+  final case class ParsedTransfer(spec: Pipeline.TransferSpec,
+    target: String, maxParallel: Int, frequencyMs: Option[Long])
+
+  private def transfer(v: JValue): ParsedTransfer = {
     val m = obj(v, "transfer")
     val srcM = obj(m.getOrElse("Source",
       throw new ConfigError("transfer missing Source")), "Source")
@@ -318,7 +328,7 @@ object ConfigJson {
         Pipeline.RouteQuarantine(Pipeline.expandTarget(str(q, "Quarantine"))))
         .getOrElse(Pipeline.KeepGood),
       failRetries = m.get("FailRetry").map(int(_, "FailRetry")).getOrElse(0),
-      timeoutMs = m.get("TimeOut").map(durationMs))
+      timeoutMs = m.get("TimeOut").map(durationMs(_)))
     val spec = Pipeline.TransferSpec(
       source = source,
       filterExpr = m.get("Filter").map(str(_, "Filter")),
@@ -330,14 +340,15 @@ object ConfigJson {
       policy = policy)
     val par = m.get("MaxParallelTransfers")
       .map(int(_, "MaxParallelTransfers")).getOrElse(1)
-    (spec, target, par)
+    val freq = m.get("Frequency").map(durationMs(_, "Frequency"))
+    ParsedTransfer(spec, target, par, freq)
   }
 
   /** Parse a config document into (spec, expanded target) pairs. */
   def parseTransfers(json: String): Seq[(Pipeline.TransferSpec, String)] =
-    parsed(json).map { case (s, t, _) => (s, t) }
+    parsed(json).map(p => (p.spec, p.target))
 
-  private def parsed(json: String): Seq[(Pipeline.TransferSpec, String, Int)] = {
+  private def parsed(json: String): Seq[ParsedTransfer] = {
     val root = obj(parse(json), "config root")
     root.getOrElse("Transfers",
       throw new ConfigError("config missing Transfers")) match {
@@ -347,12 +358,26 @@ object ConfigJson {
     }
   }
 
-  /** Parse and run every transfer in the document through runAll
-    * (maxParallel = the max MaxParallelTransfers declared, floor 1).
-    * Returns per-transfer (rowsWritten, errorRows) in document order. */
+  /** Parse and run every transfer in the document. Transfers carrying
+    * a `Frequency` duration run through the periodic streaming path
+    * ([[Pipeline.runScheduled]] — reference config.go:21); the rest go
+    * through batch runAll (maxParallel = the max MaxParallelTransfers
+    * declared, floor 1). Returns per-transfer (rowsWritten, errorRows)
+    * in document order. */
   def run(s: SparkSession, json: String): Seq[(Long, Long)] = {
     val ts = parsed(json)
-    Pipeline.runAll(s, ts.map { case (spec, t, _) => (spec, t) },
-      maxParallel = math.max(1, ts.map(_._3).max))
+    val results = new Array[(Long, Long)](ts.size)
+    val batch = ts.zipWithIndex.filter(_._1.frequencyMs.isEmpty)
+    if (batch.nonEmpty) {
+      val batchRes = Pipeline.runAll(s, batch.map { case (p, _) => (p.spec, p.target) },
+        maxParallel = math.max(1, batch.map(_._1.maxParallel).max))
+      batch.zip(batchRes).foreach { case ((_, i), r) => results(i) = r }
+    }
+    ts.zipWithIndex.foreach {
+      case (p, i) if p.frequencyMs.isDefined =>
+        results(i) = Pipeline.runScheduled(s, p.spec, p.target, p.frequencyMs.get)
+      case _ => ()
+    }
+    results.toSeq
   }
 }

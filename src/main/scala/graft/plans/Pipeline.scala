@@ -299,6 +299,47 @@ object Pipeline {
   def plan(s: SparkSession, spec: TransferSpec): DataFrame =
     applyStages(read(s, spec.source), spec)
 
+  /** Scheduled (Frequency) transfer — the reference's periodic Run loop
+    * (reference config.go:21 Frequency; config.go:188 scheduleNextRun)
+    * for a declarative spec: the SAME stage chain as the batch path
+    * applied to a `Trigger.ProcessingTime` streaming read, so a
+    * config document gains periodic re-polling by adding one key.
+    * Streaming readers do not infer schemas — the spec must carry a
+    * Schema DDL (loud error otherwise). Route keys become the sink's
+    * partition columns exactly like the batch write; the checkpoint
+    * (an underscore dir inside the target, invisible to parquet
+    * read-back) makes re-runs exactly-once. The error policy is a
+    * batch-observe concern — a spec declaring `Valid` refuses the
+    * streaming path rather than silently skipping enforcement. Drains
+    * currently-available input (the deterministic gate contract;
+    * production leaves the query running) and returns (rowsWritten,
+    * 0). */
+  def runScheduled(s: SparkSession, spec: TransferSpec, targetPath: String,
+      intervalMs: Long = 100L): (Long, Long) = {
+    import org.apache.spark.sql.streaming.Trigger
+    require(spec.validExpr.isEmpty,
+      "scheduled transfers do not enforce Valid/error policy — run batch or drop Valid")
+    val ddl = spec.source.schemaDdl.getOrElse(throw new ConfigRequired(
+      "scheduled transfer requires Source.Schema (streaming readers do not infer)"))
+    val reader = s.readStream.schema(ddl)
+    val in = spec.source.format match {
+      case NdJson  => reader.json(spec.source.path)
+      case Csv     => reader.option("header", "true").csv(spec.source.path)
+      case Parquet => reader.parquet(spec.source.path)
+    }
+    val out = applyStages(in, spec)
+    val w0 = out.writeStream.format("parquet")
+      .option("path", targetPath)
+      .option("checkpointLocation", s"$targetPath/_checkpoint")
+      .trigger(Trigger.ProcessingTime(intervalMs))
+    val q = (if (spec.routes.nonEmpty) w0.partitionBy(spec.routes.map(_.name): _*)
+             else w0).start()
+    try q.processAllAvailable() finally q.stop()
+    (s.read.parquet(targetPath).count(), 0L)
+  }
+
+  final class ConfigRequired(msg: String) extends RuntimeException(msg)
+
   /** Execute: plan → dynamic-partitioned target write (the reference's
     * per-target-key files become partition directories, written by one
     * distributed job). Enforces the spec's error policy:

@@ -402,6 +402,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(noUrl.getMessage.contains("missing URL"))
   }
 
+  test("JSON config: Frequency runs the periodic path, mixed documents keep order") {
+    import graft.plans.ConfigJson
+    // mixed document: one batch transfer, one Frequency transfer —
+    // results come back in document order with both legs populated
+    val base = tmp("freq_cfg")
+    import spark.implicits._
+    Seq("""{"a":1,"b":"x"}""", """{"a":2,"b":"y"}""", """{"a":3,"b":"z"}""")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(s"$base/src")
+    val json = s"""{"Transfers": [
+      | {"Source": {"Path": "$sf/orders.parquet", "Format": "parquet"},
+      |  "Target": "$base/batch", "Filter": "o_orderkey <= 100"},
+      | {"Source": {"Path": "$base/src", "Format": "ndjson",
+      |    "Schema": "a LONG, b STRING"},
+      |  "Target": "$base/sched", "Filter": "a > 1",
+      |  "Frequency": {"Duration": 50, "Unit": "milli"}}
+      |]}""".stripMargin
+    val res = ConfigJson.run(spark, json)
+    assert(res.size == 2)
+    assert(res.head._1 ==
+      Tables.orders(spark, sf).filter(col("o_orderkey") <= 100).count())
+    assert(res(1)._1 == 2, s"scheduled leg wrote ${res(1)._1} rows, expected 2")
+    assert(spark.read.parquet(s"$base/sched").count() == 2)
+    // loud contracts: streaming needs a Schema; Valid refuses the path
+    val noSchema = intercept[graft.plans.Pipeline.ConfigRequired] {
+      ConfigJson.run(spark, s"""{"Transfers":[{
+        |"Source":{"Path":"$base/src","Format":"ndjson"},
+        |"Target":"$base/x1","Frequency":{"Duration":50,"Unit":"milli"}}]}""".stripMargin)
+    }
+    assert(noSchema.getMessage.contains("Schema"))
+    val withValid = intercept[IllegalArgumentException] {
+      ConfigJson.run(spark, s"""{"Transfers":[{
+        |"Source":{"Path":"$base/src","Format":"ndjson","Schema":"a LONG, b STRING"},
+        |"Target":"$base/x2","Valid":"a > 0",
+        |"Frequency":{"Duration":50,"Unit":"milli"}}]}""".stripMargin)
+    }
+    assert(withValid.getMessage.contains("Valid"))
+  }
+
   test("JSON config: DataTypeMatch transfer equals the hand-built dispatch run") {
     import graft.plans.ConfigJson
     import org.apache.hadoop.fs.Path
