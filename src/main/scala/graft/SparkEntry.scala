@@ -63,6 +63,7 @@ object SparkEntry {
     "etl_max_transfers" -> (Etl.maxTransfersDrain _),
     "etl_config_json" -> (Etl.configJsonTransfer _),
     "etl_config_scheduled" -> (Etl.configScheduledTransfer _),
+    "etl_config_timewindow" -> (Etl.configTimeWindowTransfer _),
     // query engine
     "q1_agg" -> (Analytics.q1Agg _),
     "q3_join" -> (Analytics.q3Join _),
@@ -2176,6 +2177,12 @@ object SparkEntry {
       """SELECT CAST(o_custkey % 4 AS INT) AS shard, COUNT(*) AS n,
         | CAST(SUM(CAST(FLOOR(o_totalprice / 100000) AS INT)) AS BIGINT) AS sum_band
         |FROM orders WHERE o_orderkey <= 2000 GROUP BY 1""".stripMargin,
+    // the rolling TimeWindow keeps only the fresh-mtime batch: the
+    // back-dated rows (orderkey 1001-2000) never transfer
+    "etl_config_timewindow" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders
+        |FROM orders WHERE o_orderkey <= 1000
+        |GROUP BY o_orderstatus""".stripMargin,
     // one config key (Frequency) moves the same document to the
     // periodic streaming path — the data contract must not move
     "etl_config_scheduled" ->

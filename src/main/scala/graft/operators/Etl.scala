@@ -643,6 +643,41 @@ object Etl {
       .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_cents"))
   }
 
+  /** Config-driven TimeWindow transfer (reference config.go:20): the
+    * document declares a rolling mtime window and only in-window
+    * source objects transfer — pruned at LISTING time (the out-of-
+    * window batch is never opened), the exact semantics of the
+    * reference's windowed polling, now reachable from the config file.
+    * Gate stages a fresh batch (mtime = now) and a back-dated one
+    * (now − 10 days) in the same directory; a 1-day window transfers
+    * only the fresh rows — deterministic regardless of wall clock. */
+  def configTimeWindowTransfer(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_cfgtw_${System.nanoTime}"
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderkey") <= 1000).coalesce(1).write.parquet(s"$base/fresh")
+    o.filter(col("o_orderkey") > 1000 && col("o_orderkey") <= 2000).coalesce(1)
+      .write.parquet(s"$base/stale")
+    def parquets(d: String) = Files.list(Paths.get(d)).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    val backdated = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
+    parquets(s"$base/stale").foreach { p =>
+      Files.setLastModifiedTime(p, FileTime.fromMillis(backdated))
+      Files.move(p, Paths.get(s"$base/fresh", "stale_" + p.getFileName.toString))
+    }
+    val cfg = s"""{"Transfers": [{
+      |  "Source": {"Path": "$base/fresh", "Format": "parquet",
+      |    "TimeWindow": {"Duration": 24, "Unit": "hour"}},
+      |  "Target": "$base/out"
+      |}]}""".stripMargin
+    graft.plans.ConfigJson.run(s, cfg)
+    s.read.parquet(s"$base/out")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
   /** Dynamic-partitioned sink (reference transfer.go getTargetKey →
     * per-key target files): one distributed write, partition dirs are
     * the dynamic targets. Returns the read-back per-partition counts so

@@ -15,6 +15,8 @@ import org.apache.spark.sql.SparkSession
   * {{{
   * {"Transfers": [{
   *   "Source": {"Path": "...", "Format": "parquet|ndjson|csv",
+  *              "TimeWindow": {"Duration": 7, "Unit": "hour"},  // config.go:20
+  *              //   rolling mtime window → modifiedAfter listing prune
   *              "Schema": "a LONG, b STRING"},        // Schema optional;
   *              // or a resource (reference config.go:96 Schema *Resource —
   *              // the schema lives in its own file): {"URL": "/path.ddl"}
@@ -291,6 +293,9 @@ object ConfigJson {
       // reference config.go:247 DataTypeMatch — DataType here is the
       // branch's schema DDL (our decoder "provider" IS the schema);
       // empty/absent DataType keeps the reference's exclusion meaning
+      // reference config.go:20 TimeWindow — the rolling mtime window,
+      // applied at file LISTING time via modifiedAfter
+      modifiedWithinMs = srcM.get("TimeWindow").map(durationMs(_, "TimeWindow")),
       typeMatches = srcM.get("DataTypeMatch").toSeq.flatMap {
         case JArr(ms) => ms.map { mv =>
           val mm = obj(mv, "DataTypeMatch entry")

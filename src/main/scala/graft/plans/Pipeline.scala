@@ -43,9 +43,13 @@ object Pipeline {
     * post-read filter would still list+open every object; this prunes
     * them before the first byte.
     * `typeMatches` enables DataTypeMatch dispatch (ndjson only). */
+  /** `modifiedWithinMs` is the reference's TimeWindow (config.go:20 —
+    * only source objects whose modification time falls inside the
+    * rolling window transfer): it becomes Spark's `modifiedAfter`
+    * listing option, so out-of-window objects are never opened. */
   final case class SourceSpec(path: String, format: Format,
     schemaDdl: Option[String] = None, filterGlob: Option[String] = None,
-    typeMatches: Seq[TypeMatch] = Nil)
+    typeMatches: Seq[TypeMatch] = Nil, modifiedWithinMs: Option[Long] = None)
 
   /** `<mod:N>` / `<dateFormat:fmt>` / field-extraction routing keys
     * (reference util.go:18-20, variable_provider.go). */
@@ -211,10 +215,16 @@ object Pipeline {
       val withSchema = src.schemaDdl.map(r.schema).getOrElse(r)
       val withFilter = src.filterGlob
         .map(withSchema.option("pathGlobFilter", _)).getOrElse(withSchema)
+      val withWindow = src.modifiedWithinMs.map { w =>
+        val after = java.time.LocalDateTime.now()
+          .minusNanos(w * 1000000L)
+          .format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+        withFilter.option("modifiedAfter", after)
+      }.getOrElse(withFilter)
       src.format match {
-        case Parquet => withFilter.parquet(src.path)
-        case NdJson  => withFilter.json(src.path)
-        case Csv     => withFilter.option("header", "true").csv(src.path)
+        case Parquet => withWindow.parquet(src.path)
+        case NdJson  => withWindow.json(src.path)
+        case Csv     => withWindow.option("header", "true").csv(src.path)
       }
     }
 
