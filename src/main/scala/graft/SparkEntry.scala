@@ -156,6 +156,7 @@ object SparkEntry {
     "dedup_semantic" -> (Similarity.semanticDedup _),
     "dedup_paragraph" -> (Dedup.paragraphs _),
     "dedup_paragraph_apply" -> (Dedup.paragraphsApply _),
+    "dedup_substring_apply" -> (Dedup.substringsApply _),
     "dedup_substring" -> (Dedup.substrings _),
     "dedup_components" -> (Dedup.components _),
     "dedup_components_incremental" -> (Dedup.componentsIncremental _),
@@ -2342,6 +2343,28 @@ object SparkEntry {
         |FROM r GROUP BY doc_id""".stripMargin
     },
     "dedup_substring" -> dedupSubstringSql,
+    // window-granularity cleaned corpus: first occurrence keeps, later
+    // occurrences drop their covered tokens (raw-span tripwire)
+    "dedup_substring_apply" -> {
+      val w = Dedup.SubstrWindow
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |win AS (SELECT doc_id, CAST(unnest(range(0, len(w) - ${w - 1})) AS BIGINT) AS pos, w
+        | FROM d WHERE len(w) >= $w),
+        |sp AS (SELECT doc_id, pos, array_to_string(w[(pos+1):(pos+$w)], ' ') AS span FROM win),
+        |r AS (SELECT doc_id, pos,
+        |  COUNT(*) OVER (PARTITION BY span) AS n_occ,
+        |  row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn FROM sp),
+        |cov AS (SELECT DISTINCT doc_id, CAST(pos + unnest(range(0, $w)) AS BIGINT) AS tp
+        | FROM r WHERE n_occ > 1 AND rn > 1),
+        |tok AS (SELECT doc_id, CAST(unnest(range(0, len(w))) AS BIGINT) AS tp, w FROM d),
+        |t2 AS (SELECT t.doc_id, t.tp, t.w[CAST(t.tp + 1 AS INT)] AS token,
+        |  (c.tp IS NOT NULL) AS dropped
+        | FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.tp = t.tp)
+        |SELECT doc_id,
+        | COALESCE(string_agg(CASE WHEN NOT dropped THEN token END, ' ' ORDER BY tp), '') AS clean_text,
+        | CAST(SUM(CASE WHEN NOT dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_tokens
+        |FROM t2 GROUP BY doc_id""".stripMargin
+    },
     "sim_lsh_topk" -> simLshTopkSql,
     // serving a query stream against the static index IS the batch
     // retrieval — identical candidate stage and ranking, same oracle

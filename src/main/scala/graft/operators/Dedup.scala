@@ -690,6 +690,48 @@ object Dedup {
         coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"))
   }
 
+  /** The cleaned-corpus artifact at WINDOW granularity — the Lee et
+    * al. removal rule applied ([[substrings]] reports coverage; this
+    * emits the rewritten text): every duplicated window keeps its
+    * FIRST occurrence ((doc_id, pos) order) and every LATER occurrence
+    * drops its covered tokens, so repeated passages survive exactly
+    * once corpus-wide while the first copy stays intact. Scale shape:
+    * the election is the fp-keyed min(struct) groupBy (16-byte fps +
+    * positions across the exchange, never window text), per-doc
+    * covered positions come back as a sorted LONG array, and the clean
+    * text rebuilds NARROW from the original tokens via an indexed
+    * filter — token text never shuffles. The per-token membership
+    * probe is O(|covered|) against a per-doc array — bounded by doc
+    * length, the unit this operator is per-row linear in anyway. */
+  def substringsApply(s: SparkSession, dir: String): DataFrame = {
+    val W = SubstrWindow
+    val d = Tables.documentsParallel(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val wins = d.filter(size(col("w")) >= W)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(w) - $W), i -> array_join(slice(w, i + 1, $W), ' '))")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        unhex(md5(col("col"))).as("fp"))
+    val keeper = wins.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pos"))).as("k"))
+      .filter(col("n_occ") > 1)
+    val removedOcc = wins.join(keeper, "fp")
+      .filter(!(col("k.doc_id") === col("doc_id") && col("k.pos") === col("pos")))
+    val cov = removedOcc
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${W - 1})")).as("tp"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("tp"))).as("cov"))
+    d.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        expr("array_join(filter(w, (x, i) -> cov IS NULL OR NOT array_contains(cov, CAST(i AS BIGINT))), ' ')")
+          .as("clean_text"),
+        when(col("cov").isNull, size(col("w")).cast("long"))
+          .otherwise((size(col("w")) - size(col("cov"))).cast("long"))
+          .as("n_kept_tokens"))
+  }
+
   /** 64-bit SimHash per doc via the native graft_simhash64 expression:
     * per-bit ±1 vote over word-unigram xxhash64, ONE narrow map — no
     * explode, no 64-column agg, no shuffle. */

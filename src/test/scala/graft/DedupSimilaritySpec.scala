@@ -1064,6 +1064,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("substring apply: untouched docs stay verbatim, removal matches the coverage gate") {
+    val orig = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val acct = Dedup.substrings(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val app = Dedup.substringsApply(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(app.size == orig.size, "one cleaned row per document")
+    var removedTotal = 0L
+    app.foreach { case (id, (txt, kept)) =>
+      val nTok = orig(id).split(" ").length.toLong
+      assert(kept <= nTok)
+      removedTotal += nTok - kept
+      // a doc with zero duplicated windows must come back byte-identical
+      if (acct.get(id).forall(_._1 == 0L))
+        assert(txt == orig(id), s"doc $id modified despite no duplicated windows")
+      // apply drops only NON-KEEPER coverage, so it removes at most the
+      // accounting gate's any-occurrence coverage
+      acct.get(id).foreach { case (_, nDupPos) =>
+        assert(nTok - kept <= nDupPos,
+          s"doc $id removed ${nTok - kept} > covered $nDupPos") }
+    }
+    assert(removedTotal > 0, "the corpus has planted duplicates — something must drop")
+  }
+
   test("kNN graph: bounded directed neighbor lists, no self-edges, scores are true cosines") {
     import org.apache.spark.sql.functions._
     val g = Similarity.knnGraph(spark, sf)
