@@ -165,6 +165,7 @@ object SparkEntry {
     "dedup_prefix_join" -> (Dedup.prefixJoin _),
     "dedup_survivors" -> (Dedup.survivors _),
     "dedup_survivors_lineage" -> (Dedup.survivorsLineage _),
+    "dedup_survivors_list" -> (Dedup.survivorsList _),
     // similarity search
     "sim_brute_topk" -> (Similarity.bruteTopK _),
     "sim_native_topk" -> (Similarity.nativeTopK _),
@@ -382,6 +383,32 @@ object SparkEntry {
       |SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
       |       (SELECT COUNT(*) FROM removed) AS n_removed,
       |       (SELECT COUNT(*) FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM removed)) AS n_survivors""".stripMargin
+
+  /** Survivor-list oracle: the components closure labeling left-joined
+    * to the full corpus — kept = component minimum or unpaired doc. */
+  private def dedupSurvivorsListSql: String =
+    """WITH RECURSIVE s AS (
+      | SELECT doc_id, list_distinct(list_transform(
+      |   range(1, len(string_split(text, ' ')) - 1),
+      |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+      |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+      | FROM documents),
+      |p AS (
+      | SELECT doc_a, doc_b FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      |  FROM s a, s b WHERE a.doc_id < b.doc_id) t
+      | WHERE jaccard >= 0.7),
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+      |r(a, b) AS (
+      | SELECT a, b FROM e
+      | UNION
+      | SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+      |c AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp FROM r GROUP BY a)
+      |SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS rep,
+      | (COALESCE(c.comp, d.doc_id) = d.doc_id) AS kept
+      |FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id""".stripMargin
 
   private def dedupComponentsSql: String =
     """WITH RECURSIVE s AS (
@@ -2062,6 +2089,7 @@ object SparkEntry {
     // oracle is the recompute twins' SQL verbatim
     "dedup_components_lineage" -> dedupComponentsSql,
     "dedup_survivors_lineage" -> dedupSurvivorsSql,
+    "dedup_survivors_list" -> dedupSurvivorsListSql,
     "dedup_lsh_verified" ->
       """WITH s AS (
         | SELECT doc_id, list_distinct(list_transform(

@@ -564,6 +564,24 @@ object Dedup {
     survivorsFromLabels(s, dir, s.read.parquet(labelsPath))
   }
 
+  /** The survivor LIST artifact — the per-document verdict the
+    * downstream training pipeline actually consumes ([[survivors]]
+    * reports corpus counts; this emits every doc with its cluster rep
+    * and kept/removed verdict — kept = the component minimum, or any
+    * doc in no near-dup pair). Derivation-only: one read of the staged
+    * component labels left-joined to the corpus id list — ids only,
+    * zero signature work. Oracle: the components closure SQL with the
+    * same left join. */
+  def survivorsList(s: SparkSession, dir: String): DataFrame = {
+    val (_, labelsPath) = stagedPairLineage(s, dir)
+    val labels = s.read.parquet(labelsPath)
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("rep"),
+        (coalesce(col("comp"), col("doc_id")) === col("doc_id")).as("kept"))
+  }
+
   // Span width for paragraph-level dedup (words per span).
   val SpanWords = 10
 
