@@ -24,7 +24,11 @@ object ExplainAudit {
         "q_gap_fill", "q_anomaly", "q_trend", "sim_range_search",
         "text_feature_hash", "text_lm_score", "text_bpe_merges",
         "dedup_substring", "sim_recall_report", "etl_incremental_agg",
-        "q_sketch_merge")
+        "q_sketch_merge",
+        "sim_knn_graph_lineage", "sim_knn_graph_incremental",
+        "sim_knn_components", "sim_ivf_index_topk", "sim_ivf_pq_index_topk",
+        "dedup_paragraph_apply", "dedup_substring_apply",
+        "dedup_survivors_list", "etl_config_scheduled", "mm_phash_dedup_unicode")
     targets.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       df.count() // materialize so AQE finalizes
