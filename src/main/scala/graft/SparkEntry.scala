@@ -114,6 +114,7 @@ object SparkEntry {
     "q_anomaly" -> (TimeSeries.anomaly _),
     "q_trend" -> (TimeSeries.trend _),
     "q_sketch_merge" -> (Analytics3.sketchMerge _),
+    "q_recursive_cte" -> (Analytics3.qRecursiveCte _),
     "stream_anomaly" -> (graft.streaming.Streams.streamAnomaly _),
     "stream_upsert" -> (graft.streaming.Streams.streamUpsert _),
     "stream_trending" -> (graft.streaming.Streams.streamTrending _),
@@ -1255,6 +1256,23 @@ object SparkEntry {
     "q_sketch_merge" ->
       """SELECT TRUE AS union_within_5pct, TRUE AS direct_within_5pct,
         | COUNT(DISTINCT o_custkey) AS exact_distinct FROM orders""".stripMargin,
+    // the SAME recursive SQL both engines execute (Spark 4 WITH
+    // RECURSIVE ≡ DuckDB's) — integer month keys keep it hash-exact
+    "q_recursive_cte" ->
+      """WITH RECURSIVE mx AS (
+        |  SELECT l_orderkey, MAX(l_shipdate) AS r
+        |  FROM lineitem GROUP BY l_orderkey),
+        |base AS (
+        |  SELECT o.o_orderkey,
+        |    (year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1) AS m,
+        |    (year(mx.r) * 12 + month(mx.r) - 1) AS last_m
+        |  FROM orders o JOIN mx ON mx.l_orderkey = o.o_orderkey),
+        |span(o_orderkey, m, last_m) AS (
+        |  SELECT o_orderkey, m, last_m FROM base
+        |  UNION ALL
+        |  SELECT o_orderkey, m + 1, last_m FROM span WHERE m < last_m)
+        |SELECT CAST(m AS BIGINT) AS month_key, COUNT(*) AS n_open
+        |FROM span GROUP BY m""".stripMargin,
     // every REAL hour window closes via the sentinel-driven watermark
     // and emits its final top-3 (count desc, type asc); the sentinel's
     // own window never emits — mirror of the open current hour

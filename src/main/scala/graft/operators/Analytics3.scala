@@ -369,4 +369,34 @@ object Analytics3 {
         within5(col("direct_est")).as("direct_within_5pct"),
         col("exact_distinct"))
   }
+
+  /** Recursive CTE — open-orders-per-month: each order is "open" from
+    * its order month through its last lineitem SHIP month; the
+    * month spine per order comes from a RECURSIVE expansion (Spark 4
+    * executes `WITH RECURSIVE` as an iterative union — the SQL-native
+    * answer to calendar-spine/hierarchy walks that previously forced
+    * sequence()+explode or driver loops). Integer month keys
+    * (year·12+month) keep both engines byte-identical, and recursion
+    * depth is bounded by the order→receipt span (≤ a few months per
+    * row), far under the engine's recursion-level limit. The oracle is
+    * the SAME recursive SQL — DuckDB shares the syntax. */
+  def qRecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_rc")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_rc")
+    s.sql(
+      """WITH RECURSIVE mx AS (
+        |  SELECT l_orderkey, MAX(l_shipdate) AS r
+        |  FROM lineitem_rc GROUP BY l_orderkey),
+        |base AS (
+        |  SELECT o.o_orderkey,
+        |    (year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1) AS m,
+        |    (year(mx.r) * 12 + month(mx.r) - 1) AS last_m
+        |  FROM orders_rc o JOIN mx ON mx.l_orderkey = o.o_orderkey),
+        |span(o_orderkey, m, last_m) AS (
+        |  SELECT o_orderkey, m, last_m FROM base
+        |  UNION ALL
+        |  SELECT o_orderkey, m + 1, last_m FROM span WHERE m < last_m)
+        |SELECT CAST(m AS BIGINT) AS month_key, COUNT(*) AS n_open
+        |FROM span GROUP BY m""".stripMargin)
+  }
 }
