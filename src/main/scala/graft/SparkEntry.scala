@@ -242,6 +242,7 @@ object SparkEntry {
     "text_split_leakage_lineage" -> (TextAnalysis.leakageFreeSplitLineage _),
     "text_pack" -> (TextAnalysis.pack _),
     "text_decontaminate" -> (TextAnalysis.decontaminate _),
+    "text_decontaminate_apply" -> (TextAnalysis.decontaminateApply _),
     "text_decontaminate_bloom" -> (TextAnalysis.decontaminateBloom _),
     "text_corpus_pipeline" -> (TextAnalysis.corpusPipeline _),
     "text_rarity" -> (TextAnalysis.rarity _),
@@ -2432,6 +2433,21 @@ object SparkEntry {
     "sim_rerank_topk" -> simRerankTopkSql,
     "sim_matryoshka_topk" -> simMatryoshkaTopkSql,
     "text_decontaminate" -> textDecontaminateSql,
+    // the artifact: every training doc with its kept/contaminated
+    // verdict (raw-gram join keeps the fp-collision tripwire)
+    "text_decontaminate_apply" -> {
+      val n = TextAnalysis.DecontamN
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - ${n - 2}),
+        |    i -> array_to_string(w[i:i+${n - 1}], ' '))) AS gram
+        |  FROM d WHERE len(w) >= $n),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |hit AS (SELECT DISTINCT doc_id FROM g
+        |  WHERE doc_id % 97 <> 0 AND gram IN (SELECT gram FROM ev))
+        |SELECT d.doc_id, (hit.doc_id IS NULL) AS kept
+        |FROM d LEFT JOIN hit ON hit.doc_id = d.doc_id
+        |WHERE d.doc_id % 97 <> 0""".stripMargin
+    },
     // the bloom path's exact-verify stage removes every bloom false
     // positive, so its contract IS the exact oracle — same SQL
     "text_decontaminate_bloom" -> textDecontaminateSql,

@@ -448,6 +448,27 @@ object TextAnalysis {
       .agg(countDistinct(col("gram_fp")).as("n_hit_ngrams"))
   }
 
+  /** The decontaminated-corpus artifact — [[decontaminate]] reports
+    * hit counts; this emits the per-training-doc VERDICT the pipeline
+    * acts on (docs sharing any [[DecontamN]]-gram with the eval split
+    * drop; eval docs are the benchmark side and are not corpus rows).
+    * Derivation: the hit set left-joined back to the training ids —
+    * ids and 16-byte fps across the exchange, never text. */
+  def decontaminateApply(s: SparkSession, dir: String): DataFrame = {
+    val n = DecontamN
+    val d = Tables.documentsParallel(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val evalFps = docGramFps(d.filter(col("doc_id") % 97 === 0), n)
+      .select(col("gram_fp")).distinct()
+    val hit = docGramFps(d.filter(col("doc_id") % 97 =!= 0), n)
+      .join(evalFps, "gram_fp")
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    d.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
+      .join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("contaminated").isNull.as("kept"))
+  }
+
   /** Bloom-pruned decontamination — the 100 TB shape of
     * [[decontaminate]]: the eval side is bounded (a benchmark suite is
     * MBs, not TBs), so its gram fingerprints compress into ONE
