@@ -1267,7 +1267,8 @@ object SparkEntry {
         |  SELECT o.o_orderkey,
         |    (year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1) AS m,
         |    (year(mx.r) * 12 + month(mx.r) - 1) AS last_m
-        |  FROM orders o JOIN mx ON mx.l_orderkey = o.o_orderkey),
+        |  FROM orders o JOIN mx ON mx.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderkey % 11 = 0),
         |span(o_orderkey, m, last_m) AS (
         |  SELECT o_orderkey, m, last_m FROM base
         |  UNION ALL
