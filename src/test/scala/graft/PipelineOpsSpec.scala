@@ -1079,4 +1079,42 @@ class PipelineOpsSpec extends AnyFunSuite {
       .filter(_.getName.startsWith("dt=")).map(_.getName.stripPrefix("dt=")).sorted
     assert(dirs.toSeq == expect.toSeq, "sweep must unlink expired dirs on disk")
   }
+
+  test("TimeWindow boundary lands at now − window for ANY session timezone (ADVICE r8 #1)") {
+    val base = tmp("tzwin")
+    Tables.orders(spark, sf).limit(10).select(col("o_orderkey"))
+      .coalesce(1).write.parquet(s"$base/src")
+    // plant a second batch whose mtime sits OUTSIDE the 1h window
+    Tables.orders(spark, sf).limit(5).select(col("o_orderkey"))
+      .coalesce(1).write.parquet(s"$base/old")
+    val oldFile = new java.io.File(s"$base/old").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dest = new java.io.File(s"$base/src/old_batch.parquet")
+    java.nio.file.Files.move(oldFile.toPath, dest.toPath)
+    assert(dest.setLastModified(System.currentTimeMillis() - 2 * 3600L * 1000))
+    val spec = SourceSpec(s"$base/src", Parquet,
+      modifiedWithinMs = Some(3600L * 1000)) // 1h rolling window
+    // sessions 12h behind and 14h ahead of the JVM zone (UTC in CI):
+    // the unfixed JVM-wall-clock render silently reads ZERO files for
+    // any session behind the JVM; the fix pins the effective boundary
+    // at nowUTC − window under Spark's double-shifted filter compare
+    for (tz <- Seq("UTC", "Etc/GMT+12", "Pacific/Kiritimati")) {
+      val n = GraftSession.withSqlConfs(spark,
+          "spark.sql.session.timeZone" -> tz) {
+        Pipeline.read(spark, spec).count()
+      }
+      assert(n == 10, s"tz=$tz: fresh batch in, 2h-old batch out (got $n)")
+    }
+  }
+
+  test("scheduled transfer refuses a declared TimeWindow loudly (ADVICE r8 #2)") {
+    val spec = TransferSpec(source = SourceSpec(s"$sf/orders.parquet", Parquet,
+      schemaDdl = Some("o_orderkey BIGINT"),
+      modifiedWithinMs = Some(3600L * 1000)))
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.runScheduled(spark, spec, tmp("schedwin"))
+    }
+    assert(e.getMessage.contains("TimeWindow"),
+      s"refusal must name the ignored constraint: ${e.getMessage}")
+  }
 }
