@@ -28,6 +28,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // consumer boundary: this query's caches/checkpoints are dead
+      // once its parquet is written (VERDICT r8 #3) — staged parquet
+      // artifacts and driver-side centroid sets survive by design
+      CacheScope.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -361,7 +361,13 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxRounds) {
-      edges = round(round(edges, large = true), large = false, eager = false)
+      // hold the two frames this round consumes; release both once the
+      // convergence aggregate has materialized the new edge set — the
+      // loop then holds ≤ 2 round frames at any moment instead of
+      // O(rounds) dead checkpoints (VERDICT r8 #3)
+      val prevEdges = edges
+      val largeCp = round(edges, large = true)
+      edges = round(largeCp, large = false, eager = false)
       // Fixed-point test (VERDICT r2 #4, tightened in r4 per ADVICE r3):
       // a canonical edge set is a STAR FOREST iff BOTH (a) no leaf (y)
       // has more than one incident edge and (b) no node appears both as
@@ -392,6 +398,11 @@ object Dedup {
         .filter(col("leaf_edges") > 1 ||
           (col("leaf_edges") === 1 && col("roles") > 1))
         .isEmpty
+      // the aggregate above ran doCheckpoint on the small round's lazy
+      // checkpoint — every partition of `edges` is now persisted and
+      // its lineage truncated, so last round's blocks are dead weight
+      graft.CacheScope.releasePrevRound(largeCp)
+      graft.CacheScope.releasePrevRound(prevEdges)
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
@@ -543,12 +554,14 @@ object Dedup {
     * concurrent double-build converges to identical files. */
   private val stagedLineage =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
-  def stagedPairLineage(s: SparkSession, dir: String): (String, String) =
-    stagedLineage.getOrElseUpdate(dir, {
-      val key = java.lang.Integer.toHexString(dir.hashCode)
+  def stagedPairLineage(s: SparkSession, dir: String): (String, String) = {
+    val vkey = Tables.versionedKey(s, dir, "documents")
+    stagedLineage.getOrElseUpdate(vkey, {
+      val key = java.lang.Integer.toHexString(vkey.hashCode)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_lineage_${ProcessHandle.current().pid()}_$key"
       buildPairLineage(s, dir, base)
     })
+  }
 
   /** Staged-lineage gate forms: the corpus build runs ONCE per session
     * per corpus (stagedPairLineage); each gate derives from the staged

@@ -121,7 +121,7 @@ object TimeSeries {
   private val statsCache = scala.collection.concurrent.TrieMap.empty[String, Seq[org.apache.spark.sql.Row]]
 
   private[graft] def robustStats(s: SparkSession, dir: String): DataFrame = {
-    val rows = statsCache.getOrElseUpdate(dir, {
+    val rows = statsCache.getOrElseUpdate(Tables.versionedKey(s, dir, "events"), {
       val e = Tables.events(s, dir).select(col("event_type"), col("value"))
       val med = localized(s, e.groupBy(col("event_type"))
         .agg(expr("percentile(value, 0.5)").as("med")))
