@@ -183,6 +183,7 @@ object SparkEntry {
     "sim_matryoshka_topk" -> (Similarity.matryoshkaTopK _),
     "sim_ivf_topk" -> (Similarity.ivfTopK _),
     "sim_ivf_index_topk" -> (Similarity.ivfTopKIndexed _),
+    "sim_ivf_index_incremental" -> (Similarity.ivfIncTopK _),
     "sim_pq_topk" -> (Similarity.pqTopK _),
     "sim_ivf_pq_topk" -> (Similarity.ivfPqTopK _),
     "sim_ivf_pq_index_topk" -> (Similarity.ivfPqTopKIndexed _),
@@ -854,22 +855,30 @@ object SparkEntry {
     * final centroid CTE name. Used by the IVF and semantic-dedup
     * oracles — both must cluster bit-identically to Similarity's
     * driver-resident k-means. */
-  private def lloydCtes(): (scala.collection.mutable.ArrayBuffer[String], String, String) = {
+  private def lloydCtes(trainPred: Option[String => String] = None)
+      : (scala.collection.mutable.ArrayBuffer[String], String, String) = {
     val cc = cosineSql("v.demb", "v.nsq", "CAST(c.cent AS DOUBLE[])",
       "list_sum(list_transform(CAST(c.cent AS DOUBLE[]), x -> x*x))")
+    // optional TRAINING-SET restriction (the incremental-index oracle's
+    // frozen-quantizer contract): stride policy, seeds and every Lloyd
+    // assignment sweep see only the training rows; the final
+    // probe/assign CTEs the callers add stay over the full corpus
+    val pw = trainPred.map(p => s" WHERE ${p("")}").getOrElse("")
+    val sw = trainPred.map(p => s"${p("")} AND ").getOrElse("")
+    val aw = trainPred.map(p => s" WHERE ${p("v.")}").getOrElse("")
     val parts = scala.collection.mutable.ArrayBuffer(
       """e AS (SELECT vec_id, embedding AS emb, CAST(embedding AS DOUBLE[]) AS demb,
         |  list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)) AS nsq
         | FROM embeddings)""".stripMargin,
-      s"params AS (SELECT ${Similarity.ivfStrideSql} AS stride FROM embeddings)",
-      "cents0 AS (SELECT vec_id AS cent_id, emb AS cent FROM e WHERE vec_id % (SELECT stride FROM params) = 0)")
+      s"params AS (SELECT ${Similarity.ivfStrideSql} AS stride FROM embeddings$pw)",
+      s"cents0 AS (SELECT vec_id AS cent_id, emb AS cent FROM e WHERE ${sw}vec_id % (SELECT stride FROM params) = 0)")
     for (it <- 0 until Similarity.IvfLloydIters) {
       parts += s"""assign$it AS (
         |  SELECT vec_id, emb, cent_id FROM (
         |    SELECT v.vec_id, v.emb, c.cent_id,
         |      row_number() OVER (PARTITION BY v.vec_id
         |        ORDER BY $cc DESC, c.cent_id) AS rn
-        |    FROM e v, cents$it c) t WHERE rn = 1)""".stripMargin
+        |    FROM e v, cents$it c$aw) t WHERE rn = 1)""".stripMargin
       parts += s"""cents${it + 1} AS (
         |  SELECT cent_id, list(mean ORDER BY i) AS cent FROM (
         |    SELECT cent_id, i,
@@ -902,8 +911,19 @@ object SparkEntry {
       |FROM assignF v""".stripMargin
   }
 
-  private def simIvfTopkSql: String = {
-    val (parts, cc, fc) = lloydCtes()
+  private def simIvfTopkSql: String = simIvfTopkSqlFrom(None)
+
+  /** The incremental-index oracle IS the IVF oracle with the quantizer
+    * trained on everything but tonight's batch — the frozen-quantizer
+    * contract of FAISS `add`: snapshot postings + appended batch under
+    * frozen centroids serve bit-identically to a one-shot build that
+    * trains without the batch and assigns the full corpus. */
+  private def simIvfIncTopkSql: String =
+    simIvfTopkSqlFrom(Some(a =>
+      s"NOT (${Similarity.IvfIncBatchPred.replace("vec_id", a + "vec_id")})"))
+
+  private def simIvfTopkSqlFrom(trainPred: Option[String => String]): String = {
+    val (parts, cc, fc) = lloydCtes(trainPred)
     parts += s"""probes AS (
       |  SELECT query_id, q_demb, q_nsq, cent_id FROM (
       |    SELECT v.vec_id AS query_id, v.demb AS q_demb, v.nsq AS q_nsq, c.cent_id,
@@ -2513,6 +2533,9 @@ object SparkEntry {
     // stateless per-query retrieval: micro-batch boundaries cannot
     // change results, so the stream shares the batch oracle
     "stream_ivf_serving" -> simIvfTopkSql,
+    // snapshot postings + appended batch under the frozen quantizer ≡
+    // one-shot build that trains without the batch, assigns everything
+    "sim_ivf_index_incremental" -> simIvfIncTopkSql,
     "dedup_semantic" -> dedupSemanticSql,
     "sim_pq_topk" -> simPqTopkSql,
     "sim_ivf_pq_topk" -> simIvfPqTopkSql,

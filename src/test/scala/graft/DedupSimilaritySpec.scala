@@ -963,6 +963,82 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"postings scan must carry a dynamic partition pruning filter:\n$plan")
   }
 
+  test("incremental IVF index: append is batch-only, snapshot files untouched, drift-gated") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_spec_ivfinc_${System.nanoTime}"
+    Similarity.buildIvfIncSnapshot(spark, sf, base)
+    def listing(p: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = listing(s"$base/postings")
+    Similarity.appendIvfIncBatch(spark, sf, base)
+    val after = listing(s"$base/postings")
+    // the append only ADDS files into the inverted-list dirs — every
+    // snapshot postings file survives byte-identical (name + mtime)
+    before.foreach { case (p, m) =>
+      assert(after.get(p).contains(m), s"snapshot postings file rewritten: $p")
+    }
+    assert(after.size > before.size, "append must add batch files")
+    // appended rows = exactly the batch
+    val postings = spark.read
+      .schema("cand_id BIGINT, c_emb ARRAY<FLOAT>, cent_id BIGINT")
+      .parquet(s"$base/postings")
+    val batchN = Tables.embeddings(spark, sf)
+      .filter(expr(s"${Similarity.IvfIncBatchPred}")).count()
+    assert(postings.filter(expr(Similarity.IvfIncBatchPred
+      .replace("vec_id", "cand_id"))).count() == batchN,
+      "appended postings must carry exactly the batch vectors")
+    // serving prunes the postings partitions like the one-shot index
+    val served = Similarity.ivfIncTopK(spark, sf)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "incremental-index serving must DPP-prune the postings scan")
+    val rows = served.collect()
+    assert(rows.length == 10 * Similarity.K,
+      s"10 queries × K results expected, got ${rows.length}")
+    // drift policy: the gate corpus's batch is from the trained
+    // distribution → append branch (its drift reads only the held-out
+    // generalization gap, under the bar)
+    val (drift, retrain) = Similarity.ivfIncRetrainSignal(spark, sf)
+    assert(!retrain && math.abs(drift) < Similarity.IvfIncDriftBar,
+      s"in-distribution batch must take the append branch (drift=$drift)")
+    // a genuinely shifted batch: vectors in the orthogonal complement
+    // of the centroid span — unquantizable by construction. (A merely
+    // NEGATED batch is the wrong test: this corpus is symmetric, so
+    // -x quantizes exactly as well as x and SHOULD read in-dist.)
+    val cents = spark.read.parquet(s"$base/centroids").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val dims = cents.head.length
+    val onb = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    for (c <- cents) {
+      var u = c.clone()
+      for (b <- onb) {
+        val p = u.zip(b).map { case (x, y) => x * y }.sum
+        u = u.zip(b).map { case (x, y) => x - p * y }
+      }
+      val n = math.sqrt(u.map(x => x * x).sum)
+      if (n > 1e-9) onb += u.map(_ / n)
+    }
+    assert(onb.size < dims, "centroid span must leave an orthogonal complement")
+    var v = Array.tabulate(dims)(i => math.sin(i * 2.39996))
+    for (b <- onb) {
+      val p = v.zip(b).map { case (x, y) => x * y }.sum
+      v = v.zip(b).map { case (x, y) => x - p * y }
+    }
+    val nv = math.sqrt(v.map(x => x * x).sum)
+    val vf = v.map(x => (x / nv).toFloat)
+    import spark.implicits._
+    val shifted = Tables.embeddings(spark, sf)
+      .filter(expr(Similarity.IvfIncBatchPred))
+      .select(col("vec_id")).as[Long].collect()
+      .map(id => (id, vf)).toSeq.toDF("cand_id", "c_emb")
+    val (drift2, retrain2) = Similarity.ivfIncRetrainSignal(spark, sf, Some(shifted))
+    assert(retrain2 && drift2 > Similarity.IvfIncDriftBar,
+      s"a shifted batch must trigger the retrain branch (drift=$drift2)")
+  }
+
   test("persisted IVFPQ index: codes-on-disk serving is bit-equal, scan reads codes not floats") {
     val mem = Similarity.ivfPqTopK(spark, sf).collect().map(_.toString).toSet
     val idx = Similarity.ivfPqTopKIndexed(spark, sf)
