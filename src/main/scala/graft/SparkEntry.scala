@@ -184,6 +184,7 @@ object SparkEntry {
     "sim_ivf_topk" -> (Similarity.ivfTopK _),
     "sim_ivf_index_topk" -> (Similarity.ivfTopKIndexed _),
     "sim_ivf_index_incremental" -> (Similarity.ivfIncTopK _),
+    "sim_ivf_index_drift" -> (Similarity.ivfIncDriftReport _),
     "sim_pq_topk" -> (Similarity.pqTopK _),
     "sim_ivf_pq_topk" -> (Similarity.ivfPqTopK _),
     "sim_ivf_pq_index_topk" -> (Similarity.ivfPqTopKIndexed _),
@@ -921,6 +922,29 @@ object SparkEntry {
   private def simIvfIncTopkSql: String =
     simIvfTopkSqlFrom(Some(a =>
       s"NOT (${Similarity.IvfIncBatchPred.replace("vec_id", a + "vec_id")})"))
+
+  /** Oracle for the retrain-vs-append drift report: the SAME frozen
+    * quantizer (unrolled Lloyd without the batch), per-vector best
+    * cosine via MAX over the centroid set, 1e-7 fixed-point means
+    * (floor-quantized BIGINT sums are exact and order-independent in
+    * both engines), and the bar comparison itself. */
+  private def simIvfIncDriftSql: String = {
+    val batch = Similarity.IvfIncBatchPred
+    val (parts, cc, fc) = lloydCtes(Some(a =>
+      s"NOT (${batch.replace("vec_id", a + "vec_id")})"))
+    parts += s"""best AS (
+      |  SELECT v.vec_id, MAX($cc) AS bc
+      |  FROM e v, $fc c WHERE v.vec_id >= 10 GROUP BY v.vec_id)""".stripMargin
+    def meanQ(where: String) =
+      s"""(SELECT CAST(SUM(CAST(floor(bc * 10000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         |  / 10000000 / COUNT(*) FROM best WHERE $where)""".stripMargin
+    s"""WITH ${parts.mkString(",\n")},
+      |m AS (SELECT ${meanQ("NOT (vec_id % 10 = 3)")} AS snap_mean,
+      |  ${meanQ("vec_id % 10 = 3")} AS batch_mean)
+      |SELECT snap_mean, batch_mean, snap_mean - batch_mean AS drift,
+      |  (snap_mean - batch_mean) > ${Similarity.IvfIncDriftBar} AS retrain
+      |FROM m""".stripMargin
+  }
 
   private def simIvfTopkSqlFrom(trainPred: Option[String => String]): String = {
     val (parts, cc, fc) = lloydCtes(trainPred)
@@ -2536,6 +2560,7 @@ object SparkEntry {
     // snapshot postings + appended batch under the frozen quantizer ≡
     // one-shot build that trains without the batch, assigns everything
     "sim_ivf_index_incremental" -> simIvfIncTopkSql,
+    "sim_ivf_index_drift" -> simIvfIncDriftSql,
     "dedup_semantic" -> dedupSemanticSql,
     "sim_pq_topk" -> simPqTopkSql,
     "sim_ivf_pq_topk" -> simIvfPqTopkSql,

@@ -23,6 +23,7 @@ class AllQueriesSpec extends AnyFunSuite {
     "dedup_minhash_lsh",                       // audit: cross join of two 1-row counts
     "pat_skew_join",                           // dim × salts replication (3×8 rows BY DESIGN)
     "etl_cdc_apply",                           // 1-row max-key-offset broadcast combine
+    "sim_ivf_index_drift",                     // cross join of two 1-row mean aggregates
     "sim_rerank_topk",                         // coarse int8 scan IS a broadcast full scan
     "sim_pq_topk",                             // reconstruction scan (broadcast query batch)
     "sim_matryoshka_topk",                     // coarse prefix scan (broadcast query batch)
