@@ -185,6 +185,7 @@ object SparkEntry {
     "sim_ivf_index_topk" -> (Similarity.ivfTopKIndexed _),
     "sim_ivf_index_incremental" -> (Similarity.ivfIncTopK _),
     "sim_ivf_index_drift" -> (Similarity.ivfIncDriftReport _),
+    "sim_ivf_pq_index_incremental" -> (Similarity.ivfPqIncTopK _),
     "sim_pq_topk" -> (Similarity.pqTopK _),
     "sim_ivf_pq_topk" -> (Similarity.ivfPqTopK _),
     "sim_ivf_pq_index_topk" -> (Similarity.ivfPqTopKIndexed _),
@@ -1015,9 +1016,19 @@ object SparkEntry {
     * then the exact-embedding re-rank to top-K. Every arithmetic step
     * is lifted verbatim from the two standalone oracles, so the
     * composition stays hash-exact. */
-  private def simIvfPqTopkSql: String = {
+  private def simIvfPqTopkSql: String = simIvfPqTopkSqlFrom(None)
+
+  /** The incremental-IVFPQ oracle: the composed IVFPQ oracle with BOTH
+    * training stages (Lloyd centroids and the stride codebook)
+    * restricted to everything but tonight's batch — the frozen
+    * quantizer-and-codebook contract of the compressed index's `add`. */
+  private def simIvfPqIncTopkSql: String =
+    simIvfPqTopkSqlFrom(Some(a =>
+      s"NOT (${Similarity.IvfIncBatchPred.replace("vec_id", a + "vec_id")})"))
+
+  private def simIvfPqTopkSqlFrom(trainPred: Option[String => String]): String = {
     import graft.functions.Planes.cosineSql
-    val (parts, cc, fc) = lloydCtes()
+    val (parts, cc, fc) = lloydCtes(trainPred)
     parts += s"""probes AS (
       |  SELECT query_id, cent_id FROM (
       |    SELECT v.vec_id AS query_id, c.cent_id,
@@ -1035,10 +1046,12 @@ object SparkEntry {
     val l2 = (vec: String) =>
       s"""list_sum(list_transform(list_zip($vec, s.csub),
          |       x -> (x[1]-x[2])*(x[1]-x[2])))""".stripMargin
+    val pw = trainPred.map(p => s" WHERE ${p("")}").getOrElse("")
+    val bw = trainPred.map(p => s"${p("")} AND ").getOrElse("")
     parts += s"""pqp AS (SELECT GREATEST(1, COUNT(*) // $k) AS stride,
-      |  (SELECT len(embedding) // $m FROM embeddings LIMIT 1) AS sub FROM embeddings)""".stripMargin
+      |  (SELECT len(embedding) // $m FROM embeddings LIMIT 1) AS sub FROM embeddings$pw)""".stripMargin
     parts += s"""book AS (SELECT vec_id // stride AS code_id, embedding AS cw
-      |  FROM embeddings, pqp WHERE vec_id % stride = 0 AND vec_id // stride < $k)""".stripMargin
+      |  FROM embeddings, pqp WHERE ${bw}vec_id % stride = 0 AND vec_id // stride < $k)""".stripMargin
     parts += s"""subs AS (SELECT code_id, m.m AS m,
       |   CAST(list_slice(cw, m.m*sub+1, (m.m+1)*sub) AS DOUBLE[]) AS csub
       |  FROM book, pqp, range(0,$m) m(m))""".stripMargin
@@ -2568,6 +2581,9 @@ object SparkEntry {
     // codewords (codes are integers, codewords round-trip parquet
     // exactly) — same composed oracle
     "sim_ivf_pq_index_topk" -> simIvfPqTopkSql,
+    // snapshot codes + appended batch under frozen quantizer+codebook ≡
+    // one-shot build training both stages without the batch
+    "sim_ivf_pq_index_incremental" -> simIvfPqIncTopkSql,
     "sim_brute_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
         |  list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS nsq

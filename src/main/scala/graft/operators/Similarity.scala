@@ -712,15 +712,35 @@ object Similarity {
     codebookCache.getOrElseUpdate(Tables.versionedKey(s, dir, "embeddings"),
       pqCodebookBuild(s, dir))
 
-  private def pqCodebookBuild(s: SparkSession, dir: String): Seq[(Long, Seq[Float])] = {
-    val n = Tables.embeddings(s, dir).count() // one scalar action (as IVF)
+  /** Memoized filtered-training-set codebook (the frozen snapshot book
+    * of the incremental IVFPQ index); keyed like [[pqCodebook]] plus
+    * the predicate. */
+  private[graft] def pqCodebookFiltered(s: SparkSession, dir: String,
+      pred: String): Seq[(Long, Seq[Float])] =
+    codebookCache.getOrElseUpdate(
+      Tables.versionedKey(s, dir, "embeddings") + "#pq#" + pred,
+      pqCodebookBuild(s, dir, Some(pred)))
+
+  private def pqCodebookBuild(s: SparkSession, dir: String,
+      trainPred: Option[String] = None): Seq[(Long, Seq[Float])] = {
+    def filtered(df: DataFrame): DataFrame =
+      trainPred.map(p => df.filter(expr(p))).getOrElse(df)
+    val n = filtered(Tables.embeddings(s, dir)).count() // one scalar action (as IVF)
     val stride = math.max(1L, n / PqCodewords)
-    Tables.embeddings(s, dir)
+    val book = filtered(Tables.embeddings(s, dir))
       .filter(col("vec_id") % stride === 0 && expr(s"vec_id DIV $stride") < PqCodewords)
       .select(expr(s"vec_id DIV $stride").as("code_id"), col("embedding"))
       .collect().toSeq // bounded: ≤ PqCodewords rows
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1)
+    // positional reconstruction needs dense 0..K-1 code ids; a training
+    // filter whose excluded residues align with the sample lattice
+    // would leave gaps (the kmeansCentroidBuild seed-lattice hazard
+    // applied to the codebook) — fail loudly, never serve a gappy book
+    require(book.zipWithIndex.forall { case ((cid, _), i) => cid == i.toLong },
+      s"PQ codebook sample lattice collides with the training-set filter: " +
+        s"code ids ${book.map(_._1).mkString(",")}")
+    book
   }
 
   /** Per-subspace best codeword as ONE narrow array expression (the
@@ -866,9 +886,15 @@ object Similarity {
     * the RerankCoarse best per query refine through one exact cosine
     * pass over raw embeddings. Bit-equal to [[ivfPqTopK]] — same
     * composed oracle. */
-  def ivfPqTopKIndexed(s: SparkSession, dir: String): DataFrame = {
+  def ivfPqTopKIndexed(s: SparkSession, dir: String): DataFrame =
+    ivfPqServeFrom(s, dir, stagedIvfPqIndex(s, dir))
+
+  /** Serve from ANY persisted IVFPQ index layout (centroids + codebook
+    * + codes-postings under `base`) — shared by the one-shot index and
+    * the incrementally-maintained one. */
+  private def ivfPqServeFrom(s: SparkSession, dir: String,
+      base: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val base = stagedIvfPqIndex(s, dir)
     val cents = s.read.parquet(s"$base/centroids")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1).toSeq
@@ -899,6 +925,79 @@ object Similarity {
         expr("graft_cosine(q_emb, c_emb)").as("cosine"))
     topKPerQuery(exact)
   }
+
+  /** Incremental maintenance of the persisted IVFPQ index — the
+    * [[buildIvfIncIndex]] contract for the COMPRESSED index: the
+    * coarse quantizer AND the PQ codebook train without tonight's
+    * batch; the nightly job reads both back from the artifact (zero
+    * training state), encodes the batch in one narrow pass, and
+    * appends (cand_id, codes) files into the existing inverted-list
+    * dirs. Per-night I/O ∝ batch; snapshot code files untouched. */
+  def buildIvfPqIncIndex(s: SparkSession, dir: String, base: String): String = {
+    buildIvfPqIncSnapshot(s, dir, base)
+    appendIvfPqIncBatch(s, dir, base)
+    base
+  }
+
+  def buildIvfPqIncSnapshot(s: SparkSession, dir: String, base: String): String = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val pred = s"NOT ($IvfIncBatchPred)"
+    val cents = kmeansCentroidSeqFiltered(s, dir, pred)
+    cents.map { case (cid, emb) => (cid, emb.toArray) }
+      .toDF("cent_id", "cent_emb")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
+    val book = pqCodebookFiltered(s, dir, pred)
+    require(book.nonEmpty, "empty PQ codebook")
+    book.map { case (cid, cw) => (cid, cw.toArray) }
+      .toDF("code_id", "codeword").coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/codebook")
+    val sub = book.head._2.length / PqSubspaces
+    assignNearestNarrow(corpus(s, dir).filter(!expr(IvfIncBatchPred)), cents,
+        "cand_id", "c_emb")
+      .select(col("cand_id"),
+        array((0 until PqSubspaces).map(m =>
+          pqBest(book, "c_emb", m, sub).getField("cid")): _*).as("codes"),
+        col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$base/postings")
+    base
+  }
+
+  def appendIvfPqIncBatch(s: SparkSession, dir: String, base: String): Unit = {
+    graft.functions.GraftFunctions.register(s)
+    val frozen = readCentroids(s, s"$base/centroids")
+    val book = s.read.parquet(s"$base/codebook")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1).toSeq
+    val sub = book.head._2.length / PqSubspaces
+    assignNearestNarrow(corpus(s, dir).filter(expr(IvfIncBatchPred)), frozen,
+        "cand_id", "c_emb")
+      .select(col("cand_id"),
+        array((0 until PqSubspaces).map(m =>
+          pqBest(book, "c_emb", m, sub).getField("cid")): _*).as("codes"),
+        col("cent_id"))
+      .write.mode("append").partitionBy("cent_id")
+      .parquet(s"$base/postings")
+  }
+
+  private val stagedIvfPqInc =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def stagedIvfPqIncIndex(s: SparkSession, dir: String): String = {
+    val vkey = Tables.versionedKey(s, dir, "embeddings")
+    stagedIvfPqInc.getOrElseUpdate(vkey, {
+      val key = java.lang.Integer.toHexString(vkey.hashCode)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqinc_${ProcessHandle.current().pid()}_$key"
+      buildIvfPqIncIndex(s, dir, base)
+    })
+  }
+
+  /** Gate: IVFPQ serving from the incrementally-maintained persisted
+    * index. Hash-equal to the one-shot build under the frozen
+    * quantizer-and-codebook contract — the oracle trains both stages
+    * without the batch and encodes/assigns the full corpus. */
+  def ivfPqIncTopK(s: SparkSession, dir: String): DataFrame =
+    ivfPqServeFrom(s, dir, stagedIvfPqIncIndex(s, dir))
 
   // kNN-graph banding: 8 planes/table make buckets ~|corpus|/256 so the
   // all-corpus self-join stays near-linear; 8 tables keep planted

@@ -59,6 +59,7 @@ class AllQueriesSpec extends AnyFunSuite {
     "sim_ivf_index_incremental",
     "sim_rerank_topk",
     "sim_pq_topk", "sim_ivf_pq_topk", "sim_ivf_pq_index_topk",
+    "sim_ivf_pq_index_incremental",
     "sim_range_search",
     "sim_matryoshka_topk", "sim_recall_report")
 

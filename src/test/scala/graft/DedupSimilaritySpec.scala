@@ -1055,6 +1055,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"postings scan must not read embeddings:\n$postingsScan")
   }
 
+  test("incremental IVFPQ index: batch codes append-only, serving reads codes with DPP") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_spec_pqinc_${System.nanoTime}"
+    Similarity.buildIvfPqIncSnapshot(spark, sf, base)
+    def listing(p: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = listing(s"$base/postings")
+    Similarity.appendIvfPqIncBatch(spark, sf, base)
+    val after = listing(s"$base/postings")
+    before.foreach { case (p, m) =>
+      assert(after.get(p).contains(m), s"snapshot code file rewritten: $p")
+    }
+    assert(after.size > before.size, "append must add batch code files")
+    val served = Similarity.ivfPqIncTopK(spark, sf)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "incremental IVFPQ serving must DPP-prune the postings scan")
+    val postingsScan = plan.linesIterator.filter(_.contains("postings")).mkString("\n")
+    assert(postingsScan.nonEmpty && !postingsScan.contains("emb"),
+      s"coarse scan must read codes, never embeddings:\n$postingsScan")
+    assert(served.collect().length == 10 * Similarity.K)
+  }
+
   test("incremental kNN graph: batch merge equals the full rebuild, batch-only signature work") {
     // exactness: merged election over staged-edges ∪ batch-touching
     // pairs must equal the from-scratch graph on the combined corpus
