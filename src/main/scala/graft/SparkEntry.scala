@@ -186,6 +186,7 @@ object SparkEntry {
     "sim_ivf_index_incremental" -> (Similarity.ivfIncTopK _),
     "sim_ivf_index_drift" -> (Similarity.ivfIncDriftReport _),
     "sim_ivf_pq_index_incremental" -> (Similarity.ivfPqIncTopK _),
+    "sim_ivf_index_compact" -> (Similarity.ivfCompactTopK _),
     "sim_pq_topk" -> (Similarity.pqTopK _),
     "sim_ivf_pq_topk" -> (Similarity.ivfPqTopK _),
     "sim_ivf_pq_index_topk" -> (Similarity.ivfPqTopKIndexed _),
@@ -2574,6 +2575,9 @@ object SparkEntry {
     // one-shot build that trains without the batch, assigns everything
     "sim_ivf_index_incremental" -> simIvfIncTopkSql,
     "sim_ivf_index_drift" -> simIvfIncDriftSql,
+    // compaction moves rows between files, never changes them — the
+    // compacted index shares the incremental gate's oracle verbatim
+    "sim_ivf_index_compact" -> simIvfIncTopkSql,
     "dedup_semantic" -> dedupSemanticSql,
     "sim_pq_topk" -> simPqTopkSql,
     "sim_ivf_pq_topk" -> simIvfPqTopkSql,

@@ -564,6 +564,74 @@ object Similarity {
   def ivfIncTopK(s: SparkSession, dir: String): DataFrame =
     ivfServeFrom(s, stagedIvfIncIndex(s, dir), queries(s, dir))
 
+  /** Compact the inverted lists of a persisted (appended) IVF index IN
+    * PLACE — the small-files closure of the append contract: each
+    * nightly append leaves one file per write task per touched list,
+    * and an object store serving thousands of nights of appends pays
+    * per-file open costs. The compactor lists the postings directories
+    * DRIVER-side (bounded: ≤ nlist entries), selects only lists with
+    * more than `maxFiles` parquet files, reads ONLY those lists, and
+    * rewrites each as ONE file via dynamic partition overwrite —
+    * untouched lists keep their files byte-identical, rows are
+    * preserved bit-exactly (floats round-trip parquet), so serving is
+    * hash-equal before and after. One shuffle of the fat lists keyed
+    * by list id; thin lists cost zero I/O. Returns the compacted list
+    * ids. */
+  def compactIvfIncIndex(s: SparkSession, base: String,
+      maxFiles: Int = 1): Seq[Long] = {
+    val post = new org.apache.hadoop.fs.Path(s"$base/postings")
+    val fs = post.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fat = fs.listStatus(post).filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("cent_id="))
+      .filter { d =>
+        fs.listStatus(d.getPath)
+          .count(_.getPath.getName.endsWith(".parquet")) > maxFiles
+      }
+      .map(_.getPath.getName.stripPrefix("cent_id=").toLong).toSeq.sorted
+    if (fat.nonEmpty) {
+      val postings = s.read
+        .schema("cand_id BIGINT, c_emb ARRAY<FLOAT>, cent_id BIGINT")
+        .parquet(s"$base/postings")
+        .filter(col("cent_id").isInCollection(fat))
+        // hash-repartition on the list id: each fat list lands whole in
+        // exactly one task → exactly one output file per rewritten dir
+        .repartition(col("cent_id"))
+      // dynamic overwrite replaces ONLY the partitions present in the
+      // written frame; the write action runs inside the conf scope
+      graft.GraftSession.withSqlConfs(s,
+          "spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
+        postings.write.mode("overwrite").partitionBy("cent_id")
+          .parquet(s"$base/postings")
+      }
+    }
+    fat
+  }
+
+  /** Gate: serving from the COMPACTED incrementally-maintained index —
+    * a dedicated staged copy of the inc index (build + append) runs
+    * the compactor, then serves. Same oracle as the uncompacted gate:
+    * compaction moves rows between files, never changes them. */
+  private val stagedIvfCompact =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def stagedIvfCompactIndex(s: SparkSession, dir: String): String = {
+    val vkey = Tables.versionedKey(s, dir, "embeddings")
+    stagedIvfCompact.getOrElseUpdate(vkey, {
+      val key = java.lang.Integer.toHexString(vkey.hashCode)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivfcmp_${ProcessHandle.current().pid()}_$key"
+      buildIvfIncIndex(s, dir, base)
+      compactIvfIncIndex(s, base)
+      base
+    })
+  }
+
+  def ivfCompactTopK(s: SparkSession, dir: String): DataFrame =
+    ivfServeFrom(s, stagedIvfCompactIndex(s, dir), queries(s, dir))
+
+  /** Spec hook: serve the gate query slice from an arbitrary index
+    * base (before/after-compaction bit-equality checks). */
+  private[graft] def ivfServeForSpec(s: SparkSession, base: String,
+      dir: String): DataFrame = ivfServeFrom(s, base, queries(s, dir))
+
   /** Quantization-quality drift of the batch against the frozen
     * quantizer — the retrain trigger for the nightly append
     * ([[Similarity.centroidDrift]] specialized to index maintenance):

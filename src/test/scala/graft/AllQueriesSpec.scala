@@ -56,7 +56,7 @@ class AllQueriesSpec extends AnyFunSuite {
   private val allowedQueryBatchBroadcast = Set(
     "sim_brute_topk", "sim_native_topk", "sim_lsh_topk",
     "sim_multiprobe_topk", "sim_ivf_topk", "sim_ivf_index_topk",
-    "sim_ivf_index_incremental",
+    "sim_ivf_index_incremental", "sim_ivf_index_compact",
     "sim_rerank_topk",
     "sim_pq_topk", "sim_ivf_pq_topk", "sim_ivf_pq_index_topk",
     "sim_ivf_pq_index_incremental",

@@ -1055,6 +1055,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"postings scan must not read embeddings:\n$postingsScan")
   }
 
+  test("index compaction: fat lists collapse to one file, thin lists untouched, serving bit-equal") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_spec_cmp_${System.nanoTime}"
+    Similarity.buildIvfIncIndex(spark, sf, base)
+    def dirs(p: String): Map[String, Seq[java.io.File]] =
+      new java.io.File(p).listFiles().filter(_.isDirectory)
+        .filter(_.getName.startsWith("cent_id="))
+        .map(d => d.getName ->
+          d.listFiles().filter(_.getName.endsWith(".parquet")).toSeq.sortBy(_.getName))
+        .toMap
+    val before = dirs(s"$base/postings")
+    val thin = before.filter(_._2.size <= 1).keySet
+    assert(before.exists(_._2.size > 1), "appended index must have multi-file lists to compact")
+    val served0 = Similarity.ivfServeForSpec(spark, base, sf).collect().map(_.toString).toSet
+    val compacted = Similarity.compactIvfIncIndex(spark, base)
+    assert(compacted.nonEmpty, "compactor must select the fat lists")
+    val after = dirs(s"$base/postings")
+    after.foreach { case (d, fsAfter) =>
+      assert(fsAfter.size == 1, s"$d still has ${fsAfter.size} files after compaction")
+    }
+    thin.foreach { d =>
+      val b = before(d).map(f => (f.getName, f.lastModified()))
+      val a = after(d).map(f => (f.getName, f.lastModified()))
+      assert(a == b, s"thin list $d must be untouched by compaction")
+    }
+    val served1 = Similarity.ivfServeForSpec(spark, base, sf).collect().map(_.toString).toSet
+    assert(served1 == served0, "compaction must not change serving results")
+  }
+
   test("incremental IVFPQ index: batch codes append-only, serving reads codes with DPP") {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_spec_pqinc_${System.nanoTime}"
     Similarity.buildIvfPqIncSnapshot(spark, sf, base)
