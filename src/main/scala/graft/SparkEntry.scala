@@ -187,6 +187,7 @@ object SparkEntry {
     "sim_ivf_index_drift" -> (Similarity.ivfIncDriftReport _),
     "sim_ivf_pq_index_incremental" -> (Similarity.ivfPqIncTopK _),
     "sim_ivf_index_compact" -> (Similarity.ivfCompactTopK _),
+    "stream_index_append" -> (graft.streaming.Streams.streamIndexAppend _),
     "sim_pq_topk" -> (Similarity.pqTopK _),
     "sim_ivf_pq_topk" -> (Similarity.ivfPqTopK _),
     "sim_ivf_pq_index_topk" -> (Similarity.ivfPqTopKIndexed _),
@@ -2578,6 +2579,9 @@ object SparkEntry {
     // compaction moves rows between files, never changes them — the
     // compacted index shares the incremental gate's oracle verbatim
     "sim_ivf_index_compact" -> simIvfIncTopkSql,
+    // stateless per-vector assignment + additive appends: micro-batch
+    // boundaries cannot change the final postings set
+    "stream_index_append" -> simIvfIncTopkSql,
     "dedup_semantic" -> dedupSemanticSql,
     "sim_pq_topk" -> simPqTopkSql,
     "sim_ivf_pq_topk" -> simIvfPqTopkSql,

@@ -531,11 +531,18 @@ object Similarity {
     * bit-exactly, so the assignment is identical to build-time), and
     * the write APPENDS new files into the inverted-list directories —
     * snapshot postings files are never rewritten (spec-asserted). */
-  def appendIvfIncBatch(s: SparkSession, dir: String, base: String): Unit = {
+  def appendIvfIncBatch(s: SparkSession, dir: String, base: String): Unit =
+    appendIvfIncVectors(s, base,
+      corpus(s, dir).filter(expr(IvfIncBatchPred)))
+
+  /** Append ANY (cand_id, c_emb) vector frame into the index at
+    * `base` — the per-micro-batch entry point the streaming
+    * maintenance gate reuses. */
+  private[graft] def appendIvfIncVectors(s: SparkSession, base: String,
+      vecs: DataFrame): Unit = {
     graft.functions.GraftFunctions.register(s)
     val frozen = readCentroids(s, s"$base/centroids")
-    assignNearestNarrow(corpus(s, dir).filter(expr(IvfIncBatchPred)), frozen,
-        "cand_id", "c_emb")
+    assignNearestNarrow(vecs, frozen, "cand_id", "c_emb")
       .write.mode("append").partitionBy("cent_id")
       .parquet(s"$base/postings")
   }

@@ -551,6 +551,45 @@ object Streams {
     s.read.parquet(s"$base/dst")
   }
 
+  /** Gate query: STREAMING index maintenance — the nightly append as a
+    * vector stream: the snapshot index (frozen quantizer + snapshot
+    * postings) stages once; tonight's arrivals land in TWO real
+    * micro-batches (maxFilesPerTrigger=1 over two staged slices), each
+    * assigning against the frozen artifact centroids and APPENDING its
+    * postings files — exactly-once via the checkpoint. Assignment is
+    * stateless and appends are additive, so micro-batch boundaries
+    * cannot change the final postings SET: serving after the drain is
+    * bit-equal to the batch `sim_ivf_index_incremental` gate and
+    * shares its oracle verbatim. At 100 TB this is the index's
+    * ingestion topology: a continuous crawl feeds list partitions
+    * while serving reads a consistent snapshot of them; the compactor
+    * ([[graft.operators.Similarity.compactIvfIncIndex]]) absorbs the
+    * per-batch small files. Float arrays survive the ndjson hop
+    * bit-exactly (shortest-roundtrip rendering, as streamAnnServing). */
+  def streamIndexAppend(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val base = System.getProperty("java.io.tmpdir") + "/graft_sidx_" + System.nanoTime
+    graft.operators.Similarity.buildIvfIncSnapshot(s, dir, base)
+    val batch = graft.sources.Tables.embeddings(s, dir)
+      .filter(expr(graft.operators.Similarity.IvfIncBatchPred))
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    new java.io.File(s"$base/src").mkdirs()
+    val t0 = System.currentTimeMillis()
+    stageNamedFile(batch.filter(col("cand_id") % 2 === 0),
+      s"$base/t0", s"$base/src/a_slice.json", t0 - 60000)
+    stageNamedFile(batch.filter(col("cand_id") % 2 =!= 0),
+      s"$base/t1", s"$base/src/b_slice.json", t0)
+    val in = s.readStream.schema("cand_id LONG, c_emb ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1).json(s"$base/src")
+    val q = in.writeStream.foreachBatch { (mb: DataFrame, _: Long) =>
+      graft.operators.Similarity.appendIvfIncVectors(s, base, mb)
+      ()
+    }.option("checkpointLocation", s"$base/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.operators.Similarity.ivfServeForSpec(s, base, dir)
+  }
+
   /** Gate query: streaming ANOMALY SCORING — the monitoring shape
     * where robust stats are TRAINED OFFLINE (TimeSeries.robustStats:
     * exact median/MAD over the full history) and events arrive as a

@@ -382,4 +382,16 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(rowsOf(replayed) == first, "replay must be value-idempotent")
     assert(first.count(_._4 == 1) == batch1.count(), "every update key upgraded once")
   }
+
+  test("streaming index append serves bit-equal to the batch incremental path") {
+    // two maintenance topologies, one result: micro-batched appends
+    // against the frozen quantizer must land the identical postings
+    // set, so serving matches the batch sim_ivf_index_incremental gate
+    val streamed = Streams.streamIndexAppend(spark, sf)
+      .collect().map(_.toString).toSet
+    val batch = graft.operators.Similarity.ivfIncTopK(spark, sf)
+      .collect().map(_.toString).toSet
+    assert(streamed == batch,
+      "stream-maintained index serving must equal the batch-maintained one")
+  }
 }
