@@ -188,6 +188,8 @@ object SparkEntry {
     "sim_ivf_pq_index_incremental" -> (Similarity.ivfPqIncTopK _),
     "sim_ivf_index_compact" -> (Similarity.ivfCompactTopK _),
     "stream_index_append" -> (graft.streaming.Streams.streamIndexAppend _),
+    "text_bm25_topk" -> (TextAnalysis.bm25TopK _),
+    "sim_hybrid_rrf_topk" -> (Similarity.hybridRrfTopK _),
     "sim_pq_topk" -> (Similarity.pqTopK _),
     "sim_ivf_pq_topk" -> (Similarity.ivfPqTopK _),
     "sim_ivf_pq_index_topk" -> (Similarity.ivfPqTopKIndexed _),
@@ -913,6 +915,88 @@ object SparkEntry {
       |    WHERE u.cent_id = v.cent_id AND u.vec_id < v.vec_id
       |      AND $pc >= ${Similarity.SemanticTau}) AS kept
       |FROM assignF v""".stripMargin
+  }
+
+  /** BM25 oracle: identical rational-saturation + probabilistic-idf
+    * arithmetic (no ln — libm can't be hash-gated), identical 1e-7
+    * fixed-point quantization, identical corpus-derived query. */
+  private def textBm25Sql: String = {
+    val k = TextAnalysis.Bm25K
+    val nq = TextAnalysis.Bm25QueryTerms
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS len FROM d),
+      |stats AS (SELECT COUNT(*) AS n_docs, SUM(len) AS total_len FROM lens),
+      |post AS (SELECT doc_id, unnest(w) AS term FROM d),
+      |tfs AS (SELECT doc_id, term, COUNT(*) AS tf FROM post GROUP BY 1, 2),
+      |dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY 1),
+      |q AS (SELECT term, df FROM dfs ORDER BY df DESC, term LIMIT $nq),
+      |scored AS (SELECT t.doc_id, CAST(floor(
+      |    (44 * CAST(t.tf AS DOUBLE) * CAST(s.total_len AS DOUBLE))
+      |    / (20 * CAST(t.tf AS DOUBLE) * CAST(s.total_len AS DOUBLE)
+      |       + 6 * CAST(s.total_len AS DOUBLE)
+      |       + 18 * CAST(l.len AS DOUBLE) * CAST(s.n_docs AS DOUBLE))
+      |    * ((2 * CAST(s.n_docs AS DOUBLE) - 2 * CAST(q.df AS DOUBLE) + 1)
+      |       / (2 * CAST(q.df AS DOUBLE) + 1)) * 10000000 + 0.5) AS BIGINT) AS qv
+      |  FROM tfs t JOIN q USING (term) JOIN lens l ON l.doc_id = t.doc_id, stats s),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_terms_hit, SUM(qv) AS score_q
+      |  FROM scored GROUP BY doc_id)
+      |SELECT doc_id, n_terms_hit, score, rank FROM (
+      |  SELECT doc_id, n_terms_hit, CAST(score_q AS DOUBLE) / 10000000 AS score,
+      |    CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS BIGINT) AS rank
+      |  FROM agg) t WHERE rank <= $k""".stripMargin
+  }
+
+  /** Hybrid RRF oracle: both arms replicated exactly — the BM25 arm
+    * reuses the [[textBm25Sql]] rational/fixed-point arithmetic with
+    * the query terms drawn from the query doc, the dense arm is the
+    * brute-cosine oracle quantized to 1e-7 fixed point, and the fusion
+    * is pure integer floor division (DuckDB `//` ≡ Spark `div`). */
+  private def simHybridRrfSql: String = {
+    val k = Similarity.HybridK; val depth = Similarity.HybridDepth
+    val rrfK = Similarity.HybridRrfK; val qd = Similarity.HybridQueryDoc
+    val nq = Similarity.HybridQueryTerms
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS len FROM d),
+      |stats AS (SELECT COUNT(*) AS n_docs, SUM(len) AS total_len FROM lens),
+      |tfs AS (SELECT doc_id, term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(w) AS term FROM d) GROUP BY 1, 2),
+      |qterms AS (SELECT term FROM tfs WHERE doc_id = $qd
+      |  ORDER BY tf DESC, term LIMIT $nq),
+      |dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY 1),
+      |q AS (SELECT dfs.term, df FROM dfs JOIN qterms USING (term)),
+      |lex_top AS (SELECT doc_id, SUM(qv) AS side_q FROM (
+      |  SELECT t.doc_id, CAST(floor(
+      |    (44 * CAST(t.tf AS DOUBLE) * CAST(s.total_len AS DOUBLE))
+      |    / (20 * CAST(t.tf AS DOUBLE) * CAST(s.total_len AS DOUBLE)
+      |       + 6 * CAST(s.total_len AS DOUBLE)
+      |       + 18 * CAST(l.len AS DOUBLE) * CAST(s.n_docs AS DOUBLE))
+      |    * ((2 * CAST(s.n_docs AS DOUBLE) - 2 * CAST(q.df AS DOUBLE) + 1)
+      |       / (2 * CAST(q.df AS DOUBLE) + 1)) * 10000000 + 0.5) AS BIGINT) AS qv
+      |  FROM tfs t JOIN q USING (term) JOIN lens l ON l.doc_id = t.doc_id, stats s
+      |  WHERE t.doc_id <> $qd)
+      |  GROUP BY doc_id ORDER BY side_q DESC, doc_id LIMIT $depth),
+      |lex AS (SELECT doc_id, CAST(row_number() OVER
+      |  (ORDER BY side_q DESC, doc_id) AS BIGINT) AS lex_rank FROM lex_top),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |  list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS nsq
+      | FROM embeddings),
+      |den_top AS (SELECT c.vec_id AS doc_id, CAST(floor(
+      |    list_sum(list_transform(list_zip(q.emb, c.emb), x -> x[1] * x[2]))
+      |    / sqrt(q.nsq * c.nsq) * 10000000 + 0.5) AS BIGINT) AS side_q
+      |  FROM e q, e c WHERE q.vec_id = $qd AND c.vec_id <> $qd
+      |  ORDER BY side_q DESC, doc_id LIMIT $depth),
+      |den AS (SELECT doc_id, CAST(row_number() OVER
+      |  (ORDER BY side_q DESC, doc_id) AS BIGINT) AS vec_rank FROM den_top),
+      |fused AS (SELECT COALESCE(l.doc_id, dn.doc_id) AS doc_id,
+      |    lex_rank, vec_rank,
+      |    COALESCE(1000000000 // ($rrfK + lex_rank), 0)
+      |      + COALESCE(1000000000 // ($rrfK + vec_rank), 0) AS rrf_q
+      |  FROM lex l FULL JOIN den dn ON l.doc_id = dn.doc_id)
+      |SELECT doc_id, COALESCE(lex_rank, CAST(0 AS BIGINT)) AS lex_rank,
+      |  COALESCE(vec_rank, CAST(0 AS BIGINT)) AS vec_rank,
+      |  CAST(rrf_q AS DOUBLE) / 1000000000 AS rrf_score,
+      |  CAST(row_number() OVER (ORDER BY rrf_q DESC, doc_id) AS BIGINT) AS rank
+      |FROM fused ORDER BY rrf_q DESC, doc_id LIMIT $k""".stripMargin
   }
 
   private def simIvfTopkSql: String = simIvfTopkSqlFrom(None)
@@ -2582,6 +2666,8 @@ object SparkEntry {
     // stateless per-vector assignment + additive appends: micro-batch
     // boundaries cannot change the final postings set
     "stream_index_append" -> simIvfIncTopkSql,
+    "text_bm25_topk" -> textBm25Sql,
+    "sim_hybrid_rrf_topk" -> simHybridRrfSql,
     "dedup_semantic" -> dedupSemanticSql,
     "sim_pq_topk" -> simPqTopkSql,
     "sim_ivf_pq_topk" -> simIvfPqTopkSql,

@@ -1502,4 +1502,96 @@ object Similarity {
     }
     ranks
   }
+
+  /** Result size / fuse depth / RRF constant / query doc for
+    * [[hybridRrfTopK]]. */
+  val HybridK = 10
+  val HybridDepth = 50
+  val HybridRrfK = 60
+  val HybridQueryDoc = 0L
+  val HybridQueryTerms = 3
+
+  /** HYBRID retrieval — the fusion stage of a RAG stack: a
+    * "more-like-this" query for document [[HybridQueryDoc]] runs BOTH
+    * retrieval arms and fuses them with Reciprocal Rank Fusion
+    * (Cormack, Clarke & Büttcher, SIGIR'09: score = Σ 1/(k + rank),
+    * k = [[HybridRrfK]]):
+    *  - LEXICAL arm: BM25 over the documents table (the
+    *    [[graft.operators.TextAnalysis.bm25TopK]] rational/fixed-point
+    *    arithmetic, hash-exact without ln) with the query = the
+    *    [[HybridQueryTerms]] highest-tf terms OF THE QUERY DOC (ties
+    *    lexicographic) — candidates exclude the query doc itself;
+    *  - DENSE arm: exact cosine of the query doc's embedding against
+    *    every other vector (vec_id ≡ doc_id in this corpus), quantized
+    *    to 1e-7 fixed point so the ranking is engine-independent.
+    * Each arm keeps its top-[[HybridDepth]] via TakeOrdered (the rank
+    * window then runs over ≤ depth rows — never a corpus-sized sort);
+    * RRF contributions are computed in EXACT integer arithmetic
+    * (1e9 div (k + rank), summed as longs — floor-division parity with
+    * the DuckDB oracle's `//`), a doc missing from one arm contributes
+    * 0 from it and reports rank 0. One narrow pass per arm + two
+    * bounded ≤ depth-row joins: at 100 TB the arms ARE the existing
+    * serving paths (BM25 postings, the persisted IVF index); fusion
+    * cost is O(depth), independent of corpus size. */
+  def hybridRrfTopK(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val rankW = Window.orderBy(col("side_q").desc, col("doc_id"))
+    // ---- lexical arm (BM25, query terms from the query doc) ----
+    val d = Tables.documentsParallel(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val lens = d.select(col("doc_id"), size(col("w")).cast("long").as("len"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      sum(col("len")).as("total_len"))
+    val tfs = d.select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val qterms = tfs.filter(col("doc_id") === HybridQueryDoc)
+      .orderBy(col("tf").desc, col("term")).limit(HybridQueryTerms)
+      .select(col("term"))
+    val dfs = tfs.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // the trailing limit is a no-op (≤ HybridQueryTerms rows by
+    // construction) that PROVES boundedness to the broadcast-hint lint
+    val query = dfs.join(broadcast(qterms), "term").limit(HybridQueryTerms)
+    val tfD = col("tf").cast("double"); val lenD = col("len").cast("double")
+    val dfD = col("df").cast("double"); val nD = col("n_docs").cast("double")
+    val lD = col("total_len").cast("double")
+    val wSat = (lit(44d) * tfD * lD) /
+      (lit(20d) * tfD * lD + lit(6d) * lD + lit(18d) * lenD * nD)
+    val rIdf = (lit(2d) * nD - lit(2d) * dfD + lit(1d)) / (lit(2d) * dfD + lit(1d))
+    val lexTop = tfs.filter(col("doc_id") =!= HybridQueryDoc)
+      .join(broadcast(query), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(wSat * rIdf * lit(1e7) + lit(0.5)).cast("long").as("qv"))
+      .groupBy(col("doc_id")).agg(sum(col("qv")).as("side_q"))
+      .orderBy(col("side_q").desc, col("doc_id")).limit(HybridDepth)
+    val lex = lexTop.select(col("doc_id"),
+      row_number().over(rankW).cast("long").as("lex_rank"))
+    // ---- dense arm (exact cosine, fixed-point ranking) ----
+    val emb = Tables.embeddingsParallel(s, dir)
+    val qv = emb.filter(col("vec_id") === HybridQueryDoc)
+      .select(col("embedding").as("q_emb")).limit(1)
+    val denTop = emb.filter(col("vec_id") =!= HybridQueryDoc)
+      .select(col("vec_id").as("doc_id"), col("embedding").as("c_emb"))
+      .crossJoin(broadcast(qv))
+      .select(col("doc_id"),
+        floor(expr("graft_cosine(q_emb, c_emb)") * lit(1e7) + lit(0.5))
+          .cast("long").as("side_q"))
+      .orderBy(col("side_q").desc, col("doc_id")).limit(HybridDepth)
+    val den = denTop.select(col("doc_id"),
+      row_number().over(rankW).cast("long").as("vec_rank"))
+    // ---- reciprocal rank fusion (exact integer floor division) ----
+    val fused = lex.join(den, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+        (coalesce(expr(s"1000000000L div (${HybridRrfK}L + lex_rank)"), lit(0L)) +
+         coalesce(expr(s"1000000000L div (${HybridRrfK}L + vec_rank)"), lit(0L)))
+          .as("rrf_q"))
+    fused.orderBy(col("rrf_q").desc, col("doc_id")).limit(HybridK)
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
+        (col("rrf_q").cast("double") / lit(1e9)).as("rrf_score"),
+        row_number().over(Window.orderBy(col("rrf_q").desc, col("doc_id")))
+          .cast("long").as("rank"))
+  }
 }

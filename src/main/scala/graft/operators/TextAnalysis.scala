@@ -850,4 +850,62 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair"))
       .limit(BpeTopMerges)
   }
+
+  /** Result size and query width for [[bm25TopK]]. */
+  val Bm25K = 10
+  val Bm25QueryTerms = 3
+
+  /** BM25 retrieval over the documents table — the LEXICAL half of a
+    * hybrid RAG stack (Robertson & Zaragoza, "The Probabilistic
+    * Relevance Framework: BM25 and Beyond") — made hash-exact WITHOUT
+    * the customary ln():
+    *  - the query derives FROM the corpus (top-[[Bm25QueryTerms]]
+    *    terms by document frequency, ties to the lexicographically
+    *    first), so the gate is self-contained at any SF;
+    *  - the k1=1.2, b=0.75 saturation is computed in its exact
+    *    rational form — multiplying numerator and denominator by
+    *    20·L (L = Σ doc length) clears every fraction:
+    *      w = 44·tf·L / (20·tf·L + 6·L + 18·len·N)
+    *  - idf is the log-free probabilistic ratio
+    *      r = (2N − 2·df + 1) / (2·df + 1)
+    *    (the monotone core of Robertson–Spärck-Jones idf; ln is a
+    *    monotone reshaping whose libm varies across engines and can
+    *    never be hash-gated);
+    *  - each matched term's w·r double quantizes to 1e-7 fixed point
+    *    and sums AS LONGS (order-independent — the labelCentroids
+    *    recipe); one terminal divide renders the score.
+    * Plan shape: one narrow tokenize/explode, one (term) partial-agg
+    * df pass, the bounded query broadcast, one (doc) partial agg, and
+    * a TakeOrdered top-k — the exploded postings shuffle carries
+    * (term, doc_id, counts) only, never document text. */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documentsParallel(s, dir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+    val lens = d.select(col("doc_id"), size(col("w")).cast("long").as("len"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      sum(col("len")).as("total_len"))
+    val post = d.select(col("doc_id"), explode(col("w")).as("term"))
+    val tfs = post.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tfs.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val query = dfs.orderBy(col("df").desc, col("term")).limit(Bm25QueryTerms)
+    val tfD = col("tf").cast("double"); val lenD = col("len").cast("double")
+    val dfD = col("df").cast("double"); val nD = col("n_docs").cast("double")
+    val lD = col("total_len").cast("double")
+    val wSat = (lit(44d) * tfD * lD) /
+      (lit(20d) * tfD * lD + lit(6d) * lD + lit(18d) * lenD * nD)
+    val rIdf = (lit(2d) * nD - lit(2d) * dfD + lit(1d)) / (lit(2d) * dfD + lit(1d))
+    val scored = tfs.join(broadcast(query), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(wSat * rIdf * lit(1e7) + lit(0.5)).cast("long").as("qv"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("qv")).as("score_q"))
+    val top = scored.orderBy(col("score_q").desc, col("doc_id")).limit(Bm25K)
+    top.select(col("doc_id"), col("n_terms_hit"),
+        (col("score_q").cast("double") / lit(1e7)).as("score"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_q").desc, col("doc_id"))).cast("long").as("rank"))
+  }
 }

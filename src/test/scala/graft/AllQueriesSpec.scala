@@ -24,6 +24,8 @@ class AllQueriesSpec extends AnyFunSuite {
     "pat_skew_join",                           // dim × salts replication (3×8 rows BY DESIGN)
     "etl_cdc_apply",                           // 1-row max-key-offset broadcast combine
     "sim_ivf_index_drift",                     // cross join of two 1-row mean aggregates
+    "text_bm25_topk",                          // 1-row corpus-stats broadcast combine
+    "sim_hybrid_rrf_topk",                     // 1-row stats + 1-row query-vector combines
     "sim_rerank_topk",                         // coarse int8 scan IS a broadcast full scan
     "sim_pq_topk",                             // reconstruction scan (broadcast query batch)
     "sim_matryoshka_topk",                     // coarse prefix scan (broadcast query batch)
@@ -57,6 +59,7 @@ class AllQueriesSpec extends AnyFunSuite {
     "sim_brute_topk", "sim_native_topk", "sim_lsh_topk",
     "sim_multiprobe_topk", "sim_ivf_topk", "sim_ivf_index_topk",
     "sim_ivf_index_incremental", "sim_ivf_index_compact",
+    "stream_index_append",  // returns the same indexed-serving plan post-drain
     "sim_rerank_topk",
     "sim_pq_topk", "sim_ivf_pq_topk", "sim_ivf_pq_index_topk",
     "sim_ivf_pq_index_incremental",

@@ -1296,4 +1296,64 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(missed.size <= (n / 100).toInt,
       s"kNN banding missed ${missed.size}/$n planted twins (allowing <1%)")
   }
+
+  test("hybrid RRF: equals the two-arm brute-force oracle, no corpus-sized window sort") {
+    val df = Similarity.hybridRrfTopK(spark, sf)
+    val got = df.collect()
+    // --- independent driver-side recompute of both arms + the fusion ---
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val lens = docs.map { case (id, w) => id -> w.size.toLong }
+    val nDocs = docs.size.toLong
+    val totalLen = lens.values.sum
+    val tfsAll = docs.toSeq.flatMap { case (id, w) =>
+      w.groupBy(identity).map { case (t, g) => (id, t, g.size.toLong) } }
+    val dfs = tfsAll.groupBy(_._2).map { case (t, g) => t -> g.size.toLong }
+    val qd = Similarity.HybridQueryDoc
+    val qterms = tfsAll.filter(_._1 == qd).sortBy { case (_, t, tf) => (-tf, t) }
+      .take(Similarity.HybridQueryTerms).map(_._2).toSet
+    val lexRank = tfsAll
+      .filter(t => t._1 != qd && qterms.contains(t._2))
+      .groupBy(_._1).map { case (id, hits) =>
+        id -> hits.map { case (_, term, tf) =>
+          val w = (44d * tf * totalLen) /
+            (20d * tf * totalLen + 6d * totalLen + 18d * lens(id) * nDocs)
+          val r = (2d * nDocs - 2d * dfs(term) + 1) / (2d * dfs(term) + 1)
+          math.floor(w * r * 1e7 + 0.5).toLong
+        }.sum
+      }.toSeq.sortBy { case (id, s) => (-s, id) }
+      .take(Similarity.HybridDepth).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val embs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val q = embs(qd)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0d; var na = 0d; var nb = 0d; var i = 0
+      while (i < a.size) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val vecRank = embs.toSeq.filter(_._1 != qd)
+      .map { case (id, e) => id -> math.floor(cos(q, e) * 1e7 + 0.5).toLong }
+      .sortBy { case (id, s) => (-s, id) }
+      .take(Similarity.HybridDepth).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val fused = (lexRank.keySet ++ vecRank.keySet).toSeq.map { id =>
+      val rrf = lexRank.get(id).map(r => 1000000000L / (Similarity.HybridRrfK + r)).getOrElse(0L) +
+        vecRank.get(id).map(r => 1000000000L / (Similarity.HybridRrfK + r)).getOrElse(0L)
+      (id, lexRank.getOrElse(id, 0L), vecRank.getOrElse(id, 0L), rrf)
+    }.sortBy { case (id, _, _, rrf) => (-rrf, id) }.take(Similarity.HybridK)
+    assert(got.length == fused.length)
+    got.zip(fused).zipWithIndex.foreach { case ((r, (id, lr, vr, rrf)), i) =>
+      assert(r.getAs[Long]("doc_id") == id, s"rank ${i + 1} doc")
+      assert(r.getAs[Long]("lex_rank") == lr, s"doc $id lex_rank")
+      assert(r.getAs[Long]("vec_rank") == vr, s"doc $id vec_rank")
+      assert(r.getAs[Double]("rrf_score") == rrf.toDouble / 1e9, s"doc $id score")
+      assert(r.getAs[Long]("rank") == i + 1)
+    }
+    // both arms must rank through TakeOrdered (bounded), never a
+    // corpus-sized single-partition window sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "arm top-depth must be TakeOrdered, not a global sort")
+  }
 }

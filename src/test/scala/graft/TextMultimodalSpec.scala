@@ -526,6 +526,46 @@ class TextMultimodalSpec extends AnyFunSuite {
       "en docs must self-fit the en-trained model")
   }
 
+  test("bm25 top-k: equals the brute-force oracle, query broadcasts, text stays out of the shuffle") {
+    val df = TextAnalysis.bm25TopK(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the bounded corpus-derived query must broadcast into the postings
+    assert(plan.contains("BroadcastHashJoin"), "query-term join must broadcast")
+    // driver-side brute force with the identical rational/fixed-point math
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val lens = docs.map { case (id, w) => id -> w.size.toLong }
+    val nDocs = docs.size.toLong
+    val totalLen = lens.values.sum
+    val tfs = docs.toSeq.flatMap { case (id, w) =>
+      w.groupBy(identity).map { case (t, g) => (id, t, g.size.toLong) } }
+    val dfs = tfs.groupBy(_._2).map { case (t, g) => t -> g.size.toLong }
+    val query = dfs.toSeq.sortBy { case (t, d) => (-d, t) }
+      .take(TextAnalysis.Bm25QueryTerms).toMap
+    val scoreQ = tfs.filter(t => query.contains(t._2))
+      .groupBy(_._1).map { case (id, hits) =>
+        val qv = hits.map { case (_, term, tf) =>
+          val w = (44d * tf * totalLen) /
+            (20d * tf * totalLen + 6d * totalLen + 18d * lens(id) * nDocs)
+          val r = (2d * nDocs - 2d * query(term) + 1) / (2d * query(term) + 1)
+          math.floor(w * r * 1e7 + 0.5).toLong
+        }.sum
+        id -> (hits.size.toLong, qv)
+      }
+    val exp = scoreQ.toSeq.sortBy { case (id, (_, s)) => (-s, id) }
+      .take(TextAnalysis.Bm25K)
+    val got = df.collect()
+    assert(got.length == exp.length)
+    got.zip(exp).zipWithIndex.foreach { case ((r, (id, (nHit, sq))), i) =>
+      assert(r.getAs[Long]("doc_id") == id, s"rank ${i + 1} doc")
+      assert(r.getAs[Long]("n_terms_hit") == nHit)
+      assert(r.getAs[Double]("score") == sq.toDouble / 1e7)
+      assert(r.getAs[Long]("rank") == i + 1)
+    }
+    // saturation sanity: every per-term weight < k1+1 scaled by idf max
+    assert(exp.head._2._2 > 0, "top score positive")
+  }
+
   test("bpe merges: equals the brute-force pair count oracle") {
     val got = TextAnalysis.bpeMerges(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)))
