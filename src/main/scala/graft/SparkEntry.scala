@@ -187,6 +187,7 @@ object SparkEntry {
     "sim_ivf_index_drift" -> (Similarity.ivfIncDriftReport _),
     "sim_ivf_pq_index_incremental" -> (Similarity.ivfPqIncTopK _),
     "sim_ivf_index_compact" -> (Similarity.ivfCompactTopK _),
+    "sim_ivf_pq_index_compact" -> (Similarity.ivfPqCompactTopK _),
     "stream_index_append" -> (graft.streaming.Streams.streamIndexAppend _),
     "text_bm25_topk" -> (TextAnalysis.bm25TopK _),
     "sim_hybrid_rrf_topk" -> (Similarity.hybridRrfTopK _),
@@ -2678,6 +2679,9 @@ object SparkEntry {
     // snapshot codes + appended batch under frozen quantizer+codebook ≡
     // one-shot build training both stages without the batch
     "sim_ivf_pq_index_incremental" -> simIvfPqIncTopkSql,
+    // compaction moves code rows between files, never changes them —
+    // serving shares the incremental IVFPQ oracle verbatim
+    "sim_ivf_pq_index_compact" -> simIvfPqIncTopkSql,
     "sim_brute_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
         |  list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS nsq

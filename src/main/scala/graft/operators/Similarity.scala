@@ -585,7 +585,10 @@ object Similarity {
     * by list id; thin lists cost zero I/O. Returns the compacted list
     * ids. */
   def compactIvfIncIndex(s: SparkSession, base: String,
-      maxFiles: Int = 1): Seq[Long] = {
+      maxFiles: Int = 1,
+      // explicit read schema pins the partition-column type (inference
+      // yields INT for numeric dirs); the PQ index passes its codes row
+      rowSchema: String = "cand_id BIGINT, c_emb ARRAY<FLOAT>, cent_id BIGINT"): Seq[Long] = {
     val post = new org.apache.hadoop.fs.Path(s"$base/postings")
     val fs = post.getFileSystem(s.sparkContext.hadoopConfiguration)
     val fat = fs.listStatus(post).filter(_.isDirectory)
@@ -597,7 +600,7 @@ object Similarity {
       .map(_.getPath.getName.stripPrefix("cent_id=").toLong).toSeq.sorted
     if (fat.nonEmpty) {
       val postings = s.read
-        .schema("cand_id BIGINT, c_emb ARRAY<FLOAT>, cent_id BIGINT")
+        .schema(rowSchema)
         .parquet(s"$base/postings")
         .filter(col("cent_id").isInCollection(fat))
         // hash-repartition on the list id: each fat list lands whole in
@@ -1073,6 +1076,36 @@ object Similarity {
     * without the batch and encodes/assigns the full corpus. */
   def ivfPqIncTopK(s: SparkSession, dir: String): DataFrame =
     ivfPqServeFrom(s, dir, stagedIvfPqIncIndex(s, dir))
+
+  /** PQ postings rows are (cand_id, codes, cent_id) — the codes array
+    * replaces the float vector, everything else matches the IVF row. */
+  val PqPostingsSchema = "cand_id BIGINT, codes ARRAY<BIGINT>, cent_id BIGINT"
+
+  /** Gate: serving from the COMPACTED incrementally-maintained IVFPQ
+    * index — [[compactIvfIncIndex]] applied to the CODES postings (the
+    * small-files closure for the compressed index's nightly appends;
+    * codes are integers, so rows survive the rewrite bit-exactly and
+    * serving shares the incremental gate's oracle verbatim). */
+  private val stagedIvfPqCompact =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def stagedIvfPqCompactIndex(s: SparkSession, dir: String): String = {
+    val vkey = Tables.versionedKey(s, dir, "embeddings")
+    stagedIvfPqCompact.getOrElseUpdate(vkey, {
+      val key = java.lang.Integer.toHexString(vkey.hashCode)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqcmp_${ProcessHandle.current().pid()}_$key"
+      buildIvfPqIncIndex(s, dir, base)
+      compactIvfIncIndex(s, base, rowSchema = PqPostingsSchema)
+      base
+    })
+  }
+
+  def ivfPqCompactTopK(s: SparkSession, dir: String): DataFrame =
+    ivfPqServeFrom(s, dir, stagedIvfPqCompactIndex(s, dir))
+
+  /** Spec hook: IVFPQ serving from an arbitrary index base
+    * (before/after-compaction bit-equality checks). */
+  private[graft] def ivfPqServeForSpec(s: SparkSession, dir: String,
+      base: String): DataFrame = ivfPqServeFrom(s, dir, base)
 
   // kNN-graph banding: 8 planes/table make buckets ~|corpus|/256 so the
   // all-corpus self-join stays near-linear; 8 tables keep planted

@@ -62,7 +62,7 @@ class AllQueriesSpec extends AnyFunSuite {
     "stream_index_append",  // returns the same indexed-serving plan post-drain
     "sim_rerank_topk",
     "sim_pq_topk", "sim_ivf_pq_topk", "sim_ivf_pq_index_topk",
-    "sim_ivf_pq_index_incremental",
+    "sim_ivf_pq_index_incremental", "sim_ivf_pq_index_compact",
     "sim_range_search",
     "sim_matryoshka_topk", "sim_recall_report")
 

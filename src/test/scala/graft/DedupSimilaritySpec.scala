@@ -1083,6 +1083,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(served1 == served0, "compaction must not change serving results")
   }
 
+  test("IVFPQ compaction: fat code lists collapse, thin untouched, serving bit-equal") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_spec_pqcmp_${System.nanoTime}"
+    Similarity.buildIvfPqIncIndex(spark, sf, base)
+    def dirs(p: String): Map[String, Seq[java.io.File]] =
+      new java.io.File(p).listFiles().filter(_.isDirectory)
+        .filter(_.getName.startsWith("cent_id="))
+        .map(d => d.getName ->
+          d.listFiles().filter(_.getName.endsWith(".parquet")).toSeq.sortBy(_.getName))
+        .toMap
+    val before = dirs(s"$base/postings")
+    val thin = before.filter(_._2.size <= 1).keySet
+    assert(before.exists(_._2.size > 1), "appended PQ index must have multi-file lists")
+    val served0 = Similarity.ivfPqServeForSpec(spark, sf, base)
+      .collect().map(_.toString).toSet
+    val compacted = Similarity.compactIvfIncIndex(spark, base,
+      rowSchema = Similarity.PqPostingsSchema)
+    assert(compacted.nonEmpty, "compactor must select the fat code lists")
+    dirs(s"$base/postings").foreach { case (d, fsAfter) =>
+      if (thin(d))
+        assert(before(d).map(f => (f.getName, f.lastModified())) ==
+          fsAfter.map(f => (f.getName, f.lastModified())),
+          s"thin list $d must be untouched")
+      else assert(fsAfter.size == 1, s"$d still has ${fsAfter.size} files")
+    }
+    val served1 = Similarity.ivfPqServeForSpec(spark, sf, base)
+      .collect().map(_.toString).toSet
+    assert(served1 == served0, "PQ compaction must not change serving results")
+  }
+
   test("incremental IVFPQ index: batch codes append-only, serving reads codes with DPP") {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_spec_pqinc_${System.nanoTime}"
     Similarity.buildIvfPqIncSnapshot(spark, sf, base)
