@@ -246,6 +246,8 @@ object SparkEntry {
     "text_repetition" -> (TextAnalysis.repetition _),
     "text_chunk" -> (TextAnalysis.chunk _),
     "text_split" -> (TextAnalysis.trainValSplit _),
+    "text_stratified_split" -> (TextAnalysis.stratifiedSplit _),
+    "stream_pq_index_append" -> (graft.streaming.Streams.streamPqIndexAppend _),
     "text_split_leakage_free" -> (TextAnalysis.leakageFreeSplit _),
     "text_split_leakage_lineage" -> (TextAnalysis.leakageFreeSplitLineage _),
     "text_pack" -> (TextAnalysis.pack _),
@@ -2457,6 +2459,18 @@ object SparkEntry {
         |  THEN 'train' ELSE 'val' END AS split,
         | COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1""".stripMargin,
+    "text_stratified_split" ->
+      s"""WITH r AS (SELECT source, n_chars,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY (doc_id * 2654435761 + 104729) % 9973, doc_id)
+        |    AS BIGINT) AS rk,
+        |  CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_source
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN rk <= (n_source * ${TextAnalysis.StratTrainPct}) // 100
+        |    THEN 'train' ELSE 'val' END AS split,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM r GROUP BY 1, 2""".stripMargin,
     "text_split_leakage_free" -> textSplitLeakageSql,
     "text_split_leakage_lineage" -> textSplitLeakageSql,
     "text_pack" ->
@@ -2667,6 +2681,9 @@ object SparkEntry {
     // stateless per-vector assignment + additive appends: micro-batch
     // boundaries cannot change the final postings set
     "stream_index_append" -> simIvfIncTopkSql,
+    // same batch-boundary-invariance argument for the compressed index:
+    // stateless frozen-artifact encoding + additive code appends
+    "stream_pq_index_append" -> simIvfPqIncTopkSql,
     "text_bm25_topk" -> textBm25Sql,
     "sim_hybrid_rrf_topk" -> simHybridRrfSql,
     "dedup_semantic" -> dedupSemanticSql,

@@ -1042,15 +1042,24 @@ object Similarity {
     base
   }
 
-  def appendIvfPqIncBatch(s: SparkSession, dir: String, base: String): Unit = {
+  def appendIvfPqIncBatch(s: SparkSession, dir: String, base: String): Unit =
+    appendIvfPqIncVectors(s, base,
+      corpus(s, dir).filter(expr(IvfIncBatchPred)))
+
+  /** Encode-and-append ANY (cand_id, c_emb) vector frame into the PQ
+    * index at `base` — the per-micro-batch entry point the streaming
+    * maintenance gate reuses (the [[appendIvfIncVectors]] contract for
+    * the compressed artifact: frozen centroids AND codebook read back
+    * from the index, zero training state). */
+  private[graft] def appendIvfPqIncVectors(s: SparkSession, base: String,
+      vecs: DataFrame): Unit = {
     graft.functions.GraftFunctions.register(s)
     val frozen = readCentroids(s, s"$base/centroids")
     val book = s.read.parquet(s"$base/codebook")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1).toSeq
     val sub = book.head._2.length / PqSubspaces
-    assignNearestNarrow(corpus(s, dir).filter(expr(IvfIncBatchPred)), frozen,
-        "cand_id", "c_emb")
+    assignNearestNarrow(vecs, frozen, "cand_id", "c_emb")
       .select(col("cand_id"),
         array((0 until PqSubspaces).map(m =>
           pqBest(book, "c_emb", m, sub).getField("cid")): _*).as("codes"),

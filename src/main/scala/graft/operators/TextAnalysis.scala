@@ -244,6 +244,40 @@ object TextAnalysis {
       .filter(col("n_chunk_tokens") > 0)
   }
 
+  /** Train percent (of 100) for [[stratifiedSplit]]'s exact quota. */
+  val StratTrainPct = 90L
+
+  /** EXACT-QUOTA stratified train/val split — the eval-set carving
+    * pass where per-source proportions must be exact, not expected:
+    * [[trainValSplit]]'s hash split lands each doc independently, so a
+    * small or unlucky source can end up under- or over-represented in
+    * the held-out set; here every source contributes exactly
+    * floor(n_source · [[StratTrainPct]] / 100) train docs. Order
+    * WITHIN a source is the same portable affine hash (then doc_id),
+    * so membership is deterministic across runs/engines and
+    * re-ingesting never flips a document; the rank window partitions
+    * BY SOURCE — |sources| parallel sorts, each ∝ its source, never a
+    * corpus-global sort. Integer quota arithmetic end-to-end → exact
+    * oracle; output is the per-(source, split) audit with quota proof
+    * columns. */
+  def stratifiedSplit(s: SparkSession, dir: String): DataFrame = {
+    val hash = pmod(col("doc_id") * 2654435761L + 104729L, lit(9973L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    val ranked = Tables.documentsParallel(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"), hash.as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+    val quota = ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_source"))
+      .select(col("source"),
+        expr(s"(n_source * $StratTrainPct) div 100").as("q"))
+    ranked.join(quota, "source")
+      .select(col("source"), col("n_chars"),
+        when(col("rk") <= col("q"), "train").otherwise("val").as("split"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+  }
+
   /** Deterministic train/validation split: an affine integer hash of
     * the id picks the bucket, so membership is stable across runs,
     * machines, and engines — re-ingesting the corpus never moves a

@@ -590,6 +590,45 @@ object Streams {
     graft.operators.Similarity.ivfServeForSpec(s, base, dir)
   }
 
+  /** Gate query: STREAMING maintenance of the COMPRESSED index — the
+    * [[streamIndexAppend]] topology for the IVFPQ artifact: the
+    * snapshot (frozen quantizer + PQ codebook + snapshot code
+    * postings) stages once; tonight's arrivals land in two real
+    * micro-batches, each ENCODING against the frozen artifact (both
+    * stages read back from the index files — the append job owns zero
+    * training state) and appending (cand_id, codes) files —
+    * exactly-once via the checkpoint. Encoding is stateless and
+    * appends are additive, so micro-batch boundaries cannot change the
+    * final code set: serving after the drain is bit-equal to the batch
+    * `sim_ivf_pq_index_incremental` gate and shares its oracle
+    * verbatim. At 100 TB this closes the compressed index's ingestion
+    * topology — a continuous crawl feeds 2-byte-code lists while
+    * serving reads a consistent snapshot, and the compactor absorbs
+    * the per-batch small files. */
+  def streamPqIndexAppend(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val base = System.getProperty("java.io.tmpdir") + "/graft_spqidx_" + System.nanoTime
+    graft.operators.Similarity.buildIvfPqIncSnapshot(s, dir, base)
+    val batch = graft.sources.Tables.embeddings(s, dir)
+      .filter(expr(graft.operators.Similarity.IvfIncBatchPred))
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    new java.io.File(s"$base/src").mkdirs()
+    val t0 = System.currentTimeMillis()
+    stageNamedFile(batch.filter(col("cand_id") % 2 === 0),
+      s"$base/t0", s"$base/src/a_slice.json", t0 - 60000)
+    stageNamedFile(batch.filter(col("cand_id") % 2 =!= 0),
+      s"$base/t1", s"$base/src/b_slice.json", t0)
+    val in = s.readStream.schema("cand_id LONG, c_emb ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1).json(s"$base/src")
+    val q = in.writeStream.foreachBatch { (mb: DataFrame, _: Long) =>
+      graft.operators.Similarity.appendIvfPqIncVectors(s, base, mb)
+      ()
+    }.option("checkpointLocation", s"$base/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.operators.Similarity.ivfPqServeForSpec(s, dir, base)
+  }
+
   /** Gate query: streaming ANOMALY SCORING — the monitoring shape
     * where robust stats are TRAINED OFFLINE (TimeSeries.robustStats:
     * exact median/MAD over the full history) and events arrive as a

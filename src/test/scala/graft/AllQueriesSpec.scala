@@ -60,6 +60,7 @@ class AllQueriesSpec extends AnyFunSuite {
     "sim_multiprobe_topk", "sim_ivf_topk", "sim_ivf_index_topk",
     "sim_ivf_index_incremental", "sim_ivf_index_compact",
     "stream_index_append",  // returns the same indexed-serving plan post-drain
+    "stream_pq_index_append",  // likewise, the IVFPQ serving plan post-drain
     "sim_rerank_topk",
     "sim_pq_topk", "sim_ivf_pq_topk", "sim_ivf_pq_index_topk",
     "sim_ivf_pq_index_incremental", "sim_ivf_pq_index_compact",

@@ -394,4 +394,15 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(streamed == batch,
       "stream-maintained index serving must equal the batch-maintained one")
   }
+
+  test("streaming PQ index append serves bit-equal to the batch incremental path") {
+    // the compressed-index twin: micro-batched encode-and-append under
+    // the frozen quantizer+codebook must land the identical code set
+    val streamed = Streams.streamPqIndexAppend(spark, sf)
+      .collect().map(_.toString).toSet
+    val batch = graft.operators.Similarity.ivfPqIncTopK(spark, sf)
+      .collect().map(_.toString).toSet
+    assert(streamed == batch,
+      "stream-maintained PQ index serving must equal the batch-maintained one")
+  }
 }

@@ -566,6 +566,30 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(exp.head._2._2 > 0, "top score positive")
   }
 
+  test("stratified split: exact per-source quota, equals the driver-side recompute") {
+    val got = TextAnalysis.stratifiedSplit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_chars"))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySource = docs.groupBy(_._2)
+    bySource.foreach { case (src, ds) =>
+      val ordered = ds.sortBy { case (id, _, _) =>
+        ((id * 2654435761L + 104729L) % 9973L, id) }
+      val q = ordered.size.toLong * TextAnalysis.StratTrainPct / 100
+      val (train, eval) = ordered.splitAt(q.toInt)
+      // EXACT quota — the property the plain hash split cannot give
+      assert(got((src, "train"))._1 == q, s"$src train quota")
+      assert(got((src, "train"))._2 == train.map(_._3).sum, s"$src train chars")
+      if (eval.nonEmpty) {
+        assert(got((src, "val"))._1 == ordered.size - q, s"$src val count")
+        assert(got((src, "val"))._2 == eval.map(_._3).sum, s"$src val chars")
+      }
+    }
+    assert(got.keys.map(_._1).toSet == bySource.keySet, "every source reported")
+  }
+
   test("bpe merges: equals the brute-force pair count oracle") {
     val got = TextAnalysis.bpeMerges(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)))
