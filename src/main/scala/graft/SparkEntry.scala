@@ -208,6 +208,7 @@ object SparkEntry {
     "mm_frame_dedup" -> (Multimodal.frameDedup _),
     "mm_overlap_dedup" -> (Multimodal.overlapDedup _),
     "mm_phash_dedup" -> (Multimodal.phashDedup _),
+    "mm_clip_filter" -> (Multimodal.clipFilter _),
     "mm_phash_dedup_capped" -> (Multimodal.phashDedupCapped _),
     "mm_phash_dedup_unicode" -> (Multimodal.phashDedupUnicode _),
     // declarative pipeline config + real structured streaming
@@ -2154,6 +2155,19 @@ object SparkEntry {
         |FROM sh JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
         |WHERE n_shared / (x.n + y.n - n_shared) >= ${Multimodal.OverlapTau}""".stripMargin,
     "mm_phash_dedup" -> mmPhashSql("plain"),
+    // integer cross-multiply keep decision (q·n > Σq): no division, so
+    // floor-vs-truncate semantics cannot split the engines
+    "mm_clip_filter" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |  list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS nsq
+        | FROM embeddings),
+        |p AS (SELECT t.vec_id // 2 AS pair_id, CAST(floor(
+        |    list_sum(list_transform(list_zip(t.emb, i.emb), x -> x[1] * x[2]))
+        |    / sqrt(t.nsq * i.nsq) * 10000000 + 0.5) AS BIGINT) AS q
+        |  FROM e t JOIN e i ON i.vec_id = t.vec_id + 1 WHERE t.vec_id % 2 = 0),
+        |b AS (SELECT SUM(q) AS sq, COUNT(*) AS n FROM p)
+        |SELECT pair_id, CAST(q AS DOUBLE) / 10000000 AS clip_score
+        |FROM p, b WHERE q * n > sq""".stripMargin,
     // the capped twin replicates the stop-bucket HAVING in SQL
     "mm_phash_dedup_capped" -> mmPhashSql("capped"),
     // multi-byte + empty payloads: codepoint-indexing bit-parity of

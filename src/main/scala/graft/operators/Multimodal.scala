@@ -364,4 +364,36 @@ object Multimodal {
   /** The gate shape: decode with the container-safe fake. */
   def decodeFeatures(s: SparkSession, dir: String): DataFrame =
     decodeFeaturesWith(s, dir, FakeDecoder)
+
+  /** CLIP-score image-text pair filtering — the LAION-400M curation
+    * recipe (Schuhmann et al., arXiv:2111.02114: keep pairs whose
+    * two-tower embedding cosine clears a bar). Pairs are (text = even
+    * vec_id, image = the following odd vec_id); per-pair cosine
+    * quantizes to 1e-7 fixed point (q longs), and the keep decision is
+    * the INTEGER CROSS-MULTIPLY `q·n > Σq` — the corpus-mean bar
+    * expressed without ANY division, because negative cosines exist
+    * (measured pair mean ≈ 0.008) and floor (DuckDB `//`) vs
+    * truncate (Spark `div`) semantics diverge below zero; cross-
+    * multiplying makes the comparison exact on both engines. Plan:
+    * one narrow pass per tower, one pair equi-join, a 1-row global-sum
+    * broadcast, then a narrow filter — embeddings cross exactly one
+    * exchange (the pair join) and the bar costs one map-side-combined
+    * aggregate, so the pass scales linearly with the pair count. */
+  def clipFilter(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val txt = e.filter(col("vec_id") % 2 === 0)
+      .select(expr("vec_id div 2").as("pair_id"), col("embedding").as("t_emb"))
+    val img = e.filter(col("vec_id") % 2 === 1)
+      .select(expr("vec_id div 2").as("pair_id"), col("embedding").as("i_emb"))
+    val scored = txt.join(img, "pair_id")
+      .select(col("pair_id"),
+        floor(expr("graft_cosine(t_emb, i_emb)") * lit(1e7) + lit(0.5))
+          .cast("long").as("q"))
+    val bar = scored.agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+    scored.crossJoin(broadcast(bar))
+      .filter(col("q") * col("n") > col("sq"))
+      .select(col("pair_id"),
+        (col("q").cast("double") / lit(1e7)).as("clip_score"))
+  }
 }

@@ -26,6 +26,7 @@ class AllQueriesSpec extends AnyFunSuite {
     "sim_ivf_index_drift",                     // cross join of two 1-row mean aggregates
     "text_bm25_topk",                          // 1-row corpus-stats broadcast combine
     "sim_hybrid_rrf_topk",                     // 1-row stats + 1-row query-vector combines
+    "mm_clip_filter",                          // 1-row global-sum threshold broadcast
     "sim_rerank_topk",                         // coarse int8 scan IS a broadcast full scan
     "sim_pq_topk",                             // reconstruction scan (broadcast query batch)
     "sim_matryoshka_topk",                     // coarse prefix scan (broadcast query batch)

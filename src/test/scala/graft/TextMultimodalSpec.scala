@@ -590,6 +590,28 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(got.keys.map(_._1).toSet == bySource.keySet, "every source reported")
   }
 
+  test("clip filter: equals the driver-side recompute, threshold via integer cross-multiply") {
+    val got = Multimodal.clipFilter(spark, sf).collect()
+      .map(r => r.getAs[Long]("pair_id") -> r.getAs[Double]("clip_score")).toMap
+    val embs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0d; var na = 0d; var nb = 0d; var i = 0
+      while (i < a.size) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val pairs = embs.keys.filter(v => v % 2 == 0 && embs.contains(v + 1)).toSeq
+      .map(v => (v / 2) -> math.floor(cos(embs(v), embs(v + 1)) * 1e7 + 0.5).toLong)
+    val sq = pairs.map(_._2).sum; val n = pairs.size.toLong
+    val kept = pairs.filter { case (_, q) => q * n > sq }
+    assert(got.size == kept.size, s"kept ${got.size} vs expected ${kept.size}")
+    kept.foreach { case (id, q) =>
+      assert(got(id) == q.toDouble / 1e7, s"pair $id score")
+    }
+    // sanity: the bar actually splits the corpus (not keep-all/drop-all)
+    assert(kept.nonEmpty && kept.size < pairs.size)
+  }
+
   test("bpe merges: equals the brute-force pair count oracle") {
     val got = TextAnalysis.bpeMerges(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)))
