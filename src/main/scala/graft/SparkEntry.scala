@@ -155,6 +155,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> (Dedup.embeddingLsh _),
     "dedup_embedding_lsh_capped" -> (Dedup.embeddingLshCapped _),
     "dedup_semantic" -> (Similarity.semanticDedup _),
+    "dedup_semantic_incremental" -> (Similarity.semanticDedupIncremental _),
     "dedup_paragraph" -> (Dedup.paragraphs _),
     "dedup_paragraph_apply" -> (Dedup.paragraphsApply _),
     "dedup_substring_apply" -> (Dedup.substringsApply _),
@@ -917,6 +918,33 @@ object SparkEntry {
       |SELECT v.vec_id, v.cent_id,
       |  NOT EXISTS (SELECT 1 FROM assignF u
       |    WHERE u.cent_id = v.cent_id AND u.vec_id < v.vec_id
+      |      AND $pc >= ${Similarity.SemanticTau}) AS kept
+      |FROM assignF v""".stripMargin
+  }
+
+  /** Incremental-SemDeDup oracle: the one-shot SemDeDup under the SAME
+    * frozen-training + arrival-order contract — unrolled Lloyd trained
+    * WITHOUT the batch, assignment over everything, and a vector's
+    * earlier mates are (is_batch, vec_id)-lexicographically smaller
+    * cluster-mates (snapshot members precede every batch member). */
+  private def dedupSemanticIncSql: String = {
+    val batch = Similarity.IvfIncBatchPred
+    val (parts, cc, fc) = lloydCtes(Some(a =>
+      s"NOT (${batch.replace("vec_id", a + "vec_id")})"))
+    parts += s"""assignF AS (
+      |  SELECT vec_id, demb, nsq, cent_id,
+      |    (${batch}) AS is_batch FROM (
+      |    SELECT v.vec_id, v.demb, v.nsq, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY $cc DESC, c.cent_id) AS rn
+      |    FROM e v, $fc c) t WHERE rn = 1)""".stripMargin
+    val pc = cosineSql("u.demb", "u.nsq", "v.demb", "v.nsq")
+    s"""WITH ${parts.mkString(",\n")}
+      |SELECT v.vec_id, v.cent_id,
+      |  NOT EXISTS (SELECT 1 FROM assignF u
+      |    WHERE u.cent_id = v.cent_id
+      |      AND (u.is_batch < v.is_batch
+      |        OR (u.is_batch = v.is_batch AND u.vec_id < v.vec_id))
       |      AND $pc >= ${Similarity.SemanticTau}) AS kept
       |FROM assignF v""".stripMargin
   }
@@ -2701,6 +2729,7 @@ object SparkEntry {
     "text_bm25_topk" -> textBm25Sql,
     "sim_hybrid_rrf_topk" -> simHybridRrfSql,
     "dedup_semantic" -> dedupSemanticSql,
+    "dedup_semantic_incremental" -> dedupSemanticIncSql,
     "sim_pq_topk" -> simPqTopkSql,
     "sim_ivf_pq_topk" -> simIvfPqTopkSql,
     // coarse stage served from on-disk codes reconstructs bit-equal

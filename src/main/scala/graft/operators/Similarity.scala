@@ -741,6 +741,92 @@ object Similarity {
       .select(col("vec_id"), col("cent_id"), col("removed").isNull.as("kept"))
   }
 
+  /** The snapshot half of INCREMENTAL SemDeDup: clustering trained
+    * WITHOUT tonight's batch (the frozen-quantizer contract every
+    * incremental artifact in this repo uses), snapshot vectors
+    * assigned and verdicted among themselves, and the whole state —
+    * centroids + (vec_id, embedding, cent_id, kept) — persisted so the
+    * nightly job owns zero training state. */
+  def buildSemIncSnapshot(s: SparkSession, dir: String, base: String): String = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val cents = kmeansCentroidSeqFiltered(s, dir, s"NOT ($IvfIncBatchPred)")
+    cents.map { case (cid, emb) => (cid, emb.toArray) }
+      .toDF("cent_id", "cent_emb")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
+    val assigned = assignNearestNarrow(
+      Tables.embeddingsParallel(s, dir).filter(!expr(IvfIncBatchPred))
+        .select(col("vec_id"), col("embedding")),
+      cents, "vec_id", "embedding")
+    val earlier = assigned.select(col("cent_id"),
+      col("vec_id").as("e_id"), col("embedding").as("e_emb"))
+    val removed = assigned.join(earlier, Seq("cent_id"))
+      .filter(col("e_id") < col("vec_id"))
+      .filter(expr(s"graft_cosine(e_emb, embedding) >= $SemanticTau"))
+      .select(col("vec_id")).distinct()
+      .withColumn("removed", lit(true))
+    assigned.join(removed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        col("removed").isNull.as("kept"))
+      .write.mode("overwrite").parquet(s"$base/snapshot")
+    base
+  }
+
+  private val stagedSemInc =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def stagedSemIncSnapshot(s: SparkSession, dir: String): String = {
+    val vkey = Tables.versionedKey(s, dir, "embeddings")
+    stagedSemInc.getOrElseUpdate(vkey, {
+      val key = java.lang.Integer.toHexString(vkey.hashCode)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_seminc_${ProcessHandle.current().pid()}_$key"
+      buildSemIncSnapshot(s, dir, base)
+    })
+  }
+
+  /** Gate: INCREMENTAL SemDeDup — the nightly-crawl face of semantic
+    * dedup, closing the incremental-maintenance story across every
+    * expensive artifact (exact dedup, components, kNN graph, IVF,
+    * IVFPQ, now SemDeDup). Snapshot verdicts are IMMUTABLE (last
+    * night's corpus is already curated); tonight's batch assigns
+    * against the FROZEN centroids read back from the staged state and
+    * a batch vector is removed iff an ARRIVAL-EARLIER cluster-mate —
+    * any snapshot member, or a lower-id batch member — sits at
+    * cosine ≥ τ. Per-night cost ∝ |batch| × cluster width: the
+    * snapshot pair stage never reruns, the batch join touches only the
+    * clusters the batch lands in. The oracle is the one-shot SemDeDup
+    * under the SAME frozen-training + arrival-order contract (unrolled
+    * Lloyd trained without the batch, is_batch-then-vec_id precedence)
+    * — hash-exact, so the incremental path is proven lossless. */
+  def semanticDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val base = stagedSemIncSnapshot(s, dir)
+    val cents = readCentroids(s, s"$base/centroids")
+    val snap = s.read
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, cent_id BIGINT, kept BOOLEAN")
+      .parquet(s"$base/snapshot")
+    val bAssigned = assignNearestNarrow(
+      Tables.embeddingsParallel(s, dir).filter(expr(IvfIncBatchPred))
+        .select(col("vec_id"), col("embedding")),
+      cents, "vec_id", "embedding")
+    // arrival-earlier mates: every snapshot cluster-mate (kept or
+    // removed — SemDeDup compares against all earlier vectors), plus
+    // lower-id batch mates
+    val mates = snap.select(col("cent_id"), lit(true).as("e_snap"),
+        col("vec_id").as("e_id"), col("embedding").as("e_emb"))
+      .unionByName(bAssigned.select(col("cent_id"), lit(false).as("e_snap"),
+        col("vec_id").as("e_id"), col("embedding").as("e_emb")))
+    val removed = bAssigned.join(mates, Seq("cent_id"))
+      .filter(col("e_snap") || col("e_id") < col("vec_id"))
+      .filter(expr(s"graft_cosine(e_emb, embedding) >= $SemanticTau"))
+      .select(col("vec_id")).distinct()
+      .withColumn("removed", lit(true))
+    val batchVerdicts = bAssigned.select(col("vec_id"), col("cent_id"))
+      .join(removed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"), col("removed").isNull.as("kept"))
+    snap.select(col("vec_id"), col("cent_id"), col("kept"))
+      .unionByName(batchVerdicts)
+  }
+
   /** Per-label mean embedding — the distributed centroid build behind
     * class prototypes, dataset cartography and IVF-style training, as
     * a pure partial-aggregatable plan: posexplode to (label, pos, v),
@@ -1579,13 +1665,7 @@ object Similarity {
     graft.functions.GraftFunctions.register(s)
     val rankW = Window.orderBy(col("side_q").desc, col("doc_id"))
     // ---- lexical arm (BM25, query terms from the query doc) ----
-    val d = Tables.documentsParallel(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-    val lens = d.select(col("doc_id"), size(col("w")).cast("long").as("len"))
-    val stats = lens.agg(count(lit(1)).as("n_docs"),
-      sum(col("len")).as("total_len"))
-    val tfs = d.select(col("doc_id"), explode(col("w")).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val (tfs, lens, stats) = TextAnalysis.bm25Stats(s, dir)
     val qterms = tfs.filter(col("doc_id") === HybridQueryDoc)
       .orderBy(col("tf").desc, col("term")).limit(HybridQueryTerms)
       .select(col("term"))
@@ -1593,18 +1673,11 @@ object Similarity {
     // the trailing limit is a no-op (≤ HybridQueryTerms rows by
     // construction) that PROVES boundedness to the broadcast-hint lint
     val query = dfs.join(broadcast(qterms), "term").limit(HybridQueryTerms)
-    val tfD = col("tf").cast("double"); val lenD = col("len").cast("double")
-    val dfD = col("df").cast("double"); val nD = col("n_docs").cast("double")
-    val lD = col("total_len").cast("double")
-    val wSat = (lit(44d) * tfD * lD) /
-      (lit(20d) * tfD * lD + lit(6d) * lD + lit(18d) * lenD * nD)
-    val rIdf = (lit(2d) * nD - lit(2d) * dfD + lit(1d)) / (lit(2d) * dfD + lit(1d))
     val lexTop = tfs.filter(col("doc_id") =!= HybridQueryDoc)
       .join(broadcast(query), "term")
       .join(lens, "doc_id")
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        floor(wSat * rIdf * lit(1e7) + lit(0.5)).cast("long").as("qv"))
+      .select(col("doc_id"), TextAnalysis.bm25Qv.as("qv"))
       .groupBy(col("doc_id")).agg(sum(col("qv")).as("side_q"))
       .orderBy(col("side_q").desc, col("doc_id")).limit(HybridDepth)
     val lex = lexTop.select(col("doc_id"),

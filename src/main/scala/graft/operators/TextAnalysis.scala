@@ -913,27 +913,13 @@ object TextAnalysis {
     * a TakeOrdered top-k — the exploded postings shuffle carries
     * (term, doc_id, counts) only, never document text. */
   def bm25TopK(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documentsParallel(s, dir)
-      .select(col("doc_id"), words(col("text")).as("w"))
-    val lens = d.select(col("doc_id"), size(col("w")).cast("long").as("len"))
-    val stats = lens.agg(count(lit(1)).as("n_docs"),
-      sum(col("len")).as("total_len"))
-    val post = d.select(col("doc_id"), explode(col("w")).as("term"))
-    val tfs = post.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    val (tfs, lens, stats) = bm25Stats(s, dir)
     val dfs = tfs.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val query = dfs.orderBy(col("df").desc, col("term")).limit(Bm25QueryTerms)
-    val tfD = col("tf").cast("double"); val lenD = col("len").cast("double")
-    val dfD = col("df").cast("double"); val nD = col("n_docs").cast("double")
-    val lD = col("total_len").cast("double")
-    val wSat = (lit(44d) * tfD * lD) /
-      (lit(20d) * tfD * lD + lit(6d) * lD + lit(18d) * lenD * nD)
-    val rIdf = (lit(2d) * nD - lit(2d) * dfD + lit(1d)) / (lit(2d) * dfD + lit(1d))
     val scored = tfs.join(broadcast(query), "term")
       .join(lens, "doc_id")
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        floor(wSat * rIdf * lit(1e7) + lit(0.5)).cast("long").as("qv"))
+      .select(col("doc_id"), bm25Qv.as("qv"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms_hit"), sum(col("qv")).as("score_q"))
     val top = scored.orderBy(col("score_q").desc, col("doc_id")).limit(Bm25K)
@@ -941,5 +927,33 @@ object TextAnalysis {
         (col("score_q").cast("double") / lit(1e7)).as("score"),
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("score_q").desc, col("doc_id"))).cast("long").as("rank"))
+  }
+
+  /** Shared BM25 corpus statistics — (term frequencies, per-doc
+    * lengths, 1-row corpus stats) — used by the BM25 gate and the
+    * hybrid fusion's lexical arm. */
+  private[operators] def bm25Stats(s: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val d = Tables.documentsParallel(s, dir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+    val lens = d.select(col("doc_id"), size(col("w")).cast("long").as("len"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      sum(col("len")).as("total_len"))
+    val tfs = d.select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    (tfs, lens, stats)
+  }
+
+  /** The per-(term, doc) BM25 fixed-point score over the joined
+    * tf/len/df/n_docs/total_len columns — the scaladoc'd rational
+    * saturation × log-free idf, quantized to 1e-7 longs. */
+  private[operators] def bm25Qv: Column = {
+    val tfD = col("tf").cast("double"); val lenD = col("len").cast("double")
+    val dfD = col("df").cast("double"); val nD = col("n_docs").cast("double")
+    val lD = col("total_len").cast("double")
+    val wSat = (lit(44d) * tfD * lD) /
+      (lit(20d) * tfD * lD + lit(6d) * lD + lit(18d) * lenD * nD)
+    val rIdf = (lit(2d) * nD - lit(2d) * dfD + lit(1d)) / (lit(2d) * dfD + lit(1d))
+    floor(wSat * rIdf * lit(1e7) + lit(0.5)).cast("long")
   }
 }

@@ -1326,6 +1326,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"kNN banding missed ${missed.size}/$n planted twins (allowing <1%)")
   }
 
+  test("incremental SemDeDup: snapshot verdicts immutable, state reused, batch fully verdicted") {
+    val out1 = Similarity.semanticDedupIncremental(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val base = Similarity.stagedSemIncSnapshot(spark, sf)
+    def snapFiles(): Map[String, Long] =
+      new java.io.File(s"$base/snapshot").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val files1 = snapFiles()
+    // snapshot verdicts in the output are exactly the staged state
+    val staged = spark.read.parquet(s"$base/snapshot")
+      .select("vec_id", "cent_id", "kept").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    staged.foreach { case (id, v) =>
+      assert(out1(id) == v, s"snapshot verdict for $id must be immutable")
+    }
+    // every batch vector gets a verdict, and only batch ids are new
+    val batchIds = Tables.embeddings(spark, sf)
+      .filter(expr(graft.operators.Similarity.IvfIncBatchPred))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out1.keySet == staged.keySet ++ batchIds)
+    // a second run consumes the staged state: same result, files untouched
+    val out2 = Similarity.semanticDedupIncremental(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out2 == out1)
+    assert(snapFiles() == files1, "second run must not rebuild the snapshot")
+  }
+
   test("hybrid RRF: equals the two-arm brute-force oracle, no corpus-sized window sort") {
     val df = Similarity.hybridRrfTopK(spark, sf)
     val got = df.collect()
