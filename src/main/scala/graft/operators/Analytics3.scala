@@ -398,7 +398,7 @@ object Analytics3 {
     // with 2× margin, never below the engine default. Depth stays
     // guarded by the level limit (default 100).
     val bound = s.sql(
-      """SELECT COALESCE(SUM(CAST(last_m - m + 1 AS BIGINT)), 0) FROM (
+      """SELECT COALESCE(SUM(GREATEST(CAST(last_m - m + 1 AS BIGINT), 1)), 0) FROM (
         |  SELECT (year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1) AS m,
         |    (year(mx.r) * 12 + month(mx.r) - 1) AS last_m
         |  FROM orders_rc o JOIN (

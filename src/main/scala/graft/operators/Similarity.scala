@@ -535,17 +535,65 @@ object Similarity {
     appendIvfIncVectors(s, base,
       corpus(s, dir).filter(expr(IvfIncBatchPred)))
 
-  /** Append ANY (cand_id, c_emb) vector frame into the index at
-    * `base` — the per-micro-batch entry point the streaming
-    * maintenance gate reuses. */
-  private[graft] def appendIvfIncVectors(s: SparkSession, base: String,
-      vecs: DataFrame): Unit = {
+  /** The assigned-postings frame for a vector batch against the
+    * frozen artifact centroids. */
+  private def ivfIncAssigned(s: SparkSession, base: String,
+      vecs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val frozen = readCentroids(s, s"$base/centroids")
-    assignNearestNarrow(vecs, frozen, "cand_id", "c_emb")
+    assignNearestNarrow(vecs, readCentroids(s, s"$base/centroids"),
+      "cand_id", "c_emb")
+  }
+
+  /** Append ANY (cand_id, c_emb) vector frame into the index at
+    * `base` — the batch (one-shot) append path. */
+  private[graft] def appendIvfIncVectors(s: SparkSession, base: String,
+      vecs: DataFrame): Unit =
+    ivfIncAssigned(s, base, vecs)
       .write.mode("append").partitionBy("cent_id")
       .parquet(s"$base/postings")
+
+  /** IDEMPOTENT micro-batch publish — what makes the streaming
+    * maintenance gates' "exactly-once" claim true rather than
+    * at-least-once: foreachBatch + a blind parquet append duplicates
+    * rows when a micro-batch replays after a half-committed failure.
+    * The frame stages durably under `stage_bid<bid>` first; publishing
+    * then PURGES every `bid<bid>-` file from the inverted lists (a
+    * previous half-publish of the same bid replays clean) and MOVES
+    * the staged files in under deterministic bid-prefixed names. Both
+    * listings are ≤ nlist driver-side directory scans. */
+  private[graft] def publishStagedAppend(s: SparkSession, base: String,
+      bid: Long)(writeStage: String => Unit): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val post = new org.apache.hadoop.fs.Path(s"$base/postings")
+    val fs = post.getFileSystem(conf)
+    val stage = new org.apache.hadoop.fs.Path(s"$base/stage_bid$bid")
+    writeStage(stage.toString)
+    if (fs.exists(post)) fs.listStatus(post).filter(_.isDirectory).foreach { d =>
+      fs.listStatus(d.getPath)
+        .filter(_.getPath.getName.startsWith(s"bid$bid-"))
+        .foreach(f => fs.delete(f.getPath, false))
+    }
+    fs.listStatus(stage).filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("cent_id=")).foreach { d =>
+        val dest = new org.apache.hadoop.fs.Path(post, d.getPath.getName)
+        fs.mkdirs(dest)
+        fs.listStatus(d.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName).zipWithIndex.foreach { case (f, i) =>
+            fs.rename(f.getPath,
+              new org.apache.hadoop.fs.Path(dest, s"bid$bid-$i.parquet"))
+          }
+      }
+    fs.delete(stage, true)
   }
+
+  /** Streaming entry: idempotent IVF append for micro-batch `bid`. */
+  private[graft] def appendIvfIncVectorsIdempotent(s: SparkSession,
+      base: String, vecs: DataFrame, bid: Long): Unit =
+    publishStagedAppend(s, base, bid) { stage =>
+      ivfIncAssigned(s, base, vecs)
+        .write.mode("overwrite").partitionBy("cent_id").parquet(stage)
+    }
 
   private val stagedIvfInc =
     scala.collection.concurrent.TrieMap.empty[String, String]
@@ -598,21 +646,38 @@ object Similarity {
           .count(_.getPath.getName.endsWith(".parquet")) > maxFiles
       }
       .map(_.getPath.getName.stripPrefix("cent_id=").toLong).toSeq.sorted
-    if (fat.nonEmpty) {
-      val postings = s.read
-        .schema(rowSchema)
-        .parquet(s"$base/postings")
-        .filter(col("cent_id").isInCollection(fat))
-        // hash-repartition on the list id: each fat list lands whole in
-        // exactly one task → exactly one output file per rewritten dir
-        .repartition(col("cent_id"))
-      // dynamic overwrite replaces ONLY the partitions present in the
-      // written frame; the write action runs inside the conf scope
+    // publish from a DURABLE stage, never from the directory being
+    // replaced: a crash mid-overwrite-commit can delete a list's old
+    // files before the new ones land, and if the only copy was those
+    // files the list is gone. Stage first (postings untouched), then
+    // overwrite reading ONLY stage files; a leftover stage dir at
+    // entry means a prior publish crashed — finish it before anything
+    // else (the postings may be half-replaced, the stage is whole).
+    val stage = new org.apache.hadoop.fs.Path(s"$base/postings_compact_stage")
+    def publishStage(): Unit =
       graft.GraftSession.withSqlConfs(s,
           "spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
-        postings.write.mode("overwrite").partitionBy("cent_id")
+        s.read.schema(rowSchema).parquet(stage.toString)
+          // one task per list → exactly one output file per rewritten dir
+          .repartition(col("cent_id"))
+          .write.mode("overwrite").partitionBy("cent_id")
           .parquet(s"$base/postings")
       }
+    if (fs.exists(stage)) {
+      // publish only a COMPLETE stage (_SUCCESS): if the stage write
+      // itself crashed, the postings were never touched — discard it
+      if (fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS")))
+        publishStage()
+      fs.delete(stage, true)
+    }
+    if (fat.nonEmpty) {
+      s.read.schema(rowSchema).parquet(s"$base/postings")
+        .filter(col("cent_id").isInCollection(fat))
+        .repartition(col("cent_id"))
+        .write.mode("overwrite").partitionBy("cent_id")
+        .parquet(stage.toString)
+      publishStage()
+      fs.delete(stage, true)
     }
     fat
   }
@@ -1137,8 +1202,10 @@ object Similarity {
     * maintenance gate reuses (the [[appendIvfIncVectors]] contract for
     * the compressed artifact: frozen centroids AND codebook read back
     * from the index, zero training state). */
-  private[graft] def appendIvfPqIncVectors(s: SparkSession, base: String,
-      vecs: DataFrame): Unit = {
+  /** The encoded-codes frame for a vector batch against the frozen
+    * artifact centroids AND codebook (zero training state). */
+  private def ivfPqIncEncoded(s: SparkSession, base: String,
+      vecs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val frozen = readCentroids(s, s"$base/centroids")
     val book = s.read.parquet(s"$base/codebook")
@@ -1150,9 +1217,21 @@ object Similarity {
         array((0 until PqSubspaces).map(m =>
           pqBest(book, "c_emb", m, sub).getField("cid")): _*).as("codes"),
         col("cent_id"))
+  }
+
+  private[graft] def appendIvfPqIncVectors(s: SparkSession, base: String,
+      vecs: DataFrame): Unit =
+    ivfPqIncEncoded(s, base, vecs)
       .write.mode("append").partitionBy("cent_id")
       .parquet(s"$base/postings")
-  }
+
+  /** Streaming entry: idempotent IVFPQ append for micro-batch `bid`. */
+  private[graft] def appendIvfPqIncVectorsIdempotent(s: SparkSession,
+      base: String, vecs: DataFrame, bid: Long): Unit =
+    publishStagedAppend(s, base, bid) { stage =>
+      ivfPqIncEncoded(s, base, vecs)
+        .write.mode("overwrite").partitionBy("cent_id").parquet(stage)
+    }
 
   private val stagedIvfPqInc =
     scala.collection.concurrent.TrieMap.empty[String, String]

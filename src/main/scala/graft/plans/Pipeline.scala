@@ -231,7 +231,10 @@ object Pipeline {
         // (off = 0 ⇒ the plain UTC render). Offset sampled at `now`;
         // a cutoff crossing a DST step shifts by the step size, the
         // same tolerance class as file-mtime clock skew.
-        val zone = java.time.ZoneId.of(s.conf.get("spark.sql.session.timeZone"))
+        // getZoneId, not ZoneId.of: Spark accepts short IDs ("PST")
+        // via ZoneId.SHORT_IDS, so a valid session conf must not crash
+        val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .getZoneId(s.conf.get("spark.sql.session.timeZone"))
         val off = zone.getRules.getOffset(java.time.Instant.now()).getTotalSeconds.toLong
         val after = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
           .plusSeconds(2L * off)

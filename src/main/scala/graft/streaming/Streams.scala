@@ -581,8 +581,10 @@ object Streams {
       s"$base/t1", s"$base/src/b_slice.json", t0)
     val in = s.readStream.schema("cand_id LONG, c_emb ARRAY<FLOAT>")
       .option("maxFilesPerTrigger", 1).json(s"$base/src")
-    val q = in.writeStream.foreachBatch { (mb: DataFrame, _: Long) =>
-      graft.operators.Similarity.appendIvfIncVectors(s, base, mb)
+    val q = in.writeStream.foreachBatch { (mb: DataFrame, bid: Long) =>
+      // bid-keyed idempotent publish: a replayed micro-batch purges its
+      // own files first, so the claim below is exactly-once in effect
+      graft.operators.Similarity.appendIvfIncVectorsIdempotent(s, base, mb, bid)
       ()
     }.option("checkpointLocation", s"$base/cp")
       .trigger(Trigger.AvailableNow()).start()
@@ -620,8 +622,8 @@ object Streams {
       s"$base/t1", s"$base/src/b_slice.json", t0)
     val in = s.readStream.schema("cand_id LONG, c_emb ARRAY<FLOAT>")
       .option("maxFilesPerTrigger", 1).json(s"$base/src")
-    val q = in.writeStream.foreachBatch { (mb: DataFrame, _: Long) =>
-      graft.operators.Similarity.appendIvfPqIncVectors(s, base, mb)
+    val q = in.writeStream.foreachBatch { (mb: DataFrame, bid: Long) =>
+      graft.operators.Similarity.appendIvfPqIncVectorsIdempotent(s, base, mb, bid)
       ()
     }.option("checkpointLocation", s"$base/cp")
       .trigger(Trigger.AvailableNow()).start()

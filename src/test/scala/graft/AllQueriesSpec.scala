@@ -97,7 +97,12 @@ class AllQueriesSpec extends AnyFunSuite {
       java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
     val s2 = survey.substring(survey.indexOf("## §2"),
       survey.indexOf("## §3"))
-    val missing = SparkEntry.queries.keySet.filterNot(s2.contains)
+    // word-boundary match, not raw containment: `dedup_semantic` must
+    // not be satisfied by the `dedup_semantic_incremental` bullet
+    val missing = SparkEntry.queries.keySet.filterNot(k =>
+      java.util.regex.Pattern
+        .compile(s"(?<![A-Za-z0-9_])${java.util.regex.Pattern.quote(k)}(?![A-Za-z0-9_])")
+        .matcher(s2).find())
     assert(missing.isEmpty,
       s"gate rows without a SURVEY §2 bullet: ${missing.toSeq.sorted}")
   }

@@ -1326,6 +1326,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"kNN banding missed ${missed.size}/$n planted twins (allowing <1%)")
   }
 
+  test("idempotent index append: a replayed micro-batch converges instead of duplicating") {
+    // the foreachBatch failure mode: batch commits its files, the
+    // streaming offset does not, the batch REPLAYS — a blind append
+    // would duplicate every row; the bid-keyed publish must converge
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_spec_idem_${System.nanoTime}"
+    Similarity.buildIvfIncSnapshot(spark, sf, base)
+    val batch = Tables.embeddings(spark, sf)
+      .filter(expr(graft.operators.Similarity.IvfIncBatchPred))
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    Similarity.appendIvfIncVectorsIdempotent(spark, base, batch, 7L)
+    val n1 = spark.read.parquet(s"$base/postings").count()
+    val served1 = Similarity.ivfServeForSpec(spark, base, sf)
+      .collect().map(_.toString).toSet
+    Similarity.appendIvfIncVectorsIdempotent(spark, base, batch, 7L) // replay
+    assert(spark.read.parquet(s"$base/postings").count() == n1,
+      "replaying the same bid must not add rows")
+    assert(Similarity.ivfServeForSpec(spark, base, sf)
+      .collect().map(_.toString).toSet == served1,
+      "serving must be unchanged after a replay")
+    // and the result equals the batch-maintained index
+    assert(served1 == graft.operators.Similarity.ivfIncTopK(spark, sf)
+      .collect().map(_.toString).toSet)
+  }
+
   test("incremental SemDeDup: snapshot verdicts immutable, state reused, batch fully verdicted") {
     val out1 = Similarity.semanticDedupIncremental(spark, sf)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
