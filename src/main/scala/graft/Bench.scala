@@ -101,8 +101,14 @@ object Bench {
     val esShort = errors.map { case (k, v) =>
       "\"" + esc(k) + "\":\"" + esc(v.take(80)) + "\""
     }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"per_query","value":$total,"unit":"sec","queries":$qs,"cold":$cold,"errors":$es,"sf":"$sfDir","n_queries":${results.size},"cold_total":$coldTotal,"n_errors":${errors.size},"total":$total}"""
-    val headline = s"""{"metric":"total","value":$total,"unit":"sec","slowest_top5":$slowest,"errors":$esShort,"cold_total":$coldTotal,"n_errors":${errors.size},"n_queries":${results.size},"sf":"$sfDir","full_artifact":"BENCH_full_local.json"}"""
+    // warm-semantics marker (VERDICT r9 #2 / next-round #5): since r9,
+    // CacheScope.releaseAll runs after EVERY rep — a rep never serves a
+    // previous rep's in-memory cache. Artifacts carry the semantics so
+    // cross-round comparisons are apples-to-apples (BENCH_r09 is the
+    // comparison floor for this semantics).
+    val warmSem = """"warm_semantics":"per-rep cache release""""
+    val fullLine = s"""{"metric":"per_query","value":$total,"unit":"sec",$warmSem,"queries":$qs,"cold":$cold,"errors":$es,"sf":"$sfDir","n_queries":${results.size},"cold_total":$coldTotal,"n_errors":${errors.size},"total":$total}"""
+    val headline = s"""{"metric":"total","value":$total,"unit":"sec",$warmSem,"slowest_top5":$slowest,"errors":$esShort,"cold_total":$coldTotal,"n_errors":${errors.size},"n_queries":${results.size},"sf":"$sfDir","full_artifact":"BENCH_full_local.json"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_full_local.json"),

@@ -2195,7 +2195,8 @@ object SparkEntry {
         |  FROM e t JOIN e i ON i.vec_id = t.vec_id + 1 WHERE t.vec_id % 2 = 0),
         |b AS (SELECT SUM(q) AS sq, COUNT(*) AS n FROM p)
         |SELECT pair_id, CAST(q AS DOUBLE) / 10000000 AS clip_score
-        |FROM p, b WHERE q * n > sq""".stripMargin,
+        |FROM p, b
+        |WHERE CAST(q AS DECIMAL(20,0)) * n > CAST(sq AS DECIMAL(20,0))""".stripMargin,
     // the capped twin replicates the stop-bucket HAVING in SQL
     "mm_phash_dedup_capped" -> mmPhashSql("capped"),
     // multi-byte + empty payloads: codepoint-indexing bit-parity of

@@ -557,7 +557,7 @@ object Dedup {
   def stagedPairLineage(s: SparkSession, dir: String): (String, String) = {
     val vkey = Tables.versionedKey(s, dir, "documents")
     stagedLineage.getOrElseUpdate(vkey, {
-      val key = java.lang.Integer.toHexString(vkey.hashCode)
+      val key = Tables.stagedDirKey(vkey)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_lineage_${ProcessHandle.current().pid()}_$key"
       buildPairLineage(s, dir, base)
     })

