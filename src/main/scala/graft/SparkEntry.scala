@@ -191,7 +191,11 @@ object SparkEntry {
     "sim_ivf_pq_index_compact" -> (Similarity.ivfPqCompactTopK _),
     "stream_index_append" -> (graft.streaming.Streams.streamIndexAppend _),
     "text_bm25_topk" -> (TextAnalysis.bm25TopK _),
+    "text_bm25_index_topk" -> (TextAnalysis.bm25IndexTopK _),
+    "text_bm25_index_incremental" -> (TextAnalysis.bm25IndexIncTopK _),
     "sim_hybrid_rrf_topk" -> (Similarity.hybridRrfTopK _),
+    "sim_hybrid_index_topk" -> (Similarity.hybridIndexTopK _),
+    "stream_hybrid_serving" -> (graft.streaming.Streams.streamHybridServing _),
     "sim_pq_topk" -> (Similarity.pqTopK _),
     "sim_ivf_pq_topk" -> (Similarity.ivfPqTopK _),
     "sim_ivf_pq_index_topk" -> (Similarity.ivfPqTopKIndexed _),
@@ -952,15 +956,27 @@ object SparkEntry {
   /** BM25 oracle: identical rational-saturation + probabilistic-idf
     * arithmetic (no ln — libm can't be hash-gated), identical 1e-7
     * fixed-point quantization, identical corpus-derived query. */
-  private def textBm25Sql: String = {
+  private def textBm25Sql: String = textBm25SqlFrom(None)
+
+  /** The incremental lexical-index oracle IS the BM25 oracle under the
+    * FROZEN-STATS contract: collection statistics (df, n_docs,
+    * total_len) and the query-term policy computed over the SNAPSHOT
+    * docs only, term frequencies over the full corpus — snapshot
+    * postings + appended batch under frozen stats serve bit-identically
+    * to this rebuild. */
+  private def textBm25IncSql: String =
+    textBm25SqlFrom(Some(s"NOT (${TextAnalysis.Bm25IncBatchPred})"))
+
+  private def textBm25SqlFrom(statsPred: Option[String]): String = {
     val k = TextAnalysis.Bm25K
     val nq = TextAnalysis.Bm25QueryTerms
+    val sw = statsPred.map(p => s" WHERE $p").getOrElse("")
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS len FROM d),
-      |stats AS (SELECT COUNT(*) AS n_docs, SUM(len) AS total_len FROM lens),
+      |stats AS (SELECT COUNT(*) AS n_docs, SUM(len) AS total_len FROM lens$sw),
       |post AS (SELECT doc_id, unnest(w) AS term FROM d),
       |tfs AS (SELECT doc_id, term, COUNT(*) AS tf FROM post GROUP BY 1, 2),
-      |dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY 1),
+      |dfs AS (SELECT term, COUNT(*) AS df FROM tfs$sw GROUP BY 1),
       |q AS (SELECT term, df FROM dfs ORDER BY df DESC, term LIMIT $nq),
       |scored AS (SELECT t.doc_id, CAST(floor(
       |    (44 * CAST(t.tf AS DOUBLE) * CAST(s.total_len AS DOUBLE))
@@ -1024,6 +1040,75 @@ object SparkEntry {
       |    COALESCE(1000000000 // ($rrfK + lex_rank), 0)
       |      + COALESCE(1000000000 // ($rrfK + vec_rank), 0) AS rrf_q
       |  FROM lex l FULL JOIN den dn ON l.doc_id = dn.doc_id)
+      |SELECT doc_id, COALESCE(lex_rank, CAST(0 AS BIGINT)) AS lex_rank,
+      |  COALESCE(vec_rank, CAST(0 AS BIGINT)) AS vec_rank,
+      |  CAST(rrf_q AS DOUBLE) / 1000000000 AS rrf_score,
+      |  CAST(row_number() OVER (ORDER BY rrf_q DESC, doc_id) AS BIGINT) AS rank
+      |FROM fused ORDER BY rrf_q DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** Hybrid-over-PERSISTED-arms oracle (VERDICT r9 #2): the lexical arm
+    * is the BM25 arithmetic over full-corpus statistics (what the
+    * one-shot postings index stores), the dense arm replicates the IVF
+    * candidate stage EXACTLY (unrolled-Lloyd centroids, top-IvfProbes
+    * probe for the query doc, nearest-list assignment over the corpus)
+    * with the cosine quantized to 1e-7 fixed point — probing changes
+    * recall vs the brute fusion, so the oracle must see the same
+    * candidates, exactly as sim_ivf_topk's does — and the fusion is
+    * the same exact integer floor-division RRF. */
+  private def simHybridIndexSql: String = {
+    val k = Similarity.HybridK; val depth = Similarity.HybridDepth
+    val rrfK = Similarity.HybridRrfK; val qd = Similarity.HybridQueryDoc
+    val nq = Similarity.HybridQueryTerms
+    val (parts, cc, fc) = lloydCtes()
+    parts += s"""probes AS (
+      |  SELECT query_id, q_demb, q_nsq, cent_id FROM (
+      |    SELECT v.vec_id AS query_id, v.demb AS q_demb, v.nsq AS q_nsq, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY $cc DESC, c.cent_id) AS rn
+      |    FROM e v, $fc c WHERE v.vec_id = $qd) t WHERE rn <= ${Similarity.IvfProbes})""".stripMargin
+    parts += s"""assigned AS (
+      |  SELECT cand_id, c_demb, c_nsq, cent_id FROM (
+      |    SELECT v.vec_id AS cand_id, v.demb AS c_demb, v.nsq AS c_nsq, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY $cc DESC, c.cent_id) AS rn
+      |    FROM e v, $fc c WHERE v.vec_id >= 10) t WHERE rn = 1)""".stripMargin
+    val sc = cosineSql("p.q_demb", "p.q_nsq", "a.c_demb", "a.c_nsq")
+    parts += s"""den_top AS (SELECT doc_id, side_q FROM (
+      |  SELECT a.cand_id AS doc_id,
+      |    CAST(floor($sc * 10000000 + 0.5) AS BIGINT) AS side_q
+      |  FROM probes p JOIN assigned a USING (cent_id))
+      |  ORDER BY side_q DESC, doc_id LIMIT $depth)""".stripMargin
+    parts += """den AS (SELECT doc_id, CAST(row_number() OVER
+      |  (ORDER BY side_q DESC, doc_id) AS BIGINT) AS vec_rank FROM den_top)""".stripMargin
+    parts += "d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"
+    parts += "lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS len FROM d)"
+    parts += "stats AS (SELECT COUNT(*) AS n_docs, SUM(len) AS total_len FROM lens)"
+    parts += """tfs AS (SELECT doc_id, term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(w) AS term FROM d) GROUP BY 1, 2)""".stripMargin
+    parts += s"""qterms AS (SELECT term FROM tfs WHERE doc_id = $qd
+      |  ORDER BY tf DESC, term LIMIT $nq)""".stripMargin
+    parts += "dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY 1)"
+    parts += "q AS (SELECT dfs.term, df FROM dfs JOIN qterms USING (term))"
+    parts += s"""lex_top AS (SELECT doc_id, SUM(qv) AS side_q FROM (
+      |  SELECT t.doc_id, CAST(floor(
+      |    (44 * CAST(t.tf AS DOUBLE) * CAST(s.total_len AS DOUBLE))
+      |    / (20 * CAST(t.tf AS DOUBLE) * CAST(s.total_len AS DOUBLE)
+      |       + 6 * CAST(s.total_len AS DOUBLE)
+      |       + 18 * CAST(l.len AS DOUBLE) * CAST(s.n_docs AS DOUBLE))
+      |    * ((2 * CAST(s.n_docs AS DOUBLE) - 2 * CAST(q.df AS DOUBLE) + 1)
+      |       / (2 * CAST(q.df AS DOUBLE) + 1)) * 10000000 + 0.5) AS BIGINT) AS qv
+      |  FROM tfs t JOIN q USING (term) JOIN lens l ON l.doc_id = t.doc_id, stats s
+      |  WHERE t.doc_id <> $qd)
+      |  GROUP BY doc_id ORDER BY side_q DESC, doc_id LIMIT $depth)""".stripMargin
+    parts += """lex AS (SELECT doc_id, CAST(row_number() OVER
+      |  (ORDER BY side_q DESC, doc_id) AS BIGINT) AS lex_rank FROM lex_top)""".stripMargin
+    parts += s"""fused AS (SELECT COALESCE(l.doc_id, dn.doc_id) AS doc_id,
+      |    lex_rank, vec_rank,
+      |    COALESCE(1000000000 // ($rrfK + lex_rank), 0)
+      |      + COALESCE(1000000000 // ($rrfK + vec_rank), 0) AS rrf_q
+      |  FROM lex l FULL JOIN den dn ON l.doc_id = dn.doc_id)""".stripMargin
+    s"""WITH ${parts.mkString(",\n")}
       |SELECT doc_id, COALESCE(lex_rank, CAST(0 AS BIGINT)) AS lex_rank,
       |  COALESCE(vec_rank, CAST(0 AS BIGINT)) AS vec_rank,
       |  CAST(rrf_q AS DOUBLE) / 1000000000 AS rrf_score,
@@ -2728,7 +2813,22 @@ object SparkEntry {
     // stateless frozen-artifact encoding + additive code appends
     "stream_pq_index_append" -> simIvfPqIncTopkSql,
     "text_bm25_topk" -> textBm25Sql,
+    // serving from the persisted postings index is bit-equal to the
+    // corpus recompute (integers/strings round-trip parquet exactly;
+    // same query policy over the persisted dfs) — same oracle
+    "text_bm25_index_topk" -> textBm25Sql,
+    // snapshot postings + appended batch under FROZEN collection stats
+    // ≡ a frozen-stats rebuild (stats/df/query over snapshot docs,
+    // term frequencies over everything)
+    "text_bm25_index_incremental" -> textBm25IncSql,
     "sim_hybrid_rrf_topk" -> simHybridRrfSql,
+    // fusion served from the PERSISTED arms — its own oracle: the IVF
+    // arm changes recall vs brute, so the oracle replicates the probed
+    // candidate stage exactly (as sim_ivf_topk's does)
+    "sim_hybrid_index_topk" -> simHybridIndexSql,
+    // stateless per-query fusion: micro-batch boundaries cannot change
+    // results, so the stream shares the batch fusion's oracle
+    "stream_hybrid_serving" -> simHybridIndexSql,
     "dedup_semantic" -> dedupSemanticSql,
     "dedup_semantic_incremental" -> dedupSemanticIncSql,
     "sim_pq_topk" -> simPqTopkSql,

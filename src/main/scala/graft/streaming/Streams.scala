@@ -551,6 +551,38 @@ object Streams {
     s.read.parquet(s"$base/dst")
   }
 
+  /** Gate query: STREAMING hybrid retrieval — queries arrive as a
+    * stream, BOTH persisted arms static (the [[streamIvfServing]]
+    * topology applied to the fusion over the BM25 postings index and
+    * the IVF index, VERDICT r9 #8): each arriving query doc id runs
+    * the index-armed fusion and appends its top-k. Fusion is per-query
+    * (no cross-batch state), so micro-batch boundaries cannot change
+    * results — the stream output is bit-equal to the batch
+    * `sim_hybrid_index_topk` gate and shares its oracle verbatim. At
+    * 100 TB this is the RAG serving loop: a query stream fans out over
+    * two persisted artifacts, per-query I/O = probed buckets + probed
+    * lists + O(depth) fusion. */
+  def streamHybridServing(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val base = System.getProperty("java.io.tmpdir") + "/graft_shyb_" + System.nanoTime
+    import s.implicits._
+    Seq(graft.operators.Similarity.HybridQueryDoc).toDF("query_doc")
+      .coalesce(1).write.json(s"$base/src")
+    val in = s.readStream.schema("query_doc LONG").json(s"$base/src")
+    val q = in.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      // a serving batch of query ids is bounded by contract (the same
+      // argument as every ANN gate's broadcast query slice)
+      batch.select(col("query_doc")).as[Long].collect().foreach { qd =>
+        graft.operators.Similarity.hybridIndexTopKFor(s, dir, qd)
+          .write.mode("append").parquet(s"$base/dst")
+      }
+      ()
+    }.option("checkpointLocation", s"$base/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/dst")
+  }
+
   /** Gate query: STREAMING index maintenance — the nightly append as a
     * vector stream: the snapshot index (frozen quantizer + snapshot
     * postings) stages once; tonight's arrivals land in TWO real

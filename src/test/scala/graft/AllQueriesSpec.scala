@@ -66,6 +66,7 @@ class AllQueriesSpec extends AnyFunSuite {
     "sim_pq_topk", "sim_ivf_pq_topk", "sim_ivf_pq_index_topk",
     "sim_ivf_pq_index_incremental", "sim_ivf_pq_index_compact",
     "sim_range_search",
+    "sim_hybrid_index_topk",  // dense arm probes = the broadcast query slice
     "sim_matryoshka_topk", "sim_recall_report")
 
   /** Repo-wide growing-hint gate (VERDICT r3 #1): a broadcast hint is

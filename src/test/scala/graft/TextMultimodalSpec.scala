@@ -625,4 +625,68 @@ class TextMultimodalSpec extends AnyFunSuite {
       .take(TextAnalysis.BpeTopMerges)
     assert(got.toSeq == exp, "top merge pairs must match the brute-force oracle")
   }
+
+  test("persisted BM25 index: serving bit-equal, reads index files only, statically pruned") {
+    val mem = TextAnalysis.bm25TopK(spark, sf).collect().map(_.toString).toSet
+    val idx = TextAnalysis.bm25IndexTopK(spark, sf)
+    assert(idx.collect().map(_.toString).toSet == mem,
+      "postings-index serving must equal the corpus-recompute BM25 results")
+    val plan = idx.queryExecution.executedPlan.toString
+    // the serving plan must touch ONLY index artifacts — a documents
+    // scan would mean the per-query corpus tokenize survived
+    assert(!plan.contains("documents.parquet"),
+      s"BM25 index serving must not scan the documents table:\n$plan")
+    // ...and the postings scan must be STATICALLY pruned to the query
+    // terms' buckets (planning-time partition filters — unprobed
+    // buckets are never even listed)
+    val postScan = plan.linesIterator
+      .filter(l => l.contains("postings") && l.toLowerCase.contains("filescan"))
+      .mkString("\n")
+    assert(postScan.nonEmpty, s"no postings file scan found:\n$plan")
+    assert(postScan.contains("PartitionFilters: [") &&
+      !postScan.contains("PartitionFilters: []") &&
+      postScan.contains("bucket"),
+      s"postings scan must carry a static bucket partition filter:\n$postScan")
+  }
+
+  test("incremental BM25 index: append is batch-only, snapshot postings untouched") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_spec_bm25inc_${System.nanoTime}"
+    TextAnalysis.buildBm25Index(spark, sf, base,
+      Some(s"NOT (${TextAnalysis.Bm25IncBatchPred})"))
+    def listing(p: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = listing(s"$base/postings")
+    val dfsBefore = listing(s"$base/dfs") ++ listing(s"$base/stats")
+    TextAnalysis.appendBm25Batch(spark, sf, base, TextAnalysis.Bm25IncBatchPred)
+    val after = listing(s"$base/postings")
+    // the append only ADDS postings files — every snapshot file
+    // survives byte-identical (name + mtime), and the frozen-stats
+    // artifacts (dfs, stats) are not touched at all
+    before.foreach { case (p, m) =>
+      assert(after.get(p).contains(m), s"snapshot postings file rewritten: $p")
+    }
+    assert(after.size > before.size, "append must add batch postings files")
+    assert((listing(s"$base/dfs") ++ listing(s"$base/stats")) == dfsBefore,
+      "frozen df/stats artifacts must be untouched by the append")
+    // appended rows = exactly the batch docs' postings
+    val posts = spark.read
+      .schema("term STRING, doc_id BIGINT, tf BIGINT, len BIGINT, bucket BIGINT")
+      .parquet(s"$base/postings")
+    val batchPosts = posts.filter(expr(TextAnalysis.Bm25IncBatchPred)).count()
+    val expected = Tables.documents(spark, sf)
+      .filter(expr(TextAnalysis.Bm25IncBatchPred))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .select(col("doc_id"), col("term")).distinct().count()
+    assert(batchPosts == expected,
+      s"appended postings must be exactly the batch docs' (doc, term) rows")
+    // serving from the maintained index matches the gate
+    val served = TextAnalysis.bm25TopKFrom(spark, base).collect().map(_.toString).toSet
+    val gate = TextAnalysis.bm25IndexIncTopK(spark, sf).collect().map(_.toString).toSet
+    assert(served == gate, "spec-built index must serve the gate results")
+    CacheScope.releaseAll(spark)
+  }
 }

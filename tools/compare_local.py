@@ -3,7 +3,9 @@
 compare: run Verify first, then this. Driver-side python/duckdb only —
 NOT part of the library.
 
-Usage: python3 tools/compare_local.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare_local.py <sfDir> <verifyOutDir> [only,names]
+(the optional third arg restricts the compare to those queries — the
+dev-loop twin of SPARK_GRAFT_ONLY; the driver never passes it)
 """
 import json, sys, math
 import duckdb
@@ -11,11 +13,13 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     ok = bad = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -64,4 +68,5 @@ def main(sf_dir, out_dir):
     return 1 if bad else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], only))
