@@ -187,6 +187,7 @@ object SparkEntry {
     "sim_ivf_index_incremental" -> (Similarity.ivfIncTopK _),
     "sim_ivf_index_drift" -> (Similarity.ivfIncDriftReport _),
     "sim_ivf_pq_index_incremental" -> (Similarity.ivfPqIncTopK _),
+    "sim_ivf_pq_index_drift" -> (Similarity.ivfPqIncDriftReport _),
     "sim_ivf_index_compact" -> (Similarity.ivfCompactTopK _),
     "sim_ivf_pq_index_compact" -> (Similarity.ivfPqCompactTopK _),
     "stream_index_append" -> (graft.streaming.Streams.streamIndexAppend _),
@@ -1229,6 +1230,64 @@ object SparkEntry {
     simIvfPqTopkSqlFrom(Some(a =>
       s"NOT (${Similarity.IvfIncBatchPred.replace("vec_id", a + "vec_id")})"))
 
+  /** The PQ codebook/encode/reconstruct CTE chain (pqp, book, subs,
+    * enc, recon) — every candidate (vec_id ≥ 10) encoded against the
+    * stride codebook trained on `trainPred` rows, reconstructed with
+    * its norm. Shared by the IVFPQ retrieval oracles and the codebook
+    * drift oracle so the arithmetic can never diverge. */
+  private def pqReconCtes(trainPred: Option[String => String]): Seq[String] = {
+    val m = Similarity.PqSubspaces
+    val k = Similarity.PqCodewords
+    val l2 = (vec: String) =>
+      s"""list_sum(list_transform(list_zip($vec, s.csub),
+         |       x -> (x[1]-x[2])*(x[1]-x[2])))""".stripMargin
+    val pw = trainPred.map(p => s" WHERE ${p("")}").getOrElse("")
+    val bw = trainPred.map(p => s"${p("")} AND ").getOrElse("")
+    Seq(
+      s"""pqp AS (SELECT GREATEST(1, COUNT(*) // $k) AS stride,
+      |  (SELECT len(embedding) // $m FROM embeddings LIMIT 1) AS sub FROM embeddings$pw)""".stripMargin,
+      s"""book AS (SELECT vec_id // stride AS code_id, embedding AS cw
+      |  FROM embeddings, pqp WHERE ${bw}vec_id % stride = 0 AND vec_id // stride < $k)""".stripMargin,
+      s"""subs AS (SELECT code_id, m.m AS m,
+      |   CAST(list_slice(cw, m.m*sub+1, (m.m+1)*sub) AS DOUBLE[]) AS csub
+      |  FROM book, pqp, range(0,$m) m(m))""".stripMargin,
+      s"""enc AS (SELECT cand_id, m, csub FROM (
+      |   SELECT c.vec_id AS cand_id, s.m, s.csub,
+      |     row_number() OVER (PARTITION BY c.vec_id, s.m ORDER BY
+      |       ${l2(s"CAST(list_slice(c.embedding, s.m*pqp.sub+1, (s.m+1)*pqp.sub) AS DOUBLE[])")} ASC,
+      |       s.code_id ASC) AS rn
+      |   FROM embeddings c, subs s, pqp WHERE c.vec_id >= 10) t WHERE rn = 1)""".stripMargin,
+      """recon AS (SELECT cand_id, remb, list_sum(list_transform(remb, x -> x*x)) AS rnsq
+      |  FROM (SELECT cand_id, flatten(list(csub ORDER BY m)) AS remb FROM enc GROUP BY cand_id) f)""".stripMargin)
+  }
+
+  /** Oracle for the PQ-codebook drift report: the FROZEN codebook CTEs
+    * (trained without the batch), every candidate's reconstruction
+    * cosine against its own embedding quantized to 1e-7 fixed point,
+    * per-side means via exact BIGINT sums, and the bar comparison. */
+  private def simIvfPqIncDriftSql: String = {
+    import graft.functions.Planes.cosineSql
+    val batch = Similarity.IvfIncBatchPred
+    val parts = scala.collection.mutable.ArrayBuffer(
+      """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS demb,
+        |  list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)) AS nsq
+        | FROM embeddings)""".stripMargin)
+    parts ++= pqReconCtes(Some(a =>
+      s"NOT (${batch.replace("vec_id", a + "vec_id")})"))
+    val sc = cosineSql("v.demb", "v.nsq", "r.remb", "r.rnsq")
+    parts += s"""best AS (SELECT r.cand_id,
+      |  CAST(floor($sc * 10000000 + 0.5) AS BIGINT) AS q
+      |  FROM recon r JOIN e v ON v.vec_id = r.cand_id)""".stripMargin
+    def meanQ(w: String) =
+      s"(SELECT CAST(SUM(q) AS DOUBLE) / 10000000 / COUNT(*) FROM best WHERE $w)"
+    s"""WITH ${parts.mkString(",\n")},
+      |m AS (SELECT ${meanQ("NOT (cand_id % 10 = 3)")} AS snap_mean,
+      |  ${meanQ("cand_id % 10 = 3")} AS batch_mean)
+      |SELECT snap_mean, batch_mean, snap_mean - batch_mean AS drift,
+      |  (snap_mean - batch_mean) > ${Similarity.PqIncDriftBar} AS retrain
+      |FROM m""".stripMargin
+  }
+
   private def simIvfPqTopkSqlFrom(trainPred: Option[String => String]): String = {
     import graft.functions.Planes.cosineSql
     val (parts, cc, fc) = lloydCtes(trainPred)
@@ -1244,28 +1303,7 @@ object SparkEntry {
       |      row_number() OVER (PARTITION BY v.vec_id
       |        ORDER BY $cc DESC, c.cent_id) AS rn
       |    FROM e v, $fc c WHERE v.vec_id >= 10) t WHERE rn = 1)""".stripMargin
-    val m = Similarity.PqSubspaces
-    val k = Similarity.PqCodewords
-    val l2 = (vec: String) =>
-      s"""list_sum(list_transform(list_zip($vec, s.csub),
-         |       x -> (x[1]-x[2])*(x[1]-x[2])))""".stripMargin
-    val pw = trainPred.map(p => s" WHERE ${p("")}").getOrElse("")
-    val bw = trainPred.map(p => s"${p("")} AND ").getOrElse("")
-    parts += s"""pqp AS (SELECT GREATEST(1, COUNT(*) // $k) AS stride,
-      |  (SELECT len(embedding) // $m FROM embeddings LIMIT 1) AS sub FROM embeddings$pw)""".stripMargin
-    parts += s"""book AS (SELECT vec_id // stride AS code_id, embedding AS cw
-      |  FROM embeddings, pqp WHERE ${bw}vec_id % stride = 0 AND vec_id // stride < $k)""".stripMargin
-    parts += s"""subs AS (SELECT code_id, m.m AS m,
-      |   CAST(list_slice(cw, m.m*sub+1, (m.m+1)*sub) AS DOUBLE[]) AS csub
-      |  FROM book, pqp, range(0,$m) m(m))""".stripMargin
-    parts += s"""enc AS (SELECT cand_id, m, csub FROM (
-      |   SELECT c.vec_id AS cand_id, s.m, s.csub,
-      |     row_number() OVER (PARTITION BY c.vec_id, s.m ORDER BY
-      |       ${l2(s"CAST(list_slice(c.embedding, s.m*pqp.sub+1, (s.m+1)*pqp.sub) AS DOUBLE[])")} ASC,
-      |       s.code_id ASC) AS rn
-      |   FROM embeddings c, subs s, pqp WHERE c.vec_id >= 10) t WHERE rn = 1)""".stripMargin
-    parts += """recon AS (SELECT cand_id, remb, list_sum(list_transform(remb, x -> x*x)) AS rnsq
-      |  FROM (SELECT cand_id, flatten(list(csub ORDER BY m)) AS remb FROM enc GROUP BY cand_id) f)""".stripMargin
+    parts ++= pqReconCtes(trainPred)
     val pqCos = cosineSql("eq.demb", "eq.nsq", "r.remb", "r.rnsq")
     parts += s"""coarse AS (SELECT p.query_id, a.cand_id, $pqCos AS pq_cos
       |  FROM probes p JOIN assigned a USING (cent_id)
@@ -2840,6 +2878,7 @@ object SparkEntry {
     // snapshot codes + appended batch under frozen quantizer+codebook ≡
     // one-shot build training both stages without the batch
     "sim_ivf_pq_index_incremental" -> simIvfPqIncTopkSql,
+    "sim_ivf_pq_index_drift" -> simIvfPqIncDriftSql,
     // compaction moves code rows between files, never changes them —
     // serving shares the incremental IVFPQ oracle verbatim
     "sim_ivf_pq_index_compact" -> simIvfPqIncTopkSql,

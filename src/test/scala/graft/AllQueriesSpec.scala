@@ -24,6 +24,7 @@ class AllQueriesSpec extends AnyFunSuite {
     "pat_skew_join",                           // dim × salts replication (3×8 rows BY DESIGN)
     "etl_cdc_apply",                           // 1-row max-key-offset broadcast combine
     "sim_ivf_index_drift",                     // cross join of two 1-row mean aggregates
+    "sim_ivf_pq_index_drift",                  // same two 1-row mean-aggregate combine
     "text_bm25_topk",                          // 1-row corpus-stats broadcast combine
     "sim_hybrid_rrf_topk",                     // 1-row stats + 1-row query-vector combines
     "mm_clip_filter",                          // 1-row global-sum threshold broadcast

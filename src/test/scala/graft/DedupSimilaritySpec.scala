@@ -1039,6 +1039,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"a shifted batch must trigger the retrain branch (drift=$drift2)")
   }
 
+  test("PQ codebook drift: in-distribution batch appends, a spike batch retrains") {
+    // append branch: the gate corpus's batch comes from the trained
+    // distribution, so its reconstruction gap is only sampling noise
+    val (drift, retrain) = Similarity.ivfPqIncRetrainSignal(spark, sf)
+    assert(!retrain && math.abs(drift) < Similarity.PqIncDriftBar,
+      s"in-distribution batch must take the append branch (drift=$drift)")
+    // retrain branch: a spike batch concentrates its energy where no
+    // codeword points — per-subspace argmin reconstruction cannot
+    // represent it, so mean reconstruction cosine collapses. (A merely
+    // NEGATED batch is the wrong test: the stride codebook is sampled
+    // from a symmetric corpus, so -x reconstructs about as well as x.)
+    val dims = Tables.embeddings(spark, sf)
+      .select(size(col("embedding"))).head().getInt(0)
+    val spike = Array(100f) ++ Array.fill(dims - 1)(0f)
+    import spark.implicits._
+    val ids = Tables.embeddings(spark, sf)
+      .filter(expr(Similarity.IvfIncBatchPred))
+      .select(col("vec_id")).as[Long].collect()
+    val shifted = ids.map(id => (id, spike)).toSeq.toDF("cand_id", "c_emb")
+      .select(col("cand_id"), col("c_emb").cast("array<float>").as("c_emb"))
+    val (d2, r2) = Similarity.ivfPqIncRetrainSignal(spark, sf, Some(shifted))
+    assert(r2 && d2 > Similarity.PqIncDriftBar,
+      s"a spike batch must trigger the codebook retrain branch (drift=$d2)")
+    // the oracled gate report agrees with the signal on the gate corpus
+    val rep = Similarity.ivfPqIncDriftReport(spark, sf).head()
+    assert(!rep.getAs[Boolean]("retrain"))
+    assert(math.abs(rep.getAs[Double]("drift") - drift) < 1e-6,
+      "report and signal must measure the same drift")
+  }
+
   test("persisted IVFPQ index: codes-on-disk serving is bit-equal, scan reads codes not floats") {
     val mem = Similarity.ivfPqTopK(spark, sf).collect().map(_.toString).toSet
     val idx = Similarity.ivfPqTopKIndexed(spark, sf)
