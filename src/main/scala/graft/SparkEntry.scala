@@ -189,6 +189,7 @@ object SparkEntry {
     "sim_ivf_pq_index_incremental" -> (Similarity.ivfPqIncTopK _),
     "sim_ivf_pq_index_drift" -> (Similarity.ivfPqIncDriftReport _),
     "sim_ivf_index_compact" -> (Similarity.ivfCompactTopK _),
+    "sim_ivf_lifecycle_topk" -> (Similarity.ivfLifecycleTopK _),
     "sim_ivf_pq_index_compact" -> (Similarity.ivfPqCompactTopK _),
     "stream_index_append" -> (graft.streaming.Streams.streamIndexAppend _),
     "text_bm25_topk" -> (TextAnalysis.bm25TopK _),
@@ -2844,6 +2845,10 @@ object SparkEntry {
     // compaction moves rows between files, never changes them — the
     // compacted index shares the incremental gate's oracle verbatim
     "sim_ivf_index_compact" -> simIvfIncTopkSql,
+    // the full lifecycle (snapshot → streamed append → drift consult →
+    // compact → serve) moves rows in and between files, never changes
+    // them — same frozen-quantizer rebuild oracle
+    "sim_ivf_lifecycle_topk" -> simIvfIncTopkSql,
     // stateless per-vector assignment + additive appends: micro-batch
     // boundaries cannot change the final postings set
     "stream_index_append" -> simIvfIncTopkSql,

@@ -312,8 +312,15 @@ object Similarity {
     centroidCache.getOrElseUpdate(Tables.versionedKey(s, dir, "embeddings"),
       kmeansCentroidBuild(s, dir))
 
+  /** Training-pass odometer (spec surface): every coarse-quantizer or
+    * codebook TRAINING build ticks it, so a spec can prove a
+    * maintenance pass ran ZERO training jobs — the lifecycle contract
+    * (append/drift/compact/serve consume artifacts, never retrain). */
+  private[graft] val trainingBuilds = new java.util.concurrent.atomic.AtomicLong
+
   private def kmeansCentroidBuild(s: SparkSession, dir: String,
       trainPred: Option[String] = None): Seq[(Long, Seq[Float])] = {
+    trainingBuilds.incrementAndGet()
     graft.functions.GraftFunctions.register(s)
     def filtered(df: DataFrame): DataFrame =
       trainPred.map(p => df.filter(expr(p))).getOrElse(df)
@@ -706,6 +713,43 @@ object Similarity {
   def ivfCompactTopK(s: SparkSession, dir: String): DataFrame =
     ivfServeFrom(s, stagedIvfCompactIndex(s, dir), queries(s, dir))
 
+  /** COMPOSITE nightly-maintenance lifecycle over ONE staged index
+    * (VERDICT r9 #3) — the pieces exist as separate gates; this gate
+    * proves they COMPOSE: (1) the snapshot index builds once (the only
+    * training pass — [[trainingBuilds]]-spec-counted); (2) tonight's
+    * batch arrives as a real two-micro-batch STREAM, each appending
+    * idempotently under the frozen artifact centroids; (3) the DRIFT
+    * report consults the artifact and takes the append branch (the
+    * gate corpus is in-distribution — a loud require, since serving a
+    * drifted index silently would defeat the policy); (4) the
+    * small-files COMPACTION collapses the append-fattened lists
+    * (stage-then-publish crash-safe); (5) serving reads the final
+    * artifact. Hash-equal to the one-shot frozen-quantizer rebuild —
+    * the same oracle as the plain incremental gate, because appends
+    * move rows in, compaction moves rows between files, and the drift
+    * consult moves nothing. */
+  private val stagedIvfLifecycle =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def stagedIvfLifecycleIndex(s: SparkSession, dir: String): String = {
+    val vkey = Tables.versionedKey(s, dir, "embeddings")
+    stagedIvfLifecycle.getOrElseUpdate(vkey, {
+      val key = Tables.stagedDirKey(vkey)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivflife_${ProcessHandle.current().pid()}_$key"
+      buildIvfIncSnapshot(s, dir, base)
+      graft.streaming.Streams.runIndexAppendStream(s, dir, base)
+      val retrain = ivfIncDriftReportFrom(s, dir, base)
+        .head().getAs[Boolean]("retrain")
+      require(!retrain,
+        "lifecycle gate expects the in-distribution append branch; " +
+          "a drifted corpus must retrain, not serve the frozen index")
+      compactIvfIncIndex(s, base)
+      base
+    })
+  }
+
+  def ivfLifecycleTopK(s: SparkSession, dir: String): DataFrame =
+    ivfServeFrom(s, stagedIvfLifecycleIndex(s, dir), queries(s, dir))
+
   /** Spec hook: serve the gate query slice from an arbitrary index
     * base (before/after-compaction bit-equality checks). */
   private[graft] def ivfServeForSpec(s: SparkSession, base: String,
@@ -735,9 +779,16 @@ object Similarity {
     * trusted. One narrow pass per side + a 1-row combine; embeddings
     * never cross an exchange. Derivation-only: consumes the staged
     * index's centroid file, zero training jobs. */
-  def ivfIncDriftReport(s: SparkSession, dir: String): DataFrame = {
+  def ivfIncDriftReport(s: SparkSession, dir: String): DataFrame =
+    ivfIncDriftReportFrom(s, dir, stagedIvfIncIndex(s, dir))
+
+  /** The drift report against an ARBITRARY index artifact — the
+    * lifecycle gate consults it mid-maintenance (artifact centroids
+    * only, zero training state). */
+  private[graft] def ivfIncDriftReportFrom(s: SparkSession, dir: String,
+      base: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val cents = readCentroids(s, s"${stagedIvfIncIndex(s, dir)}/centroids")
+    val cents = readCentroids(s, s"$base/centroids")
     val best = array_max(transform(typedLit(cents), c =>
       call_function("graft_cosine", col("c_emb"), c.getField("_2"))))
     def meanQ(df: DataFrame): DataFrame =
@@ -956,6 +1007,7 @@ object Similarity {
 
   private def pqCodebookBuild(s: SparkSession, dir: String,
       trainPred: Option[String] = None): Seq[(Long, Seq[Float])] = {
+    trainingBuilds.incrementAndGet()
     def filtered(df: DataFrame): DataFrame =
       trainPred.map(p => df.filter(expr(p))).getOrElse(df)
     val n = filtered(Tables.embeddings(s, dir)).count() // one scalar action (as IVF)

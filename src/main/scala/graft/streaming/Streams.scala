@@ -602,6 +602,19 @@ object Streams {
     graft.functions.GraftFunctions.register(s)
     val base = System.getProperty("java.io.tmpdir") + "/graft_sidx_" + System.nanoTime
     graft.operators.Similarity.buildIvfIncSnapshot(s, dir, base)
+    runIndexAppendStream(s, dir, base)
+    graft.operators.Similarity.ivfServeForSpec(s, base, dir)
+  }
+
+  /** The nightly-batch append STREAM against an existing snapshot
+    * index at `base` — two real micro-batches (maxFilesPerTrigger=1
+    * over two staged slices), each assigning against the frozen
+    * artifact centroids and publishing idempotently (bid-keyed: a
+    * replayed micro-batch purges its own files first, so the append is
+    * exactly-once in effect). Extracted so the composite lifecycle
+    * gate drives the SAME topology the streaming gate drains. */
+  private[graft] def runIndexAppendStream(s: SparkSession, dir: String,
+      base: String): Unit = {
     val batch = graft.sources.Tables.embeddings(s, dir)
       .filter(expr(graft.operators.Similarity.IvfIncBatchPred))
       .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
@@ -614,14 +627,11 @@ object Streams {
     val in = s.readStream.schema("cand_id LONG, c_emb ARRAY<FLOAT>")
       .option("maxFilesPerTrigger", 1).json(s"$base/src")
     val q = in.writeStream.foreachBatch { (mb: DataFrame, bid: Long) =>
-      // bid-keyed idempotent publish: a replayed micro-batch purges its
-      // own files first, so the claim below is exactly-once in effect
       graft.operators.Similarity.appendIvfIncVectorsIdempotent(s, base, mb, bid)
       ()
     }.option("checkpointLocation", s"$base/cp")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    graft.operators.Similarity.ivfServeForSpec(s, base, dir)
   }
 
   /** Gate query: STREAMING maintenance of the COMPRESSED index — the

@@ -61,6 +61,7 @@ class AllQueriesSpec extends AnyFunSuite {
     "sim_brute_topk", "sim_native_topk", "sim_lsh_topk",
     "sim_multiprobe_topk", "sim_ivf_topk", "sim_ivf_index_topk",
     "sim_ivf_index_incremental", "sim_ivf_index_compact",
+    "sim_ivf_lifecycle_topk",
     "stream_index_append",  // returns the same indexed-serving plan post-drain
     "stream_pq_index_append",  // likewise, the IVFPQ serving plan post-drain
     "sim_rerank_topk",

@@ -1039,6 +1039,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"a shifted batch must trigger the retrain branch (drift=$drift2)")
   }
 
+  test("lifecycle composition: maintenance passes run zero training jobs, serving matches") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_spec_life_${System.nanoTime}"
+    // the one and only training pass: the snapshot build (memo-warm or
+    // not — what matters is the MAINTENANCE passes below add nothing)
+    Similarity.buildIvfIncSnapshot(spark, sf, base)
+    val trained = Similarity.trainingBuilds.get()
+    graft.streaming.Streams.runIndexAppendStream(spark, sf, base)
+    val retrain = Similarity.ivfIncDriftReportFrom(spark, sf, base)
+      .head().getAs[Boolean]("retrain")
+    assert(!retrain, "gate corpus must take the append branch")
+    val compacted = Similarity.compactIvfIncIndex(spark, base)
+    assert(compacted.nonEmpty,
+      "the streamed appends must have fattened at least one list")
+    val served = Similarity.ivfServeForSpec(spark, base, sf)
+      .collect().map(_.toString).toSet
+    assert(Similarity.trainingBuilds.get() == trained,
+      "append/drift/compact/serve must run ZERO training jobs — they consume artifacts")
+    // the composed lifecycle serves exactly what the plain incremental
+    // gate serves (both hash-equal to the frozen-quantizer rebuild)
+    val inc = Similarity.ivfIncTopK(spark, sf).collect().map(_.toString).toSet
+    assert(served == inc, "lifecycle serving must equal the incremental gate")
+    CacheScope.releaseAll(spark)
+  }
+
   test("PQ codebook drift: in-distribution batch appends, a spike batch retrains") {
     // append branch: the gate corpus's batch comes from the trained
     // distribution, so its reconstruction gap is only sampling noise
