@@ -267,6 +267,7 @@ object SparkEntry {
     "text_contamination_score" -> (TextAnalysis.contaminationScore _),
     "text_lm_score" -> (TextAnalysis.lmScore _),
     "text_bpe_merges" -> (TextAnalysis.bpeMerges _),
+    "text_bpe_apply" -> (TextAnalysis.bpeApply _),
     "sim_label_centroids" -> (Similarity.labelCentroids _),
     "stream_enrich" -> (graft.streaming.Streams.streamEnrichTransfer _),
     "stream_jdbc_sink" -> (graft.streaming.Streams.streamJdbcSink _),
@@ -1047,6 +1048,58 @@ object SparkEntry {
       |  CAST(rrf_q AS DOUBLE) / 1000000000 AS rrf_score,
       |  CAST(row_number() OVER (ORDER BY rrf_q DESC, doc_id) AS BIGINT) AS rank
       |FROM fused ORDER BY rrf_q DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** BPE-application oracle: the [[TextAnalysis.bpeMerges]] SQL ranks
+    * the merge table, then ONE DuckDB list_reduce fold per rule in
+    * rank order over the vocabulary's token arrays — the identical
+    * separator-string encoding of the Spark fold (merge = append the
+    * right char to an accumulator whose last token equals the left
+    * char; exact because rule sides are single codepoints) — then
+    * dense token ids by token text and the per-doc integer aggregates.
+    * The doc↔vocab join uses RAW words where the Spark side joins md5
+    * fingerprints — the standing collision tripwire. */
+  private def textBpeApplySql: String = {
+    val sep = "chr(31)"
+    val parts = scala.collection.mutable.ArrayBuffer(
+      s"""m AS (SELECT pair,
+        |  CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rn
+        | FROM (SELECT pair, CAST(SUM(wc) AS BIGINT) AS n FROM (
+        |    SELECT wc, unnest(list_transform(range(1, LENGTH(word)),
+        |      i -> word[i] || word[i+1])) AS pair
+        |    FROM (SELECT word, COUNT(*) AS wc FROM (
+        |      SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |     GROUP BY word) v WHERE LENGTH(word) >= 2) p GROUP BY pair
+        |   ORDER BY n DESC, pair LIMIT ${TextAnalysis.BpeTopMerges}) t)""".stripMargin,
+      """v AS (SELECT DISTINCT word FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        | WHERE LENGTH(word) >= 1)""".stripMargin,
+      """enc0 AS (SELECT word, list_transform(range(1, len(word)+1),
+        |  i -> substr(word, CAST(i AS INT), 1)) AS toks FROM v)""".stripMargin)
+    for (i <- 1 to TextAnalysis.BpeTopMerges) {
+      parts += s"""enc$i AS (SELECT word, CASE WHEN r.pair IS NULL THEN toks
+        | ELSE string_split(list_reduce(toks, (acc, t) -> CASE
+        |   WHEN t = substr(r.pair, 2, 1)
+        |     AND substr(acc, length(acc), 1) = substr(r.pair, 1, 1)
+        |     AND (length(acc) = 1 OR substr(acc, length(acc)-1, 1) = $sep)
+        |   THEN acc || t ELSE acc || $sep || t END), $sep) END AS toks
+        | FROM enc${i - 1} LEFT JOIN (SELECT pair FROM m WHERE rn = $i) r ON TRUE)""".stripMargin
+    }
+    val fin = s"enc${TextAnalysis.BpeTopMerges}"
+    parts += s"""tokid AS (SELECT token,
+      |  CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS tok_id
+      | FROM (SELECT DISTINCT unnest(toks) AS token FROM $fin))""".stripMargin
+    parts += s"ws AS (SELECT word, unnest(toks) AS token FROM $fin)"
+    parts += """wstat AS (SELECT word, COUNT(*) AS n_toks,
+      |  CAST(SUM(tok_id) AS BIGINT) AS id_sum
+      | FROM ws JOIN tokid USING (token) GROUP BY word)""".stripMargin
+    parts += """docs AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      | FROM documents)""".stripMargin
+    s"""WITH ${parts.mkString(",\n")}
+      |SELECT doc_id, COUNT(*) AS n_words,
+      |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(id_sum) AS BIGINT) AS token_id_sum
+      |FROM docs JOIN wstat USING (word) GROUP BY doc_id""".stripMargin
   }
 
   /** Hybrid-over-PERSISTED-arms oracle (VERDICT r9 #2): the lexical arm
@@ -2806,6 +2859,7 @@ object SparkEntry {
         |    i -> word[i] || word[i+1])) AS pair FROM v)
         |SELECT pair, CAST(SUM(wc) AS BIGINT) AS n FROM p GROUP BY pair
         |ORDER BY n DESC, pair LIMIT ${TextAnalysis.BpeTopMerges}""".stripMargin,
+    "text_bpe_apply" -> textBpeApplySql,
     // raw words in the oracle (the Spark side joins md5 fps — collision tripwire)
     "text_rarity" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

@@ -885,6 +885,100 @@ object TextAnalysis {
       .limit(BpeTopMerges)
   }
 
+  /** Token-list separator for the BPE merge fold — a control char the
+    * corpus never contains (a collision would split tokens and fail
+    * the hash gate loudly, never silently). */
+  private val BpeSep = "\u001f"
+
+  /** Greedy BPE merge APPLICATION — the consumer of [[bpeMerges]]
+    * (VERDICT r9 #6): encode the corpus to token ids with the learned
+    * merge table, i.e. the tokenize pass every training run performs
+    * (Sennrich et al., arXiv:1508.07909 — apply merges in rule-priority
+    * order; each rule merges its adjacent pair left-to-right greedily).
+    * The 100 TB shape mirrors [[bpeMerges]]: the corpus collapses to
+    * its VOCABULARY first, the ≤ [[BpeTopMerges]]-row merge table is
+    * DRIVER-resident (collected once — rule-ordered application is
+    * inherently sequential, and 50 rows is not data), each rule is ONE
+    * narrow higher-order fold over the vocab's token arrays (50 narrow
+    * passes over vocab rows, never corpus rows), and docs re-join the
+    * encoded vocab by md5 fingerprint — document text never shuffles,
+    * the (fp, counts) exchange is vocab-bounded. Every output is an
+    * integer (token counts + ids summed as longs): bit-exact on any
+    * engine; the oracle replicates the fold per rule with DuckDB
+    * list_reduce over the identical separator encoding. Token ids are
+    * dense ranks of the FINAL token vocabulary (single chars + fired
+    * merges — bounded by charset + [[BpeTopMerges]], collected
+    * driver-side and broadcast as a LocalRelation). The fold condition
+    * "last token equals the rule's left char" is checked on the
+    * separator-joined accumulator (ends with `a` preceded by the
+    * separator or string start), which is exact because every rule's
+    * sides are single chars — multi-char tokens from earlier merges
+    * can never false-match. */
+  def bpeApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documentsParallel(s, dir)
+    val docWords = d.select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .select(col("doc_id"), unhex(md5(col("word"))).as("fp"))
+    val enc = bpeEncodedVocab(s, dir)
+    // bounded collect #2: the FINAL token vocabulary (single chars +
+    // ≤ BpeTopMerges merge tokens); dense 1-based ids by token text
+    val ids = enc.select(explode(col("toks")).as("token")).distinct()
+      .collect().map(_.getString(0)).sorted.zipWithIndex
+      .map { case (t, i) => (t, i + 1L) }.toSeq
+    val tokId = broadcast(ids.toDF("token", "tok_id"))
+    val wstat = enc.select(unhex(md5(col("word"))).as("fp"),
+        explode(col("toks")).as("token"))
+      .join(tokId, "token")
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("tok_id")).as("id_sum"))
+    docWords.join(wstat, "fp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("id_sum")).as("token_id_sum"))
+  }
+
+  /** The encoded vocabulary (word → its final token array) — the fold
+    * pipeline of [[bpeApply]], exposed for the conservation spec. */
+  private[graft] def bpeEncodedVocab(s: SparkSession, dir: String): DataFrame = {
+    // bounded collect: the merge table (≤ BpeTopMerges rows, already in
+    // rule-priority order: count desc, pair asc)
+    val rules = bpeMerges(s, dir).collect().map(_.getString(0)).toSeq
+    val vocab = Tables.documentsParallel(s, dir)
+      .select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) >= 1).distinct()
+    // Inter-rule state is the SEPARATOR-JOINED token string, and each
+    // fold references it exactly ONCE (null-init fold — the first
+    // element becomes the accumulator, matching DuckDB list_reduce's
+    // first-element-init semantics). One reference per level matters:
+    // a fold that also took slice()/element_at()/size() of the
+    // previous column referenced it 3x, and project-collapsing turns
+    // 50 such levels into an exponentially-sized expression (measured:
+    // driver OOM at rule ~30).
+    var state = vocab.select(col("word"),
+      array_join(transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))), BpeSep).as("st"))
+    for (r <- rules) {
+      // rule sides by CODEPOINT (substr/length are codepoint-based in
+      // both engines; UTF-16 substring would split surrogate pairs)
+      val cps = r.codePoints().toArray
+      val a = new String(Character.toChars(cps(0)))
+      val b = new String(Character.toChars(cps(1)))
+      val folded = aggregate(
+        split(col("st"), BpeSep),
+        lit(null).cast("string"),
+        (acc, t) => when(acc.isNull, t).otherwise(
+          when(t === lit(b) &&
+              acc.substr(length(acc), lit(1)) === lit(a) &&
+              (length(acc) === lit(1) ||
+                acc.substr(length(acc) - 1, lit(1)) === lit(BpeSep)),
+            concat(acc, t)).otherwise(concat(acc, lit(BpeSep), t))))
+      state = state.select(col("word"), folded.as("st"))
+    }
+    state.select(col("word"), split(col("st"), BpeSep).as("toks"))
+  }
+
   /** Result size and query width for [[bm25TopK]]. */
   val Bm25K = 10
   val Bm25QueryTerms = 3

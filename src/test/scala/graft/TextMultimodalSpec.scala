@@ -626,6 +626,29 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(got.toSeq == exp, "top merge pairs must match the brute-force oracle")
   }
 
+  test("bpe apply: tokens conserve every word's text and merges actually fire") {
+    val enc = TextAnalysis.bpeEncodedVocab(spark, sf).collect()
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      val word = r.getString(0)
+      val toks = r.getSeq[String](1)
+      assert(toks.mkString("") == word,
+        s"token concat must rebuild '$word', got: ${toks.mkString("|")}")
+      assert(toks.forall(_.nonEmpty), s"empty token in '$word'")
+    }
+    // the merge table is non-trivial on this corpus: some word actually
+    // encodes to a multi-char token
+    assert(enc.exists(_.getSeq[String](1).exists(_.length > 1)),
+      "at least one merge must fire")
+    // per-doc accounting: every word is >= 1 token
+    val out = TextAnalysis.bpeApply(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_words") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("token_id_sum") > 0)
+    }
+  }
+
   test("persisted BM25 index: serving bit-equal, reads index files only, statically pruned") {
     val mem = TextAnalysis.bm25TopK(spark, sf).collect().map(_.toString).toSet
     val idx = TextAnalysis.bm25IndexTopK(spark, sf)
