@@ -47,5 +47,8 @@ object CacheScope {
     s.sharedState.cacheManager.clearCache()
     s.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
+    // per-call tmp artifacts age out on the same boundary (ADVICE r9
+    // #4) — see TmpDirs for the two-generation lifetime argument
+    TmpDirs.sweep()
   }
 }

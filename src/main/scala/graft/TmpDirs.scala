@@ -1,0 +1,44 @@
+package graft
+
+/** Generation-scoped janitor for PER-CALL gate artifacts (ADVICE r9
+  * #4): streaming gates stage sources/checkpoints/append deltas under
+  * fresh nanoTime tmp dirs every invocation, and a bench sweep (reps ×
+  * gates) previously accumulated an unbounded pile of them. Gates
+  * register their per-call dirs here; [[CacheScope.releaseAll]] sweeps
+  * at every consumer boundary, deleting dirs registered before the
+  * PREVIOUS boundary — so a dir outlives its own query plus exactly
+  * one more (the returned DataFrame is always consumed within its own
+  * boundary; the extra generation is safety margin), and disk usage is
+  * bounded at ~2 generations regardless of sweep length.
+  *
+  * Session-staged VERSIONED artifacts (pair lineage, kNN edges, the
+  * persisted indexes) never register: amortizing those across queries
+  * is the deliberate production contract.
+  */
+object TmpDirs {
+  private val gen = new java.util.concurrent.atomic.AtomicLong
+  private val dirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]
+
+  /** Mark a per-call directory for deferred deletion. */
+  def register(path: String): Unit = dirs.add((gen.get(), path))
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+    f.delete(); ()
+  }
+
+  /** Boundary sweep: delete everything registered before the previous
+    * sweep, then open a new generation. Idempotent on missing paths. */
+  private[graft] def sweep(): Unit = {
+    val g = gen.getAndIncrement()
+    val it = dirs.iterator()
+    while (it.hasNext) {
+      val (dg, p) = it.next()
+      if (dg < g) {
+        it.remove()
+        try rm(new java.io.File(p)) catch { case _: Throwable => () }
+      }
+    }
+  }
+}

@@ -73,6 +73,15 @@ object Streams {
   /** Stages a slice as ONE named json file with a controlled mtime —
     * the multi-file gates (late data, checkpoint resume) order their
     * micro-batches by source-file modification time. */
+  /** Fresh per-call artifact dir, registered with the boundary janitor
+    * (graft.TmpDirs) so a bench sweep cannot accumulate one copy per
+    * rep (ADVICE r9 #4). */
+  private def callDir(tag: String): String = {
+    val p = System.getProperty("java.io.tmpdir") + "/graft_" + tag + "_" + System.nanoTime
+    graft.TmpDirs.register(p)
+    p
+  }
+
   private def stageNamedFile(df: DataFrame, tmpDir: String, dest: String,
       mtime: Long): Unit = {
     df.coalesce(1).write.json(tmpDir)
@@ -143,7 +152,7 @@ object Streams {
     * Trigger.AvailableNow, read the sink back and aggregate to a
     * stable oracle-comparable shape. */
   def streamFileTransfer(s: SparkSession, dir: String): DataFrame = {
-    val base = System.getProperty("java.io.tmpdir") + "/graft_stream_" + System.nanoTime
+    val base = callDir("stream")
     graft.sources.Tables.events(s, dir).filter(col("event_id") < 2000)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .write.json(s"$base/src")
@@ -202,7 +211,7 @@ object Streams {
     * ProcessingTime stream → parquet sink → stable aggregate). Same
     * oracle shape as streamFileTransfer, different trigger mechanics. */
   def streamScheduledTransfer(s: SparkSession, dir: String): DataFrame = {
-    val base = System.getProperty("java.io.tmpdir") + "/graft_sched_" + System.nanoTime
+    val base = callDir("sched")
     graft.sources.Tables.events(s, dir).filter(col("event_id") < 2000)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .write.json(s"$base/src")
@@ -222,7 +231,7 @@ object Streams {
     * effect on an at-least-once channel). */
   def streamJdbcSink(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.Jdbc
-    val base = System.getProperty("java.io.tmpdir") + "/graft_sjdbc_" + System.nanoTime
+    val base = callDir("sjdbc")
     graft.sources.Tables.events(s, dir).filter(col("event_id") < 2000)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .write.json(s"$base/src")
@@ -272,7 +281,7 @@ object Streams {
     * Gate query: staged events stream ⋈ customer, AvailableNow,
     * aggregated per segment from the sink. */
   def streamEnrichTransfer(s: SparkSession, dir: String): DataFrame = {
-    val base = System.getProperty("java.io.tmpdir") + "/graft_senrich_" + System.nanoTime
+    val base = callDir("senrich")
     graft.sources.Tables.events(s, dir).filter(col("event_id") < 2000)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .write.json(s"$base/src")
@@ -328,7 +337,7 @@ object Streams {
     * mode would emit nothing for a single batch — the watermark never
     * passes the last window). */
   def streamWindowedAgg(s: SparkSession, dir: String): DataFrame = {
-    val base = System.getProperty("java.io.tmpdir") + "/graft_swin_" + System.nanoTime
+    val base = callDir("swin")
     val in = stageStream(s,
       graft.sources.Tables.events(s, dir)
         .select(col("event_id"), col("event_type"), col("value"),
@@ -364,7 +373,7 @@ object Streams {
     * beyond the watermark and the result equals the batch join the
     * oracle runs. */
   def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
-    val base = System.getProperty("java.io.tmpdir") + "/graft_sij_" + System.nanoTime
+    val base = callDir("sij")
     val ev = graft.sources.Tables.events(s, dir).filter(col("event_id") < 2000)
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"))
@@ -408,7 +417,7 @@ object Streams {
     * windows behind max−30min excluded), making watermark drop/emit
     * semantics themselves hash-gated. */
   def streamLateData(s: SparkSession, dir: String): DataFrame = {
-    val base = System.getProperty("java.io.tmpdir") + "/graft_slate_" + System.nanoTime
+    val base = callDir("slate")
     val ev = graft.sources.Tables.events(s, dir).filter(col("event_id") < 2000)
       .select(col("event_id"), col("event_type"), col("value"),
         unix_micros(col("ts")).as("ts_us"))
@@ -456,7 +465,7 @@ object Streams {
     * exactly once across the restart. The oracle aggregates the whole
     * slice once; any reprocessing doubles counts and fails the hash. */
   def streamResume(s: SparkSession, dir: String): DataFrame = {
-    val base = System.getProperty("java.io.tmpdir") + "/graft_sres_" + System.nanoTime
+    val base = callDir("sres")
     val ev = graft.sources.Tables.events(s, dir).filter(col("event_id") < 2000)
       .select(col("event_id"), col("event_type"), col("value"))
     new java.io.File(s"$base/src").mkdirs()
@@ -497,7 +506,7 @@ object Streams {
     graft.functions.GraftFunctions.register(s)
     import graft.functions.Planes
     import graft.operators.Similarity.{LshTables, LshPlanesPerTable, K}
-    val base = System.getProperty("java.io.tmpdir") + "/graft_sann_" + System.nanoTime
+    val base = callDir("sann")
     val emb = graft.sources.Tables.embeddings(s, dir)
     emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -536,7 +545,7 @@ object Streams {
     * shares its oracle verbatim. */
   def streamIvfServing(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val base = System.getProperty("java.io.tmpdir") + "/graft_sivf_" + System.nanoTime
+    val base = callDir("sivf")
     graft.sources.Tables.embeddings(s, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .coalesce(1).write.json(s"$base/src")
@@ -564,7 +573,7 @@ object Streams {
     * lists + O(depth) fusion. */
   def streamHybridServing(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val base = System.getProperty("java.io.tmpdir") + "/graft_shyb_" + System.nanoTime
+    val base = callDir("shyb")
     import s.implicits._
     Seq(graft.operators.Similarity.HybridQueryDoc).toDF("query_doc")
       .coalesce(1).write.json(s"$base/src")
@@ -600,10 +609,14 @@ object Streams {
     * bit-exactly (shortest-roundtrip rendering, as streamAnnServing). */
   def streamIndexAppend(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val base = System.getProperty("java.io.tmpdir") + "/graft_sidx_" + System.nanoTime
-    graft.operators.Similarity.buildIvfIncSnapshot(s, dir, base)
-    runIndexAppendStream(s, dir, base)
-    graft.operators.Similarity.ivfServeForSpec(s, base, dir)
+    // the IMMUTABLE snapshot stages once per corpus version; each call
+    // appends into its own per-call DELTA and serves the union — the
+    // production topology (last night's artifact + tonight's arrivals),
+    // and a bench rep pays only the marginal append, not a rebuild
+    val snap = graft.operators.Similarity.stagedIvfIncSnapshot(s, dir)
+    val delta = callDir("sidx")
+    runIndexAppendStream(s, dir, delta, snap)
+    graft.operators.Similarity.ivfServeUnion(s, dir, snap, delta)
   }
 
   /** The nightly-batch append STREAM against an existing snapshot
@@ -614,7 +627,8 @@ object Streams {
     * exactly-once in effect). Extracted so the composite lifecycle
     * gate drives the SAME topology the streaming gate drains. */
   private[graft] def runIndexAppendStream(s: SparkSession, dir: String,
-      base: String): Unit = {
+      base: String, artifactBase: String = null): Unit = {
+    val art = Option(artifactBase).getOrElse(base)
     val batch = graft.sources.Tables.embeddings(s, dir)
       .filter(expr(graft.operators.Similarity.IvfIncBatchPred))
       .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
@@ -627,7 +641,7 @@ object Streams {
     val in = s.readStream.schema("cand_id LONG, c_emb ARRAY<FLOAT>")
       .option("maxFilesPerTrigger", 1).json(s"$base/src")
     val q = in.writeStream.foreachBatch { (mb: DataFrame, bid: Long) =>
-      graft.operators.Similarity.appendIvfIncVectorsIdempotent(s, base, mb, bid)
+      graft.operators.Similarity.appendIvfIncVectorsIdempotent(s, base, mb, bid, art)
       ()
     }.option("checkpointLocation", s"$base/cp")
       .trigger(Trigger.AvailableNow()).start()
@@ -651,26 +665,27 @@ object Streams {
     * the per-batch small files. */
   def streamPqIndexAppend(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val base = System.getProperty("java.io.tmpdir") + "/graft_spqidx_" + System.nanoTime
-    graft.operators.Similarity.buildIvfPqIncSnapshot(s, dir, base)
+    // snapshot-once + per-call delta, as streamIndexAppend
+    val snap = graft.operators.Similarity.stagedIvfPqIncSnapshot(s, dir)
+    val delta = callDir("spqidx")
     val batch = graft.sources.Tables.embeddings(s, dir)
       .filter(expr(graft.operators.Similarity.IvfIncBatchPred))
       .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
-    new java.io.File(s"$base/src").mkdirs()
+    new java.io.File(s"$delta/src").mkdirs()
     val t0 = System.currentTimeMillis()
     stageNamedFile(batch.filter(col("cand_id") % 2 === 0),
-      s"$base/t0", s"$base/src/a_slice.json", t0 - 60000)
+      s"$delta/t0", s"$delta/src/a_slice.json", t0 - 60000)
     stageNamedFile(batch.filter(col("cand_id") % 2 =!= 0),
-      s"$base/t1", s"$base/src/b_slice.json", t0)
+      s"$delta/t1", s"$delta/src/b_slice.json", t0)
     val in = s.readStream.schema("cand_id LONG, c_emb ARRAY<FLOAT>")
-      .option("maxFilesPerTrigger", 1).json(s"$base/src")
+      .option("maxFilesPerTrigger", 1).json(s"$delta/src")
     val q = in.writeStream.foreachBatch { (mb: DataFrame, bid: Long) =>
-      graft.operators.Similarity.appendIvfPqIncVectorsIdempotent(s, base, mb, bid)
+      graft.operators.Similarity.appendIvfPqIncVectorsIdempotent(s, delta, mb, bid, snap)
       ()
-    }.option("checkpointLocation", s"$base/cp")
+    }.option("checkpointLocation", s"$delta/cp")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    graft.operators.Similarity.ivfPqServeForSpec(s, dir, base)
+    graft.operators.Similarity.ivfPqServeUnion(s, dir, snap, delta)
   }
 
   /** Gate query: streaming ANOMALY SCORING — the monitoring shape
@@ -687,7 +702,7 @@ object Streams {
     * side is one broadcast join + one partial agg per batch — no
     * state store, no shuffle wider than |event types|. */
   def streamAnomaly(s: SparkSession, dir: String): DataFrame = {
-    val base = System.getProperty("java.io.tmpdir") + "/graft_sanom_" + System.nanoTime
+    val base = callDir("sanom")
     val stats = graft.operators.TimeSeries.robustStats(s, dir)
       .select(col("event_type"), col("med"), col("mad"))
     val ev = graft.sources.Tables.events(s, dir)
@@ -737,7 +752,7 @@ object Streams {
     * duplicate can arrive behind the watermark; state stores are
     * state-sized like the other stateful gates. */
   def streamDedupTransfer(s: SparkSession, dir: String): DataFrame = {
-    val base = System.getProperty("java.io.tmpdir") + "/graft_sdedup_" + System.nanoTime
+    val base = callDir("sdedup")
     val ev = graft.sources.Tables.events(s, dir).filter(col("event_id") < 2000)
       .select(col("event_id"), col("event_type"), col("value"),
         unix_micros(col("ts")).as("ts_us"))
@@ -770,7 +785,7 @@ object Streams {
     * reorder. Custom-state operators are the one streaming tier the
     * other gates don't exercise under the oracle. */
   def streamSessionize(s: SparkSession, dir: String): DataFrame = {
-    val base = System.getProperty("java.io.tmpdir") + "/graft_ssess_" + System.nanoTime
+    val base = callDir("ssess")
     val in = stageStream(s,
       graft.sources.Tables.events(s, dir).filter(col("event_id") < 2000)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
@@ -829,7 +844,7 @@ object Streams {
     * batch LOCF window over the same slice, so the stream's per-event
     * state carry is verified hash-exact against the declarative form. */
   def streamAttribution(s: SparkSession, dir: String): DataFrame = {
-    val base = System.getProperty("java.io.tmpdir") + "/graft_sattr_" + System.nanoTime
+    val base = callDir("sattr")
     val in = stageStream(s,
       graft.sources.Tables.events(s, dir).filter(col("event_id") < 2000)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
@@ -900,7 +915,7 @@ object Streams {
     * accounting of the FINAL snapshot, hash-exact vs the oracle's
     * version-wins recompute of all three waves. */
   def streamUpsert(s: SparkSession, dir: String): DataFrame = {
-    val base = System.getProperty("java.io.tmpdir") + "/graft_supsert_" + System.nanoTime
+    val base = callDir("supsert")
     val o = graft.sources.Tables.orders(s, dir)
     val dec = org.apache.spark.sql.types.DecimalType(18, 2)
     val baseLoad = o.select(col("o_orderkey"), col("o_orderstatus"),
@@ -991,7 +1006,7 @@ object Streams {
     * under AvailableNow flushes the timeouts. Hash-exact vs the batch
     * top-3-per-hour oracle over the real slice. */
   def streamTrending(s: SparkSession, dir: String): DataFrame = {
-    val base = System.getProperty("java.io.tmpdir") + "/graft_strend_" + System.nanoTime
+    val base = callDir("strend")
     val ev = graft.sources.Tables.events(s, dir).filter(col("event_id") < 2000)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
         unix_micros(col("ts")).as("ts_us"))
