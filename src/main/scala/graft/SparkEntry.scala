@@ -195,6 +195,7 @@ object SparkEntry {
     "text_bm25_topk" -> (TextAnalysis.bm25TopK _),
     "text_bm25_index_topk" -> (TextAnalysis.bm25IndexTopK _),
     "text_bm25_index_incremental" -> (TextAnalysis.bm25IndexIncTopK _),
+    "text_bm25_index_compact" -> (TextAnalysis.bm25IndexCompactTopK _),
     "sim_hybrid_rrf_topk" -> (Similarity.hybridRrfTopK _),
     "sim_hybrid_index_topk" -> (Similarity.hybridIndexTopK _),
     "stream_hybrid_serving" -> (graft.streaming.Streams.streamHybridServing _),
@@ -2918,6 +2919,9 @@ object SparkEntry {
     // ≡ a frozen-stats rebuild (stats/df/query over snapshot docs,
     // term frequencies over everything)
     "text_bm25_index_incremental" -> textBm25IncSql,
+    // bucket compaction moves postings rows between files, never
+    // changes them — shares the incremental lexical oracle verbatim
+    "text_bm25_index_compact" -> textBm25IncSql,
     "sim_hybrid_rrf_topk" -> simHybridRrfSql,
     // fusion served from the PERSISTED arms — its own oracle: the IVF
     // arm changes recall vs brute, so the oracle replicates the probed

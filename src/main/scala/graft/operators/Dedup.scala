@@ -552,15 +552,12 @@ object Dedup {
     * is built once; derivations are marginal-cost reads). The cache is
     * session-lifetime and the build is overwrite-idempotent, so a rare
     * concurrent double-build converges to identical files. */
-  private val stagedLineage =
-    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
   def stagedPairLineage(s: SparkSession, dir: String): (String, String) = {
     val vkey = Tables.versionedKey(s, dir, "documents")
-    stagedLineage.getOrElseUpdate(vkey, {
-      val key = Tables.stagedDirKey(vkey)
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_lineage_${ProcessHandle.current().pid()}_$key"
-      buildPairLineage(s, dir, base)
-    })
+    val base = Tables.stagedArtifact("lineage", dir, vkey) { b =>
+      buildPairLineage(s, dir, b); b
+    }
+    (s"$base/pair_lineage", s"$base/component_labels")
   }
 
   /** Staged-lineage gate forms: the corpus build runs ONCE per session

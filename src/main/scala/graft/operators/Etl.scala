@@ -467,6 +467,7 @@ object Etl {
     * surface as NULL and are handled declaratively. */
   def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_evo_${System.nanoTime}"
+    graft.TmpDirs.register(base)
     val o = Tables.orders(s, dir)
     o.filter(col("o_orderkey") <= 1000)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
@@ -494,6 +495,7 @@ object Etl {
     import java.nio.file.attribute.FileTime
     import scala.jdk.CollectionConverters._
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_tw_${System.nanoTime}"
+    graft.TmpDirs.register(base)
     val o = Tables.orders(s, dir)
     o.filter(col("o_orderkey") > 1000 && col("o_orderkey") <= 2000).coalesce(1)
       .write.parquet(s"$base/src")
@@ -547,6 +549,7 @@ object Etl {
   def metaIncremental(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.{Pipeline, TransferMeta}
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_meta_${System.nanoTime}"
+    graft.TmpDirs.register(base)
     val spec = Pipeline.TransferSpec(
       source = Pipeline.SourceSpec(s"$base/src", Pipeline.Parquet))
     val o = Tables.orders(s, dir)
@@ -577,6 +580,7 @@ object Etl {
   def maxTransfersDrain(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.Pipeline
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_maxt_${System.nanoTime}"
+    graft.TmpDirs.register(base)
     val o = Tables.orders(s, dir)
     (0 until 5).foreach { i =>
       o.filter(col("o_orderkey") > i * 400 && col("o_orderkey") <= (i + 1) * 400)
@@ -604,6 +608,7 @@ object Etl {
     * between Spark and the oracle). */
   def configJsonTransfer(s: SparkSession, dir: String): DataFrame = {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_cfg_${System.nanoTime}"
+    graft.TmpDirs.register(base)
     val cfg = s"""{"Transfers": [{
       |  "Source": {"Path": "$dir/orders.parquet", "Format": "parquet"},
       |  "Target": "$base/out",
@@ -630,6 +635,7 @@ object Etl {
     * change nothing about the data contract. */
   def configScheduledTransfer(s: SparkSession, dir: String): DataFrame = {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_cfgsched_${System.nanoTime}"
+    graft.TmpDirs.register(base)
     Tables.events(s, dir).filter(col("event_id") < 2000)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .write.json(s"$base/src")
@@ -662,6 +668,7 @@ object Etl {
     import java.nio.file.attribute.FileTime
     import scala.jdk.CollectionConverters._
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_cfgtw_${System.nanoTime}"
+    graft.TmpDirs.register(base)
     val o = Tables.orders(s, dir)
     o.filter(col("o_orderkey") <= 1000).coalesce(1).write.parquet(s"$base/fresh")
     o.filter(col("o_orderkey") > 1000 && col("o_orderkey") <= 2000).coalesce(1)

@@ -422,15 +422,11 @@ object Similarity {
     base
   }
 
-  private val stagedIvfIdx =
-    scala.collection.concurrent.TrieMap.empty[String, String]
   def stagedIvfIndex(s: SparkSession, dir: String): String = {
     val vkey = Tables.versionedKey(s, dir, "embeddings")
-    stagedIvfIdx.getOrElseUpdate(vkey, {
-      val key = Tables.stagedDirKey(vkey)
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivfidx_${ProcessHandle.current().pid()}_$key"
+    Tables.stagedArtifact("ivfidx", dir, vkey) { base =>
       buildIvfIndexLineage(s, dir, base)
-    })
+    }
   }
 
   /** IVF retrieval served from the PERSISTED index: centroids read
@@ -613,26 +609,18 @@ object Similarity {
     * write) once instead of per rep. This IS the production topology:
     * last night's index is an immutable artifact; tonight's arrivals
     * land beside it until compaction folds them in. */
-  private val stagedIvfIncSnap =
-    scala.collection.concurrent.TrieMap.empty[String, String]
   private[graft] def stagedIvfIncSnapshot(s: SparkSession, dir: String): String = {
     val vkey = Tables.versionedKey(s, dir, "embeddings")
-    stagedIvfIncSnap.getOrElseUpdate(vkey, {
-      val key = Tables.stagedDirKey(vkey)
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivfsnap_${ProcessHandle.current().pid()}_$key"
+    Tables.stagedArtifact("ivfsnap", dir, vkey) { base =>
       buildIvfIncSnapshot(s, dir, base)
-    })
+    }
   }
 
-  private val stagedIvfPqIncSnap =
-    scala.collection.concurrent.TrieMap.empty[String, String]
   private[graft] def stagedIvfPqIncSnapshot(s: SparkSession, dir: String): String = {
     val vkey = Tables.versionedKey(s, dir, "embeddings")
-    stagedIvfPqIncSnap.getOrElseUpdate(vkey, {
-      val key = Tables.stagedDirKey(vkey)
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqsnap_${ProcessHandle.current().pid()}_$key"
+    Tables.stagedArtifact("ivfpqsnap", dir, vkey) { base =>
       buildIvfPqIncSnapshot(s, dir, base)
-    })
+    }
   }
 
   /** Serve the gate query slice from a snapshot + delta postings PAIR
@@ -655,15 +643,11 @@ object Similarity {
     topKPerQuery(scored)
   }
 
-  private val stagedIvfInc =
-    scala.collection.concurrent.TrieMap.empty[String, String]
   def stagedIvfIncIndex(s: SparkSession, dir: String): String = {
     val vkey = Tables.versionedKey(s, dir, "embeddings")
-    stagedIvfInc.getOrElseUpdate(vkey, {
-      val key = Tables.stagedDirKey(vkey)
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivfinc_${ProcessHandle.current().pid()}_$key"
+    Tables.stagedArtifact("ivfinc", dir, vkey) { base =>
       buildIvfIncIndex(s, dir, base)
-    })
+    }
   }
 
   /** Gate: serving from the incrementally-maintained persisted index —
@@ -696,7 +680,10 @@ object Similarity {
       maxFiles: Int = 1,
       // explicit read schema pins the partition-column type (inference
       // yields INT for numeric dirs); the PQ index passes its codes row
-      rowSchema: String = "cand_id BIGINT, c_emb ARRAY<FLOAT>, cent_id BIGINT"): Seq[Long] = {
+      rowSchema: String = "cand_id BIGINT, c_emb ARRAY<FLOAT>, cent_id BIGINT",
+      // the BM25 postings index passes "bucket" — the compactor is the
+      // same for any bounded-partition inverted layout
+      partitionCol: String = "cent_id"): Seq[Long] = {
     val post = new org.apache.hadoop.fs.Path(s"$base/postings")
     val fs = post.getFileSystem(s.sparkContext.hadoopConfiguration)
     // publish from a DURABLE stage, never from the directory being
@@ -712,8 +699,8 @@ object Similarity {
           "spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
         s.read.schema(rowSchema).parquet(stage.toString)
           // one task per list → exactly one output file per rewritten dir
-          .repartition(col("cent_id"))
-          .write.mode("overwrite").partitionBy("cent_id")
+          .repartition(col(partitionCol))
+          .write.mode("overwrite").partitionBy(partitionCol)
           .parquet(s"$base/postings")
       }
     if (fs.exists(stage)) {
@@ -728,17 +715,17 @@ object Similarity {
     // already-recovered lists get pointlessly rewritten and a list that
     // only reads fat post-recovery stays uncompacted until next call
     val fat = fs.listStatus(post).filter(_.isDirectory)
-      .filter(_.getPath.getName.startsWith("cent_id="))
+      .filter(_.getPath.getName.startsWith(s"$partitionCol="))
       .filter { d =>
         fs.listStatus(d.getPath)
           .count(_.getPath.getName.endsWith(".parquet")) > maxFiles
       }
-      .map(_.getPath.getName.stripPrefix("cent_id=").toLong).toSeq.sorted
+      .map(_.getPath.getName.stripPrefix(s"$partitionCol=").toLong).toSeq.sorted
     if (fat.nonEmpty) {
       s.read.schema(rowSchema).parquet(s"$base/postings")
-        .filter(col("cent_id").isInCollection(fat))
-        .repartition(col("cent_id"))
-        .write.mode("overwrite").partitionBy("cent_id")
+        .filter(col(partitionCol).isInCollection(fat))
+        .repartition(col(partitionCol))
+        .write.mode("overwrite").partitionBy(partitionCol)
         .parquet(stage.toString)
       publishStage()
       fs.delete(stage, true)
@@ -750,17 +737,13 @@ object Similarity {
     * a dedicated staged copy of the inc index (build + append) runs
     * the compactor, then serves. Same oracle as the uncompacted gate:
     * compaction moves rows between files, never changes them. */
-  private val stagedIvfCompact =
-    scala.collection.concurrent.TrieMap.empty[String, String]
   def stagedIvfCompactIndex(s: SparkSession, dir: String): String = {
     val vkey = Tables.versionedKey(s, dir, "embeddings")
-    stagedIvfCompact.getOrElseUpdate(vkey, {
-      val key = Tables.stagedDirKey(vkey)
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivfcmp_${ProcessHandle.current().pid()}_$key"
+    Tables.stagedArtifact("ivfcmp", dir, vkey) { base =>
       buildIvfIncIndex(s, dir, base)
       compactIvfIncIndex(s, base)
       base
-    })
+    }
   }
 
   def ivfCompactTopK(s: SparkSession, dir: String): DataFrame =
@@ -781,13 +764,9 @@ object Similarity {
     * the same oracle as the plain incremental gate, because appends
     * move rows in, compaction moves rows between files, and the drift
     * consult moves nothing. */
-  private val stagedIvfLifecycle =
-    scala.collection.concurrent.TrieMap.empty[String, String]
   def stagedIvfLifecycleIndex(s: SparkSession, dir: String): String = {
     val vkey = Tables.versionedKey(s, dir, "embeddings")
-    stagedIvfLifecycle.getOrElseUpdate(vkey, {
-      val key = Tables.stagedDirKey(vkey)
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivflife_${ProcessHandle.current().pid()}_$key"
+    Tables.stagedArtifact("ivflife", dir, vkey) { base =>
       buildIvfIncSnapshot(s, dir, base)
       graft.streaming.Streams.runIndexAppendStream(s, dir, base)
       val retrain = ivfIncDriftReportFrom(s, dir, base)
@@ -797,7 +776,7 @@ object Similarity {
           "a drifted corpus must retrain, not serve the frozen index")
       compactIvfIncIndex(s, base)
       base
-    })
+    }
   }
 
   def ivfLifecycleTopK(s: SparkSession, dir: String): DataFrame =
@@ -945,15 +924,11 @@ object Similarity {
     base
   }
 
-  private val stagedSemInc =
-    scala.collection.concurrent.TrieMap.empty[String, String]
   def stagedSemIncSnapshot(s: SparkSession, dir: String): String = {
     val vkey = Tables.versionedKey(s, dir, "embeddings")
-    stagedSemInc.getOrElseUpdate(vkey, {
-      val key = Tables.stagedDirKey(vkey)
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_seminc_${ProcessHandle.current().pid()}_$key"
+    Tables.stagedArtifact("seminc", dir, vkey) { base =>
       buildSemIncSnapshot(s, dir, base)
-    })
+    }
   }
 
   /** Gate: INCREMENTAL SemDeDup — the nightly-crawl face of semantic
@@ -1204,15 +1179,11 @@ object Similarity {
     base
   }
 
-  private val stagedIvfPqIdx =
-    scala.collection.concurrent.TrieMap.empty[String, String]
   def stagedIvfPqIndex(s: SparkSession, dir: String): String = {
     val vkey = Tables.versionedKey(s, dir, "embeddings")
-    stagedIvfPqIdx.getOrElseUpdate(vkey, {
-      val key = Tables.stagedDirKey(vkey)
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqidx_${ProcessHandle.current().pid()}_$key"
+    Tables.stagedArtifact("ivfpqidx", dir, vkey) { base =>
       buildIvfPqIndexLineage(s, dir, base)
-    })
+    }
   }
 
   /** IVFPQ retrieval served ENTIRELY from the persisted index for the
@@ -1360,15 +1331,11 @@ object Similarity {
         .write.mode("overwrite").partitionBy("cent_id").parquet(stage)
     }
 
-  private val stagedIvfPqInc =
-    scala.collection.concurrent.TrieMap.empty[String, String]
   def stagedIvfPqIncIndex(s: SparkSession, dir: String): String = {
     val vkey = Tables.versionedKey(s, dir, "embeddings")
-    stagedIvfPqInc.getOrElseUpdate(vkey, {
-      val key = Tables.stagedDirKey(vkey)
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqinc_${ProcessHandle.current().pid()}_$key"
+    Tables.stagedArtifact("ivfpqinc", dir, vkey) { base =>
       buildIvfPqIncIndex(s, dir, base)
-    })
+    }
   }
 
   /** Gate: IVFPQ serving from the incrementally-maintained persisted
@@ -1387,17 +1354,13 @@ object Similarity {
     * small-files closure for the compressed index's nightly appends;
     * codes are integers, so rows survive the rewrite bit-exactly and
     * serving shares the incremental gate's oracle verbatim). */
-  private val stagedIvfPqCompact =
-    scala.collection.concurrent.TrieMap.empty[String, String]
   def stagedIvfPqCompactIndex(s: SparkSession, dir: String): String = {
     val vkey = Tables.versionedKey(s, dir, "embeddings")
-    stagedIvfPqCompact.getOrElseUpdate(vkey, {
-      val key = Tables.stagedDirKey(vkey)
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqcmp_${ProcessHandle.current().pid()}_$key"
+    Tables.stagedArtifact("ivfpqcmp", dir, vkey) { base =>
       buildIvfPqIncIndex(s, dir, base)
       compactIvfIncIndex(s, base, rowSchema = PqPostingsSchema)
       base
-    })
+    }
   }
 
   def ivfPqCompactTopK(s: SparkSession, dir: String): DataFrame =
@@ -1551,15 +1514,11 @@ object Similarity {
     * corpus content version (VERDICT r8 #4), overwrite-idempotent
     * build, so a rare concurrent double-build converges to identical
     * files. */
-  private val stagedGraph =
-    scala.collection.concurrent.TrieMap.empty[String, String]
   def stagedKnnGraph(s: SparkSession, dir: String): String = {
     val vkey = Tables.versionedKey(s, dir, "embeddings")
-    stagedGraph.getOrElseUpdate(vkey, {
-      val key = Tables.stagedDirKey(vkey)
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_knng_${ProcessHandle.current().pid()}_$key"
+    Tables.stagedArtifact("knng", dir, vkey) { base =>
       buildKnnGraphLineage(s, dir, base)
-    })
+    }
   }
 
   /** The staged kNN graph itself as a gate row — same oracle as the
@@ -1593,15 +1552,11 @@ object Similarity {
     base
   }
 
-  private val stagedIncGraph =
-    scala.collection.concurrent.TrieMap.empty[String, String]
   private def stagedIncGraphBase(s: SparkSession, dir: String): String = {
     val vkey = Tables.versionedKey(s, dir, "embeddings")
-    stagedIncGraph.getOrElseUpdate(vkey, {
-      val key = Tables.stagedDirKey(vkey)
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_incg_${ProcessHandle.current().pid()}_$key"
+    Tables.stagedArtifact("incg", dir, vkey) { base =>
       buildIncGraphLineage(s, dir, base)
-    })
+    }
   }
 
   /** INCREMENTAL kNN-graph maintenance — the nightly-crawl path: a new

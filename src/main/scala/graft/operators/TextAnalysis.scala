@@ -1189,15 +1189,11 @@ object TextAnalysis {
         .orderBy(col("score_q").desc, col("doc_id"))).cast("long").as("rank"))
   }
 
-  private val stagedBm25 =
-    scala.collection.concurrent.TrieMap.empty[String, String]
   def stagedBm25Index(s: SparkSession, dir: String): String = {
     val vkey = Tables.versionedKey(s, dir, "documents")
-    stagedBm25.getOrElseUpdate(vkey, {
-      val key = Tables.stagedDirKey(vkey)
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bm25idx_${ProcessHandle.current().pid()}_$key"
+    Tables.stagedArtifact("bm25idx", dir, vkey) { base =>
       buildBm25Index(s, dir, base)
-    })
+    }
   }
 
   /** Gate: BM25 retrieval served from the persisted postings index.
@@ -1216,17 +1212,13 @@ object TextAnalysis {
     * statistics freeze. */
   val Bm25IncBatchPred = "doc_id % 10 = 3"
 
-  private val stagedBm25Inc =
-    scala.collection.concurrent.TrieMap.empty[String, String]
   def stagedBm25IncIndex(s: SparkSession, dir: String): String = {
     val vkey = Tables.versionedKey(s, dir, "documents")
-    stagedBm25Inc.getOrElseUpdate(vkey, {
-      val key = Tables.stagedDirKey(vkey)
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bm25inc_${ProcessHandle.current().pid()}_$key"
+    Tables.stagedArtifact("bm25inc", dir, vkey) { base =>
       buildBm25Index(s, dir, base, Some(s"NOT ($Bm25IncBatchPred)"))
       appendBm25Batch(s, dir, base, Bm25IncBatchPred)
       base
-    })
+    }
   }
 
   /** Gate: serving from the incrementally-maintained lexical index —
@@ -1237,6 +1229,28 @@ object TextAnalysis {
     * hash-equal to a frozen-stats rebuild — lossless, not trusted. */
   def bm25IndexIncTopK(s: SparkSession, dir: String): DataFrame =
     bm25TopKFrom(s, stagedBm25IncIndex(s, dir))
+
+  /** Gate: serving from the COMPACTED incrementally-maintained lexical
+    * index — the small-files closure of the postings append (each
+    * nightly append leaves one file per write task per touched term
+    * bucket; [[graft.operators.Similarity.compactIvfIncIndex]] is the
+    * same crash-safe stage-then-publish compactor for ANY
+    * bounded-partition inverted layout, here keyed by `bucket`).
+    * Compaction moves rows between files, never changes them — shares
+    * the incremental gate's oracle verbatim. */
+  def stagedBm25CompactIndex(s: SparkSession, dir: String): String = {
+    val vkey = Tables.versionedKey(s, dir, "documents")
+    Tables.stagedArtifact("bm25cmp", dir, vkey) { base =>
+      buildBm25Index(s, dir, base, Some(s"NOT ($Bm25IncBatchPred)"))
+      appendBm25Batch(s, dir, base, Bm25IncBatchPred)
+      Similarity.compactIvfIncIndex(s, base,
+        rowSchema = Bm25PostingsSchema, partitionCol = "bucket")
+      base
+    }
+  }
+
+  def bm25IndexCompactTopK(s: SparkSession, dir: String): DataFrame =
+    bm25TopKFrom(s, stagedBm25CompactIndex(s, dir))
 
   /** The per-(term, doc) BM25 fixed-point score over the joined
     * tf/len/df/n_docs/total_len columns — the scaladoc'd rational

@@ -119,6 +119,36 @@ object Tables {
       .digest(vkey.getBytes("UTF-8"))
       .map(b => f"${b & 0xff}%02x").mkString
 
+  /** Session-lifetime staged-artifact memo with VERSION EVICTION (the
+    * r9 deferred finding: per-operator TrieMaps keyed by versionedKey
+    * never dropped superseded corpus versions, so re-staging a corpus
+    * grew the driver maps and orphaned the old tmp artifact dirs).
+    * Keyed by (tag, corpus dir) and storing the version it was built
+    * at: a version change rebuilds into a NEW fingerprint-named dir
+    * and hands the superseded one to the [[graft.TmpDirs]] boundary
+    * janitor — a frame built from the old artifact before the re-stage
+    * stays readable for its own query plus one more (the janitor's
+    * two-generation rule), then the disk is reclaimed. At most one
+    * live artifact per (tag, corpus). Builds serialize under the memo
+    * lock (they already did per-map); every build must be
+    * overwrite-idempotent, as before. */
+  private val stagedArtifacts =
+    scala.collection.mutable.HashMap.empty[String, (String, String)]
+  def stagedArtifact(tag: String, dir: String, vkey: String)
+      (build: String => String): String = stagedArtifacts.synchronized {
+    stagedArtifacts.get(s"$tag|$dir") match {
+      case Some((v, base)) if v == vkey => base
+      case prev =>
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${ProcessHandle.current().pid()}_${stagedDirKey(vkey)}"
+        val built = build(base)
+        stagedArtifacts.put(s"$tag|$dir", (vkey, built))
+        prev.foreach { case (_, old) =>
+          if (old != built) graft.TmpDirs.register(old)
+        }
+        built
+    }
+  }
+
   /** Register every table as a temp view so the whole surface is
     * reachable from `spark.sql(...)` — the user-facing form of the
     * reference's `datastore` SQL sources (any SQL text over the

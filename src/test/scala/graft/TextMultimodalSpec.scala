@@ -710,6 +710,26 @@ class TextMultimodalSpec extends AnyFunSuite {
     val served = TextAnalysis.bm25TopKFrom(spark, base).collect().map(_.toString).toSet
     val gate = TextAnalysis.bm25IndexIncTopK(spark, sf).collect().map(_.toString).toSet
     assert(served == gate, "spec-built index must serve the gate results")
+    // --- compaction: fat buckets collapse, thin buckets untouched,
+    // serving bit-equal before and after ---
+    val preCompact = listing(s"$base/postings")
+    val fat = graft.operators.Similarity.compactIvfIncIndex(spark, base,
+      rowSchema = "term STRING, doc_id BIGINT, tf BIGINT, len BIGINT, bucket BIGINT",
+      partitionCol = "bucket")
+    assert(fat.nonEmpty, "the append must have fattened at least one bucket")
+    fat.foreach { b =>
+      val files = new java.io.File(s"$base/postings/bucket=$b").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"bucket $b must collapse to one file, has $files")
+    }
+    preCompact.filterNot { case (p, _) =>
+      fat.exists(b => p.contains(s"bucket=$b/")) }.foreach { case (p, m) =>
+      assert(listing(s"$base/postings").get(p).contains(m),
+        s"thin bucket file rewritten: $p")
+    }
+    val servedAfter = TextAnalysis.bm25TopKFrom(spark, base)
+      .collect().map(_.toString).toSet
+    assert(servedAfter == served, "compaction must not change serving results")
     CacheScope.releaseAll(spark)
   }
 }
