@@ -196,6 +196,9 @@ object SparkEntry {
     "text_bm25_index_topk" -> (TextAnalysis.bm25IndexTopK _),
     "text_bm25_index_incremental" -> (TextAnalysis.bm25IndexIncTopK _),
     "text_bm25_index_compact" -> (TextAnalysis.bm25IndexCompactTopK _),
+    "text_bm25_index_drift" -> (TextAnalysis.bm25IndexDriftReport _),
+    "text_bm25_lifecycle_topk" -> (TextAnalysis.bm25LifecycleTopK _),
+    "stream_bm25_index_append" -> (graft.streaming.Streams.streamBm25IndexAppend _),
     "sim_hybrid_rrf_topk" -> (Similarity.hybridRrfTopK _),
     "sim_hybrid_index_topk" -> (Similarity.hybridIndexTopK _),
     "stream_hybrid_serving" -> (graft.streaming.Streams.streamHybridServing _),
@@ -1101,6 +1104,27 @@ object SparkEntry {
       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
       |  CAST(SUM(id_sum) AS BIGINT) AS token_id_sum
       |FROM docs JOIN wstat USING (word) GROUP BY doc_id""".stripMargin
+  }
+
+  /** Frozen-stats drift oracle: per frozen query term (top-df over the
+    * snapshot docs, ties lexicographic), the snapshot df against the
+    * current full-corpus df and the integer cross-multiplied 1.5x
+    * retrain bar — all integers, hash-exact. */
+  private def textBm25DriftSql: String = {
+    val nq = TextAnalysis.Bm25QueryTerms
+    val pred = TextAnalysis.Bm25IncBatchPred
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |post AS (SELECT doc_id, unnest(w) AS term FROM d),
+      |tfs AS (SELECT doc_id, term, COUNT(*) AS tf FROM post GROUP BY 1, 2),
+      |dfs_f AS (SELECT term, COUNT(*) AS df FROM tfs
+      |  WHERE NOT ($pred) GROUP BY 1),
+      |q AS (SELECT term, df AS df_frozen FROM dfs_f
+      |  ORDER BY df DESC, term LIMIT $nq),
+      |dfs_c AS (SELECT term, COUNT(*) AS df_now FROM tfs GROUP BY 1)
+      |SELECT term, df_frozen, df_now,
+      |  df_now * ${TextAnalysis.Bm25DriftDen} >
+      |    df_frozen * ${TextAnalysis.Bm25DriftNum} AS retrain
+      |FROM q JOIN dfs_c USING (term)""".stripMargin
   }
 
   /** Hybrid-over-PERSISTED-arms oracle (VERDICT r9 #2): the lexical arm
@@ -2922,6 +2946,14 @@ object SparkEntry {
     // bucket compaction moves postings rows between files, never
     // changes them — shares the incremental lexical oracle verbatim
     "text_bm25_index_compact" -> textBm25IncSql,
+    // tokenize-and-append is stateless and additive: micro-batch
+    // boundaries cannot change the final postings set
+    "stream_bm25_index_append" -> textBm25IncSql,
+    // the full lexical lifecycle (snapshot -> streamed append -> drift
+    // consult -> bucket compact -> serve) moves rows in and between
+    // files, never changes them
+    "text_bm25_lifecycle_topk" -> textBm25IncSql,
+    "text_bm25_index_drift" -> textBm25DriftSql,
     "sim_hybrid_rrf_topk" -> simHybridRrfSql,
     // fusion served from the PERSISTED arms — its own oracle: the IVF
     // arm changes recall vs brute, so the oracle replicates the probed

@@ -565,7 +565,8 @@ object Similarity {
     * the staged files in under deterministic bid-prefixed names. Both
     * listings are ≤ nlist driver-side directory scans. */
   private[graft] def publishStagedAppend(s: SparkSession, base: String,
-      bid: Long)(writeStage: String => Unit): Unit = {
+      bid: Long, partitionCol: String = "cent_id")(
+      writeStage: String => Unit): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     val post = new org.apache.hadoop.fs.Path(s"$base/postings")
     val fs = post.getFileSystem(conf)
@@ -577,7 +578,7 @@ object Similarity {
         .foreach(f => fs.delete(f.getPath, false))
     }
     fs.listStatus(stage).filter(_.isDirectory)
-      .filter(_.getPath.getName.startsWith("cent_id=")).foreach { d =>
+      .filter(_.getPath.getName.startsWith(s"$partitionCol=")).foreach { d =>
         val dest = new org.apache.hadoop.fs.Path(post, d.getPath.getName)
         fs.mkdirs(dest)
         fs.listStatus(d.getPath)

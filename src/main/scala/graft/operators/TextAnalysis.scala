@@ -1076,17 +1076,38 @@ object TextAnalysis {
     pmod(hash(term), lit(Bm25Buckets)).cast("long")
 
   /** Per-(doc, term) frequencies with the doc length DENORMALIZED into
-    * the row, for the docs matching `pred` (None = all). */
-  private def bm25TfsDenorm(s: SparkSession, dir: String,
-      pred: Option[String]): DataFrame = {
-    val d0 = Tables.documentsParallel(s, dir)
-    val d = pred.map(p => d0.filter(expr(p))).getOrElse(d0)
-      .select(col("doc_id"), words(col("text")).as("w"))
+    * the row, for an arbitrary (doc_id, text) frame — shared by the
+    * batch build/append and the per-micro-batch streamed append. */
+  private def bm25TfsOf(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), words(col("text")).as("w"))
     d.select(col("doc_id"), size(col("w")).cast("long").as("len"),
         explode(col("w")).as("term"))
       .groupBy(col("doc_id"), col("len"), col("term"))
       .agg(count(lit(1)).as("tf"))
   }
+
+  private def bm25TfsDenorm(s: SparkSession, dir: String,
+      pred: Option[String]): DataFrame = {
+    val d0 = Tables.documentsParallel(s, dir)
+    bm25TfsOf(pred.map(p => d0.filter(expr(p))).getOrElse(d0))
+  }
+
+  /** The postings projection of a tf frame (bucket computed with the
+    * build-time expression). */
+  private def bm25PostingsOf(tfs: DataFrame): DataFrame =
+    tfs.select(col("term"), col("doc_id"), col("tf"), col("len"),
+      termBucket(col("term")).as("bucket"))
+
+  /** Streaming entry: idempotent postings append for micro-batch `bid`
+    * — the [[graft.operators.Similarity.publishStagedAppend]]
+    * bid-keyed purge-then-move discipline over the term buckets, so a
+    * replayed micro-batch lands exactly-once. */
+  private[graft] def appendBm25Idempotent(s: SparkSession, base: String,
+      docs: DataFrame, bid: Long): Unit =
+    Similarity.publishStagedAppend(s, base, bid, "bucket") { stage =>
+      bm25PostingsOf(bm25TfsOf(docs))
+        .write.mode("overwrite").partitionBy("bucket").parquet(stage)
+    }
 
   /** Build the index artifact: one corpus tokenize pass feeds the
     * postings write (shuffled by bucket — the only corpus-sized
@@ -1103,8 +1124,7 @@ object TextAnalysis {
       .withColumn("bucket", termBucket(col("term")))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$base/dfs")
-    tfs.select(col("term"), col("doc_id"), col("tf"), col("len"),
-        termBucket(col("term")).as("bucket"))
+    bm25PostingsOf(tfs)
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$base/postings")
     base
@@ -1119,9 +1139,7 @@ object TextAnalysis {
     * batch; a drift policy (df staleness) decides when to re-stat. */
   def appendBm25Batch(s: SparkSession, dir: String, base: String,
       pred: String): Unit =
-    bm25TfsDenorm(s, dir, Some(pred))
-      .select(col("term"), col("doc_id"), col("tf"), col("len"),
-        termBucket(col("term")).as("bucket"))
+    bm25PostingsOf(bm25TfsDenorm(s, dir, Some(pred)))
       .write.mode("append").partitionBy("bucket").parquet(s"$base/postings")
 
   /** Documents-frequency artifact of a staged index (vocab-bounded). */
@@ -1144,7 +1162,7 @@ object TextAnalysis {
     * lens join, no cross join — the plan touches index files only
     * (spec-asserted). Returns (doc_id, n_terms_hit, score_q). */
   private[operators] def bm25IndexScores(s: SparkSession, base: String,
-      qterms: DataFrame, cap: Int): DataFrame = {
+      qterms: DataFrame, cap: Int, deltaBase: Option[String] = None): DataFrame = {
     import s.implicits._
     // bounded collect #1: the query terms themselves (≤ cap)
     val tb = qterms.limit(cap)
@@ -1163,8 +1181,12 @@ object TextAnalysis {
     // cross-join combine in the serving plan)
     val st = s.read.schema("n_docs BIGINT, total_len BIGINT")
       .parquet(s"$base/stats").collect().head
-    s.read.schema(Bm25PostingsSchema).parquet(s"$base/postings")
-      .filter(col("bucket").isInCollection(buckets))
+    // the streamed-maintenance topology serves snapshot ∪ per-call
+    // delta postings (frozen df/stats stay on the snapshot side) —
+    // row-identical to one merged dir
+    def posts(b: String) = s.read.schema(Bm25PostingsSchema)
+      .parquet(s"$b/postings").filter(col("bucket").isInCollection(buckets))
+    deltaBase.foldLeft(posts(base))((p, d) => p.unionByName(posts(d)))
       .join(broadcast(query), Seq("bucket", "term"))
       .withColumn("n_docs", lit(st.getLong(0)))
       .withColumn("total_len", lit(st.getLong(1)))
@@ -1175,13 +1197,14 @@ object TextAnalysis {
 
   /** Top-k + rank rendering shared by the index gates — identical
     * output contract to [[bm25TopK]]. */
-  private[graft] def bm25TopKFrom(s: SparkSession, base: String): DataFrame = {
+  private[graft] def bm25TopKFrom(s: SparkSession, base: String,
+      deltaBase: Option[String] = None): DataFrame = {
     // gate query policy: top terms by df, ties lexicographic — drawn
     // from the PERSISTED dfs artifact (vocab-bounded, not corpus-sized)
     val qterms = readDfs(s, base)
       .orderBy(col("df").desc, col("term")).limit(Bm25QueryTerms)
       .select(col("term"))
-    val scored = bm25IndexScores(s, base, qterms, Bm25QueryTerms)
+    val scored = bm25IndexScores(s, base, qterms, Bm25QueryTerms, deltaBase)
     val top = scored.orderBy(col("score_q").desc, col("doc_id")).limit(Bm25K)
     top.select(col("doc_id"), col("n_terms_hit"),
       (col("score_q").cast("double") / lit(1e7)).as("score"),
@@ -1251,6 +1274,83 @@ object TextAnalysis {
 
   def bm25IndexCompactTopK(s: SparkSession, dir: String): DataFrame =
     bm25TopKFrom(s, stagedBm25CompactIndex(s, dir))
+
+  /** The IMMUTABLE snapshot half of the incremental lexical index
+    * (frozen stats trained without the batch, snapshot postings only)
+    * — staged once per corpus version; the streaming gate appends into
+    * per-call deltas beside it, as the vector indexes do. */
+  private[graft] def stagedBm25Snapshot(s: SparkSession, dir: String): String = {
+    val vkey = Tables.versionedKey(s, dir, "documents")
+    Tables.stagedArtifact("bm25snap", dir, vkey) { base =>
+      buildBm25Index(s, dir, base, Some(s"NOT ($Bm25IncBatchPred)"))
+    }
+  }
+
+  /** Staleness bar for the frozen collection statistics: retrain when
+    * a query term's document frequency grew ≥ [[Bm25DriftNum]]/
+    * [[Bm25DriftDen]] (1.5×) over the frozen value — beyond that the
+    * frozen idf materially misranks. Integer cross-multiply, never a
+    * division (the engines' floor semantics diverge below zero and a
+    * ratio can't be hash-gated). On the gate corpus the batch is 1/10
+    * of the docs, so df growth ≤ ~1.11× — the append branch; the spec
+    * plants an inverted split (snapshot = 1/10) whose ~10× growth
+    * takes the retrain branch. */
+  val Bm25DriftNum = 3
+  val Bm25DriftDen = 2
+
+  /** Frozen-stats DRIFT report for the lexical index (the
+    * sim_ivf_index_drift discipline applied to collection statistics):
+    * per query term, the FROZEN document frequency (the dfs artifact)
+    * against the CURRENT one counted from the maintained postings
+    * themselves — an index-only nightly job; the postings scan is
+    * statically pruned to the query buckets, exactly like serving.
+    * All integers → hash-exact oracle. */
+  def bm25IndexDriftReport(s: SparkSession, dir: String): DataFrame =
+    bm25DriftFrom(s, stagedBm25IncIndex(s, dir))
+
+  private[graft] def bm25DriftFrom(s: SparkSession, base: String): DataFrame = {
+    import s.implicits._
+    // bounded collect: the ≤ Bm25QueryTerms query rows with frozen df
+    val q = readDfs(s, base)
+      .orderBy(col("df").desc, col("term")).limit(Bm25QueryTerms)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val buckets = q.map(_._3).distinct.sorted.toSeq
+    val terms = q.map(_._1).toSeq
+    val frozen = q.map { case (t, df, b) => (t, df, b) }.toSeq
+      .toDF("term", "df_frozen", "bucket")
+    s.read.schema(Bm25PostingsSchema).parquet(s"$base/postings")
+      .filter(col("bucket").isInCollection(buckets) &&
+        col("term").isInCollection(terms))
+      .groupBy(col("bucket"), col("term")).agg(count(lit(1)).as("df_now"))
+      .join(broadcast(frozen), Seq("bucket", "term"))
+      .select(col("term"), col("df_frozen"), col("df_now"),
+        (col("df_now") * lit(Bm25DriftDen) >
+          col("df_frozen") * lit(Bm25DriftNum)).as("retrain"))
+  }
+
+  /** COMPOSITE lexical-index lifecycle over ONE staged index — the
+    * [[graft.operators.Similarity.ivfLifecycleTopK]] story for the
+    * BM25 postings: snapshot build (frozen stats — the only corpus
+    * tokenize) → tonight's docs as a real two-micro-batch STREAM of
+    * idempotent bucket appends → the drift report consults the
+    * maintained artifact and takes the append branch (loud require) →
+    * crash-safe bucket compaction → serving. Hash-equal to the
+    * frozen-stats rebuild — shares the incremental lexical oracle. */
+  def bm25LifecycleTopK(s: SparkSession, dir: String): DataFrame = {
+    val vkey = Tables.versionedKey(s, dir, "documents")
+    val base = Tables.stagedArtifact("bm25life", dir, vkey) { b =>
+      buildBm25Index(s, dir, b, Some(s"NOT ($Bm25IncBatchPred)"))
+      graft.streaming.Streams.runBm25AppendStream(s, dir, b)
+      val drift = bm25DriftFrom(s, b)
+      require(!drift.collect().exists(_.getAs[Boolean]("retrain")),
+        "lexical lifecycle gate expects the append branch; drifted " +
+          "collection stats must re-stat, not serve frozen")
+      Similarity.compactIvfIncIndex(s, b,
+        rowSchema = Bm25PostingsSchema, partitionCol = "bucket")
+      b
+    }
+    bm25TopKFrom(s, base)
+  }
 
   /** The per-(term, doc) BM25 fixed-point score over the joined
     * tf/len/df/n_docs/total_len columns — the scaladoc'd rational

@@ -592,6 +592,49 @@ object Streams {
     s.read.parquet(s"$base/dst")
   }
 
+  /** Gate query: STREAMING maintenance of the LEXICAL index — the
+    * [[streamIndexAppend]] topology for the BM25 postings (VERDICT r9
+    * #1's lifecycle completed on the text side): the frozen-stats
+    * snapshot stages once per corpus version; tonight's documents land
+    * in two real micro-batches, each tokenizing ONLY its batch and
+    * appending its postings rows idempotently into a per-call delta's
+    * term buckets (bid-keyed purge-then-move — exactly-once in
+    * effect). Tokenize-and-append is stateless and additive, so
+    * micro-batch boundaries cannot change the final postings set:
+    * serving snapshot ∪ delta after the drain is bit-equal to the
+    * batch `text_bm25_index_incremental` gate — shared oracle. Doc
+    * text round-trips the ndjson hop exactly (string escaping). */
+  def streamBm25IndexAppend(s: SparkSession, dir: String): DataFrame = {
+    val snap = graft.operators.TextAnalysis.stagedBm25Snapshot(s, dir)
+    val delta = callDir("sbm25")
+    runBm25AppendStream(s, dir, delta)
+    graft.operators.TextAnalysis.bm25TopKFrom(s, snap, Some(delta))
+  }
+
+  /** The nightly document-batch append stream against term buckets at
+    * `base` — shared by the streaming gate (per-call delta) and the
+    * lexical lifecycle gate (appends into its own full index). */
+  private[graft] def runBm25AppendStream(s: SparkSession, dir: String,
+      base: String): Unit = {
+    val batch = graft.sources.Tables.documents(s, dir)
+      .filter(expr(graft.operators.TextAnalysis.Bm25IncBatchPred))
+      .select(col("doc_id"), col("text"))
+    new java.io.File(s"$base/src").mkdirs()
+    val t0 = System.currentTimeMillis()
+    stageNamedFile(batch.filter(col("doc_id") % 20 === 3),
+      s"$base/t0", s"$base/src/a_slice.json", t0 - 60000)
+    stageNamedFile(batch.filter(col("doc_id") % 20 =!= 3),
+      s"$base/t1", s"$base/src/b_slice.json", t0)
+    val in = s.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).json(s"$base/src")
+    val q = in.writeStream.foreachBatch { (mb: DataFrame, bid: Long) =>
+      graft.operators.TextAnalysis.appendBm25Idempotent(s, base, mb, bid)
+      ()
+    }.option("checkpointLocation", s"$base/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** Gate query: STREAMING index maintenance — the nightly append as a
     * vector stream: the snapshot index (frozen quantizer + snapshot
     * postings) stages once; tonight's arrivals land in TWO real
@@ -634,9 +677,9 @@ object Streams {
       .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
     new java.io.File(s"$base/src").mkdirs()
     val t0 = System.currentTimeMillis()
-    stageNamedFile(batch.filter(col("cand_id") % 2 === 0),
+    stageNamedFile(batch.filter(col("cand_id") % 20 === 3),
       s"$base/t0", s"$base/src/a_slice.json", t0 - 60000)
-    stageNamedFile(batch.filter(col("cand_id") % 2 =!= 0),
+    stageNamedFile(batch.filter(col("cand_id") % 20 =!= 3),
       s"$base/t1", s"$base/src/b_slice.json", t0)
     val in = s.readStream.schema("cand_id LONG, c_emb ARRAY<FLOAT>")
       .option("maxFilesPerTrigger", 1).json(s"$base/src")
@@ -673,9 +716,9 @@ object Streams {
       .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
     new java.io.File(s"$delta/src").mkdirs()
     val t0 = System.currentTimeMillis()
-    stageNamedFile(batch.filter(col("cand_id") % 2 === 0),
+    stageNamedFile(batch.filter(col("cand_id") % 20 === 3),
       s"$delta/t0", s"$delta/src/a_slice.json", t0 - 60000)
-    stageNamedFile(batch.filter(col("cand_id") % 2 =!= 0),
+    stageNamedFile(batch.filter(col("cand_id") % 20 =!= 3),
       s"$delta/t1", s"$delta/src/b_slice.json", t0)
     val in = s.readStream.schema("cand_id LONG, c_emb ARRAY<FLOAT>")
       .option("maxFilesPerTrigger", 1).json(s"$delta/src")

@@ -395,6 +395,17 @@ class StreamingPipelineSpec extends AnyFunSuite {
       "stream-maintained index serving must equal the batch-maintained one")
   }
 
+  test("streaming BM25 append serves bit-equal to the batch incremental path") {
+    // the lexical twin: micro-batched tokenize-and-append under frozen
+    // collection stats must land the identical postings set
+    val streamed = Streams.streamBm25IndexAppend(spark, sf)
+      .collect().map(_.toString).toSet
+    val batch = graft.operators.TextAnalysis.bm25IndexIncTopK(spark, sf)
+      .collect().map(_.toString).toSet
+    assert(streamed == batch,
+      "stream-maintained lexical index serving must equal the batch-maintained one")
+  }
+
   test("streaming PQ index append serves bit-equal to the batch incremental path") {
     // the compressed-index twin: micro-batched encode-and-append under
     // the frozen quantizer+codebook must land the identical code set

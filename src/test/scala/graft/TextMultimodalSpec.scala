@@ -732,4 +732,23 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(servedAfter == served, "compaction must not change serving results")
     CacheScope.releaseAll(spark)
   }
+
+  test("BM25 stats drift: in-distribution batch appends, an inverted split retrains") {
+    // append branch on the gate index: the batch is 1/10 of the docs,
+    // so no query term's df can reach the 1.5x bar
+    val rep = TextAnalysis.bm25IndexDriftReport(spark, sf).collect()
+    assert(rep.nonEmpty && rep.forall(!_.getAs[Boolean]("retrain")),
+      s"gate corpus must take the append branch: ${rep.mkString(";")}")
+    // retrain branch: freeze the stats on the 1/10 slice and append the
+    // other 9/10 — df grows ~10x past the bar for every frequent term
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_spec_bm25drift_${System.nanoTime}"
+    TextAnalysis.buildBm25Index(spark, sf, base,
+      Some(TextAnalysis.Bm25IncBatchPred))
+    TextAnalysis.appendBm25Batch(spark, sf, base,
+      s"NOT (${TextAnalysis.Bm25IncBatchPred})")
+    val rep2 = TextAnalysis.bm25DriftFrom(spark, base).collect()
+    assert(rep2.nonEmpty && rep2.exists(_.getAs[Boolean]("retrain")),
+      s"a stale-stats index must trigger the re-stat branch: ${rep2.mkString(";")}")
+    CacheScope.releaseAll(spark)
+  }
 }
