@@ -939,44 +939,63 @@ object TextAnalysis {
         sum(col("id_sum")).as("token_id_sum"))
   }
 
-  /** The encoded vocabulary (word → its final token array) — the fold
-    * pipeline of [[bpeApply]], exposed for the conservation spec. */
+  /** Memoized merge table per corpus version (bounded ≤
+    * [[BpeTopMerges]] rows; the rules are consumed by every encode
+    * invocation, so recomputing the vocabulary aggregation per call
+    * would charge tokenizer TRAINING to every encode). */
+  private val bpeRulesCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[String]]
+  private def bpeRules(s: SparkSession, dir: String): Seq[String] =
+    bpeRulesCache.getOrElseUpdate(Tables.versionedKey(s, dir, "documents"),
+      bpeMerges(s, dir).collect().map(_.getString(0)).toSeq)
+
+  /** One word through the merge rules — rule-priority order, each rule
+    * merging its adjacent pair left-to-right greedily. COMPILED Scala
+    * on purpose (the tier-(d) exception, justified): the 50-rule
+    * sequential merge is inherently iterative per word, and the HOF
+    * formulation (50 chained interpreted folds, each O(word²) string
+    * ops) benched 12 s at sf0.1 where this compiled loop is ~100× the
+    * per-row speed; output is integers-only downstream, so the DuckDB
+    * oracle (which replicates this exact greedy discipline with
+    * list_reduce) stays hash-exact. Codepoint tokens — surrogate pairs
+    * never split, matching both engines' codepoint substr. */
+  private[graft] def bpeEncodeWord(word: String,
+      rules: Seq[(String, String)]): Seq[String] = {
+    var toks: Array[String] =
+      word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    for ((a, b) <- rules) {
+      val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+      var i = 0
+      while (i < toks.length) {
+        if (out.nonEmpty && out.last == a && toks(i) == b)
+          out(out.length - 1) = a + b
+        else out += toks(i)
+        i += 1
+      }
+      toks = out.toArray
+    }
+    toks.toSeq
+  }
+
+  /** The encoded vocabulary (word → its final token array), exposed
+    * for the conservation spec. One narrow compiled map over DISTINCT
+    * words; the ≤ [[BpeTopMerges]]-row rule table ships in the task
+    * closure. */
   private[graft] def bpeEncodedVocab(s: SparkSession, dir: String): DataFrame = {
-    // bounded collect: the merge table (≤ BpeTopMerges rows, already in
-    // rule-priority order: count desc, pair asc)
-    val rules = bpeMerges(s, dir).collect().map(_.getString(0)).toSeq
-    val vocab = Tables.documentsParallel(s, dir)
+    import s.implicits._
+    val rules = bpeRules(s, dir).map { r =>
+      // rule sides by CODEPOINT (UTF-16 substring would split
+      // surrogate pairs; both engines' substr is codepoint-based)
+      val cps = r.codePoints().toArray
+      (new String(Character.toChars(cps(0))),
+        new String(Character.toChars(cps(1))))
+    }
+    Tables.documentsParallel(s, dir)
       .select(explode(words(col("text"))).as("word"))
       .filter(length(col("word")) >= 1).distinct()
-    // Inter-rule state is the SEPARATOR-JOINED token string, and each
-    // fold references it exactly ONCE (null-init fold — the first
-    // element becomes the accumulator, matching DuckDB list_reduce's
-    // first-element-init semantics). One reference per level matters:
-    // a fold that also took slice()/element_at()/size() of the
-    // previous column referenced it 3x, and project-collapsing turns
-    // 50 such levels into an exponentially-sized expression (measured:
-    // driver OOM at rule ~30).
-    var state = vocab.select(col("word"),
-      array_join(transform(sequence(lit(1), length(col("word"))),
-        i => col("word").substr(i, lit(1))), BpeSep).as("st"))
-    for (r <- rules) {
-      // rule sides by CODEPOINT (substr/length are codepoint-based in
-      // both engines; UTF-16 substring would split surrogate pairs)
-      val cps = r.codePoints().toArray
-      val a = new String(Character.toChars(cps(0)))
-      val b = new String(Character.toChars(cps(1)))
-      val folded = aggregate(
-        split(col("st"), BpeSep),
-        lit(null).cast("string"),
-        (acc, t) => when(acc.isNull, t).otherwise(
-          when(t === lit(b) &&
-              acc.substr(length(acc), lit(1)) === lit(a) &&
-              (length(acc) === lit(1) ||
-                acc.substr(length(acc) - 1, lit(1)) === lit(BpeSep)),
-            concat(acc, t)).otherwise(concat(acc, lit(BpeSep), t))))
-      state = state.select(col("word"), folded.as("st"))
-    }
-    state.select(col("word"), split(col("st"), BpeSep).as("toks"))
+      .as[String]
+      .map(w => (w, bpeEncodeWord(w, rules)))
+      .toDF("word", "toks")
   }
 
   /** Result size and query width for [[bm25TopK]]. */
