@@ -156,6 +156,7 @@ object SparkEntry {
     "dedup_embedding_lsh_capped" -> (Dedup.embeddingLshCapped _),
     "dedup_semantic" -> (Similarity.semanticDedup _),
     "dedup_semantic_incremental" -> (Similarity.semanticDedupIncremental _),
+    "dedup_semantic_apply" -> (Similarity.semanticDedupApply _),
     "dedup_paragraph" -> (Dedup.paragraphs _),
     "dedup_paragraph_apply" -> (Dedup.paragraphsApply _),
     "dedup_substring_apply" -> (Dedup.substringsApply _),
@@ -187,6 +188,7 @@ object SparkEntry {
     "sim_ivf_index_incremental" -> (Similarity.ivfIncTopK _),
     "sim_ivf_index_drift" -> (Similarity.ivfIncDriftReport _),
     "sim_ivf_pq_index_incremental" -> (Similarity.ivfPqIncTopK _),
+    "sim_ivf_pq_lifecycle_topk" -> (Similarity.ivfPqLifecycleTopK _),
     "sim_ivf_pq_index_drift" -> (Similarity.ivfPqIncDriftReport _),
     "sim_ivf_index_compact" -> (Similarity.ivfCompactTopK _),
     "sim_ivf_lifecycle_topk" -> (Similarity.ivfLifecycleTopK _),
@@ -910,6 +912,26 @@ object SparkEntry {
         |    GROUP BY cent_id, i) m GROUP BY cent_id)""".stripMargin
     }
     (parts, cc, s"cents${Similarity.IvfLloydIters}")
+  }
+
+  /** Semantic-dedup APPLY oracle: the SemDeDup kept set joined to the
+    * raw documents text (vec_id ≡ doc_id). */
+  private def dedupSemanticApplySql: String = {
+    val (parts, cc, fc) = lloydCtes()
+    parts += s"""assignF AS (
+      |  SELECT vec_id, demb, nsq, cent_id FROM (
+      |    SELECT v.vec_id, v.demb, v.nsq, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY $cc DESC, c.cent_id) AS rn
+      |    FROM e v, $fc c) t WHERE rn = 1)""".stripMargin
+    val pc = cosineSql("u.demb", "u.nsq", "v.demb", "v.nsq")
+    s"""WITH ${parts.mkString(",\n")},
+      |kept AS (SELECT v.vec_id FROM assignF v
+      |  WHERE NOT EXISTS (SELECT 1 FROM assignF u
+      |    WHERE u.cent_id = v.cent_id AND u.vec_id < v.vec_id
+      |      AND $pc >= ${Similarity.SemanticTau}))
+      |SELECT d.doc_id, d.text FROM documents d
+      |JOIN kept k ON k.vec_id = d.doc_id""".stripMargin
   }
 
   /** SemDeDup oracle: same unrolled-Lloyd clustering, final nearest-
@@ -2964,6 +2986,7 @@ object SparkEntry {
     "stream_hybrid_serving" -> simHybridIndexSql,
     "dedup_semantic" -> dedupSemanticSql,
     "dedup_semantic_incremental" -> dedupSemanticIncSql,
+    "dedup_semantic_apply" -> dedupSemanticApplySql,
     "sim_pq_topk" -> simPqTopkSql,
     "sim_ivf_pq_topk" -> simIvfPqTopkSql,
     // coarse stage served from on-disk codes reconstructs bit-equal
@@ -2973,6 +2996,9 @@ object SparkEntry {
     // snapshot codes + appended batch under frozen quantizer+codebook ≡
     // one-shot build training both stages without the batch
     "sim_ivf_pq_index_incremental" -> simIvfPqIncTopkSql,
+    // the composed IVFPQ lifecycle moves code rows in and between
+    // files, never changes them — incremental IVFPQ oracle verbatim
+    "sim_ivf_pq_lifecycle_topk" -> simIvfPqIncTopkSql,
     "sim_ivf_pq_index_drift" -> simIvfPqIncDriftSql,
     // compaction moves code rows between files, never changes them —
     // serving shares the incremental IVFPQ oracle verbatim

@@ -976,6 +976,21 @@ object Similarity {
       .unionByName(batchVerdicts)
   }
 
+  /** The CLEANED-CORPUS artifact of semantic dedup — the `apply` form
+    * every other dedup family already carries (paragraph, substring,
+    * decontaminate, survivors): the kept documents' text, one id-keyed
+    * equi-join between the verdict list and the documents table
+    * (vec_id ≡ doc_id in this corpus). Verdicts travel as bare ids;
+    * text crosses exactly one exchange — and at 100 TB a bucketed
+    * documents table makes that join co-located. Oracle = the SemDeDup
+    * oracle's kept set joined to the raw text. */
+  def semanticDedupApply(s: SparkSession, dir: String): DataFrame = {
+    val kept = semanticDedup(s, dir).filter(col("kept"))
+      .select(col("vec_id").as("doc_id"))
+    Tables.documents(s, dir).join(kept, "doc_id")
+      .select(col("doc_id"), col("text"))
+  }
+
   /** Per-label mean embedding — the distributed centroid build behind
     * class prototypes, dataset cartography and IVF-style training, as
     * a pure partial-aggregatable plan: posexplode to (label, pos, v),
@@ -1367,6 +1382,37 @@ object Similarity {
   def ivfPqCompactTopK(s: SparkSession, dir: String): DataFrame =
     ivfPqServeFrom(s, dir, stagedIvfPqCompactIndex(s, dir))
 
+  /** COMPOSITE nightly-maintenance lifecycle for the COMPRESSED index
+    * — [[ivfLifecycleTopK]]'s story for the IVFPQ artifact, so all
+    * three maintained indexes (IVF, IVFPQ, BM25 postings) carry the
+    * same composed proof: snapshot build (quantizer + codebook — the
+    * only training passes) → two-micro-batch streamed idempotent
+    * code appends under the frozen artifacts → BOTH drift consults
+    * (coarse-quantizer drift and codebook reconstruction drift) take
+    * the append branch, required loudly → crash-safe code-list
+    * compaction → serving. Hash-equal to the one-shot
+    * frozen-quantizer-and-codebook rebuild — the incremental IVFPQ
+    * oracle verbatim. */
+  def stagedIvfPqLifecycleIndex(s: SparkSession, dir: String): String = {
+    val vkey = Tables.versionedKey(s, dir, "embeddings")
+    Tables.stagedArtifact("ivfpqlife", dir, vkey) { base =>
+      buildIvfPqIncSnapshot(s, dir, base)
+      graft.streaming.Streams.runPqIndexAppendStream(s, dir, base)
+      val coarse = ivfIncDriftReportFrom(s, dir, base)
+        .head().getAs[Boolean]("retrain")
+      val book = ivfPqIncDriftReportFrom(s, dir, base)
+        .head().getAs[Boolean]("retrain")
+      require(!coarse && !book,
+        "IVFPQ lifecycle gate expects both append branches; a drifted " +
+          "corpus must retrain its quantizer/codebook, not serve frozen")
+      compactIvfIncIndex(s, base, rowSchema = PqPostingsSchema)
+      base
+    }
+  }
+
+  def ivfPqLifecycleTopK(s: SparkSession, dir: String): DataFrame =
+    ivfPqServeFrom(s, dir, stagedIvfPqLifecycleIndex(s, dir))
+
   /** Spec hook: IVFPQ serving from an arbitrary index base
     * (before/after-compaction bit-equality checks). */
   private[graft] def ivfPqServeForSpec(s: SparkSession, dir: String,
@@ -1399,9 +1445,14 @@ object Similarity {
     * the staged index's codebook file (bounded ≤ PqCodewords rows),
     * zero training jobs; two narrow passes + a 1-row combine —
     * embeddings never cross an exchange. */
-  def ivfPqIncDriftReport(s: SparkSession, dir: String): DataFrame = {
+  def ivfPqIncDriftReport(s: SparkSession, dir: String): DataFrame =
+    ivfPqIncDriftReportFrom(s, dir, stagedIvfPqIncIndex(s, dir))
+
+  /** The codebook-drift report against an ARBITRARY index artifact —
+    * the IVFPQ lifecycle gate consults it mid-maintenance. */
+  private[graft] def ivfPqIncDriftReportFrom(s: SparkSession, dir: String,
+      base: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val base = stagedIvfPqIncIndex(s, dir)
     val book = s.read.parquet(s"$base/codebook").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
     val sub = book.head._2.length / PqSubspaces

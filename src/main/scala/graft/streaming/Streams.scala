@@ -711,24 +711,33 @@ object Streams {
     // snapshot-once + per-call delta, as streamIndexAppend
     val snap = graft.operators.Similarity.stagedIvfPqIncSnapshot(s, dir)
     val delta = callDir("spqidx")
+    runPqIndexAppendStream(s, dir, delta, snap)
+    graft.operators.Similarity.ivfPqServeUnion(s, dir, snap, delta)
+  }
+
+  /** The nightly encode-and-append stream for the COMPRESSED index —
+    * shared by the streaming gate (per-call delta) and the IVFPQ
+    * lifecycle gate (appends into its own full index). */
+  private[graft] def runPqIndexAppendStream(s: SparkSession, dir: String,
+      base: String, artifactBase: String = null): Unit = {
+    val art = Option(artifactBase).getOrElse(base)
     val batch = graft.sources.Tables.embeddings(s, dir)
       .filter(expr(graft.operators.Similarity.IvfIncBatchPred))
       .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
-    new java.io.File(s"$delta/src").mkdirs()
+    new java.io.File(s"$base/src").mkdirs()
     val t0 = System.currentTimeMillis()
     stageNamedFile(batch.filter(col("cand_id") % 20 === 3),
-      s"$delta/t0", s"$delta/src/a_slice.json", t0 - 60000)
+      s"$base/t0", s"$base/src/a_slice.json", t0 - 60000)
     stageNamedFile(batch.filter(col("cand_id") % 20 =!= 3),
-      s"$delta/t1", s"$delta/src/b_slice.json", t0)
+      s"$base/t1", s"$base/src/b_slice.json", t0)
     val in = s.readStream.schema("cand_id LONG, c_emb ARRAY<FLOAT>")
-      .option("maxFilesPerTrigger", 1).json(s"$delta/src")
+      .option("maxFilesPerTrigger", 1).json(s"$base/src")
     val q = in.writeStream.foreachBatch { (mb: DataFrame, bid: Long) =>
-      graft.operators.Similarity.appendIvfPqIncVectorsIdempotent(s, delta, mb, bid, snap)
+      graft.operators.Similarity.appendIvfPqIncVectorsIdempotent(s, base, mb, bid, art)
       ()
-    }.option("checkpointLocation", s"$delta/cp")
+    }.option("checkpointLocation", s"$base/cp")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    graft.operators.Similarity.ivfPqServeUnion(s, dir, snap, delta)
   }
 
   /** Gate query: streaming ANOMALY SCORING — the monitoring shape

@@ -67,6 +67,7 @@ class AllQueriesSpec extends AnyFunSuite {
     "sim_rerank_topk",
     "sim_pq_topk", "sim_ivf_pq_topk", "sim_ivf_pq_index_topk",
     "sim_ivf_pq_index_incremental", "sim_ivf_pq_index_compact",
+    "sim_ivf_pq_lifecycle_topk",
     "sim_range_search",
     "sim_hybrid_index_topk",  // dense arm probes = the broadcast query slice
     "sim_matryoshka_topk", "sim_recall_report")

@@ -1063,6 +1063,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     CacheScope.releaseAll(spark)
   }
 
+  test("IVFPQ lifecycle composition serves exactly the incremental gate's results") {
+    val life = Similarity.ivfPqLifecycleTopK(spark, sf)
+      .collect().map(_.toString).toSet
+    val inc = Similarity.ivfPqIncTopK(spark, sf)
+      .collect().map(_.toString).toSet
+    assert(life == inc,
+      "composed IVFPQ lifecycle must serve the incremental gate's results")
+    CacheScope.releaseAll(spark)
+  }
+
+  test("semantic dedup apply returns exactly the kept documents' text") {
+    val kept = Similarity.semanticDedup(spark, sf)
+      .filter(col("kept")).select(col("vec_id")).collect()
+      .map(_.getLong(0)).toSet
+    val applied = Similarity.semanticDedupApply(spark, sf).collect()
+    val docIds = Tables.documents(spark, sf).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(applied.map(_.getLong(0)).toSet == kept.intersect(docIds),
+      "apply must carry exactly the kept ids that exist as documents")
+    // text integrity: every applied row carries its own document's text
+    val textOf = Tables.documents(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    applied.foreach(r => assert(r.getString(1) == textOf(r.getLong(0))))
+  }
+
   test("PQ codebook drift: in-distribution batch appends, a spike batch retrains") {
     // append branch: the gate corpus's batch comes from the trained
     // distribution, so its reconstruction gap is only sampling noise
