@@ -1063,6 +1063,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     CacheScope.releaseAll(spark)
   }
 
+  test("hybrid index serving prunes both arms: static buckets, DPP'd lists") {
+    val plan = Similarity.hybridIndexTopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    // dense arm: the broadcast probe side dynamically prunes the IVF
+    // inverted-list partitions
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"dense arm must DPP-prune the IVF postings:\n$plan")
+    // lexical arm: the postings scan is STATICALLY pruned to the query
+    // terms' buckets at planning time
+    val lexScan = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("graft_bm25idx"))
+      .mkString("\n")
+    assert(lexScan.nonEmpty, s"no BM25 postings scan found:\n$plan")
+    assert(java.util.regex.Pattern.compile(
+        "PartitionFilters: \\[bucket#\\d+L? IN \\(").matcher(lexScan).find(),
+      s"lexical arm must carry a static bucket partition filter:\n$lexScan")
+  }
+
   test("IVFPQ lifecycle composition serves exactly the incremental gate's results") {
     val life = Similarity.ivfPqLifecycleTopK(spark, sf)
       .collect().map(_.toString).toSet
