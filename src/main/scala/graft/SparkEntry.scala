@@ -203,6 +203,7 @@ object SparkEntry {
     "stream_bm25_index_append" -> (graft.streaming.Streams.streamBm25IndexAppend _),
     "sim_hybrid_rrf_topk" -> (Similarity.hybridRrfTopK _),
     "sim_hybrid_index_topk" -> (Similarity.hybridIndexTopK _),
+    "sim_hybrid_index_batch_topk" -> (Similarity.hybridIndexBatchTopK _),
     "stream_hybrid_serving" -> (graft.streaming.Streams.streamHybridServing _),
     "sim_pq_topk" -> (Similarity.pqTopK _),
     "sim_ivf_pq_topk" -> (Similarity.ivfPqTopK _),
@@ -1216,6 +1217,82 @@ object SparkEntry {
       |  CAST(rrf_q AS DOUBLE) / 1000000000 AS rrf_score,
       |  CAST(row_number() OVER (ORDER BY rrf_q DESC, doc_id) AS BIGINT) AS rank
       |FROM fused ORDER BY rrf_q DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** Batched hybrid oracle: [[simHybridIndexSql]] generalized to the
+    * HybridBatchDocs query set — every per-query stage becomes a
+    * PARTITION BY query_doc row_number with the same (score desc, id)
+    * total order the bounded-buffer top-k uses, so the fusion is
+    * hash-exact per query. */
+  private def simHybridBatchSql: String = {
+    val k = Similarity.HybridK; val depth = Similarity.HybridDepth
+    val rrfK = Similarity.HybridRrfK; val qn = Similarity.HybridBatchDocs
+    val nq = Similarity.HybridQueryTerms
+    val (parts, cc, fc) = lloydCtes()
+    parts += s"""probes AS (
+      |  SELECT query_id, q_demb, q_nsq, cent_id FROM (
+      |    SELECT v.vec_id AS query_id, v.demb AS q_demb, v.nsq AS q_nsq, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY $cc DESC, c.cent_id) AS rn
+      |    FROM e v, $fc c WHERE v.vec_id < $qn) t WHERE rn <= ${Similarity.IvfProbes})""".stripMargin
+    parts += s"""assigned AS (
+      |  SELECT cand_id, c_demb, c_nsq, cent_id FROM (
+      |    SELECT v.vec_id AS cand_id, v.demb AS c_demb, v.nsq AS c_nsq, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY $cc DESC, c.cent_id) AS rn
+      |    FROM e v, $fc c WHERE v.vec_id >= 10) t WHERE rn = 1)""".stripMargin
+    val sc = cosineSql("p.q_demb", "p.q_nsq", "a.c_demb", "a.c_nsq")
+    parts += s"""den AS (SELECT query_doc, doc_id,
+      |    CAST(rn AS BIGINT) AS vec_rank FROM (
+      |  SELECT query_doc, doc_id,
+      |    row_number() OVER (PARTITION BY query_doc
+      |      ORDER BY side_q DESC, doc_id) AS rn
+      |  FROM (SELECT p.query_id AS query_doc, a.cand_id AS doc_id,
+      |      CAST(floor($sc * 10000000 + 0.5) AS BIGINT) AS side_q
+      |    FROM probes p JOIN assigned a USING (cent_id)) s0) t
+      |  WHERE rn <= $depth)""".stripMargin
+    parts += "d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"
+    parts += "lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS len FROM d)"
+    parts += "stats AS (SELECT COUNT(*) AS n_docs, SUM(len) AS total_len FROM lens)"
+    parts += """tfs AS (SELECT doc_id, term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(w) AS term FROM d) GROUP BY 1, 2)""".stripMargin
+    parts += s"""qterms AS (SELECT query_doc, term FROM (
+      |  SELECT doc_id AS query_doc, term,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS qrn
+      |  FROM tfs WHERE doc_id < $qn) t WHERE qrn <= $nq)""".stripMargin
+    parts += "dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY 1)"
+    parts += "q AS (SELECT qt.query_doc, qt.term, dfs.df FROM qterms qt JOIN dfs USING (term))"
+    parts += s"""lex AS (SELECT query_doc, doc_id,
+      |    CAST(rnl AS BIGINT) AS lex_rank FROM (
+      |  SELECT query_doc, doc_id,
+      |    row_number() OVER (PARTITION BY query_doc
+      |      ORDER BY side_q DESC, doc_id) AS rnl
+      |  FROM (SELECT q.query_doc, t.doc_id, SUM(CAST(floor(
+      |      (44 * CAST(t.tf AS DOUBLE) * CAST(s.total_len AS DOUBLE))
+      |      / (20 * CAST(t.tf AS DOUBLE) * CAST(s.total_len AS DOUBLE)
+      |         + 6 * CAST(s.total_len AS DOUBLE)
+      |         + 18 * CAST(l.len AS DOUBLE) * CAST(s.n_docs AS DOUBLE))
+      |      * ((2 * CAST(s.n_docs AS DOUBLE) - 2 * CAST(q.df AS DOUBLE) + 1)
+      |         / (2 * CAST(q.df AS DOUBLE) + 1)) * 10000000 + 0.5) AS BIGINT)) AS side_q
+      |    FROM tfs t JOIN q ON q.term = t.term
+      |    JOIN lens l ON l.doc_id = t.doc_id, stats s
+      |    WHERE t.doc_id <> q.query_doc
+      |    GROUP BY q.query_doc, t.doc_id) s1) t WHERE rnl <= $depth)""".stripMargin
+    parts += s"""fused AS (SELECT COALESCE(l.query_doc, dn.query_doc) AS query_doc,
+      |    COALESCE(l.doc_id, dn.doc_id) AS doc_id, lex_rank, vec_rank,
+      |    COALESCE(1000000000 // ($rrfK + lex_rank), 0)
+      |      + COALESCE(1000000000 // ($rrfK + vec_rank), 0) AS rrf_q
+      |  FROM lex l FULL JOIN den dn
+      |    ON l.query_doc = dn.query_doc AND l.doc_id = dn.doc_id)""".stripMargin
+    s"""WITH ${parts.mkString(",\n")}
+      |SELECT query_doc, doc_id,
+      |  COALESCE(lex_rank, CAST(0 AS BIGINT)) AS lex_rank,
+      |  COALESCE(vec_rank, CAST(0 AS BIGINT)) AS vec_rank,
+      |  CAST(rrf_q AS DOUBLE) / 1000000000 AS rrf_score,
+      |  CAST(row_number() OVER (PARTITION BY query_doc
+      |    ORDER BY rrf_q DESC, doc_id) AS BIGINT) AS rank
+      |FROM fused
+      |QUALIFY rank <= $k""".stripMargin
   }
 
   private def simIvfTopkSql: String = simIvfTopkSqlFrom(None)
@@ -2981,6 +3058,9 @@ object SparkEntry {
     // arm changes recall vs brute, so the oracle replicates the probed
     // candidate stage exactly (as sim_ivf_topk's does)
     "sim_hybrid_index_topk" -> simHybridIndexSql,
+    // the batched fusion: one pass of each persisted arm for the whole
+    // query batch; per-query stages are partitioned row_numbers
+    "sim_hybrid_index_batch_topk" -> simHybridBatchSql,
     // stateless per-query fusion: micro-batch boundaries cannot change
     // results, so the stream shares the batch fusion's oracle
     "stream_hybrid_serving" -> simHybridIndexSql,

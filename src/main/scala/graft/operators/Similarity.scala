@@ -1923,6 +1923,94 @@ object Similarity {
   val HybridQueryDoc = 0L
   val HybridQueryTerms = 3
 
+  /** Concurrent-batch width for [[hybridIndexBatchTopK]]. */
+  val HybridBatchDocs = 5L
+
+  /** BATCHED hybrid serving over the persisted arms — the shape a RAG
+    * service actually runs: Q concurrent more-like-this queries fuse
+    * in ONE pass of each arm, not Q sequential fusions. Per-query
+    * stages that were global TakeOrdereds in the single-query gate
+    * become grouped bounded-buffer top-ks ([[graft.functions.TopK]]:
+    * map-side, ≤ depth rows per (query, partition) cross the exchange
+    * — never a per-query sort), and the rank windows they replace are
+    * exactly row_number over (score desc, id), so the DuckDB oracle's
+    * partitioned QUALIFY formulation matches bit-for-bit. Query terms
+    * tokenize from the batch docs' own text (one pushed-filter bounded
+    * read); their df/bucket rows and the 1-row stats resolve
+    * driver-side (≤ Q·terms rows, the bm25IndexScores discipline), so
+    * the lexical arm is one statically-bucket-pruned postings scan and
+    * the dense arm one DPP-pruned inverted-list join for the WHOLE
+    * batch. Fixed-point scores ride the bounded buffers as doubles —
+    * exact below 2^53, orders of magnitude above any reachable
+    * score. */
+  def hybridIndexBatchTopK(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val lexBase = TextAnalysis.stagedBm25Index(s, dir)
+    // ---- per-query query terms (bounded: the batch docs' own text) ----
+    val qtf = Tables.documents(s, dir).filter(col("doc_id") < HybridBatchDocs)
+      .select(col("doc_id").as("query_doc"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("query_doc"), col("term")).agg(count(lit(1)).as("tf"))
+    val qt = qtf.withColumn("qrn",
+        row_number().over(Window.partitionBy(col("query_doc"))
+          .orderBy(col("tf").desc, col("term"))))
+      .filter(col("qrn") <= HybridQueryTerms)
+      .select(col("query_doc"), col("term"))
+      .collect().map(r => (r.getLong(0), r.getString(1))) // bounded: ≤ Q·terms
+    val lookup = TextAnalysis.bm25Lookup(s, lexBase, qt.map(_._2).distinct.toSeq)
+    val buckets = lookup.map(_._3).distinct.sorted
+    val qlex = qt.flatMap { case (qd, t) =>
+      lookup.collect { case (`t`, df, bucket) => (qd, t, df, bucket) }
+    }.toSeq.toDF("query_doc", "term", "df", "bucket")
+    val (nDocs, totalLen) = TextAnalysis.bm25CorpusStats(s, lexBase)
+    // ---- lexical arm: one pruned postings scan for the whole batch ----
+    val lexScored = TextAnalysis.bm25PostingsPruned(s, lexBase, buckets)
+      .join(broadcast(qlex), Seq("bucket", "term"))
+      .filter(col("doc_id") =!= col("query_doc"))
+      .withColumn("n_docs", lit(nDocs)).withColumn("total_len", lit(totalLen))
+      .select(col("query_doc"), col("doc_id"), TextAnalysis.bm25Qv.as("qv"))
+      .groupBy(col("query_doc"), col("doc_id"))
+      .agg(sum(col("qv")).cast("double").as("side_q"))
+    val lex = graft.functions.TopK.perGroup(
+        lexScored, "query_doc", "doc_id", "side_q", HybridDepth)
+      .select(col("query_doc"), col("doc_id"), col("rank").as("lex_rank"))
+    // ---- dense arm: one DPP-pruned list join for the whole batch ----
+    val ivfBase = stagedIvfIndex(s, dir)
+    val cents = readCentroids(s, s"$ivfBase/centroids")
+    val postings = s.read
+      .schema("cand_id BIGINT, c_emb ARRAY<FLOAT>, cent_id BIGINT")
+      .parquet(s"$ivfBase/postings")
+    val qdf = Tables.embeddings(s, dir).filter(col("vec_id") < HybridBatchDocs)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probes = probeTopCentroids(qdf, cents)
+    val denScored = broadcast(probes).join(postings, Seq("cent_id"))
+      .select(col("query_id").as("query_doc"), col("cand_id").as("doc_id"),
+        floor(expr("graft_cosine(q_emb, c_emb)") * lit(1e7) + lit(0.5))
+          .cast("double").as("side_q"))
+    val den = graft.functions.TopK.perGroup(
+        denScored, "query_doc", "doc_id", "side_q", HybridDepth)
+      .select(col("query_doc"), col("doc_id"), col("rank").as("vec_rank"))
+    // ---- per-query reciprocal rank fusion (exact integer division) ----
+    val fused = lex.join(den, Seq("query_doc", "doc_id"), "full_outer")
+      .select(col("query_doc"), col("doc_id"), col("lex_rank"), col("vec_rank"),
+        (coalesce(expr(s"1000000000L div (${HybridRrfK}L + lex_rank)"), lit(0L)) +
+         coalesce(expr(s"1000000000L div (${HybridRrfK}L + vec_rank)"), lit(0L)))
+          .as("rrf_q"))
+    val top = graft.functions.TopK.perGroup(
+      fused.select(col("query_doc"), col("doc_id"),
+        col("rrf_q").cast("double").as("rrf_q")),
+      "query_doc", "doc_id", "rrf_q", HybridK)
+    // re-attach the per-arm ranks: a ≤ Q·(2·depth)-row join
+    top.join(fused.select(col("query_doc"), col("doc_id"),
+        col("lex_rank"), col("vec_rank")), Seq("query_doc", "doc_id"))
+      .select(col("query_doc"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
+        (col("rrf_q").cast("long").cast("double") / lit(1e9)).as("rrf_score"),
+        col("rank"))
+  }
+
   /** HYBRID retrieval — the fusion stage of a RAG stack: a
     * "more-like-this" query for document [[HybridQueryDoc]] runs BOTH
     * retrieval arms and fuses them with Reciprocal Rank Fusion

@@ -1214,6 +1214,37 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_terms_hit"), sum(col("qv")).as("score_q"))
   }
 
+  /** Driver-side (term, df, bucket) lookup from the index artifacts
+    * for a BOUNDED term set — the batched-serving entry (the same
+    * discipline as [[bm25IndexScores]]'s collects: ≤ |terms| rows read
+    * through a static bucket partition filter). */
+  private[operators] def bm25Lookup(s: SparkSession, base: String,
+      terms: Seq[String]): Seq[(String, Long, Long)] = {
+    import s.implicits._
+    val tb = terms.toDF("term")
+      .select(col("term"), termBucket(col("term")).as("bucket"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val buckets = tb.map(_._2).distinct.sorted.toSeq
+    s.read.schema(Bm25DfsSchema).parquet(s"$base/dfs")
+      .filter(col("bucket").isInCollection(buckets) &&
+        col("term").isInCollection(terms))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+  }
+
+  /** The 1-row corpus stats of an index artifact, as driver values. */
+  private[operators] def bm25CorpusStats(s: SparkSession,
+      base: String): (Long, Long) = {
+    val r = s.read.schema("n_docs BIGINT, total_len BIGINT")
+      .parquet(s"$base/stats").collect().head
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** The postings frame statically pruned to a bounded bucket set. */
+  private[operators] def bm25PostingsPruned(s: SparkSession, base: String,
+      buckets: Seq[Long]): DataFrame =
+    s.read.schema(Bm25PostingsSchema).parquet(s"$base/postings")
+      .filter(col("bucket").isInCollection(buckets))
+
   /** Top-k + rank rendering shared by the index gates — identical
     * output contract to [[bm25TopK]]. */
   private[graft] def bm25TopKFrom(s: SparkSession, base: String,

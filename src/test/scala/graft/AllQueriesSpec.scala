@@ -70,6 +70,7 @@ class AllQueriesSpec extends AnyFunSuite {
     "sim_ivf_pq_lifecycle_topk",
     "sim_range_search",
     "sim_hybrid_index_topk",  // dense arm probes = the broadcast query slice
+    "sim_hybrid_index_batch_topk",  // same, for the batch's query slice
     "sim_matryoshka_topk", "sim_recall_report")
 
   /** Repo-wide growing-hint gate (VERDICT r3 #1): a broadcast hint is

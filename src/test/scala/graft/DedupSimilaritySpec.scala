@@ -1081,6 +1081,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"lexical arm must carry a static bucket partition filter:\n$lexScan")
   }
 
+  test("batched hybrid fusion: the query-0 slice is bit-equal to the single-query gate") {
+    val single = Similarity.hybridIndexTopK(spark, sf)
+      .collect().map(_.toString).toSet
+    val batch0 = Similarity.hybridIndexBatchTopK(spark, sf)
+      .filter(col("query_doc") === Similarity.HybridQueryDoc)
+      .drop("query_doc").collect().map(_.toString).toSet
+    assert(batch0 == single,
+      "the batch's query-0 fusion must equal the single-query gate row for row")
+    CacheScope.releaseAll(spark)
+  }
+
   test("IVFPQ lifecycle composition serves exactly the incremental gate's results") {
     val life = Similarity.ivfPqLifecycleTopK(spark, sf)
       .collect().map(_.toString).toSet
