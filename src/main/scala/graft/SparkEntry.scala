@@ -192,6 +192,7 @@ object SparkEntry {
     "sim_ivf_pq_index_drift" -> (Similarity.ivfPqIncDriftReport _),
     "sim_ivf_index_compact" -> (Similarity.ivfCompactTopK _),
     "sim_ivf_lifecycle_topk" -> (Similarity.ivfLifecycleTopK _),
+    "sim_ivf_pq_lifecycle_retrain" -> (Similarity.ivfPqRetrainTopK _),
     "sim_ivf_pq_index_compact" -> (Similarity.ivfPqCompactTopK _),
     "stream_index_append" -> (graft.streaming.Streams.streamIndexAppend _),
     "text_bm25_topk" -> (TextAnalysis.bm25TopK _),
@@ -200,9 +201,11 @@ object SparkEntry {
     "text_bm25_index_compact" -> (TextAnalysis.bm25IndexCompactTopK _),
     "text_bm25_index_drift" -> (TextAnalysis.bm25IndexDriftReport _),
     "text_bm25_lifecycle_topk" -> (TextAnalysis.bm25LifecycleTopK _),
+    "text_bm25_index_restat" -> (TextAnalysis.bm25IndexRestatTopK _),
     "stream_bm25_index_append" -> (graft.streaming.Streams.streamBm25IndexAppend _),
     "sim_hybrid_rrf_topk" -> (Similarity.hybridRrfTopK _),
     "sim_hybrid_index_topk" -> (Similarity.hybridIndexTopK _),
+    "sim_hybrid_lifecycle_topk" -> (Similarity.hybridLifecycleTopK _),
     "sim_hybrid_index_batch_topk" -> (Similarity.hybridIndexBatchTopK _),
     "stream_hybrid_serving" -> (graft.streaming.Streams.streamHybridServing _),
     "sim_pq_topk" -> (Similarity.pqTopK _),
@@ -1159,11 +1162,27 @@ object SparkEntry {
     * recall vs the brute fusion, so the oracle must see the same
     * candidates, exactly as sim_ivf_topk's does — and the fusion is
     * the same exact integer floor-division RRF. */
-  private def simHybridIndexSql: String = {
+  private def simHybridIndexSql: String = simHybridIndexSqlFrom(None, None)
+
+  /** Hybrid oracle over the MAINTAINED arms (VERDICT r10 #4): the two
+    * arms' own incremental contracts composed — the dense Lloyd chain
+    * trains without tonight's vector batch (frozen quantizer) and the
+    * lexical stats/dfs compute over the snapshot docs only (frozen
+    * collection statistics); candidates stay full-corpus on both arms
+    * (the maintained artifacts contain every posting). Fusion
+    * arithmetic unchanged. */
+  private def simHybridLifecycleSql: String =
+    simHybridIndexSqlFrom(
+      Some(a => s"NOT (${Similarity.IvfIncBatchPred.replace("vec_id", a + "vec_id")})"),
+      Some(s"NOT (${TextAnalysis.Bm25IncBatchPred})"))
+
+  private def simHybridIndexSqlFrom(trainPred: Option[String => String],
+      statsPred: Option[String]): String = {
     val k = Similarity.HybridK; val depth = Similarity.HybridDepth
     val rrfK = Similarity.HybridRrfK; val qd = Similarity.HybridQueryDoc
     val nq = Similarity.HybridQueryTerms
-    val (parts, cc, fc) = lloydCtes()
+    val sw = statsPred.map(p => s" WHERE $p").getOrElse("")
+    val (parts, cc, fc) = lloydCtes(trainPred)
     parts += s"""probes AS (
       |  SELECT query_id, q_demb, q_nsq, cent_id FROM (
       |    SELECT v.vec_id AS query_id, v.demb AS q_demb, v.nsq AS q_nsq, c.cent_id,
@@ -1186,12 +1205,12 @@ object SparkEntry {
       |  (ORDER BY side_q DESC, doc_id) AS BIGINT) AS vec_rank FROM den_top)""".stripMargin
     parts += "d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"
     parts += "lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS len FROM d)"
-    parts += "stats AS (SELECT COUNT(*) AS n_docs, SUM(len) AS total_len FROM lens)"
+    parts += s"stats AS (SELECT COUNT(*) AS n_docs, SUM(len) AS total_len FROM lens$sw)"
     parts += """tfs AS (SELECT doc_id, term, COUNT(*) AS tf
       |  FROM (SELECT doc_id, unnest(w) AS term FROM d) GROUP BY 1, 2)""".stripMargin
     parts += s"""qterms AS (SELECT term FROM tfs WHERE doc_id = $qd
       |  ORDER BY tf DESC, term LIMIT $nq)""".stripMargin
-    parts += "dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY 1)"
+    parts += s"dfs AS (SELECT term, COUNT(*) AS df FROM tfs$sw GROUP BY 1)"
     parts += "q AS (SELECT dfs.term, df FROM dfs JOIN qterms USING (term))"
     parts += s"""lex_top AS (SELECT doc_id, SUM(qv) AS side_q FROM (
       |  SELECT t.doc_id, CAST(floor(
@@ -1224,9 +1243,16 @@ object SparkEntry {
     * PARTITION BY query_doc row_number with the same (score desc, id)
     * total order the bounded-buffer top-k uses, so the fusion is
     * hash-exact per query. */
-  private def simHybridBatchSql: String = {
+  private def simHybridBatchSql: String =
+    simHybridBatchSqlFor(s"< ${Similarity.HybridBatchDocs}")
+
+  /** The batched oracle for an arbitrary bounded query-id set —
+    * `qpred` is the SQL tail of the query-membership predicate (e.g.
+    * `"< 5"`, `"IN (0, 1, 2)"`); the streaming serving gate shares
+    * this with its staged micro-batch ids. */
+  private def simHybridBatchSqlFor(qpred: String): String = {
     val k = Similarity.HybridK; val depth = Similarity.HybridDepth
-    val rrfK = Similarity.HybridRrfK; val qn = Similarity.HybridBatchDocs
+    val rrfK = Similarity.HybridRrfK
     val nq = Similarity.HybridQueryTerms
     val (parts, cc, fc) = lloydCtes()
     parts += s"""probes AS (
@@ -1234,7 +1260,7 @@ object SparkEntry {
       |    SELECT v.vec_id AS query_id, v.demb AS q_demb, v.nsq AS q_nsq, c.cent_id,
       |      row_number() OVER (PARTITION BY v.vec_id
       |        ORDER BY $cc DESC, c.cent_id) AS rn
-      |    FROM e v, $fc c WHERE v.vec_id < $qn) t WHERE rn <= ${Similarity.IvfProbes})""".stripMargin
+      |    FROM e v, $fc c WHERE v.vec_id $qpred) t WHERE rn <= ${Similarity.IvfProbes})""".stripMargin
     parts += s"""assigned AS (
       |  SELECT cand_id, c_demb, c_nsq, cent_id FROM (
       |    SELECT v.vec_id AS cand_id, v.demb AS c_demb, v.nsq AS c_nsq, c.cent_id,
@@ -1259,7 +1285,7 @@ object SparkEntry {
     parts += s"""qterms AS (SELECT query_doc, term FROM (
       |  SELECT doc_id AS query_doc, term,
       |    row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS qrn
-      |  FROM tfs WHERE doc_id < $qn) t WHERE qrn <= $nq)""".stripMargin
+      |  FROM tfs WHERE doc_id $qpred) t WHERE qrn <= $nq)""".stripMargin
     parts += "dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY 1)"
     parts += "q AS (SELECT qt.query_doc, qt.term, dfs.df FROM qterms qt JOIN dfs USING (term))"
     parts += s"""lex AS (SELECT query_doc, doc_id,
@@ -1328,6 +1354,34 @@ object SparkEntry {
       |  (snap_mean - batch_mean) > ${Similarity.IvfIncDriftBar} AS retrain
       |FROM m""".stripMargin
   }
+
+  /** Rewrites a WITH-chain oracle to run over the DRIFTED corpus: every
+    * reference to the `embeddings` TABLE retargets to a prepended
+    * `drifted_embeddings` CTE in which tonight's batch rows carry the
+    * spike embedding (same FLOAT bits as Similarity.spikeEmb: DuckDB
+    * CAST(… AS REAL) ≡ Spark CAST(… AS FLOAT)). The retrain-branch gate
+    * must then equal the UNMODIFIED from-scratch oracle over this
+    * relation — training, encode, assignment, refine and serving all
+    * see the combined (snapshot + drifted batch) corpus. */
+  private def overDriftedEmbeddings(sql: String): String = {
+    require(sql.startsWith("WITH "), "oracle must be a WITH chain")
+    val rewritten = sql.replaceAll(
+      "(?<![A-Za-z0-9_])embeddings(?![A-Za-z0-9_])", "drifted_embeddings")
+    s"""WITH drifted_embeddings AS (SELECT vec_id,
+       |  CASE WHEN ${Similarity.IvfIncBatchPred}
+       |   THEN list_transform(range(1, len(embedding)+1),
+       |     i -> CAST(CASE WHEN i = 1 THEN 100.0 ELSE 0.0 END AS REAL))
+       |   ELSE embedding END AS embedding FROM embeddings),
+       |${rewritten.stripPrefix("WITH ")}""".stripMargin
+  }
+
+  /** Retrain-branch oracle (VERDICT r10 #2): the from-scratch composed
+    * IVFPQ oracle — fresh unrolled-Lloyd quantizer, fresh stride
+    * codebook, full encode, probed + refined serving — over the
+    * drifted relation. What snapshot → drift → RETRAIN → serve must
+    * reproduce hash-exactly. */
+  private def simIvfPqRetrainSql: String =
+    overDriftedEmbeddings(simIvfPqTopkSql)
 
   private def simIvfTopkSqlFrom(trainPred: Option[String => String]): String = {
     val (parts, cc, fc) = lloydCtes(trainPred)
@@ -3027,6 +3081,7 @@ object SparkEntry {
     // compact → serve) moves rows in and between files, never changes
     // them — same frozen-quantizer rebuild oracle
     "sim_ivf_lifecycle_topk" -> simIvfIncTopkSql,
+    "sim_ivf_pq_lifecycle_retrain" -> simIvfPqRetrainSql,
     // stateless per-vector assignment + additive appends: micro-batch
     // boundaries cannot change the final postings set
     "stream_index_append" -> simIvfIncTopkSql,
@@ -3052,18 +3107,26 @@ object SparkEntry {
     // consult -> bucket compact -> serve) moves rows in and between
     // files, never changes them
     "text_bm25_lifecycle_topk" -> textBm25IncSql,
+    // the re-stat branch recomputes every statistic over the full
+    // postings, so serving equals the one-shot full-corpus build
+    "text_bm25_index_restat" -> textBm25Sql,
     "text_bm25_index_drift" -> textBm25DriftSql,
     "sim_hybrid_rrf_topk" -> simHybridRrfSql,
     // fusion served from the PERSISTED arms — its own oracle: the IVF
     // arm changes recall vs brute, so the oracle replicates the probed
     // candidate stage exactly (as sim_ivf_topk's does)
     "sim_hybrid_index_topk" -> simHybridIndexSql,
+    "sim_hybrid_lifecycle_topk" -> simHybridLifecycleSql,
     // the batched fusion: one pass of each persisted arm for the whole
     // query batch; per-query stages are partitioned row_numbers
     "sim_hybrid_index_batch_topk" -> simHybridBatchSql,
     // stateless per-query fusion: micro-batch boundaries cannot change
     // results, so the stream shares the batch fusion's oracle
-    "stream_hybrid_serving" -> simHybridIndexSql,
+    // the stream now fuses its whole micro-batch in one pass (VERDICT
+    // r10 #1) — the oracle is the batched fusion partitioned by
+    // query_doc, restricted to the staged micro-batch ids
+    "stream_hybrid_serving" ->
+      simHybridBatchSqlFor(s"IN (${Similarity.HybridStreamDocs.mkString(", ")})"),
     "dedup_semantic" -> dedupSemanticSql,
     "dedup_semantic_incremental" -> dedupSemanticIncSql,
     "dedup_semantic_apply" -> dedupSemanticApplySql,

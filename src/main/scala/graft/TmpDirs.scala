@@ -23,6 +23,17 @@ object TmpDirs {
   /** Mark a per-call directory for deferred deletion. */
   def register(path: String): Unit = dirs.add((gen.get(), path))
 
+  /** Cancel any pending registration for `path` — called before a
+    * staged-artifact REBUILD into a deterministic path (ADVICE r10
+    * #1): a version flip-back (A→B→A) re-stages into the SAME
+    * pid+md5(vkey) dir that the A→B supersession queued for deferred
+    * deletion, and the stale registration would delete the live,
+    * memoized artifact within two sweep boundaries. */
+  def unregister(path: String): Unit = {
+    val it = dirs.iterator()
+    while (it.hasNext) if (it.next()._2 == path) it.remove()
+  }
+
   private def rm(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
     f.delete(); ()

@@ -307,9 +307,26 @@ object Similarity {
     * floats per corpus (≈100 KB). Spec proves the second consumer runs
     * ZERO Spark jobs for its centroids. */
   private val centroidCache = scala.collection.concurrent.TrieMap
-    .empty[String, Seq[(Long, Seq[Float])]]
+    .empty[String, (String, Seq[(Long, Seq[Float])])]
+
+  /** At-most-one-live-version memo — the Tables.stagedArtifact
+    * eviction discipline applied to the bounded driver-side training
+    * artifacts (ADVICE r10 #5's rationale): keyed by corpus dir
+    * [+ predicate] and storing the version built at, so a re-staged
+    * corpus REPLACES the entry instead of growing the map. */
+  private def versionMemo[T](
+      cache: scala.collection.concurrent.TrieMap[String, (String, T)],
+      key: String, vkey: String)(build: => T): T =
+    cache.get(key) match {
+      case Some((v, t)) if v == vkey => t
+      case _ =>
+        val t = build
+        cache.put(key, (vkey, t))
+        t
+    }
+
   private[graft] def kmeansCentroidSeq(s: SparkSession, dir: String): Seq[(Long, Seq[Float])] =
-    centroidCache.getOrElseUpdate(Tables.versionedKey(s, dir, "embeddings"),
+    versionMemo(centroidCache, dir, Tables.versionedKey(s, dir, "embeddings"))(
       kmeansCentroidBuild(s, dir))
 
   /** Training-pass odometer (spec surface): every coarse-quantizer or
@@ -320,17 +337,25 @@ object Similarity {
 
   private def kmeansCentroidBuild(s: SparkSession, dir: String,
       trainPred: Option[String] = None): Seq[(Long, Seq[Float])] = {
-    trainingBuilds.incrementAndGet()
-    graft.functions.GraftFunctions.register(s)
     def filtered(df: DataFrame): DataFrame =
       trainPred.map(p => df.filter(expr(p))).getOrElse(df)
-    val corpusV = filtered(Tables.embeddingsParallel(s, dir))
-      .select(col("vec_id"), col("embedding"))
-    val n = filtered(Tables.embeddings(s, dir)).count()
+    kmeansCentroidBuildFrom(s, filtered(Tables.embeddingsParallel(s, dir)))
+  }
+
+  /** Lloyd training over an ARBITRARY (vec_id, embedding) frame — the
+    * retrain branch of the index lifecycle trains on the COMBINED
+    * corpus (snapshot + tonight's drifted batch), which is not a
+    * table-plus-predicate shape. Identical stride policy, seeds, and
+    * exact-mean sweeps as the table path (which now delegates here). */
+  private[graft] def kmeansCentroidBuildFrom(s: SparkSession,
+      vecs: DataFrame): Seq[(Long, Seq[Float])] = {
+    trainingBuilds.incrementAndGet()
+    graft.functions.GraftFunctions.register(s)
+    val corpusV = vecs.select(col("vec_id"), col("embedding"))
+    val n = corpusV.count()
     val stride = ivfSeedStride(n)
     var cents: Seq[(Long, Seq[Float])] =
-      filtered(Tables.embeddings(s, dir)).filter(col("vec_id") % stride === 0)
-        .select(col("vec_id"), col("embedding"))
+      corpusV.filter(col("vec_id") % stride === 0)
         .collect().toSeq // bounded: ≤ nlist seed rows
         .map(r => (r.getLong(0), r.getSeq[Float](1)))
         .sortBy(_._1)
@@ -494,8 +519,8 @@ object Similarity {
     * quantizer); keyed like [[kmeansCentroidSeq]] plus the predicate. */
   private[graft] def kmeansCentroidSeqFiltered(s: SparkSession, dir: String,
       pred: String): Seq[(Long, Seq[Float])] =
-    centroidCache.getOrElseUpdate(
-      Tables.versionedKey(s, dir, "embeddings") + "#" + pred,
+    versionMemo(centroidCache, dir + "#" + pred,
+      Tables.versionedKey(s, dir, "embeddings"))(
       kmeansCentroidBuild(s, dir, Some(pred)))
 
   /** Build the snapshot index (quantizer trained WITHOUT tonight's
@@ -783,6 +808,27 @@ object Similarity {
   def ivfLifecycleTopK(s: SparkSession, dir: String): DataFrame =
     ivfServeFrom(s, stagedIvfLifecycleIndex(s, dir), queries(s, dir))
 
+  /** The spike embedding — all energy on dimension 0. To the COARSE
+    * quantizer a spike is in-distribution (best centroid cosine ≈ 0.24
+    * on this corpus — any fixed direction scores ~max of nlist
+    * N(0, 1/dims) draws against random-mean centroids, under the 0.25
+    * bar), but the PQ CODEBOOK cannot reconstruct it (energy where no
+    * codeword points — measured drift 0.085–0.22 against the 0.05
+    * bar): the per-artifact drift policies disagree, and it is exactly
+    * the codebook's index family that must retrain. SQL-expressible in
+    * BOTH engines (same FLOAT bits: Spark CAST(IF(i=0,100.0,0.0) AS
+    * FLOAT) ≡ DuckDB CAST(… AS REAL)) so the composed retrain path can
+    * be oracled hash-exact rather than recall-trusted. */
+  private[graft] def spikeEmb: Column =
+    expr("transform(embedding, (x, i) -> CAST(IF(i = 0, 100.0D, 0.0D) AS FLOAT))")
+
+  /** The corpus as the retrain-branch gate sees it: tonight's batch
+    * rows arrive SHIFTED (spike), everything else unchanged. */
+  private[graft] def driftedEmbeddings(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddingsParallel(s, dir).select(col("vec_id"),
+      when(expr(IvfIncBatchPred), spikeEmb)
+        .otherwise(col("embedding")).as("embedding"))
+
   /** Spec hook: serve the gate query slice from an arbitrary index
     * base (before/after-compaction bit-equality checks). */
   private[graft] def ivfServeForSpec(s: SparkSession, base: String,
@@ -1033,11 +1079,11 @@ object Similarity {
     * are the standard cold-start book; swapping in Lloyd-refined
     * codewords per subspace would reuse kmeansCentroidSeq unchanged. */
   private val codebookCache = scala.collection.concurrent.TrieMap
-    .empty[String, Seq[(Long, Seq[Float])]]
+    .empty[String, (String, Seq[(Long, Seq[Float])])]
   /** Memoized like [[kmeansCentroidSeq]]: one codebook per corpus per
-    * session (deterministic stride sample, ≈2 KB). */
+    * session (deterministic stride sample, ≈2 KB; version-evicting). */
   private[graft] def pqCodebook(s: SparkSession, dir: String): Seq[(Long, Seq[Float])] =
-    codebookCache.getOrElseUpdate(Tables.versionedKey(s, dir, "embeddings"),
+    versionMemo(codebookCache, dir, Tables.versionedKey(s, dir, "embeddings"))(
       pqCodebookBuild(s, dir))
 
   /** Memoized filtered-training-set codebook (the frozen snapshot book
@@ -1045,18 +1091,29 @@ object Similarity {
     * the predicate. */
   private[graft] def pqCodebookFiltered(s: SparkSession, dir: String,
       pred: String): Seq[(Long, Seq[Float])] =
-    codebookCache.getOrElseUpdate(
-      Tables.versionedKey(s, dir, "embeddings") + "#pq#" + pred,
+    versionMemo(codebookCache, dir + "#" + pred,
+      Tables.versionedKey(s, dir, "embeddings"))(
       pqCodebookBuild(s, dir, Some(pred)))
 
   private def pqCodebookBuild(s: SparkSession, dir: String,
       trainPred: Option[String] = None): Seq[(Long, Seq[Float])] = {
-    trainingBuilds.incrementAndGet()
     def filtered(df: DataFrame): DataFrame =
       trainPred.map(p => df.filter(expr(p))).getOrElse(df)
-    val n = filtered(Tables.embeddings(s, dir)).count() // one scalar action (as IVF)
+    pqCodebookBuildFrom(s, filtered(Tables.embeddings(s, dir)))
+  }
+
+  /** Codebook sampling over an ARBITRARY (vec_id, embedding) frame —
+    * the retrain branch samples the COMBINED corpus (snapshot +
+    * tonight's drifted batch), which is not a table-plus-predicate
+    * shape. Identical stride policy and id derivation as the table
+    * path (which delegates here). */
+  private[graft] def pqCodebookBuildFrom(s: SparkSession,
+      vecs: DataFrame): Seq[(Long, Seq[Float])] = {
+    trainingBuilds.incrementAndGet()
+    val v = vecs.select(col("vec_id"), col("embedding"))
+    val n = v.count() // one scalar action (as IVF)
     val stride = math.max(1L, n / PqCodewords)
-    val book = filtered(Tables.embeddings(s, dir))
+    val book = v
       .filter(col("vec_id") % stride === 0 && expr(s"vec_id DIV $stride") < PqCodewords)
       .select(expr(s"vec_id DIV $stride").as("code_id"), col("embedding"))
       .collect().toSeq // bounded: ≤ PqCodewords rows
@@ -1235,7 +1292,10 @@ object Similarity {
   }
 
   private def ivfPqServeCore(s: SparkSession, dir: String,
-      artifactBase: String, postings: DataFrame): DataFrame = {
+      artifactBase: String, postings: DataFrame,
+      // the exact-refine stage reads raw embeddings; the retrained
+      // index's corpus is the DRIFTED relation, not the raw table
+      refineCorpus: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val cents = s.read.parquet(s"$artifactBase/centroids")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
@@ -1258,7 +1318,7 @@ object Similarity {
     val topC = graft.functions.TopK.perGroup(
       coarse, "query_id", "cand_id", "pq_cos", RerankCoarse)
     val exact = topC
-      .join(corpus(s, dir), "cand_id")
+      .join(refineCorpus.getOrElse(corpus(s, dir)), "cand_id")
       .join(broadcast(queries(s, dir)), "query_id")
       .select(col("query_id"), col("cand_id"),
         expr("graft_cosine(q_emb, c_emb)").as("cosine"))
@@ -1413,6 +1473,74 @@ object Similarity {
   def ivfPqLifecycleTopK(s: SparkSession, dir: String): DataFrame =
     ivfPqServeFrom(s, dir, stagedIvfPqLifecycleIndex(s, dir))
 
+  /** COMPOSITE lifecycle, RETRAIN branch (VERDICT r10 #2 — the branch
+    * every append lifecycle loudly refuses, now gated end-to-end):
+    * (1) last night's snapshot index builds (frozen quantizer +
+    * codebook + snapshot code postings); (2) tonight's batch arrives
+    * SHIFTED into a spike subspace ([[spikeEmb]] — in-distribution to
+    * the coarse quantizer but unreconstructable by the codebook, so
+    * it is exactly the COMPRESSED index family that must retrain);
+    * (3) the codebook-drift report, consulted against the artifact
+    * with the actual arrivals, returns `retrain` (loud require —
+    * appending codes that reconstruct at 0.08+ drift is the silent
+    * recall decay the policy exists to prevent); (4) the nightly job
+    * RETRAINS: fresh coarse quantizer AND codebook over the COMBINED
+    * corpus (snapshot + drifted batch, via the arbitrary-frame
+    * training builds), full re-encode, postings replaced wholesale
+    * (static overwrite — list membership changes under a new
+    * quantizer); (5) serving reads the retrained artifact, exact
+    * refine against the drifted corpus. Hash-equal to the from-scratch
+    * IVFPQ build on the combined corpus — the oracle re-runs the
+    * standard composed IVFPQ oracle over the drifted relation, so the
+    * retrain path is proven, not recall-trusted. At 100 TB this is
+    * the quarterly re-shard: drift trips once, one training job
+    * amortizes over the next N nightly appends. */
+  def stagedIvfPqRetrainIndex(s: SparkSession, dir: String): String = {
+    val vkey = Tables.versionedKey(s, dir, "embeddings")
+    Tables.stagedArtifact("ivfpqretrain", dir, vkey) { base =>
+      import s.implicits._
+      buildIvfPqIncSnapshot(s, dir, base)
+      val drifted = driftedEmbeddings(s, dir)
+      val batch = drifted.filter(expr(IvfIncBatchPred))
+        .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+      val verdict = ivfPqIncDriftReportFrom(s, dir, base, Some(batch))
+        .head().getAs[Boolean]("retrain")
+      require(verdict,
+        "retrain lifecycle gate expects the codebook-drift branch; an " +
+          "in-distribution batch must append, not retrain")
+      val cents = kmeansCentroidBuildFrom(s, drifted)
+      cents.map { case (cid, emb) => (cid, emb.toArray) }
+        .toDF("cent_id", "cent_emb")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
+      val book = pqCodebookBuildFrom(s, drifted)
+      require(book.nonEmpty, "empty PQ codebook")
+      book.map { case (cid, cw) => (cid, cw.toArray) }
+        .toDF("code_id", "codeword").coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/codebook")
+      val sub = book.head._2.length / PqSubspaces
+      assignNearestNarrow(
+          drifted.filter(col("vec_id") >= 10)
+            .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb")),
+          cents, "cand_id", "c_emb")
+        .select(col("cand_id"),
+          array((0 until PqSubspaces).map(m =>
+            pqBest(book, "c_emb", m, sub).getField("cid")): _*).as("codes"),
+          col("cent_id"))
+        .write.mode("overwrite").partitionBy("cent_id")
+        .parquet(s"$base/postings")
+      base
+    }
+  }
+
+  def ivfPqRetrainTopK(s: SparkSession, dir: String): DataFrame = {
+    val base = stagedIvfPqRetrainIndex(s, dir)
+    ivfPqServeCore(s, dir, base,
+      s.read.schema(PqPostingsSchema).parquet(s"$base/postings"),
+      refineCorpus = Some(driftedEmbeddings(s, dir)
+        .filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))))
+  }
+
   /** Spec hook: IVFPQ serving from an arbitrary index base
     * (before/after-compaction bit-equality checks). */
   private[graft] def ivfPqServeForSpec(s: SparkSession, dir: String,
@@ -1449,9 +1577,11 @@ object Similarity {
     ivfPqIncDriftReportFrom(s, dir, stagedIvfPqIncIndex(s, dir))
 
   /** The codebook-drift report against an ARBITRARY index artifact —
-    * the IVFPQ lifecycle gate consults it mid-maintenance. */
+    * the IVFPQ lifecycle gates consult it mid-maintenance; `batchVecs`
+    * lets the retrain branch consult it with tonight's ACTUAL
+    * (shifted) arrivals. Artifact codebook only, zero training. */
   private[graft] def ivfPqIncDriftReportFrom(s: SparkSession, dir: String,
-      base: String): DataFrame = {
+      base: String, batchVecs: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val book = s.read.parquet(s"$base/codebook").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
@@ -1465,7 +1595,8 @@ object Similarity {
     }
     val snap = meanQ(corpus(s, dir).filter(!expr(IvfIncBatchPred)))
       .select(col("m").as("snap_mean"))
-    val batch = meanQ(corpus(s, dir).filter(expr(IvfIncBatchPred)))
+    val batch = meanQ(batchVecs.getOrElse(
+        corpus(s, dir).filter(expr(IvfIncBatchPred))))
       .select(col("m").as("batch_mean"))
     snap.crossJoin(batch)
       .select(col("snap_mean"), col("batch_mean"),
@@ -1926,6 +2057,18 @@ object Similarity {
   /** Concurrent-batch width for [[hybridIndexBatchTopK]]. */
   val HybridBatchDocs = 5L
 
+  /** Query docs the STREAMING hybrid gate stages into one micro-batch
+    * (≥ 3 so batch-boundary invariance is a real claim, VERDICT r10
+    * #6 — a one-query batch proves nothing about fusion width). */
+  val HybridStreamDocs: Seq[Long] = Seq(0L, 1L, 2L)
+
+  /** Batched-fusion odometer (spec surface, VERDICT r10 #1): the
+    * streaming serving spec proves a Q-query micro-batch runs ONE
+    * fused pass of each arm — not Q sequential fusions (the N+1
+    * driver loop this round removed). */
+  private[graft] val hybridBatchFusions =
+    new java.util.concurrent.atomic.AtomicLong
+
   /** BATCHED hybrid serving over the persisted arms — the shape a RAG
     * service actually runs: Q concurrent more-like-this queries fuse
     * in ONE pass of each arm, not Q sequential fusions. Per-query
@@ -1943,12 +2086,22 @@ object Similarity {
     * batch. Fixed-point scores ride the bounded buffers as doubles —
     * exact below 2^53, orders of magnitude above any reachable
     * score. */
-  def hybridIndexBatchTopK(s: SparkSession, dir: String): DataFrame = {
+  def hybridIndexBatchTopK(s: SparkSession, dir: String): DataFrame =
+    hybridIndexBatchTopKFor(s, dir, 0L until HybridBatchDocs)
+
+  /** The batched fusion for an ARBITRARY bounded query-doc set — the
+    * entry point the streaming serving gate calls once per micro-batch
+    * (VERDICT r10 #1: a serving batch of ids is bounded by contract,
+    * and Q queries must cost ONE pass of each arm, not Q). */
+  private[graft] def hybridIndexBatchTopKFor(s: SparkSession, dir: String,
+      queryDocs: Seq[Long]): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    hybridBatchFusions.incrementAndGet()
     import s.implicits._
     val lexBase = TextAnalysis.stagedBm25Index(s, dir)
     // ---- per-query query terms (bounded: the batch docs' own text) ----
-    val qtf = Tables.documents(s, dir).filter(col("doc_id") < HybridBatchDocs)
+    val qtf = Tables.documents(s, dir)
+      .filter(col("doc_id").isInCollection(queryDocs))
       .select(col("doc_id").as("query_doc"),
         explode(split(col("text"), " ")).as("term"))
       .groupBy(col("query_doc"), col("term")).agg(count(lit(1)).as("tf"))
@@ -1981,7 +2134,8 @@ object Similarity {
     val postings = s.read
       .schema("cand_id BIGINT, c_emb ARRAY<FLOAT>, cent_id BIGINT")
       .parquet(s"$ivfBase/postings")
-    val qdf = Tables.embeddings(s, dir).filter(col("vec_id") < HybridBatchDocs)
+    val qdf = Tables.embeddings(s, dir)
+      .filter(col("vec_id").isInCollection(queryDocs))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val probes = probeTopCentroids(qdf, cents)
     val denScored = broadcast(probes).join(postings, Seq("cent_id"))
@@ -1992,11 +2146,19 @@ object Similarity {
         denScored, "query_doc", "doc_id", "side_q", HybridDepth)
       .select(col("query_doc"), col("doc_id"), col("rank").as("vec_rank"))
     // ---- per-query reciprocal rank fusion (exact integer division) ----
+    // `fused` feeds BOTH the top-k election and the rank re-attach
+    // join; without a cut both arm pipelines (pruned postings scan +
+    // DPP list join) could execute twice (VERDICT r10 #2). The frame
+    // is ≤ Q·2·depth rows, so one localCheckpoint materializes it in
+    // one job and the serving plan downstream reads files ZERO times
+    // (spec-asserted). Query-scoped: CacheScope.releaseAll reclaims
+    // the blocks at the consumer boundary, like every iterative op.
     val fused = lex.join(den, Seq("query_doc", "doc_id"), "full_outer")
       .select(col("query_doc"), col("doc_id"), col("lex_rank"), col("vec_rank"),
         (coalesce(expr(s"1000000000L div (${HybridRrfK}L + lex_rank)"), lit(0L)) +
          coalesce(expr(s"1000000000L div (${HybridRrfK}L + vec_rank)"), lit(0L)))
           .as("rrf_q"))
+      .localCheckpoint()
     val top = graft.functions.TopK.perGroup(
       fused.select(col("query_doc"), col("doc_id"),
         col("rrf_q").cast("double").as("rrf_q")),
@@ -2099,10 +2261,31 @@ object Similarity {
   def hybridIndexTopK(s: SparkSession, dir: String): DataFrame =
     hybridIndexTopKFor(s, dir, HybridQueryDoc)
 
+  /** HYBRID serving ACROSS arm maintenance (VERDICT r10 #4): the two
+    * arms each have composite lifecycle gates; this gate proves the
+    * FUSION stays correct over the incrementally-MAINTAINED artifacts
+    * — the lexical arm serves from the BM25 lifecycle index (frozen-
+    * stats snapshot → streamed idempotent appends → compaction) and
+    * the dense arm from the IVF lifecycle index (frozen-quantizer
+    * snapshot → streamed appends → compaction). The oracle composes
+    * the two arms' own maintenance contracts (frozen collection stats
+    * + frozen quantizer, both over full-corpus candidates) under the
+    * same exact integer RRF; maintenance runs zero training jobs
+    * (odometer spec). At 100 TB this is the steady state a RAG stack
+    * actually serves from: both artifacts mid-maintenance-cycle, never
+    * freshly rebuilt. */
+  def hybridLifecycleTopK(s: SparkSession, dir: String): DataFrame =
+    hybridIndexTopKFor(s, dir, HybridQueryDoc,
+      lexBaseOpt = Some(TextAnalysis.stagedBm25LifecycleIndex(s, dir)),
+      ivfBaseOpt = Some(stagedIvfLifecycleIndex(s, dir)))
+
   /** The fusion for an arbitrary query doc — the entry point the
-    * streaming serving gate calls per arriving query. */
+    * streaming serving gate calls per arriving query; the arm bases
+    * default to the one-shot staged indexes (the lifecycle composite
+    * passes its maintained artifacts). */
   private[graft] def hybridIndexTopKFor(s: SparkSession, dir: String,
-      queryDoc: Long): DataFrame = {
+      queryDoc: Long, lexBaseOpt: Option[String] = None,
+      ivfBaseOpt: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val rankW = Window.orderBy(col("side_q").desc, col("doc_id"))
     // ---- lexical arm: staged BM25 postings index ----
@@ -2113,14 +2296,15 @@ object Similarity {
       .orderBy(col("tf").desc, col("term")).limit(HybridQueryTerms)
       .select(col("term"))
     val lexTop = TextAnalysis.bm25IndexScores(s,
-        TextAnalysis.stagedBm25Index(s, dir), qterms, HybridQueryTerms)
+        lexBaseOpt.getOrElse(TextAnalysis.stagedBm25Index(s, dir)),
+        qterms, HybridQueryTerms)
       .filter(col("doc_id") =!= queryDoc)
       .select(col("doc_id"), col("score_q").as("side_q"))
       .orderBy(col("side_q").desc, col("doc_id")).limit(HybridDepth)
     val lex = lexTop.select(col("doc_id"),
       row_number().over(rankW).cast("long").as("lex_rank"))
     // ---- dense arm: staged persisted IVF index ----
-    val ivfBase = stagedIvfIndex(s, dir)
+    val ivfBase = ivfBaseOpt.getOrElse(stagedIvfIndex(s, dir))
     val cents = readCentroids(s, s"$ivfBase/centroids")
     val postings = s.read
       .schema("cand_id BIGINT, c_emb ARRAY<FLOAT>, cent_id BIGINT")

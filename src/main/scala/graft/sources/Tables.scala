@@ -94,10 +94,20 @@ object Tables {
     }
     var any = false
     if (fs.exists(path)) {
+      // the digested tag carries the path RELATIVE TO THE TABLE ROOT,
+      // not the bare file name (ADVICE r10 #2): with name-only tags,
+      // two files in different partition subdirs sharing (name, len,
+      // mtime) produced identical digests that CANCEL pairwise under
+      // XOR — adding or removing such a pair left the fingerprint
+      // unchanged and served a stale staged artifact. Relative paths
+      // make every tag unique within a listing, so cancellation is
+      // impossible.
+      val root = fs.makeQualified(path).toString
       val it = fs.listFiles(path, true)
       while (it.hasNext) {
         val f = it.next()
-        mix(s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+        val rel = f.getPath.toString.stripPrefix(root)
+        mix(s"$rel:${f.getLen}:${f.getModificationTime}")
         any = true
       }
     }
@@ -129,23 +139,42 @@ object Tables {
     * janitor — a frame built from the old artifact before the re-stage
     * stays readable for its own query plus one more (the janitor's
     * two-generation rule), then the disk is reclaimed. At most one
-    * live artifact per (tag, corpus). Builds serialize under the memo
-    * lock (they already did per-map); every build must be
-    * overwrite-idempotent, as before. */
+    * live artifact per (tag, corpus).
+    *
+    * Locking is PER (tag, dir) CELL, not one global monitor (ADVICE
+    * r10 #4): independent staged builds proceed concurrently, and a
+    * build that internally drains a stream whose foreachBatch needs a
+    * DIFFERENT staged artifact (the streaming-hybrid topology) blocks
+    * only on that artifact's own cell — a global lock held through a
+    * multi-minute build would deadlock the reentrant case. Same-cell
+    * reentrancy stays safe (monitors are reentrant per thread). Every
+    * build must be overwrite-idempotent, as before. */
+  private final class StagedCell {
+    var state: Option[(String, String)] = None // (version, built base)
+  }
   private val stagedArtifacts =
-    scala.collection.mutable.HashMap.empty[String, (String, String)]
+    scala.collection.concurrent.TrieMap.empty[String, StagedCell]
   def stagedArtifact(tag: String, dir: String, vkey: String)
-      (build: String => String): String = stagedArtifacts.synchronized {
-    stagedArtifacts.get(s"$tag|$dir") match {
-      case Some((v, base)) if v == vkey => base
-      case prev =>
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${ProcessHandle.current().pid()}_${stagedDirKey(vkey)}"
-        val built = build(base)
-        stagedArtifacts.put(s"$tag|$dir", (vkey, built))
-        prev.foreach { case (_, old) =>
-          if (old != built) graft.TmpDirs.register(old)
-        }
-        built
+      (build: String => String): String = {
+    val cell = stagedArtifacts.getOrElseUpdate(s"$tag|$dir", new StagedCell)
+    cell.synchronized {
+      cell.state match {
+        case Some((v, base)) if v == vkey => base
+        case prev =>
+          val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${ProcessHandle.current().pid()}_${stagedDirKey(vkey)}"
+          // a version FLIP-BACK (A→B→A) rebuilds into the same
+          // deterministic fingerprint path the A→B supersession queued
+          // for deferred deletion — cancel that registration first or
+          // the janitor deletes the LIVE artifact within two sweeps
+          // (ADVICE r10 #1)
+          graft.TmpDirs.unregister(base)
+          val built = build(base)
+          cell.state = Some((vkey, built))
+          prev.foreach { case (_, old) =>
+            if (old != built) graft.TmpDirs.register(old)
+          }
+          built
+      }
     }
   }
 

@@ -563,33 +563,46 @@ object Streams {
   /** Gate query: STREAMING hybrid retrieval — queries arrive as a
     * stream, BOTH persisted arms static (the [[streamIvfServing]]
     * topology applied to the fusion over the BM25 postings index and
-    * the IVF index, VERDICT r9 #8): each arriving query doc id runs
-    * the index-armed fusion and appends its top-k. Fusion is per-query
-    * (no cross-batch state), so micro-batch boundaries cannot change
-    * results — the stream output is bit-equal to the batch
-    * `sim_hybrid_index_topk` gate and shares its oracle verbatim. At
-    * 100 TB this is the RAG serving loop: a query stream fans out over
-    * two persisted artifacts, per-query I/O = probed buckets + probed
-    * lists + O(depth) fusion. */
+    * the IVF index): [[graft.operators.Similarity.HybridStreamDocs]]
+    * query ids land in ONE micro-batch and the whole batch fuses in
+    * ONE pass of each arm — the `sim_hybrid_index_batch_topk` shape
+    * run per micro-batch, NOT a per-query driver loop (VERDICT r10
+    * #1: at production query rates the sequential N+1 loop serialized
+    * one Spark job chain per query on the driver; the batched fusion
+    * serves Q queries for one pruned postings scan + one DPP list
+    * join). Fusion is per-query arithmetic over per-query candidate
+    * sets, so micro-batch boundaries cannot change results — each
+    * query's slice is bit-equal to the batch gate's (spec-asserted
+    * against the single-query fusion, shared partitioned oracle). The
+    * micro-batch publishes under its deterministic bid so a replayed
+    * batch lands exactly-once (ADVICE r10 #3 — the blind append
+    * duplicated rows on replay). At 100 TB this is the RAG serving
+    * loop: a query stream fans out over two persisted artifacts,
+    * per-batch I/O = probed buckets + probed lists + O(Q·depth)
+    * fusion. */
   def streamHybridServing(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val base = callDir("shyb")
     import s.implicits._
-    Seq(graft.operators.Similarity.HybridQueryDoc).toDF("query_doc")
+    graft.operators.Similarity.HybridStreamDocs.toDF("query_doc")
       .coalesce(1).write.json(s"$base/src")
     val in = s.readStream.schema("query_doc LONG").json(s"$base/src")
-    val q = in.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    val q = in.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       // a serving batch of query ids is bounded by contract (the same
-      // argument as every ANN gate's broadcast query slice)
-      batch.select(col("query_doc")).as[Long].collect().foreach { qd =>
-        graft.operators.Similarity.hybridIndexTopKFor(s, dir, qd)
-          .write.mode("append").parquet(s"$base/dst")
-      }
+      // argument as every ANN gate's broadcast query slice); collect
+      // the IDS only — the fusion itself is one batched Spark plan
+      val qds = batch.select(col("query_doc")).as[Long].collect().toSeq.sorted
+      if (qds.nonEmpty)
+        graft.operators.Similarity.hybridIndexBatchTopKFor(s, dir, qds)
+          // bid-keyed overwrite: a replay rewrites ITS OWN partition,
+          // never duplicating rows (idempotent in effect)
+          .write.mode("overwrite").parquet(s"$base/dst/bid=$bid")
       ()
     }.option("checkpointLocation", s"$base/cp")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.read.parquet(s"$base/dst")
+    // the replay key is commit topology, never a result column
+    s.read.parquet(s"$base/dst").drop("bid")
   }
 
   /** Gate query: STREAMING maintenance of the LEXICAL index — the

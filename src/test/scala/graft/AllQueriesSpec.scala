@@ -62,6 +62,7 @@ class AllQueriesSpec extends AnyFunSuite {
     "sim_multiprobe_topk", "sim_ivf_topk", "sim_ivf_index_topk",
     "sim_ivf_index_incremental", "sim_ivf_index_compact",
     "sim_ivf_lifecycle_topk",
+    "sim_ivf_pq_lifecycle_retrain",  // serves the same probed query slice
     "stream_index_append",  // returns the same indexed-serving plan post-drain
     "stream_pq_index_append",  // likewise, the IVFPQ serving plan post-drain
     "sim_rerank_topk",
@@ -70,6 +71,7 @@ class AllQueriesSpec extends AnyFunSuite {
     "sim_ivf_pq_lifecycle_topk",
     "sim_range_search",
     "sim_hybrid_index_topk",  // dense arm probes = the broadcast query slice
+    "sim_hybrid_lifecycle_topk",  // same fusion over the maintained arms
     "sim_hybrid_index_batch_topk",  // same, for the batch's query slice
     "sim_matryoshka_topk", "sim_recall_report")
 

@@ -1063,6 +1063,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     CacheScope.releaseAll(spark)
   }
 
+  test("IVFPQ retrain lifecycle: the spiked batch trips codebook drift, the branch retrains, serving trains nothing") {
+    // staging runs the composed path: snapshot build → codebook-drift
+    // consult with the SHIFTED batch (the require inside asserts the
+    // verdict IS `retrain` — the branch this gate exists to prove) →
+    // fresh quantizer + codebook on the combined corpus → re-encode
+    val base = Similarity.stagedIvfPqRetrainIndex(spark, sf)
+    // the branch actually retrained: the artifact's quantizer is NOT
+    // the frozen snapshot quantizer it started from
+    val snapCents = Similarity
+      .kmeansCentroidSeqFiltered(spark, sf,
+        s"NOT (${Similarity.IvfIncBatchPred})")
+    val served = spark.read.parquet(s"$base/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    assert(served != snapCents,
+      "the retrain branch must replace the frozen snapshot quantizer")
+    val trained = Similarity.trainingBuilds.get()
+    assert(Similarity.ivfPqRetrainTopK(spark, sf).count() > 0)
+    assert(Similarity.trainingBuilds.get() == trained,
+      "serving the retrained artifact must run ZERO training jobs")
+    CacheScope.releaseAll(spark)
+  }
+
   test("hybrid index serving prunes both arms: static buckets, DPP'd lists") {
     val plan = Similarity.hybridIndexTopK(spark, sf)
       .queryExecution.executedPlan.toString
@@ -1089,6 +1111,63 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .drop("query_doc").collect().map(_.toString).toSet
     assert(batch0 == single,
       "the batch's query-0 fusion must equal the single-query gate row for row")
+    CacheScope.releaseAll(spark)
+  }
+
+  test("batched hybrid fusion runs each arm ONCE: serving plan reads zero files (VERDICT r10 #2)") {
+    // the ≤ Q·2·depth-row fused frame localCheckpoints, so the top-k
+    // election AND the rank re-attach join both read the materialized
+    // RDD — neither arm pipeline (pruned postings scan, DPP list join)
+    // can execute a second time
+    val df = Similarity.hybridIndexBatchTopK(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan"),
+      s"post-checkpoint serving plan must read NO files (arms ran inside the checkpoint):\n$plan")
+    assert(plan.contains("ExistingRDD") || plan.contains("LogicalRDD"),
+      s"expected the checkpointed fused frame as the only leaf:\n$plan")
+    assert(df.count() ==
+      Similarity.HybridBatchDocs * Similarity.HybridK)
+    CacheScope.releaseAll(spark)
+  }
+
+  test("streaming hybrid serving fuses the whole micro-batch in ONE pass (VERDICT r10 #1/#6)") {
+    val before = Similarity.hybridBatchFusions.get()
+    val out = graft.streaming.Streams.streamHybridServing(spark, sf).collect()
+    val fusions = Similarity.hybridBatchFusions.get() - before
+    // the N+1 check: 3 staged queries land in one micro-batch and cost
+    // exactly one batched fusion — not one job chain per query
+    assert(fusions == 1L,
+      s"a Q-query micro-batch must run ONE batched fusion, ran $fusions")
+    assert(out.map(_.getAs[Long]("query_doc")).toSet ==
+      Similarity.HybridStreamDocs.toSet)
+    // batch-boundary invariance is non-vacuous: each query's slice is
+    // bit-equal to the single-query fusion for that id
+    Similarity.HybridStreamDocs.foreach { qd =>
+      val slice = out.filter(_.getAs[Long]("query_doc") == qd)
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("lex_rank"),
+          r.getAs[Long]("vec_rank"), r.getAs[Double]("rrf_score"),
+          r.getAs[Long]("rank"))).toSet
+      val single = Similarity.hybridIndexTopKFor(spark, sf, qd)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("lex_rank"),
+          r.getAs[Long]("vec_rank"), r.getAs[Double]("rrf_score"),
+          r.getAs[Long]("rank"))).toSet
+      assert(slice == single,
+        s"query $qd: batched micro-batch slice must equal the single-query fusion")
+    }
+    CacheScope.releaseAll(spark)
+  }
+
+  test("hybrid serving over the MAINTAINED arms runs zero training jobs (VERDICT r10 #4)") {
+    // force both lifecycle artifacts (each builds/maintains at most
+    // once per corpus version), then prove the fusion itself is pure
+    // artifact consumption
+    graft.operators.TextAnalysis.stagedBm25LifecycleIndex(spark, sf)
+    Similarity.stagedIvfLifecycleIndex(spark, sf)
+    val trained = Similarity.trainingBuilds.get()
+    val fused = Similarity.hybridLifecycleTopK(spark, sf).collect()
+    assert(fused.length == Similarity.HybridK)
+    assert(Similarity.trainingBuilds.get() == trained,
+      "fusing the maintained arms must run ZERO training jobs")
     CacheScope.releaseAll(spark)
   }
 
