@@ -570,23 +570,32 @@ object Streams {
     * #1: at production query rates the sequential N+1 loop serialized
     * one Spark job chain per query on the driver; the batched fusion
     * serves Q queries for one pruned postings scan + one DPP list
-    * join). Fusion is per-query arithmetic over per-query candidate
-    * sets, so micro-batch boundaries cannot change results — each
-    * query's slice is bit-equal to the batch gate's (spec-asserted
-    * against the single-query fusion, shared partitioned oracle). The
-    * micro-batch publishes under its deterministic bid so a replayed
-    * batch lands exactly-once (ADVICE r10 #3 — the blind append
-    * duplicated rows on replay). At 100 TB this is the RAG serving
-    * loop: a query stream fans out over two persisted artifacts,
-    * per-batch I/O = probed buckets + probed lists + O(Q·depth)
-    * fusion. */
+    * join). The queries arrive as TWO real micro-batches
+    * (maxFilesPerTrigger=1 over two staged slices, widths 2 and 1):
+    * fusion is per-query arithmetic over per-query candidate sets, so
+    * micro-batch boundaries cannot change results — each query's
+    * slice is bit-equal to the single-query fusion regardless of
+    * which batch carried it (spec-asserted; shared partitioned
+    * oracle), and the spec's fusion odometer proves one batched pass
+    * PER MICRO-BATCH, not per query. Each micro-batch publishes under
+    * its deterministic bid so a replayed batch lands exactly-once
+    * (ADVICE r10 #3 — the blind append duplicated rows on replay). At
+    * 100 TB this is the RAG serving loop: a query stream fans out
+    * over two persisted artifacts, per-batch I/O = probed buckets +
+    * probed lists + O(Q·depth) fusion. */
   def streamHybridServing(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val base = callDir("shyb")
     import s.implicits._
-    graft.operators.Similarity.HybridStreamDocs.toDF("query_doc")
-      .coalesce(1).write.json(s"$base/src")
-    val in = s.readStream.schema("query_doc LONG").json(s"$base/src")
+    val qdf = graft.operators.Similarity.HybridStreamDocs.toDF("query_doc")
+    new java.io.File(s"$base/src").mkdirs()
+    val t0 = System.currentTimeMillis()
+    stageNamedFile(qdf.filter(col("query_doc") < 2),
+      s"$base/t0", s"$base/src/a_batch.json", t0 - 60000)
+    stageNamedFile(qdf.filter(col("query_doc") >= 2),
+      s"$base/t1", s"$base/src/b_batch.json", t0)
+    val in = s.readStream.schema("query_doc LONG")
+      .option("maxFilesPerTrigger", 1).json(s"$base/src")
     val q = in.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       // a serving batch of query ids is bounded by contract (the same
       // argument as every ANN gate's broadcast query slice); collect

@@ -1134,10 +1134,11 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val before = Similarity.hybridBatchFusions.get()
     val out = graft.streaming.Streams.streamHybridServing(spark, sf).collect()
     val fusions = Similarity.hybridBatchFusions.get() - before
-    // the N+1 check: 3 staged queries land in one micro-batch and cost
-    // exactly one batched fusion — not one job chain per query
-    assert(fusions == 1L,
-      s"a Q-query micro-batch must run ONE batched fusion, ran $fusions")
+    // the N+1 check: 3 staged queries arrive as TWO micro-batches
+    // (widths 2 and 1) and cost exactly one batched fusion PER
+    // micro-batch — not one job chain per query
+    assert(fusions == 2L,
+      s"two micro-batches must run TWO batched fusions (one each), ran $fusions")
     assert(out.map(_.getAs[Long]("query_doc")).toSet ==
       Similarity.HybridStreamDocs.toSet)
     // batch-boundary invariance is non-vacuous: each query's slice is
