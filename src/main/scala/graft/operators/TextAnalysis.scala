@@ -1426,14 +1426,46 @@ object TextAnalysis {
     * aggregates of an index already on disk — no corpus tokenize, no
     * postings rewrite. */
   def restatBm25Index(s: SparkSession, base: String): Unit = {
+    // stage-then-publish, the compactIvfIncIndex discipline: a direct
+    // overwrite deletes the live artifact before the new one lands, so
+    // a crash mid-write would serve a HALF-WRITTEN stats/dfs silently.
+    // Both stages write first (live artifacts untouched); each then
+    // swaps in via delete+rename. Per-artifact no state is ever
+    // half-written (a stage publishes only when whole — _SUCCESS); a
+    // crash between the two swaps leaves fresh stats + stale dfs,
+    // which the next idempotent run repairs (everything derives from
+    // the postings alone). Recovery on entry finishes a crashed swap.
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def publish(stage: String, live: String): Unit = {
+      val sp = new org.apache.hadoop.fs.Path(s"$base/$stage")
+      val lp = new org.apache.hadoop.fs.Path(s"$base/$live")
+      fs.delete(lp, true)
+      fs.rename(sp, lp)
+      ()
+    }
+    def recover(stage: String, live: String): Unit = {
+      val sp = new org.apache.hadoop.fs.Path(s"$base/$stage")
+      if (fs.exists(sp)) {
+        if (fs.exists(new org.apache.hadoop.fs.Path(sp, "_SUCCESS")))
+          publish(stage, live)
+        else fs.delete(sp, true) // stage write itself crashed: discard
+      }
+    }
+    recover("stats_restat_stage", "stats")
+    recover("dfs_restat_stage", "dfs")
     val posts = s.read.schema(Bm25PostingsSchema).parquet(s"$base/postings")
     posts.groupBy(col("doc_id")).agg(first(col("len")).as("len"))
       .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_len"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$base/stats")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$base/stats_restat_stage")
     posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .withColumn("bucket", termBucket(col("term")))
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$base/dfs")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$base/dfs_restat_stage")
+    publish("stats_restat_stage", "stats")
+    publish("dfs_restat_stage", "dfs")
   }
 
   /** Gate: the RE-STAT branch of the lexical lifecycle, end-to-end —

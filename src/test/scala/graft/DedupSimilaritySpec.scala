@@ -1103,6 +1103,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"lexical arm must carry a static bucket partition filter:\n$lexScan")
   }
 
+  test("hybrid lifecycle serving keeps both arms pruned over the MAINTAINED artifacts") {
+    // maintenance (streamed appends + compaction) must not cost the
+    // serving plan its pruning: same two properties as the one-shot
+    // gate, against the lifecycle artifacts
+    val plan = Similarity.hybridLifecycleTopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"dense arm must DPP-prune the maintained IVF postings:\n$plan")
+    val lexScan = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("graft_bm25life"))
+      .mkString("\n")
+    assert(lexScan.nonEmpty, s"no maintained BM25 postings scan found:\n$plan")
+    assert(java.util.regex.Pattern.compile(
+        "PartitionFilters: \\[bucket#\\d+L? IN \\(").matcher(lexScan).find(),
+      s"lexical arm must keep its static bucket partition filter:\n$lexScan")
+    CacheScope.releaseAll(spark)
+  }
+
   test("batched hybrid fusion: the query-0 slice is bit-equal to the single-query gate") {
     val single = Similarity.hybridIndexTopK(spark, sf)
       .collect().map(_.toString).toSet
