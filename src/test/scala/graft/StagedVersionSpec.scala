@@ -44,6 +44,71 @@ class StagedVersionSpec extends AnyFunSuite {
     assert(a == Tables.stagedDirKey("/corpus@aaaa"), "deterministic")
   }
 
+  test("staged version flip-back survives the janitor (ADVICE r10 #1)") {
+    // A → B queues A's deterministic dir for deferred deletion; the
+    // flip back to A rebuilds into that SAME path — the rebuild must
+    // cancel the queued registration or the sweep deletes the live,
+    // memoized artifact two boundaries later
+    val tag = s"specflip_${System.nanoTime}"
+    def build(base: String): String = {
+      new java.io.File(base).mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(base, "artifact"), "x".getBytes("UTF-8"))
+      base
+    }
+    val a1 = Tables.stagedArtifact(tag, "/spec/corpus", "vA")(build)
+    val b = Tables.stagedArtifact(tag, "/spec/corpus", "vB")(build)
+    val a2 = Tables.stagedArtifact(tag, "/spec/corpus", "vA")(build)
+    assert(a2 == a1, "flip-back must land on the same fingerprint path")
+    TmpDirs.sweep(); TmpDirs.sweep(); TmpDirs.sweep()
+    assert(new java.io.File(s"$a2/artifact").exists(),
+      "the flip-back rebuilt artifact must survive the sweeps")
+    assert(!new java.io.File(b).exists(),
+      "the superseded middle version is reclaimed as before")
+  }
+
+  test("snapshot digest distinguishes same-named files across subdirs (ADVICE r10 #2)") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_spec_xor_${System.nanoTime}"
+    val root = new java.io.File(s"$base/t.parquet")
+    root.mkdirs()
+    val f0 = new java.io.File(root, "part-unique.parquet")
+    java.nio.file.Files.write(f0.toPath, Array[Byte](9, 9, 9, 9))
+    assert(f0.setLastModified(1500000000000L))
+    val v1 = Tables.snapshot(spark, base, "t")
+    // an identical-(name, length, mtime) TWIN PAIR in two partition
+    // subdirs: under name-only tags the two digests XOR-cancelled and
+    // the fingerprint read as if the pair did not exist
+    for (p <- Seq("p=1", "p=2")) {
+      new java.io.File(root, p).mkdirs()
+      val f = new java.io.File(root, s"$p/part-0.parquet")
+      java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3))
+      assert(f.setLastModified(1500000000000L))
+    }
+    val v2 = Tables.snapshot(spark, base, "t")
+    assert(v2 != v1,
+      "adding an identical-tag file pair must change the fingerprint")
+  }
+
+  test("staged builds lock per artifact: a build can stage another artifact from a spawned thread (ADVICE r10 #4)") {
+    // the streaming-hybrid topology: a build drains a stream whose
+    // foreachBatch stages a DIFFERENT artifact on a stream thread —
+    // under one global monitor that inner stage deadlocked
+    val t0 = System.nanoTime
+    val inner = new java.util.concurrent.atomic.AtomicReference[String]()
+    val outer = Tables.stagedArtifact(s"specouter_$t0", "/spec/corpus", "v1") { base =>
+      val t = new Thread(() => {
+        inner.set(Tables.stagedArtifact(s"specinner_$t0", "/spec/corpus", "v1") { b =>
+          new java.io.File(b).mkdirs(); b
+        })
+      })
+      t.start(); t.join(30000)
+      assert(!t.isAlive,
+        "an independent staged build must not block on this build's lock")
+      new java.io.File(base).mkdirs(); base
+    }
+    assert(outer != null && inner.get() != null)
+  }
+
   test("re-staged corpus rebuilds the staged incremental+compacted IVF index") {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_spec_ver_ivf_${System.nanoTime}"
     val postingsSchema = "cand_id BIGINT, c_emb ARRAY<FLOAT>, cent_id BIGINT"
