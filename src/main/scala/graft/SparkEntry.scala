@@ -192,6 +192,8 @@ object SparkEntry {
     "sim_ivf_pq_index_drift" -> (Similarity.ivfPqIncDriftReport _),
     "sim_ivf_index_compact" -> (Similarity.ivfCompactTopK _),
     "sim_ivf_lifecycle_topk" -> (Similarity.ivfLifecycleTopK _),
+    "sim_ivf_index_imbalance" -> (Similarity.ivfIncImbalanceReport _),
+    "sim_ivf_lifecycle_retrain" -> (Similarity.ivfRetrainTopK _),
     "sim_ivf_pq_lifecycle_retrain" -> (Similarity.ivfPqRetrainTopK _),
     "sim_ivf_pq_index_compact" -> (Similarity.ivfPqCompactTopK _),
     "stream_index_append" -> (graft.streaming.Streams.streamIndexAppend _),
@@ -1382,6 +1384,35 @@ object SparkEntry {
     * reproduce hash-exactly. */
   private def simIvfPqRetrainSql: String =
     overDriftedEmbeddings(simIvfPqTopkSql)
+
+  /** The uncompressed-family twin: the from-scratch IVF oracle over
+    * the drifted relation — what the imbalance-triggered retrain's
+    * serving must equal. */
+  private def simIvfRetrainSql: String =
+    overDriftedEmbeddings(simIvfTopkSql)
+
+  /** Imbalance-report oracle: the frozen-quantizer assignment (the
+    * incremental-index contract — the artifact the nightly job
+    * inspects) counted per inverted list; all integers, integer
+    * cross-multiplied 2×-mean bar. DuckDB SUM(BIGINT) is HUGEINT —
+    * cast the projected columns back to BIGINT (the comparison itself
+    * is exact in either width). */
+  private def simIvfImbalanceSql: String = {
+    val (parts, cc, fc) = lloydCtes(Some(a =>
+      s"NOT (${Similarity.IvfIncBatchPred.replace("vec_id", a + "vec_id")})"))
+    parts += s"""assigned AS (
+      |  SELECT cand_id, cent_id FROM (
+      |    SELECT v.vec_id AS cand_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY $cc DESC, c.cent_id) AS rn
+      |    FROM e v, $fc c WHERE v.vec_id >= 10) t WHERE rn = 1)""".stripMargin
+    s"""WITH ${parts.mkString(",\n")}
+      |SELECT CAST(MAX(c) AS BIGINT) AS max_list,
+      |  CAST(SUM(c) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lists,
+      |  MAX(c) * COUNT(*) > ${Similarity.IvfImbalanceBar} * SUM(c) AS retrain
+      |FROM (SELECT cent_id, COUNT(*) AS c FROM assigned GROUP BY 1) t""".stripMargin
+  }
 
   private def simIvfTopkSqlFrom(trainPred: Option[String => String]): String = {
     val (parts, cc, fc) = lloydCtes(trainPred)
@@ -3081,6 +3112,8 @@ object SparkEntry {
     // compact → serve) moves rows in and between files, never changes
     // them — same frozen-quantizer rebuild oracle
     "sim_ivf_lifecycle_topk" -> simIvfIncTopkSql,
+    "sim_ivf_index_imbalance" -> simIvfImbalanceSql,
+    "sim_ivf_lifecycle_retrain" -> simIvfRetrainSql,
     "sim_ivf_pq_lifecycle_retrain" -> simIvfPqRetrainSql,
     // stateless per-vector assignment + additive appends: micro-batch
     // boundaries cannot change the final postings set

@@ -62,7 +62,8 @@ class AllQueriesSpec extends AnyFunSuite {
     "sim_multiprobe_topk", "sim_ivf_topk", "sim_ivf_index_topk",
     "sim_ivf_index_incremental", "sim_ivf_index_compact",
     "sim_ivf_lifecycle_topk",
-    "sim_ivf_pq_lifecycle_retrain",  // serves the same probed query slice
+    "sim_ivf_lifecycle_retrain",  // serves the same probed query slice
+    "sim_ivf_pq_lifecycle_retrain",  // likewise, via the IVFPQ refine
     "stream_index_append",  // returns the same indexed-serving plan post-drain
     "stream_pq_index_append",  // likewise, the IVFPQ serving plan post-drain
     "sim_rerank_topk",

@@ -1063,6 +1063,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     CacheScope.releaseAll(spark)
   }
 
+  test("IVF retrain lifecycle: the spiked batch trips the imbalance bar, the retrain learns the new mode") {
+    // staging runs the composed path: snapshot build → spiked batch
+    // append under the frozen quantizer → imbalance consult (the
+    // require inside asserts the verdict IS `retrain`) → fresh
+    // quantizer on the combined corpus → postings rebuild
+    val base = Similarity.stagedIvfRetrainIndex(spark, sf)
+    // the retrain genuinely learned the spike mode: the shifted batch
+    // now has a centroid of its own (its best cosine is exactly 1.0,
+    // vs ≈0.24 against the frozen snapshot quantizer)
+    val cents = spark.read.parquet(s"$base/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val best = array_max(transform(typedLit(cents), c =>
+      call_function("graft_cosine", col("embedding"), c.getField("_2"))))
+    val batchMin = Similarity.driftedEmbeddings(spark, sf)
+      .filter(expr(Similarity.IvfIncBatchPred))
+      .select(best.as("b")).agg(min(col("b"))).head().getDouble(0)
+    assert(batchMin > 0.999,
+      s"every shifted-batch vector must sit on its own retrained centroid, min cos $batchMin")
+    // the plain (unbalanced-free) maintained index takes the append
+    // branch under the same bar
+    val rep = Similarity.ivfIncImbalanceReport(spark, sf).head()
+    assert(!rep.getAs[Boolean]("retrain"),
+      s"the gate corpus's maintained index must read balanced: $rep")
+    val trained = Similarity.trainingBuilds.get()
+    assert(Similarity.ivfRetrainTopK(spark, sf).count() > 0)
+    assert(Similarity.trainingBuilds.get() == trained,
+      "serving the retrained artifact must run ZERO training jobs")
+    CacheScope.releaseAll(spark)
+  }
+
   test("IVFPQ retrain lifecycle: the spiked batch trips codebook drift, the branch retrains, serving trains nothing") {
     // staging runs the composed path: snapshot build → codebook-drift
     // consult with the SHIFTED batch (the require inside asserts the
