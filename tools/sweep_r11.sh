@@ -1,0 +1,15 @@
+#!/bin/bash
+# Round-end artifact sweep: full Bench at three SFs, then assemble the
+# scaling artifact. The sf0.1 run is LAST so BENCH_full_local.json (which
+# graft.Bench rewrites on every run) ends up holding the chronologically
+# last full sf0.1 sweep — the commit-latest policy of SURVEY §6.
+set -e
+cd /root/repo
+for sf in 0.001 0.01 0.1; do
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf$sf SPARK_GRAFT_CPUS=32 \
+    sbt -batch "runMain graft.Bench" > /tmp/bench_sf$sf.txt 2>&1
+  echo "sf$sf rc=$?"
+done
+python3 tools/scaling_assemble.py SCALING_r11.json \
+  /tmp/bench_sf0.001.txt /tmp/bench_sf0.01.txt /tmp/bench_sf0.1.txt
+echo sweep-done
