@@ -306,27 +306,14 @@ object Similarity {
     * changes nothing downstream; the cache holds ≤ IvfMaxNlist × dims
     * floats per corpus (≈100 KB). Spec proves the second consumer runs
     * ZERO Spark jobs for its centroids. */
-  private val centroidCache = scala.collection.concurrent.TrieMap
-    .empty[String, (String, Seq[(Long, Seq[Float])])]
-
-  /** At-most-one-live-version memo — the Tables.stagedArtifact
-    * eviction discipline applied to the bounded driver-side training
-    * artifacts (ADVICE r10 #5's rationale): keyed by corpus dir
-    * [+ predicate] and storing the version built at, so a re-staged
-    * corpus REPLACES the entry instead of growing the map. */
-  private def versionMemo[T](
-      cache: scala.collection.concurrent.TrieMap[String, (String, T)],
-      key: String, vkey: String)(build: => T): T =
-    cache.get(key) match {
-      case Some((v, t)) if v == vkey => t
-      case _ =>
-        val t = build
-        cache.put(key, (vkey, t))
-        t
-    }
+  /** At-most-one-live-version, per-key-locked memo (ADVICE r10 #5's
+    * eviction discipline; see [[graft.sources.VersionMemo]] for why
+    * the lock matters): keyed by corpus dir [+ predicate]. */
+  private val centroidCache =
+    new graft.sources.VersionMemo[Seq[(Long, Seq[Float])]]
 
   private[graft] def kmeansCentroidSeq(s: SparkSession, dir: String): Seq[(Long, Seq[Float])] =
-    versionMemo(centroidCache, dir, Tables.versionedKey(s, dir, "embeddings"))(
+    centroidCache(dir, Tables.versionedKey(s, dir, "embeddings"))(
       kmeansCentroidBuild(s, dir))
 
   /** Training-pass odometer (spec surface): every coarse-quantizer or
@@ -438,13 +425,26 @@ object Similarity {
     * corpus — the on-disk analog of an in-memory inverted index. */
   def buildIvfIndexLineage(s: SparkSession, dir: String,
       base: String): String = {
-    val cents = kmeansCentroids(s, dir)
-    cents.coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
-    assignNearestNarrow(corpus(s, dir), kmeansCentroidSeq(s, dir),
-        "cand_id", "c_emb")
+    writeIvfIndex(s, base, kmeansCentroidSeq(s, dir), corpus(s, dir))
+    base
+  }
+
+  /** ONE writer for the on-disk IVF index layout (centroid file +
+    * partitionBy(cent_id) postings of `vecs` = (cand_id, c_emb)) —
+    * shared by the one-shot build, the incremental snapshot, and the
+    * retrain branch, so the layout cannot drift between them (every
+    * serving path reads what this wrote). Static overwrite on purpose:
+    * list membership changes under a new quantizer, so a dynamic
+    * per-partition overwrite would orphan stale lists. */
+  private def writeIvfIndex(s: SparkSession, base: String,
+      cents: Seq[(Long, Seq[Float])], vecs: DataFrame): Unit = {
+    import s.implicits._
+    cents.map { case (cid, emb) => (cid, emb.toArray) }
+      .toDF("cent_id", "cent_emb")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
+    assignNearestNarrow(vecs, cents, "cand_id", "c_emb")
       .write.mode("overwrite").partitionBy("cent_id")
       .parquet(s"$base/postings")
-    base
   }
 
   def stagedIvfIndex(s: SparkSession, dir: String): String = {
@@ -519,7 +519,7 @@ object Similarity {
     * quantizer); keyed like [[kmeansCentroidSeq]] plus the predicate. */
   private[graft] def kmeansCentroidSeqFiltered(s: SparkSession, dir: String,
       pred: String): Seq[(Long, Seq[Float])] =
-    versionMemo(centroidCache, dir + "#" + pred,
+    centroidCache(dir + "#" + pred,
       Tables.versionedKey(s, dir, "embeddings"))(
       kmeansCentroidBuild(s, dir, Some(pred)))
 
@@ -542,15 +542,9 @@ object Similarity {
     * state). */
   def buildIvfIncSnapshot(s: SparkSession, dir: String, base: String): String = {
     graft.functions.GraftFunctions.register(s)
-    import s.implicits._
-    val cents = kmeansCentroidSeqFiltered(s, dir, s"NOT ($IvfIncBatchPred)")
-    cents.map { case (cid, emb) => (cid, emb.toArray) }
-      .toDF("cent_id", "cent_emb")
-      .coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
-    assignNearestNarrow(corpus(s, dir).filter(!expr(IvfIncBatchPred)), cents,
-        "cand_id", "c_emb")
-      .write.mode("overwrite").partitionBy("cent_id")
-      .parquet(s"$base/postings")
+    writeIvfIndex(s, base,
+      kmeansCentroidSeqFiltered(s, dir, s"NOT ($IvfIncBatchPred)"),
+      corpus(s, dir).filter(!expr(IvfIncBatchPred)))
     base
   }
 
@@ -885,7 +879,6 @@ object Similarity {
   def stagedIvfRetrainIndex(s: SparkSession, dir: String): String = {
     val vkey = Tables.versionedKey(s, dir, "embeddings")
     Tables.stagedArtifact("ivfretrain", dir, vkey) { base =>
-      import s.implicits._
       buildIvfIncSnapshot(s, dir, base)
       val drifted = driftedEmbeddings(s, dir)
       appendIvfIncVectors(s, base, drifted.filter(expr(IvfIncBatchPred))
@@ -894,16 +887,9 @@ object Similarity {
       require(verdict,
         "retrain lifecycle gate expects the imbalance branch; a " +
           "balanced index must keep appending")
-      val cents = kmeansCentroidBuildFrom(s, drifted)
-      cents.map { case (cid, emb) => (cid, emb.toArray) }
-        .toDF("cent_id", "cent_emb")
-        .coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
-      assignNearestNarrow(
-          drifted.filter(col("vec_id") >= 10)
-            .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb")),
-          cents, "cand_id", "c_emb")
-        .write.mode("overwrite").partitionBy("cent_id")
-        .parquet(s"$base/postings")
+      writeIvfIndex(s, base, kmeansCentroidBuildFrom(s, drifted),
+        drifted.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb")))
       base
     }
   }
@@ -1160,12 +1146,12 @@ object Similarity {
     * ids). Sampled codewords beat trained ones for oracle lockstep and
     * are the standard cold-start book; swapping in Lloyd-refined
     * codewords per subspace would reuse kmeansCentroidSeq unchanged. */
-  private val codebookCache = scala.collection.concurrent.TrieMap
-    .empty[String, (String, Seq[(Long, Seq[Float])])]
+  private val codebookCache =
+    new graft.sources.VersionMemo[Seq[(Long, Seq[Float])]]
   /** Memoized like [[kmeansCentroidSeq]]: one codebook per corpus per
     * session (deterministic stride sample, ≈2 KB; version-evicting). */
   private[graft] def pqCodebook(s: SparkSession, dir: String): Seq[(Long, Seq[Float])] =
-    versionMemo(codebookCache, dir, Tables.versionedKey(s, dir, "embeddings"))(
+    codebookCache(dir, Tables.versionedKey(s, dir, "embeddings"))(
       pqCodebookBuild(s, dir))
 
   /** Memoized filtered-training-set codebook (the frozen snapshot book
@@ -1173,7 +1159,7 @@ object Similarity {
     * the predicate. */
   private[graft] def pqCodebookFiltered(s: SparkSession, dir: String,
       pred: String): Seq[(Long, Seq[Float])] =
-    versionMemo(codebookCache, dir + "#" + pred,
+    codebookCache(dir + "#" + pred,
       Tables.versionedKey(s, dir, "embeddings"))(
       pqCodebookBuild(s, dir, Some(pred)))
 
@@ -1314,24 +1300,36 @@ object Similarity {
     * only by the bounded exact-refine join. */
   def buildIvfPqIndexLineage(s: SparkSession, dir: String,
       base: String): String = {
+    writeIvfPqIndex(s, base, kmeansCentroidSeq(s, dir), pqCodebook(s, dir),
+      corpus(s, dir))
+    base
+  }
+
+  /** ONE writer for the on-disk IVFPQ index layout (centroid file +
+    * codebook file + partitionBy(cent_id) CODE postings of `vecs`) —
+    * shared by the one-shot build, the incremental snapshot, and the
+    * retrain branch, as [[writeIvfIndex]] is for the uncompressed
+    * family: the layout every IVFPQ serving path reads is written in
+    * exactly one place. */
+  private def writeIvfPqIndex(s: SparkSession, base: String,
+      cents: Seq[(Long, Seq[Float])], book: Seq[(Long, Seq[Float])],
+      vecs: DataFrame): Unit = {
     import s.implicits._
-    kmeansCentroids(s, dir).coalesce(1)
-      .write.mode("overwrite").parquet(s"$base/centroids")
-    pqCodebook(s, dir).map { case (cid, cw) => (cid, cw.toArray) }
+    require(book.nonEmpty, "empty PQ codebook")
+    cents.map { case (cid, emb) => (cid, emb.toArray) }
+      .toDF("cent_id", "cent_emb")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
+    book.map { case (cid, cw) => (cid, cw.toArray) }
       .toDF("code_id", "codeword").coalesce(1)
       .write.mode("overwrite").parquet(s"$base/codebook")
-    val book = pqCodebook(s, dir)
-    require(book.nonEmpty, "empty PQ codebook")
     val sub = book.head._2.length / PqSubspaces
-    assignNearestNarrow(corpus(s, dir), kmeansCentroidSeq(s, dir),
-        "cand_id", "c_emb")
+    assignNearestNarrow(vecs, cents, "cand_id", "c_emb")
       .select(col("cand_id"),
         array((0 until PqSubspaces).map(m =>
           pqBest(book, "c_emb", m, sub).getField("cid")): _*).as("codes"),
         col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id")
       .parquet(s"$base/postings")
-    base
   }
 
   def stagedIvfPqIndex(s: SparkSession, dir: String): String = {
@@ -1422,26 +1420,11 @@ object Similarity {
 
   def buildIvfPqIncSnapshot(s: SparkSession, dir: String, base: String): String = {
     graft.functions.GraftFunctions.register(s)
-    import s.implicits._
     val pred = s"NOT ($IvfIncBatchPred)"
-    val cents = kmeansCentroidSeqFiltered(s, dir, pred)
-    cents.map { case (cid, emb) => (cid, emb.toArray) }
-      .toDF("cent_id", "cent_emb")
-      .coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
-    val book = pqCodebookFiltered(s, dir, pred)
-    require(book.nonEmpty, "empty PQ codebook")
-    book.map { case (cid, cw) => (cid, cw.toArray) }
-      .toDF("code_id", "codeword").coalesce(1)
-      .write.mode("overwrite").parquet(s"$base/codebook")
-    val sub = book.head._2.length / PqSubspaces
-    assignNearestNarrow(corpus(s, dir).filter(!expr(IvfIncBatchPred)), cents,
-        "cand_id", "c_emb")
-      .select(col("cand_id"),
-        array((0 until PqSubspaces).map(m =>
-          pqBest(book, "c_emb", m, sub).getField("cid")): _*).as("codes"),
-        col("cent_id"))
-      .write.mode("overwrite").partitionBy("cent_id")
-      .parquet(s"$base/postings")
+    writeIvfPqIndex(s, base,
+      kmeansCentroidSeqFiltered(s, dir, pred),
+      pqCodebookFiltered(s, dir, pred),
+      corpus(s, dir).filter(!expr(IvfIncBatchPred)))
     base
   }
 
@@ -1580,7 +1563,6 @@ object Similarity {
   def stagedIvfPqRetrainIndex(s: SparkSession, dir: String): String = {
     val vkey = Tables.versionedKey(s, dir, "embeddings")
     Tables.stagedArtifact("ivfpqretrain", dir, vkey) { base =>
-      import s.implicits._
       buildIvfPqIncSnapshot(s, dir, base)
       val drifted = driftedEmbeddings(s, dir)
       val batch = drifted.filter(expr(IvfIncBatchPred))
@@ -1590,26 +1572,11 @@ object Similarity {
       require(verdict,
         "retrain lifecycle gate expects the codebook-drift branch; an " +
           "in-distribution batch must append, not retrain")
-      val cents = kmeansCentroidBuildFrom(s, drifted)
-      cents.map { case (cid, emb) => (cid, emb.toArray) }
-        .toDF("cent_id", "cent_emb")
-        .coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
-      val book = pqCodebookBuildFrom(s, drifted)
-      require(book.nonEmpty, "empty PQ codebook")
-      book.map { case (cid, cw) => (cid, cw.toArray) }
-        .toDF("code_id", "codeword").coalesce(1)
-        .write.mode("overwrite").parquet(s"$base/codebook")
-      val sub = book.head._2.length / PqSubspaces
-      assignNearestNarrow(
-          drifted.filter(col("vec_id") >= 10)
-            .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb")),
-          cents, "cand_id", "c_emb")
-        .select(col("cand_id"),
-          array((0 until PqSubspaces).map(m =>
-            pqBest(book, "c_emb", m, sub).getField("cid")): _*).as("codes"),
-          col("cent_id"))
-        .write.mode("overwrite").partitionBy("cent_id")
-        .parquet(s"$base/postings")
+      writeIvfPqIndex(s, base,
+        kmeansCentroidBuildFrom(s, drifted),
+        pqCodebookBuildFrom(s, drifted),
+        drifted.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb")))
       base
     }
   }

@@ -944,21 +944,12 @@ object TextAnalysis {
     * invocation, so recomputing the vocabulary aggregation per call
     * would charge tokenizer TRAINING to every encode). */
   /** Keyed by corpus DIR storing the version it was built at — the
-    * stagedArtifact at-most-one-live-entry discipline (ADVICE r10 #5:
-    * a version-keyed memo never evicts superseded corpus versions, so
-    * re-staging a corpus grew the driver map without bound). */
-  private val bpeRulesCache = scala.collection.concurrent.TrieMap
-    .empty[String, (String, Seq[String])]
-  private def bpeRules(s: SparkSession, dir: String): Seq[String] = {
-    val vkey = Tables.versionedKey(s, dir, "documents")
-    bpeRulesCache.get(dir) match {
-      case Some((v, rules)) if v == vkey => rules
-      case _ =>
-        val rules = bpeMerges(s, dir).collect().map(_.getString(0)).toSeq
-        bpeRulesCache.put(dir, (vkey, rules))
-        rules
-    }
-  }
+    * at-most-one-live-entry discipline (ADVICE r10 #5), via the shared
+    * per-key-locked [[graft.sources.VersionMemo]]. */
+  private val bpeRulesCache = new graft.sources.VersionMemo[Seq[String]]
+  private def bpeRules(s: SparkSession, dir: String): Seq[String] =
+    bpeRulesCache(dir, Tables.versionedKey(s, dir, "documents"))(
+      bpeMerges(s, dir).collect().map(_.getString(0)).toSeq)
 
   /** One word through the merge rules — rule-priority order, each rule
     * merging its adjacent pair left-to-right greedily. COMPILED Scala
@@ -1441,8 +1432,10 @@ object TextAnalysis {
       val sp = new org.apache.hadoop.fs.Path(s"$base/$stage")
       val lp = new org.apache.hadoop.fs.Path(s"$base/$live")
       fs.delete(lp, true)
-      fs.rename(sp, lp)
-      ()
+      // Hadoop rename reports failure by RETURNING false — swallowing
+      // it here would memoize an artifact whose live dir was just
+      // deleted (the TransferMeta commit convention: throw loudly)
+      require(fs.rename(sp, lp), s"could not publish $sp -> $lp")
     }
     def recover(stage: String, live: String): Unit = {
       val sp = new org.apache.hadoop.fs.Path(s"$base/$stage")

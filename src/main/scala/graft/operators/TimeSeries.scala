@@ -118,27 +118,21 @@ object TimeSeries {
     * Memoized per corpus dir like Similarity's centroids/codebooks
     * (the train-once-per-session contract): the batch and streaming
     * scorers share ONE training pass per run. */
-  private val statsCache = scala.collection.concurrent.TrieMap
-    .empty[String, (String, Seq[org.apache.spark.sql.Row])]
+  private val statsCache =
+    new graft.sources.VersionMemo[Seq[org.apache.spark.sql.Row]]
 
   private[graft] def robustStats(s: SparkSession, dir: String): DataFrame = {
-    // dir-keyed with version eviction (the Similarity.versionMemo
-    // discipline, ADVICE r10 #5's rationale): a re-staged corpus
-    // replaces the entry instead of growing the driver map
-    val vkey = Tables.versionedKey(s, dir, "events")
-    val rows = statsCache.get(dir) match {
-      case Some((v, r)) if v == vkey => r
-      case _ =>
-        val e = Tables.events(s, dir).select(col("event_type"), col("value"))
-        val med = localized(s, e.groupBy(col("event_type"))
-          .agg(expr("percentile(value, 0.5)").as("med")))
-        val r = e.join(broadcast(med), "event_type")
-          .groupBy(col("event_type"))
-          .agg(first(col("med")).as("med"),
-            expr("percentile(abs(value - med), 0.5)").as("mad"))
-          .collect().toSeq
-        statsCache.put(dir, (vkey, r))
-        r
+    // dir-keyed with version eviction (ADVICE r10 #5's rationale), via
+    // the shared per-key-locked graft.sources.VersionMemo
+    val rows = statsCache(dir, Tables.versionedKey(s, dir, "events")) {
+      val e = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val med = localized(s, e.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med")))
+      e.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"))
+        .agg(first(col("med")).as("med"),
+          expr("percentile(abs(value - med), 0.5)").as("mad"))
+        .collect().toSeq
     }
     s.createDataFrame(java.util.Arrays.asList(rows: _*),
       org.apache.spark.sql.types.StructType(Seq(

@@ -188,3 +188,31 @@ object Tables {
       df.createOrReplaceTempView(name)
     }
 }
+
+/** Version-evicting, PER-KEY-LOCKED memo for bounded driver-side
+  * artifacts (trained centroids/codebooks, BPE rules, robust stats) —
+  * the one shared implementation of the at-most-one-live-version
+  * discipline [[Tables.stagedArtifact]] applies to on-disk artifacts.
+  * Per-key cells matter for two reasons: a plain get-then-put races
+  * two first accessors into DUPLICATE training builds (ticking the
+  * trainingBuilds odometer twice and wasting a full Lloyd pass), and
+  * one global monitor would serialize independent builds — the same
+  * hazards the staged-artifact lock fixed. Same-key reentrancy stays
+  * safe (monitors are reentrant per thread). */
+final class VersionMemo[T] {
+  private final class Cell { var state: Option[(String, T)] = None }
+  private val cells =
+    scala.collection.concurrent.TrieMap.empty[String, Cell]
+  def apply(key: String, vkey: String)(build: => T): T = {
+    val cell = cells.getOrElseUpdate(key, new Cell)
+    cell.synchronized {
+      cell.state match {
+        case Some((v, t)) if v == vkey => t
+        case _ =>
+          val t = build
+          cell.state = Some((vkey, t))
+          t
+      }
+    }
+  }
+}

@@ -6,9 +6,12 @@
 set -e
 cd /root/repo
 for sf in 0.001 0.01 0.1; do
-  SPARK_GRAFT_SF_DIR=/root/testdata/sf$sf SPARK_GRAFT_CPUS=32 \
-    sbt -batch "runMain graft.Bench" > /tmp/bench_sf$sf.txt 2>&1
-  echo "sf$sf rc=$?"
+  if SPARK_GRAFT_SF_DIR=/root/testdata/sf$sf SPARK_GRAFT_CPUS=32 \
+      sbt -batch "runMain graft.Bench" > /tmp/bench_sf$sf.txt 2>&1; then
+    echo "sf$sf rc=0"
+  else
+    echo "sf$sf FAILED (see /tmp/bench_sf$sf.txt)"; exit 1
+  fi
 done
 python3 tools/scaling_assemble.py SCALING_r11.json \
   /tmp/bench_sf0.001.txt /tmp/bench_sf0.01.txt /tmp/bench_sf0.1.txt
