@@ -28,7 +28,10 @@ object ExplainAudit {
         "sim_knn_graph_lineage", "sim_knn_graph_incremental",
         "sim_knn_components", "sim_ivf_index_topk", "sim_ivf_pq_index_topk",
         "dedup_paragraph_apply", "dedup_substring_apply",
-        "dedup_survivors_list", "etl_config_scheduled", "mm_phash_dedup_unicode")
+        "dedup_survivors_list", "etl_config_scheduled", "mm_phash_dedup_unicode",
+        "sim_hybrid_index_batch_topk", "sim_hybrid_lifecycle_topk",
+        "sim_ivf_index_imbalance", "sim_ivf_lifecycle_retrain",
+        "sim_ivf_pq_lifecycle_retrain", "text_bm25_index_restat")
     targets.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       df.count() // materialize so AQE finalizes
