@@ -109,6 +109,28 @@ class StagedVersionSpec extends AnyFunSuite {
     assert(outer != null && inner.get() != null)
   }
 
+  test("VersionMemo runs ONE build under concurrent first access") {
+    // a plain get-then-put memo raced two first accessors into
+    // DUPLICATE training builds (double trainingBuilds ticks, a wasted
+    // Lloyd pass) once staged builds started running concurrently —
+    // the per-key cell must serialize them into exactly one build
+    val memo = new graft.sources.VersionMemo[Int]
+    val builds = new java.util.concurrent.atomic.AtomicInteger
+    val release = new java.util.concurrent.CountDownLatch(1)
+    def get(): Int = memo("k", "v1") {
+      release.await(10, java.util.concurrent.TimeUnit.SECONDS)
+      builds.incrementAndGet()
+    }
+    val threads = (1 to 4).map(_ => new Thread(() => { get(); () }))
+    threads.foreach(_.start())
+    Thread.sleep(100) // one thread is mid-build, three wait on the cell
+    release.countDown()
+    threads.foreach(_.join(10000))
+    assert(builds.get() == 1,
+      s"concurrent first access ran ${builds.get()} builds, expected 1")
+    assert(get() == 1, "later accessors must read the memoized value")
+  }
+
   test("re-staged corpus rebuilds the staged incremental+compacted IVF index") {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_spec_ver_ivf_${System.nanoTime}"
     val postingsSchema = "cand_id BIGINT, c_emb ARRAY<FLOAT>, cent_id BIGINT"
