@@ -1367,8 +1367,23 @@ object SparkEntry {
     * see the combined (snapshot + drifted batch) corpus. */
   private def overDriftedEmbeddings(sql: String): String = {
     require(sql.startsWith("WITH "), "oracle must be a WITH chain")
+    // retarget ONLY relation positions — the token directly after a
+    // FROM or JOIN keyword (ADVICE r11 #1: a blind whole-token rewrite
+    // would silently corrupt a future oracle using `embeddings` as a
+    // CTE name, alias, or string literal). The coverage require below
+    // proves no standalone reference survives OUTSIDE those positions,
+    // so a future oracle shape that this rewrite cannot see fails
+    // loudly here instead of hash-failing downstream.
+    val token = "(?<![A-Za-z0-9_])embeddings(?![A-Za-z0-9_])".r
+    val total = token.findAllIn(sql).size
     val rewritten = sql.replaceAll(
-      "(?<![A-Za-z0-9_])embeddings(?![A-Za-z0-9_])", "drifted_embeddings")
+      "(?i)\\b(FROM|JOIN)(\\s+)embeddings(?![A-Za-z0-9_])",
+      "$1$2drifted_embeddings")
+    val left = token.findAllIn(rewritten).size
+    require(left == 0,
+      s"overDriftedEmbeddings: $left of $total `embeddings` references " +
+        "are not in FROM/JOIN relation position — parameterize the " +
+        "base oracle builder instead of relying on this rewrite")
     s"""WITH drifted_embeddings AS (SELECT vec_id,
        |  CASE WHEN ${Similarity.IvfIncBatchPred}
        |   THEN list_transform(range(1, len(embedding)+1),

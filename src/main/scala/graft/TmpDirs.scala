@@ -19,17 +19,28 @@ object TmpDirs {
   private val gen = new java.util.concurrent.atomic.AtomicLong
   private val dirs =
     new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]
+  // register/unregister/sweep share ONE monitor (ADVICE r11 #2): an
+  // unregister that only scanned the queue could return while a
+  // concurrent sweep, already past its dg < g check, still held the
+  // path locally and rm'd the directory a flip-back rebuild was
+  // writing into. Per-cell staged locking allows concurrent builds, so
+  // the dequeue-then-delete must be atomic against cancellation; the
+  // critical section is bounded (≤ 2 generations of per-call tmp
+  // dirs), so holding the monitor through the rm is cheap.
+  private val lock = new Object
 
   /** Mark a per-call directory for deferred deletion. */
-  def register(path: String): Unit = dirs.add((gen.get(), path))
+  def register(path: String): Unit =
+    lock.synchronized { dirs.add((gen.get(), path)); () }
 
   /** Cancel any pending registration for `path` — called before a
     * staged-artifact REBUILD into a deterministic path (ADVICE r10
     * #1): a version flip-back (A→B→A) re-stages into the SAME
     * pid+md5(vkey) dir that the A→B supersession queued for deferred
     * deletion, and the stale registration would delete the live,
-    * memoized artifact within two sweep boundaries. */
-  def unregister(path: String): Unit = {
+    * memoized artifact within two sweep boundaries. Runs under the
+    * sweep monitor, so it is race-free against an in-flight sweep. */
+  def unregister(path: String): Unit = lock.synchronized {
     val it = dirs.iterator()
     while (it.hasNext) if (it.next()._2 == path) it.remove()
   }
@@ -41,7 +52,7 @@ object TmpDirs {
 
   /** Boundary sweep: delete everything registered before the previous
     * sweep, then open a new generation. Idempotent on missing paths. */
-  private[graft] def sweep(): Unit = {
+  private[graft] def sweep(): Unit = lock.synchronized {
     val g = gen.getAndIncrement()
     val it = dirs.iterator()
     while (it.hasNext) {

@@ -1421,28 +1421,43 @@ object TextAnalysis {
     // overwrite deletes the live artifact before the new one lands, so
     // a crash mid-write would serve a HALF-WRITTEN stats/dfs silently.
     // Both stages write first (live artifacts untouched); each then
-    // swaps in via delete+rename. Per-artifact no state is ever
+    // swaps in by RENAMING THE LIVE DIR ASIDE and renaming the stage
+    // in (ADVICE r11 #4: a delete-then-rename swap left no live
+    // artifact for the O(files) duration of the recursive delete — an
+    // avoidable serving outage; two renames are O(1) each, and a
+    // COMPLETE copy of the artifact — retired, stage, or live — is on
+    // disk at every instant). Per-artifact no state is ever
     // half-written (a stage publishes only when whole — _SUCCESS); a
     // crash between the two swaps leaves fresh stats + stale dfs,
     // which the next idempotent run repairs (everything derives from
-    // the postings alone). Recovery on entry finishes a crashed swap.
+    // the postings alone). Recovery on entry finishes a crashed swap
+    // or restores the retired copy if the crash hit between the two
+    // publish renames.
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def p(tail: String) = new org.apache.hadoop.fs.Path(s"$base/$tail")
     def publish(stage: String, live: String): Unit = {
-      val sp = new org.apache.hadoop.fs.Path(s"$base/$stage")
-      val lp = new org.apache.hadoop.fs.Path(s"$base/$live")
-      fs.delete(lp, true)
+      val sp = p(stage); val lp = p(live); val op = p(s"${live}_retired")
+      fs.delete(op, true) // clear any prior retired copy (idempotent)
       // Hadoop rename reports failure by RETURNING false — swallowing
       // it here would memoize an artifact whose live dir was just
-      // deleted (the TransferMeta commit convention: throw loudly)
+      // retired (the TransferMeta commit convention: throw loudly)
+      if (fs.exists(lp))
+        require(fs.rename(lp, op), s"could not retire $lp -> $op")
       require(fs.rename(sp, lp), s"could not publish $sp -> $lp")
+      fs.delete(op, true)
     }
     def recover(stage: String, live: String): Unit = {
-      val sp = new org.apache.hadoop.fs.Path(s"$base/$stage")
-      if (fs.exists(sp)) {
-        if (fs.exists(new org.apache.hadoop.fs.Path(sp, "_SUCCESS")))
-          publish(stage, live)
-        else fs.delete(sp, true) // stage write itself crashed: discard
+      val sp = p(stage); val lp = p(live); val op = p(s"${live}_retired")
+      if (fs.exists(sp) &&
+          fs.exists(new org.apache.hadoop.fs.Path(sp, "_SUCCESS")))
+        publish(stage, live) // complete stage: finish the crashed swap
+      else {
+        if (fs.exists(sp)) fs.delete(sp, true) // stage write crashed: discard
+        // crash between the two publish renames: the retired copy is
+        // the only complete artifact — restore it
+        if (!fs.exists(lp) && fs.exists(op))
+          require(fs.rename(op, lp), s"could not restore $op -> $lp")
       }
     }
     recover("stats_restat_stage", "stats")
