@@ -193,6 +193,7 @@ object SparkEntry {
     "sim_ivf_index_compact" -> (Similarity.ivfCompactTopK _),
     "sim_ivf_lifecycle_topk" -> (Similarity.ivfLifecycleTopK _),
     "sim_ivf_index_imbalance" -> (Similarity.ivfIncImbalanceReport _),
+    "sim_ivf_pq_index_imbalance" -> (Similarity.ivfPqIncImbalanceReport _),
     "sim_ivf_lifecycle_retrain" -> (Similarity.ivfRetrainTopK _),
     "sim_ivf_pq_lifecycle_retrain" -> (Similarity.ivfPqRetrainTopK _),
     "sim_ivf_pq_index_compact" -> (Similarity.ivfPqCompactTopK _),
@@ -208,6 +209,7 @@ object SparkEntry {
     "sim_hybrid_rrf_topk" -> (Similarity.hybridRrfTopK _),
     "sim_hybrid_index_topk" -> (Similarity.hybridIndexTopK _),
     "sim_hybrid_lifecycle_topk" -> (Similarity.hybridLifecycleTopK _),
+    "sim_hybrid_retrain_topk" -> (Similarity.hybridRetrainTopK _),
     "sim_hybrid_index_batch_topk" -> (Similarity.hybridIndexBatchTopK _),
     "stream_hybrid_serving" -> (graft.streaming.Streams.streamHybridServing _),
     "sim_pq_topk" -> (Similarity.pqTopK _),
@@ -1177,6 +1179,18 @@ object SparkEntry {
     simHybridIndexSqlFrom(
       Some(a => s"NOT (${Similarity.IvfIncBatchPred.replace("vec_id", a + "vec_id")})"),
       Some(s"NOT (${TextAnalysis.Bm25IncBatchPred})"))
+
+  /** Hybrid oracle across the arms' HEAVY maintenance branches
+    * (VERDICT r11 #1): the dense arm retrained (fresh quantizer over
+    * the combined drifted corpus — trainPred None over the drifted
+    * relation, exactly [[simIvfRetrainSql]]'s contract) and the
+    * lexical arm re-stat'd (stats/dfs rebuilt over ALL postings —
+    * statsPred None, exactly the `text_bm25_index_restat` contract,
+    * which is hash-equal to the one-shot full-corpus build). The
+    * documents table is untouched by the embedding drift, so the
+    * FROM/JOIN retarget only moves the dense chain. */
+  private def simHybridRetrainSql: String =
+    overDriftedEmbeddings(simHybridIndexSqlFrom(None, None))
 
   private def simHybridIndexSqlFrom(trainPred: Option[String => String],
       statsPred: Option[String]): String = {
@@ -3128,6 +3142,10 @@ object SparkEntry {
     // them — same frozen-quantizer rebuild oracle
     "sim_ivf_lifecycle_topk" -> simIvfIncTopkSql,
     "sim_ivf_index_imbalance" -> simIvfImbalanceSql,
+    // the code postings assign under the SAME frozen coarse quantizer,
+    // so the per-list counts — and the oracle — are identical; the gate
+    // is distinct because it consults the COMPRESSED artifact
+    "sim_ivf_pq_index_imbalance" -> simIvfImbalanceSql,
     "sim_ivf_lifecycle_retrain" -> simIvfRetrainSql,
     "sim_ivf_pq_lifecycle_retrain" -> simIvfPqRetrainSql,
     // stateless per-vector assignment + additive appends: micro-batch
@@ -3165,6 +3183,7 @@ object SparkEntry {
     // candidate stage exactly (as sim_ivf_topk's does)
     "sim_hybrid_index_topk" -> simHybridIndexSql,
     "sim_hybrid_lifecycle_topk" -> simHybridLifecycleSql,
+    "sim_hybrid_retrain_topk" -> simHybridRetrainSql,
     // the batched fusion: one pass of each persisted arm for the whole
     // query batch; per-query stages are partitioned row_numbers
     "sim_hybrid_index_batch_topk" -> simHybridBatchSql,

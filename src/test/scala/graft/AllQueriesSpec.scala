@@ -73,6 +73,7 @@ class AllQueriesSpec extends AnyFunSuite {
     "sim_range_search",
     "sim_hybrid_index_topk",  // dense arm probes = the broadcast query slice
     "sim_hybrid_lifecycle_topk",  // same fusion over the maintained arms
+    "sim_hybrid_retrain_topk",  // same fusion over the retrained arms
     "sim_hybrid_index_batch_topk",  // same, for the batch's query slice
     "sim_matryoshka_topk", "sim_recall_report")
 

@@ -1093,6 +1093,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     CacheScope.releaseAll(spark)
   }
 
+  test("IVFPQ imbalance report watches the code postings' skew face (VERDICT r11 #2)") {
+    // coarse assignment ignores the codes, so the compressed artifact's
+    // per-list counts must be IDENTICAL to the uncompressed report —
+    // and the natural corpus reads balanced on both
+    val pq = Similarity.ivfPqIncImbalanceReport(spark, sf).head()
+    val ivf = Similarity.ivfIncImbalanceReport(spark, sf).head()
+    assert(pq == ivf,
+      s"code postings must carry the same assignment counts: $pq vs $ivf")
+    assert(!pq.getAs[Boolean]("retrain"),
+      s"the gate corpus's maintained IVFPQ index must read balanced: $pq")
+    CacheScope.releaseAll(spark)
+  }
+
   test("IVFPQ retrain lifecycle: the spiked batch trips codebook drift, the branch retrains, serving trains nothing") {
     // staging runs the composed path: snapshot build → codebook-drift
     // consult with the SHIFTED batch (the require inside asserts the
@@ -1218,6 +1231,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(fused.length == Similarity.HybridK)
     assert(Similarity.trainingBuilds.get() == trained,
       "fusing the maintained arms must run ZERO training jobs")
+    CacheScope.releaseAll(spark)
+  }
+
+  test("hybrid serving over the RETRAINED arms trains nothing and stays pruned (VERDICT r11 #1)") {
+    // the heavy-branch handoff: stage both heavy-maintenance artifacts
+    // (the IVF retrain and the BM25 re-stat — their training/rebuild
+    // passes happen HERE, the production nightly), then prove the
+    // fusion that consumes them is pure artifact consumption with the
+    // same pruning properties as every other hybrid gate
+    graft.operators.TextAnalysis.stagedBm25RestatIndex(spark, sf)
+    Similarity.stagedIvfRetrainIndex(spark, sf)
+    val trained = Similarity.trainingBuilds.get()
+    val df = Similarity.hybridRetrainTopK(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"dense arm must DPP-prune the retrained IVF postings:\n$plan")
+    val lexScan = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("graft_bm25restat"))
+      .mkString("\n")
+    assert(lexScan.nonEmpty, s"no re-stat BM25 postings scan found:\n$plan")
+    assert(java.util.regex.Pattern.compile(
+        "PartitionFilters: \\[bucket#\\d+L? IN \\(").matcher(lexScan).find(),
+      s"lexical arm must keep its static bucket partition filter:\n$lexScan")
+    assert(df.collect().length == Similarity.HybridK)
+    assert(Similarity.trainingBuilds.get() == trained,
+      "fusing the retrained arms must run ZERO training jobs at serve time")
     CacheScope.releaseAll(spark)
   }
 
