@@ -42,6 +42,13 @@ object Streams {
     * scope and not a global. */
   val StateSizedPartitions = 4
 
+  /** Named conf bounding how many query ids one serving micro-batch
+    * may carry ([[streamHybridServing]], VERDICT r11 #3): the fusion
+    * collects the batch's ids to build static pruning filters, which
+    * is only sound while the batch is genuinely bounded — this conf
+    * makes that contract enforceable instead of prose. */
+  val MaxBatchQueriesConf = "spark.graft.serving.maxBatchQueries"
+
   /** Runs `body` with the session's shuffle partitions pinned to `n` —
     * the single-key form of [[graft.GraftSession.withSqlConfs]].
     * Streaming queries capture the setting at `start()` (it is then
@@ -596,11 +603,25 @@ object Streams {
       s"$base/t1", s"$base/src/b_batch.json", t0)
     val in = s.readStream.schema("query_doc LONG")
       .option("maxFilesPerTrigger", 1).json(s"$base/src")
+    // the serving-batch boundedness contract, ENFORCED (VERDICT r11
+    // #3): "a batch of query ids is bounded" was prose — a
+    // misconfigured source landing 10^6 ids in one micro-batch would
+    // silently materialize them on the driver and build a 10^6-element
+    // isInCollection filter. The limit(cap+1) bounds what can ever
+    // reach the driver (never more than cap+1 rows regardless of batch
+    // width), and the require turns an over-cap batch into a loud,
+    // named-conf failure instead of a quiet scale-killer.
+    val cap = s.conf.get(MaxBatchQueriesConf, "1024").toInt
     val q = in.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
-      // a serving batch of query ids is bounded by contract (the same
-      // argument as every ANN gate's broadcast query slice); collect
-      // the IDS only — the fusion itself is one batched Spark plan
-      val qds = batch.select(col("query_doc")).as[Long].collect().toSeq.sorted
+      // collect the IDS only — the fusion itself is one batched Spark
+      // plan per micro-batch
+      val qds = batch.select(col("query_doc")).limit(cap + 1)
+        .as[Long].collect().toSeq.sorted
+      require(qds.size <= cap,
+        s"serving micro-batch $bid carries more than $cap query ids " +
+          s"($MaxBatchQueriesConf) — refusing to materialize an " +
+          "unbounded id set on the driver; shrink the source batches " +
+          "or raise the cap")
       if (qds.nonEmpty)
         graft.operators.Similarity.hybridIndexBatchTopKFor(s, dir, qds)
           // bid-keyed overwrite: a replay rewrites ITS OWN partition,

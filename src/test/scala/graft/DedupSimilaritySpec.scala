@@ -1220,6 +1220,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     CacheScope.releaseAll(spark)
   }
 
+  test("streaming hybrid serving refuses an over-cap micro-batch loudly (VERDICT r11 #3)") {
+    // with the cap below the first staged micro-batch's width (2), the
+    // stream must fail naming the conf — never silently materialize an
+    // unbounded id set on the driver
+    val e = intercept[Exception] {
+      graft.GraftSession.withSqlConfs(spark,
+          graft.streaming.Streams.MaxBatchQueriesConf -> "1") {
+        graft.streaming.Streams.streamHybridServing(spark, sf).collect()
+      }
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs.contains(graft.streaming.Streams.MaxBatchQueriesConf),
+      s"over-cap failure must name the conf:\n$msgs")
+    CacheScope.releaseAll(spark)
+  }
+
   test("hybrid serving over the MAINTAINED arms runs zero training jobs (VERDICT r10 #4)") {
     // force both lifecycle artifacts (each builds/maintains at most
     // once per corpus version), then prove the fusion itself is pure
