@@ -282,6 +282,7 @@ object SparkEntry {
     "text_lm_score" -> (TextAnalysis.lmScore _),
     "text_bpe_merges" -> (TextAnalysis.bpeMerges _),
     "text_bpe_apply" -> (TextAnalysis.bpeApply _),
+    "text_token_budget_bpe" -> (TextAnalysis.tokenBudgetBpe _),
     "sim_label_centroids" -> (Similarity.labelCentroids _),
     "stream_enrich" -> (graft.streaming.Streams.streamEnrichTransfer _),
     "stream_jdbc_sink" -> (graft.streaming.Streams.streamJdbcSink _),
@@ -1094,6 +1095,43 @@ object SparkEntry {
     * The doc↔vocab join uses RAW words where the Spark side joins md5
     * fingerprints — the standing collision tripwire. */
   private def textBpeApplySql: String = {
+    val parts = bpeApplyCtes()
+    s"""WITH ${parts.mkString(",\n")}
+      |SELECT doc_id, COUNT(*) AS n_words,
+      |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(id_sum) AS BIGINT) AS token_id_sum
+      |FROM docs JOIN wstat USING (word) GROUP BY doc_id""".stripMargin
+  }
+
+  /** BPE-denominated token-budget oracle (VERDICT r11 #4): the BPE
+    * encode chain's per-word stats roll up to per-doc REAL token
+    * counts, documents with no words budget as 0 via the LEFT JOIN,
+    * and the selection is the standard budget cumsum (floor-divided
+    * half-corpus budget, prio desc / doc_id order) over those counts
+    * — the two existing oracles' CTEs chained, nothing new trusted. */
+  private def textTokenBudgetBpeSql: String = {
+    val parts = bpeApplyCtes()
+    parts += """perdoc AS (SELECT doc_id,
+      |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+      | FROM docs JOIN wstat USING (word) GROUP BY doc_id)""".stripMargin
+    parts += """bd AS (SELECT dd.doc_id, dd.source,
+      |  COALESCE(p.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+      |  (CAST(substr(dd.source, 4) AS INT) % 4) + 1 AS prio
+      | FROM documents dd LEFT JOIN perdoc p ON p.doc_id = dd.doc_id)""".stripMargin
+    parts += "bb AS (SELECT CAST(SUM(n_tokens) AS BIGINT) // 2 AS budget FROM bd)"
+    parts += """bc AS (SELECT doc_id, source, n_tokens,
+      |  CAST(SUM(n_tokens) OVER (ORDER BY prio DESC, doc_id) AS BIGINT) AS cum_tokens
+      | FROM bd)""".stripMargin
+    s"""WITH ${parts.mkString(",\n")}
+      |SELECT doc_id, source, n_tokens, cum_tokens FROM bc
+      |WHERE cum_tokens <= (SELECT budget FROM bb)""".stripMargin
+  }
+
+  /** The shared BPE encode chain (merge ranking, the per-rule
+    * list_reduce folds, dense token ids, per-word stats, the doc↔word
+    * join base) — consumed by [[textBpeApplySql]] and
+    * [[textTokenBudgetBpeSql]]. */
+  private def bpeApplyCtes(): scala.collection.mutable.ArrayBuffer[String] = {
     val sep = "chr(31)"
     val parts = scala.collection.mutable.ArrayBuffer(
       s"""m AS (SELECT pair,
@@ -1129,11 +1167,7 @@ object SparkEntry {
       | FROM ws JOIN tokid USING (token) GROUP BY word)""".stripMargin
     parts += """docs AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
       | FROM documents)""".stripMargin
-    s"""WITH ${parts.mkString(",\n")}
-      |SELECT doc_id, COUNT(*) AS n_words,
-      |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
-      |  CAST(SUM(id_sum) AS BIGINT) AS token_id_sum
-      |FROM docs JOIN wstat USING (word) GROUP BY doc_id""".stripMargin
+    parts
   }
 
   /** Frozen-stats drift oracle: per frozen query term (top-df over the
@@ -3098,6 +3132,7 @@ object SparkEntry {
         |SELECT pair, CAST(SUM(wc) AS BIGINT) AS n FROM p GROUP BY pair
         |ORDER BY n DESC, pair LIMIT ${TextAnalysis.BpeTopMerges}""".stripMargin,
     "text_bpe_apply" -> textBpeApplySql,
+    "text_token_budget_bpe" -> textTokenBudgetBpeSql,
     // raw words in the oracle (the Spark side joins md5 fps — collision tripwire)
     "text_rarity" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

@@ -721,10 +721,36 @@ object TextAnalysis {
     * long arithmetic end-to-end, so the result is independent of where
     * the range boundaries land — the DuckDB oracle is the plain
     * single-window cumsum and the outputs hash-match. */
-  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documentsParallel(s, dir)
+  def tokenBudget(s: SparkSession, dir: String): DataFrame =
+    tokenBudgetOver(s, Tables.documentsParallel(s, dir)
       .select(col("doc_id"), col("source"),
-        size(words(col("text"))).cast("long").as("n_tokens"))
+        size(words(col("text"))).cast("long").as("n_tokens")))
+
+  /** Token-budget selection denominated in REAL tokenizer tokens
+    * (VERDICT r11 #4): [[tokenBudget]] budgets whitespace words, but
+    * the number an actual training-data order is written in is BPE
+    * tokens — the same documents fill a "50B-token" budget very
+    * differently once tokenized. Per-doc counts come from
+    * [[bpeApply]]'s learned-merge encode (train + encode amortized per
+    * corpus version via the rules memo); docs that produce no tokens
+    * (no words) budget as 0 via the left join, exactly as the oracle's
+    * LEFT JOIN does. Everything downstream — the scalable
+    * range-partitioned prefix sum, the floor-divided half-corpus
+    * budget — is the shared [[tokenBudgetOver]] machinery, so the two
+    * gates differ ONLY in the token denomination, which is the claim. */
+  def tokenBudgetBpe(s: SparkSession, dir: String): DataFrame = {
+    val counts = bpeApply(s, dir).select(col("doc_id"), col("n_tokens"))
+    tokenBudgetOver(s, Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens")))
+  }
+
+  /** The budget machinery over any (doc_id, source, n_tokens) frame —
+    * shared by the whitespace and BPE denominations. */
+  private def tokenBudgetOver(s: SparkSession, d0: DataFrame): DataFrame = {
+    val d = d0
       .withColumn("prio",
         (substring(col("source"), 4, 10).cast("int") % 4 + 1).cast("long"))
     val totalTokens = d.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
