@@ -194,6 +194,7 @@ object SparkEntry {
     "sim_ivf_lifecycle_topk" -> (Similarity.ivfLifecycleTopK _),
     "sim_ivf_index_imbalance" -> (Similarity.ivfIncImbalanceReport _),
     "sim_ivf_pq_index_imbalance" -> (Similarity.ivfPqIncImbalanceReport _),
+    "sim_maintenance_plan" -> (Similarity.maintenancePlan _),
     "sim_ivf_lifecycle_retrain" -> (Similarity.ivfRetrainTopK _),
     "sim_ivf_pq_lifecycle_retrain" -> (Similarity.ivfPqRetrainTopK _),
     "sim_ivf_pq_index_compact" -> (Similarity.ivfPqCompactTopK _),
@@ -1475,6 +1476,44 @@ object SparkEntry {
       |  CAST(COUNT(*) AS BIGINT) AS n_lists,
       |  MAX(c) * COUNT(*) > ${Similarity.IvfImbalanceBar} * SUM(c) AS retrain
       |FROM (SELECT cent_id, COUNT(*) AS c FROM assigned GROUP BY 1) t""".stripMargin
+  }
+
+  /** Maintenance-planner oracle (VERDICT r11 #7): the nightly decision
+    * table replicated consult by consult — each `fired` scalar embeds
+    * the consult's OWN oracle chain verbatim as a derived-table
+    * subquery (CTE scopes are per-subquery, so the Lloyd chains cannot
+    * collide), the skewed artifact's consults run over the drifted
+    * relation via the standard rewrite, and the escalation rule (any
+    * fired consult → the family's heavy verb, else append) is one
+    * BOOL_OR per artifact. The ivfpq rows reuse the uncompressed
+    * chains where the recomputation is the identical expression (same
+    * frozen quantizer, same corpus — the `sim_ivf_pq_index_imbalance`
+    * precedent). */
+  private def simMaintenancePlanSql: String = {
+    def one(sql: String) = s"(SELECT retrain FROM (\n$sql\n) z)"
+    val bm25Fired =
+      s"(SELECT COUNT(*) FILTER (WHERE retrain) > 0 FROM (\n$textBm25DriftSql\n) z)"
+    val ivfDrift = one(simIvfIncDriftSql)
+    val ivfImb = one(simIvfImbalanceSql)
+    val skewDrift = one(overDriftedEmbeddings(simIvfIncDriftSql))
+    val skewImb = one(overDriftedEmbeddings(simIvfImbalanceSql))
+    val pqBook = one(simIvfPqIncDriftSql)
+    def row(artifact: String, heavy: String, consult: String, fired: String) =
+      s"SELECT '$artifact' AS artifact, '$heavy' AS heavy, " +
+        s"'$consult' AS consult, $fired AS fired"
+    s"""WITH c AS (
+      |${row("bm25_main", "restat", "df_staleness", bm25Fired)}
+      |UNION ALL ${row("ivf_main", "retrain", "coarse_drift", ivfDrift)}
+      |UNION ALL ${row("ivf_main", "retrain", "list_imbalance", ivfImb)}
+      |UNION ALL ${row("ivf_skewed", "retrain", "coarse_drift", skewDrift)}
+      |UNION ALL ${row("ivf_skewed", "retrain", "list_imbalance", skewImb)}
+      |UNION ALL ${row("ivfpq_main", "retrain", "coarse_drift", ivfDrift)}
+      |UNION ALL ${row("ivfpq_main", "retrain", "codebook_drift", pqBook)}
+      |UNION ALL ${row("ivfpq_main", "retrain", "list_imbalance", ivfImb)}),
+      |esc AS (SELECT artifact, BOOL_OR(fired) AS anyf FROM c GROUP BY artifact)
+      |SELECT c.artifact, c.consult, c.fired,
+      |  CASE WHEN e.anyf THEN c.heavy ELSE 'append' END AS verb
+      |FROM c JOIN esc e ON e.artifact = c.artifact""".stripMargin
   }
 
   private def simIvfTopkSqlFrom(trainPred: Option[String => String]): String = {
@@ -3181,6 +3220,7 @@ object SparkEntry {
     // so the per-list counts — and the oracle — are identical; the gate
     // is distinct because it consults the COMPRESSED artifact
     "sim_ivf_pq_index_imbalance" -> simIvfImbalanceSql,
+    "sim_maintenance_plan" -> simMaintenancePlanSql,
     "sim_ivf_lifecycle_retrain" -> simIvfRetrainSql,
     "sim_ivf_pq_lifecycle_retrain" -> simIvfPqRetrainSql,
     // stateless per-vector assignment + additive appends: micro-batch

@@ -912,6 +912,79 @@ object Similarity {
   def ivfRetrainTopK(s: SparkSession, dir: String): DataFrame =
     ivfServeFrom(s, stagedIvfRetrainIndex(s, dir), queries(s, dir))
 
+  /** The skewed PRE-retrain state as its own maintained artifact —
+    * snapshot index + tonight's spiked batch appended under the frozen
+    * quantizer, retrain NOT yet taken (the state a nightly planner
+    * inspects; [[stagedIvfRetrainIndex]] can't be shared because it
+    * overwrites this state in place when it retrains). */
+  private[graft] def stagedIvfSkewedIndex(s: SparkSession, dir: String): String = {
+    val vkey = Tables.versionedKey(s, dir, "embeddings")
+    Tables.stagedArtifact("ivfskew", dir, vkey) { base =>
+      buildIvfIncSnapshot(s, dir, base)
+      appendIvfIncVectors(s, base,
+        driftedEmbeddings(s, dir).filter(expr(IvfIncBatchPred))
+          .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb")))
+      base
+    }
+  }
+
+  /** The NIGHTLY MAINTENANCE PLANNER (VERDICT r11 #7) — the
+    * reference's scheduler idea applied to index maintenance: every
+    * maintained artifact now has its consult verbs (drift, imbalance,
+    * staleness) and its maintenance verbs (append, compact, restat,
+    * retrain) gated separately; this operator is the DECISION TABLE a
+    * nightly job would execute — one row per (artifact, consult) with
+    * the fired verdict and the artifact-level chosen verb (any fired
+    * consult escalates to the family's heavy verb — retrain for the
+    * vector indexes, restat for the lexical one — else the nightly
+    * default, append). Four artifacts make the table non-trivial on
+    * the gate corpus: the three maintained mains all read healthy
+    * (every consult false → append) while the skewed pre-retrain
+    * artifact shows the TRIGGERS DISAGREEING — its coarse-drift
+    * consult over tonight's actual spiked arrivals stays under the
+    * bar (a fixed direction is in-distribution to cosine drift) while
+    * its imbalance consult fires, and the imbalance alone must
+    * escalate the verb. Each consult is the SAME report the
+    * per-family gates serve (1-row/≤terms-row bounded collects of
+    * artifact-derived aggregates — zero training jobs), and the
+    * oracle replicates every consult chain and the escalation rule,
+    * so the whole decision table is hash-exact, not policy-trusted. */
+  def maintenancePlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ivfBase = stagedIvfIncIndex(s, dir)
+    val pqBase = stagedIvfPqIncIndex(s, dir)
+    val lexBase = TextAnalysis.stagedBm25IncIndex(s, dir)
+    val skewBase = stagedIvfSkewedIndex(s, dir)
+    val skewCorpus = driftedEmbeddings(s, dir).filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    def fired(df: DataFrame): Boolean = df.head().getAs[Boolean]("retrain")
+    // (artifact, heavy verb, consult, fired) — each consult is a
+    // bounded artifact-derived report, collected 1 row at a time
+    val consults: Seq[(String, String, String, Boolean)] = Seq(
+      ("bm25_main", "restat", "df_staleness",
+        TextAnalysis.bm25DriftFrom(s, lexBase).collect()
+          .exists(_.getAs[Boolean]("retrain"))),
+      ("ivf_main", "retrain", "coarse_drift",
+        fired(ivfIncDriftReportFrom(s, dir, ivfBase))),
+      ("ivf_main", "retrain", "list_imbalance",
+        fired(ivfImbalanceFrom(s, ivfBase))),
+      ("ivf_skewed", "retrain", "coarse_drift",
+        fired(ivfIncDriftReportFrom(s, dir, skewBase, Some(skewCorpus)))),
+      ("ivf_skewed", "retrain", "list_imbalance",
+        fired(ivfImbalanceFrom(s, skewBase))),
+      ("ivfpq_main", "retrain", "coarse_drift",
+        fired(ivfIncDriftReportFrom(s, dir, pqBase))),
+      ("ivfpq_main", "retrain", "codebook_drift",
+        fired(ivfPqIncDriftReportFrom(s, dir, pqBase))),
+      ("ivfpq_main", "retrain", "list_imbalance",
+        fired(ivfImbalanceFrom(s, pqBase, PqPostingsSchema))))
+    val escalate = consults.groupBy(_._1).view
+      .mapValues(_.exists(_._4)).toMap
+    consults.map { case (artifact, heavy, consult, f) =>
+      (artifact, consult, f, if (escalate(artifact)) heavy else "append")
+    }.toDF("artifact", "consult", "fired", "verb")
+  }
+
   /** Spec hook: serve the gate query slice from an arbitrary index
     * base (before/after-compaction bit-equality checks). */
   private[graft] def ivfServeForSpec(s: SparkSession, base: String,
@@ -948,7 +1021,11 @@ object Similarity {
     * lifecycle gate consults it mid-maintenance (artifact centroids
     * only, zero training state). */
   private[graft] def ivfIncDriftReportFrom(s: SparkSession, dir: String,
-      base: String): DataFrame = {
+      base: String,
+      // the consult corpus in (cand_id, c_emb) shape — the planner's
+      // skewed-artifact consult passes tonight's ACTUAL (drifted)
+      // arrivals; defaults to the raw table
+      corpusOpt: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val cents = readCentroids(s, s"$base/centroids")
     val best = array_max(transform(typedLit(cents), c =>
@@ -956,9 +1033,10 @@ object Similarity {
     def meanQ(df: DataFrame): DataFrame =
       df.select(floor(best * lit(1e7) + lit(0.5)).cast("long").as("q"))
         .agg((sum(col("q")).cast("double") / lit(1e7) / count(lit(1))).as("m"))
-    val snap = meanQ(corpus(s, dir).filter(!expr(IvfIncBatchPred)))
+    val all = corpusOpt.getOrElse(corpus(s, dir))
+    val snap = meanQ(all.filter(!expr(IvfIncBatchPred)))
       .select(col("m").as("snap_mean"))
-    val batch = meanQ(corpus(s, dir).filter(expr(IvfIncBatchPred)))
+    val batch = meanQ(all.filter(expr(IvfIncBatchPred)))
       .select(col("m").as("batch_mean"))
     snap.crossJoin(batch)
       .select(col("snap_mean"), col("batch_mean"),
