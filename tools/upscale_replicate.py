@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Replicated upscale of driver testdata for the sf~1 SCALING probe
+(VERDICT r11 #5): the driver generates sf0.001/0.01/0.1 only, so the
+fourth scaling point is built by REPLICATING sf0.1 10x with key
+offsets — the same mechanism TPC-H itself scales by (disjoint key
+ranges, unchanged value distributions, fixed dims). This is a
+MEASUREMENT harness, not test data: correctness gates never read it,
+and the artifact that consumes it (SCALING_r12_sf1.json) discloses the
+construction.
+
+Honesty notes, disclosed in the artifact:
+ - replicas are EXACT copies under offset keys, so dedup/near-dup
+   candidate stages see a 10x duplication stress — a PESSIMISTIC bound
+   for that family (denser candidate buckets than organic 10x data);
+ - embeddings replicate with vec_id offsets (multiples of 10 preserve
+   the nightly-batch residues; the vec_id<10 query slice stays 10
+   queries — replicas land in the corpus side);
+ - nation/region stay fixed (dims), timestamps are cast to
+   TIMESTAMPTZ so parquet carries isAdjustedToUTC=true like the
+   driver's MICROS-UTC vintage.
+
+Usage: upscale_replicate.py <src_sf_dir> <dst_dir> [copies=10]
+"""
+import math
+import os
+import sys
+
+import duckdb
+
+
+def off(con, expr_max):
+    m = con.sql(f"SELECT {expr_max}").fetchone()[0]
+    return 10 ** int(math.ceil(math.log10(int(m) + 2)))
+
+
+def main():
+    src, dst = sys.argv[1], sys.argv[2]
+    copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.sql("SET timezone='UTC'")
+    for t in ["lineitem", "orders", "customer", "supplier", "part",
+              "nation", "region", "documents", "embeddings", "events"]:
+        con.sql(f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM '{src}/{t}.parquet'")
+    o_off = off(con, "GREATEST((SELECT MAX(l_orderkey) FROM lineitem),"
+                     "(SELECT MAX(o_orderkey) FROM orders))")
+    p_off = off(con, "GREATEST((SELECT MAX(l_partkey) FROM lineitem),"
+                     "(SELECT MAX(p_partkey) FROM part))")
+    s_off = off(con, "GREATEST((SELECT MAX(l_suppkey) FROM lineitem),"
+                     "(SELECT MAX(s_suppkey) FROM supplier))")
+    c_off = off(con, "GREATEST((SELECT MAX(o_custkey) FROM orders),"
+                     "(SELECT MAX(c_custkey) FROM customer))")
+    d_off = off(con, "(SELECT MAX(doc_id) FROM documents)")
+    v_off = off(con, "(SELECT MAX(vec_id) FROM embeddings)")
+    e_off = off(con, "(SELECT MAX(event_id) FROM events)")
+    u_off = off(con, "(SELECT MAX(user_id) FROM events)")
+    reps = f"(SELECT UNNEST(range({copies})) AS k)"
+
+    def emit(table, select):
+        con.sql(f"COPY ({select}) TO '{dst}/{table}.parquet' "
+                "(FORMAT PARQUET)")
+        n = con.sql(
+            f"SELECT COUNT(*) FROM '{dst}/{table}.parquet'").fetchone()[0]
+        print(f"{table}: {n}")
+
+    emit("lineitem", f"""SELECT l_orderkey + k*{o_off} AS l_orderkey,
+        l_partkey + k*{p_off} AS l_partkey,
+        l_suppkey + k*{s_off} AS l_suppkey,
+        l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+        l_returnflag, l_linestatus,
+        CAST(l_shipdate AS TIMESTAMPTZ) AS l_shipdate
+        FROM lineitem, {reps}""")
+    emit("orders", f"""SELECT o_orderkey + k*{o_off} AS o_orderkey,
+        o_custkey + k*{c_off} AS o_custkey, o_orderstatus, o_totalprice,
+        CAST(o_orderdate AS TIMESTAMPTZ) AS o_orderdate, o_orderpriority
+        FROM orders, {reps}""")
+    emit("customer", f"""SELECT c_custkey + k*{c_off} AS c_custkey,
+        c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM customer, {reps}""")
+    emit("supplier", f"""SELECT s_suppkey + k*{s_off} AS s_suppkey,
+        s_name, s_nationkey, s_acctbal FROM supplier, {reps}""")
+    emit("part", f"""SELECT p_partkey + k*{p_off} AS p_partkey, p_name,
+        p_brand, p_type, p_size, p_retailprice FROM part, {reps}""")
+    emit("nation", "SELECT * FROM nation")
+    emit("region", "SELECT * FROM region")
+    emit("documents", f"""SELECT doc_id + k*{d_off} AS doc_id, text,
+        lang, source, n_chars FROM documents, {reps}""")
+    emit("embeddings", f"""SELECT vec_id + k*{v_off} AS vec_id,
+        embedding, label FROM embeddings, {reps}""")
+    emit("events", f"""SELECT event_id + k*{e_off} AS event_id,
+        CAST(ts AS TIMESTAMPTZ) AS ts, user_id + k*{u_off} AS user_id,
+        event_type, value, props FROM events, {reps}""")
+
+
+if __name__ == "__main__":
+    main()
