@@ -5,16 +5,23 @@ fourth scaling point is built by REPLICATING sf0.1 10x with key
 offsets — the same mechanism TPC-H itself scales by (disjoint key
 ranges, unchanged value distributions, fixed dims). This is a
 MEASUREMENT harness, not test data: correctness gates never read it,
-and the artifact that consumes it (SCALING_r12_sf1.json) discloses the
+and the artifact that consumes it (SCALING_r13_sf1.json) discloses the
 construction.
 
 Honesty notes, disclosed in the artifact:
  - replicas are EXACT copies under offset keys, so dedup/near-dup
    candidate stages see a 10x duplication stress — a PESSIMISTIC bound
    for that family (denser candidate buckets than organic 10x data);
- - embeddings replicate with vec_id offsets (multiples of 10 preserve
-   the nightly-batch residues; the vec_id<10 query slice stays 10
-   queries — replicas land in the corpus side);
+ - documents/embeddings offsets are the table CARDINALITY rounded up
+   to a multiple of 10: the id space stays DENSE (the stride-sample
+   seed/codebook policies assume dense 0..n-1 ids — a power-of-10
+   offset left lattice gaps and the codebook's collision guard
+   correctly refused to serve, which is how this constraint was
+   found) while multiples of 10 preserve the nightly-batch residues;
+   the vec_id<10 query slice stays 10 queries — replicas land in the
+   corpus side;
+ - TPC-H keys keep power-of-10 offsets (join keys only — no policy
+   reads their residues or density);
  - nation/region stay fixed (dims), timestamps are cast to
    TIMESTAMPTZ so parquet carries isAdjustedToUTC=true like the
    driver's MICROS-UTC vintage.
@@ -51,8 +58,15 @@ def main():
                      "(SELECT MAX(s_suppkey) FROM supplier))")
     c_off = off(con, "GREATEST((SELECT MAX(o_custkey) FROM orders),"
                      "(SELECT MAX(c_custkey) FROM customer))")
-    d_off = off(con, "(SELECT MAX(doc_id) FROM documents)")
-    v_off = off(con, "(SELECT MAX(vec_id) FROM embeddings)")
+    # dense-id offsets for the policy-bearing tables (see header)
+    def dense10(table):
+        n = con.sql(f"SELECT COUNT(*) FROM {table}").fetchone()[0]
+        m = con.sql(f"SELECT MAX({'doc_id' if table == 'documents' else 'vec_id'}) FROM {table}").fetchone()[0]
+        assert m + 1 == n, f"{table} ids are not dense 0..n-1 (n={n}, max={m})"
+        return (n + 9) // 10 * 10
+
+    d_off = dense10("documents")
+    v_off = dense10("embeddings")
     e_off = off(con, "(SELECT MAX(event_id) FROM events)")
     u_off = off(con, "(SELECT MAX(user_id) FROM events)")
     reps = f"(SELECT UNNEST(range({copies})) AS k)"
