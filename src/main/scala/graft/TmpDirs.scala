@@ -19,15 +19,17 @@ object TmpDirs {
   private val gen = new java.util.concurrent.atomic.AtomicLong
   private val dirs =
     new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]
-  // register/unregister/sweep share ONE monitor (ADVICE r11 #2): an
-  // unregister that only scanned the queue could return while a
-  // concurrent sweep, already past its dg < g check, still held the
-  // path locally and rm'd the directory a flip-back rebuild was
-  // writing into. Per-cell staged locking allows concurrent builds, so
-  // the dequeue-then-delete must be atomic against cancellation; the
-  // critical section is bounded (≤ 2 generations of per-call tmp
-  // dirs), so holding the monitor through the rm is cheap.
+  // register/unregister/sweep share ONE monitor (ADVICE r11 #2), but
+  // the monitor no longer spans the filesystem deletes (ADVICE r12
+  // #4): sweep DEQUEUES the doomed entries and records them in
+  // `inFlight` under the lock, then rm's outside it — register and
+  // unregister of unrelated paths never block on a slow delete. The
+  // r11 #2 flip-back race (unregister returns while a sweep is still
+  // rm'ing that very path, and the rebuild writes into a directory
+  // being deleted) stays closed by the in-flight set: unregister WAITS
+  // until its specific path has no delete in flight before returning.
   private val lock = new Object
+  private val inFlight = scala.collection.mutable.Set.empty[String]
 
   /** Mark a per-call directory for deferred deletion. */
   def register(path: String): Unit =
@@ -43,6 +45,10 @@ object TmpDirs {
   def unregister(path: String): Unit = lock.synchronized {
     val it = dirs.iterator()
     while (it.hasNext) if (it.next()._2 == path) it.remove()
+    // a sweep may have already dequeued this path and be rm'ing it
+    // right now — returning early would let the rebuild write into a
+    // directory being deleted (the ADVICE r11 #2 race)
+    while (inFlight.contains(path)) lock.wait()
   }
 
   private def rm(f: java.io.File): Unit = {
@@ -51,16 +57,26 @@ object TmpDirs {
   }
 
   /** Boundary sweep: delete everything registered before the previous
-    * sweep, then open a new generation. Idempotent on missing paths. */
-  private[graft] def sweep(): Unit = lock.synchronized {
-    val g = gen.getAndIncrement()
-    val it = dirs.iterator()
-    while (it.hasNext) {
-      val (dg, p) = it.next()
-      if (dg < g) {
-        it.remove()
-        try rm(new java.io.File(p)) catch { case _: Throwable => () }
+    * sweep, then open a new generation. Idempotent on missing paths.
+    * Drain-then-delete: the deletable entries dequeue into the
+    * in-flight set atomically under the monitor, the rm's run outside
+    * it, and completion notifies any unregister waiting on a specific
+    * path. */
+  private[graft] def sweep(): Unit = {
+    val doomed = lock.synchronized {
+      val g = gen.getAndIncrement()
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = dirs.iterator()
+      while (it.hasNext) {
+        val (dg, p) = it.next()
+        if (dg < g) { it.remove(); out += p }
       }
+      inFlight ++= out
+      out
+    }
+    doomed.foreach { p =>
+      try rm(new java.io.File(p)) catch { case _: Throwable => () }
+      lock.synchronized { inFlight -= p; lock.notifyAll() }
     }
   }
 }
