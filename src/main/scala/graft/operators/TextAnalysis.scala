@@ -303,16 +303,44 @@ object TextAnalysis {
     * with the corpus. Bin arithmetic is exact integers → exact oracle
     * (the oracle partitions its window identically). */
   val PackShards = 8
-  def pack(s: SparkSession, dir: String): DataFrame = {
+  def pack(s: SparkSession, dir: String): DataFrame =
+    packOver(Tables.documentsParallel(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")))
+
+  /** Sequence packing denominated in REAL BPE tokens (VERDICT r12 #6)
+    * — the other whitespace-denominated batch-shaping op re-based on
+    * the tokenizer the training run actually uses: a "4096-token
+    * context window" is 4096 BPE tokens, and the same documents fill
+    * bins very differently under the learned merges. Per-doc counts
+    * are a derivation-only read of the staged [[bpeCounts]] artifact
+    * (shared with [[tokenBudgetBpe]] — one corpus encode feeds both
+    * consumers); docs whose words all vanish under the tokenizer
+    * (none on this corpus, but the contract matters) pack as 0-token
+    * members via the left join, exactly as the oracle's LEFT JOIN
+    * does. Everything downstream is the shared sharded-cumsum
+    * machinery of [[pack]] — the two gates differ ONLY in token
+    * denomination. */
+  def packBpe(s: SparkSession, dir: String): DataFrame =
+    packOver(Tables.documentsParallel(s, dir).select(col("doc_id"))
+      .join(bpeCounts(s, dir).select(col("doc_id"), col("n_tokens")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens")))
+
+  /** The packing machinery over any (doc_id, n_tokens) frame — shared
+    * by the whitespace and BPE denominations (see [[pack]]'s scaladoc
+    * for the sharded-window scale story). */
+  private def packOver(d0: DataFrame): DataFrame = {
     val budget = 4096L
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val d = Tables.documentsParallel(s, dir)
+    val d = d0
       .select(col("doc_id"),
         (pmod(col("doc_id") * 2654435761L + 104729L, lit(9973L)) % PackShards)
           .cast("long").as("shard"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        col("n_tokens"))
     d.withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("pack_id", (col("tokens_before") / budget).cast("long"))
       .groupBy(col("shard"), col("pack_id"))
@@ -730,17 +758,18 @@ object TextAnalysis {
     * (VERDICT r11 #4): [[tokenBudget]] budgets whitespace words, but
     * the number an actual training-data order is written in is BPE
     * tokens — the same documents fill a "50B-token" budget very
-    * differently once tokenized. Per-doc counts come from
-    * [[bpeApply]]'s learned-merge encode (train + encode amortized per
-    * corpus version via the rules memo); docs that produce no tokens
+    * differently once tokenized. Per-doc counts are a DERIVATION-ONLY
+    * read of the staged [[bpeCounts]] artifact (VERDICT r12 #5: train
+    * + encode run once per corpus version and feed every consumer —
+    * this gate and [[packBpe]]); docs that produce no tokens
     * (no words) budget as 0 via the left join, exactly as the oracle's
     * LEFT JOIN does. Everything downstream — the scalable
     * range-partitioned prefix sum, the floor-divided half-corpus
     * budget — is the shared [[tokenBudgetOver]] machinery, so the two
     * gates differ ONLY in the token denomination, which is the claim. */
   def tokenBudgetBpe(s: SparkSession, dir: String): DataFrame = {
-    val counts = bpeApply(s, dir).select(col("doc_id"), col("n_tokens"))
-    tokenBudgetOver(s, Tables.documents(s, dir)
+    val counts = bpeCounts(s, dir)
+    tokenBudgetOver(s, Tables.documentsParallel(s, dir)
       .select(col("doc_id"), col("source"))
       .join(counts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
@@ -964,6 +993,37 @@ object TextAnalysis {
         sum(col("n_toks")).as("n_tokens"),
         sum(col("id_sum")).as("token_id_sum"))
   }
+
+  /** Odometer for full-corpus BPE ENCODE passes (the staged-counts
+    * build), spec-counted like [[graft.operators.Similarity
+    * .trainingBuilds]]: the budget/pack consumers must share ONE
+    * staged encode, not re-run the corpus pass each. */
+  private[graft] val bpeEncodePasses =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Per-doc BPE token counts as a STAGED corpus-lineage artifact
+    * (VERDICT r12 #5): the encode is a full corpus pass whose output
+    * feeds ≥2 downstream consumers ([[tokenBudgetBpe]],
+    * [[packBpe]]) — the kNN-edges/centroids/postings contract applied
+    * to tokenizer output, so the warm path of every consumer is a
+    * derivation-only parquet read and the encode runs once per corpus
+    * version. */
+  private[graft] def stagedBpeCounts(s: SparkSession, dir: String): String = {
+    val vkey = Tables.versionedKey(s, dir, "documents")
+    Tables.stagedArtifact("bpecounts", dir, vkey) { base =>
+      bpeEncodePasses.incrementAndGet()
+      bpeApply(s, dir)
+        .write.mode("overwrite").parquet(s"$base/counts")
+      base
+    }
+  }
+
+  /** The staged per-doc count frame (docs with ≥1 word only — the
+    * consumers' left joins supply the 0 rows, mirroring the oracle). */
+  private[graft] def bpeCounts(s: SparkSession, dir: String): DataFrame =
+    s.read.schema(
+        "doc_id BIGINT, n_words BIGINT, n_tokens BIGINT, token_id_sum BIGINT")
+      .parquet(s"${stagedBpeCounts(s, dir)}/counts")
 
   /** Memoized merge table per corpus version (bounded ≤
     * [[BpeTopMerges]] rows; the rules are consumed by every encode

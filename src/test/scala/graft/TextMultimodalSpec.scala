@@ -786,4 +786,25 @@ class TextMultimodalSpec extends AnyFunSuite {
       "re-stat serving must equal the one-shot full-corpus build")
     CacheScope.releaseAll(spark)
   }
+
+  test("BPE counts stage once across the budget and pack consumers (VERDICT r12 #5)") {
+    // the one staged corpus encode (memo-warm or not — what matters is
+    // the consumers below add NOTHING)
+    TextAnalysis.stagedBpeCounts(spark, sf)
+    val passes = TextAnalysis.bpeEncodePasses.get()
+    val budget = TextAnalysis.tokenBudgetBpe(spark, sf).collect()
+    val packed = TextAnalysis.packBpe(spark, sf).collect()
+    assert(budget.nonEmpty && packed.nonEmpty)
+    assert(TextAnalysis.bpeEncodePasses.get() == passes,
+      "budget + pack must consume the staged counts — zero further corpus encodes")
+    // the two consumers read the same denomination: every token the
+    // corpus encodes to is packed into some bin
+    val packTotal = packed.map(_.getAs[Long]("n_tokens")).sum
+    val countTotal = TextAnalysis.bpeCounts(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens"))
+      .head().getLong(0)
+    assert(packTotal == countTotal,
+      s"packed tokens $packTotal != encoded tokens $countTotal")
+    CacheScope.releaseAll(spark)
+  }
 }
