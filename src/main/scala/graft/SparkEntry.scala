@@ -64,6 +64,11 @@ object SparkEntry {
     "etl_config_json" -> (Etl.configJsonTransfer _),
     "etl_config_scheduled" -> (Etl.configScheduledTransfer _),
     "etl_config_timewindow" -> (Etl.configTimeWindowTransfer _),
+    // the declarative maintenance document: serialize → parse → plan,
+    // so the config path equals the hand-built planner BY the gate
+    "etl_maintenance_config" -> ((s: SparkSession, dir: String) =>
+      graft.plans.ConfigJson.maintenancePlan(s, dir,
+        graft.plans.ConfigJson.maintenanceJson(Similarity.DefaultMaintDoc))),
     // query engine
     "q1_agg" -> (Analytics.q1Agg _),
     "q3_join" -> (Analytics.q3Join _),
@@ -195,6 +200,7 @@ object SparkEntry {
     "sim_ivf_index_imbalance" -> (Similarity.ivfIncImbalanceReport _),
     "sim_ivf_pq_index_imbalance" -> (Similarity.ivfPqIncImbalanceReport _),
     "sim_maintenance_plan" -> (Similarity.maintenancePlan _),
+    "sim_maintenance_apply" -> (Similarity.maintenanceApply _),
     "sim_ivf_lifecycle_retrain" -> (Similarity.ivfRetrainTopK _),
     "sim_ivf_pq_lifecycle_retrain" -> (Similarity.ivfPqRetrainTopK _),
     "sim_ivf_pq_index_compact" -> (Similarity.ivfPqCompactTopK _),
@@ -284,6 +290,7 @@ object SparkEntry {
     "text_bpe_merges" -> (TextAnalysis.bpeMerges _),
     "text_bpe_apply" -> (TextAnalysis.bpeApply _),
     "text_token_budget_bpe" -> (TextAnalysis.tokenBudgetBpe _),
+    "text_pack_bpe" -> (TextAnalysis.packBpe _),
     "sim_label_centroids" -> (Similarity.labelCentroids _),
     "stream_enrich" -> (graft.streaming.Streams.streamEnrichTransfer _),
     "stream_jdbc_sink" -> (graft.streaming.Streams.streamJdbcSink _),
@@ -1128,6 +1135,30 @@ object SparkEntry {
       |WHERE cum_tokens <= (SELECT budget FROM bb)""".stripMargin
   }
 
+  /** BPE-denominated packing oracle (VERDICT r12 #6): the BPE chain's
+    * per-doc counts (0 via LEFT JOIN for wordless docs) feed the
+    * text_pack cumsum verbatim — shard hash, per-shard preceding-rows
+    * window, 4096-token bins. */
+  private def textPackBpeSql: String = {
+    val parts = bpeApplyCtes()
+    parts += """perdoc AS (SELECT doc_id,
+      |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+      | FROM docs JOIN wstat USING (word) GROUP BY doc_id)""".stripMargin
+    parts += s"""pd AS (SELECT dd.doc_id,
+      |  CAST((dd.doc_id * 2654435761 + 104729) % 9973 % ${TextAnalysis.PackShards} AS BIGINT) AS shard,
+      |  COALESCE(p.n_tokens, CAST(0 AS BIGINT)) AS n_tokens
+      | FROM documents dd LEFT JOIN perdoc p ON p.doc_id = dd.doc_id)""".stripMargin
+    parts += """pc AS (SELECT doc_id, shard, n_tokens,
+      |  COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb
+      | FROM pd)""".stripMargin
+    s"""WITH ${parts.mkString(",\n")}
+      |SELECT shard, CAST(tb // 4096 AS BIGINT) AS pack_id, COUNT(*) AS n_docs,
+      | CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM pc GROUP BY 1, 2""".stripMargin
+  }
+
   /** The shared BPE encode chain (merge ranking, the per-rule
     * list_reduce folds, dense token ids, per-word stats, the doc↔word
     * join base) — consumed by [[textBpeApplySql]] and
@@ -1388,10 +1419,18 @@ object SparkEntry {
     * cosine via MAX over the centroid set, 1e-7 fixed-point means
     * (floor-quantized BIGINT sums are exact and order-independent in
     * both engines), and the bar comparison itself. */
-  private def simIvfIncDriftSql: String = {
-    val batch = Similarity.IvfIncBatchPred
-    val (parts, cc, fc) = lloydCtes(Some(a =>
-      s"NOT (${batch.replace("vec_id", a + "vec_id")})"))
+  private def simIvfIncDriftSql: String =
+    simIvfIncDriftSqlFrom(Some(a =>
+      s"NOT (${Similarity.IvfIncBatchPred.replace("vec_id", a + "vec_id")})"))
+
+  /** The drift-report oracle against an arbitrary QUANTIZER contract:
+    * `trainPred` Some(frozen) replicates the incremental artifact
+    * (train without the batch), None the retrained one (train on the
+    * full relation) — the executor's post-retrain re-consults need the
+    * latter. */
+  private def simIvfIncDriftSqlFrom(
+      trainPred: Option[String => String]): String = {
+    val (parts, cc, fc) = lloydCtes(trainPred)
     parts += s"""best AS (
       |  SELECT v.vec_id, MAX($cc) AS bc
       |  FROM e v, $fc c WHERE v.vec_id >= 10 GROUP BY v.vec_id)""".stripMargin
@@ -1414,7 +1453,7 @@ object SparkEntry {
     * must then equal the UNMODIFIED from-scratch oracle over this
     * relation — training, encode, assignment, refine and serving all
     * see the combined (snapshot + drifted batch) corpus. */
-  private def overDriftedEmbeddings(sql: String): String = {
+  private def retargetEmbeddings(sql: String, rel: String): String = {
     require(sql.startsWith("WITH "), "oracle must be a WITH chain")
     // retarget ONLY relation positions — the token directly after a
     // FROM or JOIN keyword (ADVICE r11 #1: a blind whole-token rewrite
@@ -1423,22 +1462,49 @@ object SparkEntry {
     // proves no standalone reference survives OUTSIDE those positions,
     // so a future oracle shape that this rewrite cannot see fails
     // loudly here instead of hash-failing downstream.
-    val token = "(?<![A-Za-z0-9_])embeddings(?![A-Za-z0-9_])".r
+    // case-insensitive like the rewrite itself (ADVICE r12 #2): an
+    // uppercase EMBEDDINGS outside relation position must COUNT as a
+    // survivor, not silently escape both the rewrite and the require
+    val token = "(?i)(?<![A-Za-z0-9_])embeddings(?![A-Za-z0-9_])".r
     val total = token.findAllIn(sql).size
     val rewritten = sql.replaceAll(
       "(?i)\\b(FROM|JOIN)(\\s+)embeddings(?![A-Za-z0-9_])",
-      "$1$2drifted_embeddings")
+      s"$$1$$2$rel")
     val left = token.findAllIn(rewritten).size
     require(left == 0,
-      s"overDriftedEmbeddings: $left of $total `embeddings` references " +
+      s"retargetEmbeddings: $left of $total `embeddings` references " +
         "are not in FROM/JOIN relation position — parameterize the " +
         "base oracle builder instead of relying on this rewrite")
-    s"""WITH drifted_embeddings AS (SELECT vec_id,
+    rewritten.stripPrefix("WITH ")
+  }
+
+  private def driftedEmbeddingsCte: String =
+    s"""drifted_embeddings AS (SELECT vec_id,
        |  CASE WHEN ${Similarity.IvfIncBatchPred}
        |   THEN list_transform(range(1, len(embedding)+1),
        |     i -> CAST(CASE WHEN i = 1 THEN 100.0 ELSE 0.0 END AS REAL))
-       |   ELSE embedding END AS embedding FROM embeddings),
-       |${rewritten.stripPrefix("WITH ")}""".stripMargin
+       |   ELSE embedding END AS embedding FROM embeddings)""".stripMargin
+
+  private def overDriftedEmbeddings(sql: String): String =
+    s"""WITH $driftedEmbeddingsCte,
+       |${retargetEmbeddings(sql, "drifted_embeddings")}""".stripMargin
+
+  /** The dedup-routed relation (the executor's escalation): tonight's
+    * batch exact-deduped to its lowest-vec_id representative per
+    * distinct embedding (list equality is exact — the spike rows are
+    * bit-identical REAL lists in both engines), snapshot rows
+    * untouched. Mirrors Similarity.dedupedDriftedEmbeddings. */
+  private def overDedupedEmbeddings(sql: String): String = {
+    val pred = Similarity.IvfIncBatchPred
+    val pred2 = pred.replace("vec_id", "d2.vec_id")
+    s"""WITH $driftedEmbeddingsCte,
+       |dedup_embeddings AS (SELECT vec_id, embedding
+       |  FROM drifted_embeddings d
+       |  WHERE NOT ($pred) OR NOT EXISTS (
+       |    SELECT 1 FROM drifted_embeddings d2
+       |    WHERE ($pred2) AND d2.embedding = d.embedding
+       |      AND d2.vec_id < d.vec_id)),
+       |${retargetEmbeddings(sql, "dedup_embeddings")}""".stripMargin
   }
 
   /** Retrain-branch oracle (VERDICT r10 #2): the from-scratch composed
@@ -1461,9 +1527,15 @@ object SparkEntry {
     * cross-multiplied 2×-mean bar. DuckDB SUM(BIGINT) is HUGEINT —
     * cast the projected columns back to BIGINT (the comparison itself
     * is exact in either width). */
-  private def simIvfImbalanceSql: String = {
-    val (parts, cc, fc) = lloydCtes(Some(a =>
+  private def simIvfImbalanceSql: String =
+    simIvfImbalanceSqlFrom(Some(a =>
       s"NOT (${Similarity.IvfIncBatchPred.replace("vec_id", a + "vec_id")})"))
+
+  /** As [[simIvfIncDriftSqlFrom]]: the imbalance count under an
+    * arbitrary quantizer contract (frozen vs retrained). */
+  private def simIvfImbalanceSqlFrom(
+      trainPred: Option[String => String]): String = {
+    val (parts, cc, fc) = lloydCtes(trainPred)
     parts += s"""assigned AS (
       |  SELECT cand_id, cent_id FROM (
       |    SELECT v.vec_id AS cand_id, c.cent_id,
@@ -1489,30 +1561,143 @@ object SparkEntry {
     * chains where the recomputation is the identical expression (same
     * frozen quantizer, same corpus — the `sim_ivf_pq_index_imbalance`
     * precedent). */
-  private def simMaintenancePlanSql: String = {
-    def one(sql: String) = s"(SELECT retrain FROM (\n$sql\n) z)"
+  private def one(sql: String) = s"(SELECT retrain FROM (\n$sql\n) z)"
+
+  /** The small-files consults' oracle side: the FS file count itself
+    * cannot be recomputed from the tables, but the layout CONTRACT can
+    * — a full write leaves exactly one file per list (writeIvfIndex /
+    * buildBm25Index repartition on the list key) and each append only
+    * adds files, so for a maintained main `fired ⟺ tonight's batch is
+    * non-empty`, and for a freshly compacted or fully rewritten
+    * artifact `fired = FALSE`. A writer-layout regression breaks that
+    * equivalence and hash-fails the planner gate loudly. */
+  private def embBatchNonEmpty: String =
+    s"(SELECT COUNT(*) > 0 FROM embeddings WHERE ${Similarity.IvfIncBatchPred})"
+  private def docBatchNonEmpty: String =
+    s"(SELECT COUNT(*) > 0 FROM documents WHERE ${TextAnalysis.Bm25IncBatchPred})"
+
+  /** One (artifact, consult) row set of the planner/executor oracles:
+    * every consult chain at PLAN time. `heavy` is the family's heavy
+    * verb; small_files escalates to compact; the strongest fired
+    * consult picks the verb. */
+  private case class PlanRowSql(artifact: String, heavy: String,
+      consult: String, fired: String, firedApplied: String,
+      firedFinal: String)
+
+  /** The 15 consult rows shared by [[simMaintenancePlanSql]] (which
+    * uses only `fired`) and [[simMaintenanceApplySql]] (all three
+    * stages). Chains at a glance:
+    *  - frozen-quantizer drift/imbalance for the maintained mains
+    *    (the compact verb moves rows between files, never changes
+    *    them, so applied/final chains are identical and small_files
+    *    drops to constant FALSE);
+    *  - drifted rewrites for the skewed artifact at plan time; the
+    *    retrained (fresh-quantizer, trainPred = None) chains over the
+    *    drifted relation after the planned retrain — where imbalance
+    *    provably STILL fires; and the same fresh-quantizer chains over
+    *    the DEDUPED relation after the escalation, where everything
+    *    clears. */
+  private def maintenanceRowSqls: Seq[PlanRowSql] = {
     val bm25Fired =
       s"(SELECT COUNT(*) FILTER (WHERE retrain) > 0 FROM (\n$textBm25DriftSql\n) z)"
     val ivfDrift = one(simIvfIncDriftSql)
     val ivfImb = one(simIvfImbalanceSql)
     val skewDrift = one(overDriftedEmbeddings(simIvfIncDriftSql))
     val skewImb = one(overDriftedEmbeddings(simIvfImbalanceSql))
+    val retrDrift = one(overDriftedEmbeddings(simIvfIncDriftSqlFrom(None)))
+    val retrImb = one(overDriftedEmbeddings(simIvfImbalanceSqlFrom(None)))
+    val ddrtDrift = one(overDedupedEmbeddings(simIvfIncDriftSqlFrom(None)))
+    val ddrtImb = one(overDedupedEmbeddings(simIvfImbalanceSqlFrom(None)))
     val pqBook = one(simIvfPqIncDriftSql)
-    def row(artifact: String, heavy: String, consult: String, fired: String) =
-      s"SELECT '$artifact' AS artifact, '$heavy' AS heavy, " +
-        s"'$consult' AS consult, $fired AS fired"
+    val F = "FALSE"
+    Seq(
+      PlanRowSql("bm25_main", "restat", "df_staleness",
+        bm25Fired, bm25Fired, bm25Fired),
+      PlanRowSql("bm25_main", "restat", "small_files",
+        docBatchNonEmpty, F, F),
+      PlanRowSql("ivf_compacted", "retrain", "coarse_drift",
+        ivfDrift, ivfDrift, ivfDrift),
+      PlanRowSql("ivf_compacted", "retrain", "list_imbalance",
+        ivfImb, ivfImb, ivfImb),
+      PlanRowSql("ivf_compacted", "retrain", "small_files", F, F, F),
+      PlanRowSql("ivf_main", "retrain", "coarse_drift",
+        ivfDrift, ivfDrift, ivfDrift),
+      PlanRowSql("ivf_main", "retrain", "list_imbalance",
+        ivfImb, ivfImb, ivfImb),
+      PlanRowSql("ivf_main", "retrain", "small_files",
+        embBatchNonEmpty, F, F),
+      PlanRowSql("ivf_skewed", "retrain", "coarse_drift",
+        skewDrift, retrDrift, ddrtDrift),
+      PlanRowSql("ivf_skewed", "retrain", "list_imbalance",
+        skewImb, retrImb, ddrtImb),
+      PlanRowSql("ivf_skewed", "retrain", "small_files",
+        embBatchNonEmpty, F, F),
+      PlanRowSql("ivfpq_main", "retrain", "coarse_drift",
+        ivfDrift, ivfDrift, ivfDrift),
+      PlanRowSql("ivfpq_main", "retrain", "codebook_drift",
+        pqBook, pqBook, pqBook),
+      PlanRowSql("ivfpq_main", "retrain", "list_imbalance",
+        ivfImb, ivfImb, ivfImb),
+      PlanRowSql("ivfpq_main", "retrain", "small_files",
+        embBatchNonEmpty, F, F))
+  }
+
+  /** Maintenance-planner oracle (VERDICT r11 #7, + r12 #4's
+    * small-files consult and the compacted artifact's healthy row):
+    * the nightly decision table replicated consult by consult — each
+    * `fired` scalar embeds the consult's OWN oracle chain verbatim as
+    * a derived-table subquery (CTE scopes are per-subquery, so the
+    * Lloyd chains cannot collide), the skewed artifact's consults run
+    * over the drifted relation via the standard rewrite, and the
+    * escalation rule (strongest fired consult: heavy > compact >
+    * append) is grouped BOOL_ORs per artifact. The ivfpq rows reuse
+    * the uncompressed chains where the recomputation is the identical
+    * expression (same frozen quantizer, same corpus). */
+  private def simMaintenancePlanSql: String = {
+    val rows = maintenanceRowSqls.map(r =>
+      s"SELECT '${r.artifact}' AS artifact, '${r.heavy}' AS heavy, " +
+        s"'${r.consult}' AS consult, ${r.fired} AS fired")
     s"""WITH c AS (
-      |${row("bm25_main", "restat", "df_staleness", bm25Fired)}
-      |UNION ALL ${row("ivf_main", "retrain", "coarse_drift", ivfDrift)}
-      |UNION ALL ${row("ivf_main", "retrain", "list_imbalance", ivfImb)}
-      |UNION ALL ${row("ivf_skewed", "retrain", "coarse_drift", skewDrift)}
-      |UNION ALL ${row("ivf_skewed", "retrain", "list_imbalance", skewImb)}
-      |UNION ALL ${row("ivfpq_main", "retrain", "coarse_drift", ivfDrift)}
-      |UNION ALL ${row("ivfpq_main", "retrain", "codebook_drift", pqBook)}
-      |UNION ALL ${row("ivfpq_main", "retrain", "list_imbalance", ivfImb)}),
-      |esc AS (SELECT artifact, BOOL_OR(fired) AS anyf FROM c GROUP BY artifact)
+      |${rows.mkString("\nUNION ALL ")}),
+      |esc AS (SELECT artifact,
+      |  BOOL_OR(fired AND consult <> 'small_files') AS heavyf,
+      |  BOOL_OR(fired AND consult = 'small_files') AS smallf
+      | FROM c GROUP BY artifact)
       |SELECT c.artifact, c.consult, c.fired,
-      |  CASE WHEN e.anyf THEN c.heavy ELSE 'append' END AS verb
+      |  CASE WHEN e.heavyf THEN c.heavy
+      |       WHEN e.smallf THEN 'compact' ELSE 'append' END AS verb
+      |FROM c JOIN esc e ON e.artifact = c.artifact""".stripMargin
+  }
+
+  /** Nightly-EXECUTOR oracle (VERDICT r12 #3): all three consult
+    * stages of every row recomputed from the tables — plan verdicts,
+    * verdicts after the planned verb, and verdicts after the
+    * escalation where the planned verb provably cannot clear its own
+    * trigger (the retrain → dedup-route ladder). Verb columns are the
+    * same grouped escalation rule applied at plan time and after:
+    * any consult still fired after the planned verb escalates it
+    * (retrain → dedup_retrain is the only ladder — anything else
+    * still fired makes the Spark side throw before a row exists). */
+  private def simMaintenanceApplySql: String = {
+    val rows = maintenanceRowSqls.map(r =>
+      s"SELECT '${r.artifact}' AS artifact, '${r.heavy}' AS heavy, " +
+        s"'${r.consult}' AS consult, ${r.fired} AS fired, " +
+        s"${r.firedApplied} AS fired_applied, ${r.firedFinal} AS fired_final")
+    s"""WITH c AS (
+      |${rows.mkString("\nUNION ALL ")}),
+      |esc AS (SELECT artifact,
+      |  BOOL_OR(fired AND consult <> 'small_files') AS heavyf,
+      |  BOOL_OR(fired AND consult = 'small_files') AS smallf,
+      |  BOOL_OR(fired_applied) AS stillf
+      | FROM c GROUP BY artifact)
+      |SELECT c.artifact, c.consult, c.fired,
+      |  CASE WHEN e.heavyf THEN c.heavy
+      |       WHEN e.smallf THEN 'compact' ELSE 'append' END AS verb,
+      |  c.fired_applied,
+      |  CASE WHEN e.stillf THEN 'dedup_retrain'
+      |       WHEN e.heavyf THEN c.heavy
+      |       WHEN e.smallf THEN 'compact' ELSE 'append' END AS verb_final,
+      |  c.fired_final
       |FROM c JOIN esc e ON e.artifact = c.artifact""".stripMargin
   }
 
@@ -3172,6 +3357,7 @@ object SparkEntry {
         |ORDER BY n DESC, pair LIMIT ${TextAnalysis.BpeTopMerges}""".stripMargin,
     "text_bpe_apply" -> textBpeApplySql,
     "text_token_budget_bpe" -> textTokenBudgetBpeSql,
+    "text_pack_bpe" -> textPackBpeSql,
     // raw words in the oracle (the Spark side joins md5 fps — collision tripwire)
     "text_rarity" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
@@ -3221,6 +3407,9 @@ object SparkEntry {
     // is distinct because it consults the COMPRESSED artifact
     "sim_ivf_pq_index_imbalance" -> simIvfImbalanceSql,
     "sim_maintenance_plan" -> simMaintenancePlanSql,
+    "sim_maintenance_apply" -> simMaintenanceApplySql,
+    // the parsed document resolves to the identical decision table
+    "etl_maintenance_config" -> simMaintenancePlanSql,
     "sim_ivf_lifecycle_retrain" -> simIvfRetrainSql,
     "sim_ivf_pq_lifecycle_retrain" -> simIvfPqRetrainSql,
     // stateless per-vector assignment + additive appends: micro-batch

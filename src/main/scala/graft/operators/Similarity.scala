@@ -435,7 +435,18 @@ object Similarity {
     * retrain branch, so the layout cannot drift between them (every
     * serving path reads what this wrote). Static overwrite on purpose:
     * list membership changes under a new quantizer, so a dynamic
-    * per-partition overwrite would orphan stale lists. */
+    * per-partition overwrite would orphan stale lists. The postings
+    * repartition on the LIST key before writing, so a full write
+    * leaves exactly ONE file per inverted list — without it each of
+    * the assignment's shuffle tasks drops a file into every list it
+    * holds rows for (≈ tasks × lists small files from day one, before
+    * a single append). That layout contract is what the planner's
+    * small-files consult reads: >1 file in a list ⟺ appends landed
+    * since the last full write/compaction. At 100 TB one file per
+    * list is still right (lists are ~n/√n rows); if single lists ever
+    * outgrow a comfortable object size, spark.sql.files
+    * .maxRecordsPerFile splits them without changing the consult
+    * (the threshold becomes files-per-list > ceil(rows/maxRecords)). */
   private def writeIvfIndex(s: SparkSession, base: String,
       cents: Seq[(Long, Seq[Float])], vecs: DataFrame): Unit = {
     import s.implicits._
@@ -443,6 +454,7 @@ object Similarity {
       .toDF("cent_id", "cent_emb")
       .coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
     assignNearestNarrow(vecs, cents, "cand_id", "c_emb")
+      .repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id")
       .parquet(s"$base/postings")
   }
@@ -734,13 +746,7 @@ object Similarity {
     // listing first would select over a half-published postings state —
     // already-recovered lists get pointlessly rewritten and a list that
     // only reads fat post-recovery stays uncompacted until next call
-    val fat = fs.listStatus(post).filter(_.isDirectory)
-      .filter(_.getPath.getName.startsWith(s"$partitionCol="))
-      .filter { d =>
-        fs.listStatus(d.getPath)
-          .count(_.getPath.getName.endsWith(".parquet")) > maxFiles
-      }
-      .map(_.getPath.getName.stripPrefix(s"$partitionCol=").toLong).toSeq.sorted
+    val fat = fatLists(s, base, partitionCol, maxFiles)
     if (fat.nonEmpty) {
       s.read.schema(rowSchema).parquet(s"$base/postings")
         .filter(col(partitionCol).isInCollection(fat))
@@ -751,6 +757,32 @@ object Similarity {
       fs.delete(stage, true)
     }
     fat
+  }
+
+  /** The compactor's fat-list selection as a standalone CONSULT — the
+    * planner's small-files trigger (VERDICT r12 #4). A driver-bounded
+    * directory listing (≤ nlist/nbucket entries): lists holding more
+    * than `maxFiles` parquet files, i.e. lists appends have landed in
+    * since the last full write or compaction, because a full write
+    * leaves exactly one file per list (the [[writeIvfIndex]] layout
+    * contract) and each append only adds files. The ORACLE for a
+    * consult built on this cannot list a filesystem; it expresses the
+    * same verdict through that contract — fired ⟺ the nightly batch
+    * is non-empty (for a maintained main) / constant false (for a
+    * freshly compacted or fully rewritten artifact) — so a layout
+    * regression that breaks the contract hash-fails the planner gate
+    * loudly instead of silently changing compaction behavior. */
+  private[graft] def fatLists(s: SparkSession, base: String,
+      partitionCol: String = "cent_id", maxFiles: Int = 1): Seq[Long] = {
+    val post = new org.apache.hadoop.fs.Path(s"$base/postings")
+    val fs = post.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(post).filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith(s"$partitionCol="))
+      .filter { d =>
+        fs.listStatus(d.getPath)
+          .count(_.getPath.getName.endsWith(".parquet")) > maxFiles
+      }
+      .map(_.getPath.getName.stripPrefix(s"$partitionCol=").toLong).toSeq.sorted
   }
 
   /** Gate: serving from the COMPACTED incrementally-maintained index —
@@ -928,6 +960,46 @@ object Similarity {
     }
   }
 
+  /** The drifted corpus with tonight's batch EXACT-DEDUPED — the
+    * dedup-family routing the retrain scaladoc prescribes for the
+    * residue a retrain cannot fix: the spiked batch is IDENTICAL
+    * vectors, so no quantizer can split its list; the fix is to stop
+    * indexing the duplicates. One representative (lowest vec_id) per
+    * distinct batch embedding survives; snapshot rows pass through
+    * untouched. Grouping here is on the raw embedding (the gate
+    * corpus's vectors are small); the 100 TB form fingerprints the
+    * bytes first (the dedup family's 16-byte-fp discipline) so the
+    * dedup exchange never carries vectors. */
+  private[graft] def dedupedDriftedEmbeddings(s: SparkSession,
+      dir: String): DataFrame = {
+    val d = driftedEmbeddings(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("embedding")).orderBy(col("vec_id"))
+    val kept = d.filter(expr(IvfIncBatchPred))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    d.filter(!expr(IvfIncBatchPred)).unionByName(kept)
+  }
+
+  /** The DEDUP-ROUTED retrain — the escalation the nightly executor
+    * takes when a retrain fails to clear the imbalance trigger
+    * ([[stagedIvfRetrainIndex]]'s scaladoc: identical-vector pile-up
+    * is dedup's problem, not the quantizer's): tonight's batch is
+    * exact-deduplicated, then the index fully rebuilds — fresh
+    * quantizer over the deduplicated corpus, full postings rewrite.
+    * After this verb every consult reads healthy (spec + oracle:
+    * drift clean, lists balanced, one file per list). */
+  def stagedIvfDedupRetrainIndex(s: SparkSession, dir: String): String = {
+    val vkey = Tables.versionedKey(s, dir, "embeddings")
+    Tables.stagedArtifact("ivfddrt", dir, vkey) { base =>
+      val dd = dedupedDriftedEmbeddings(s, dir)
+      writeIvfIndex(s, base, kmeansCentroidBuildFrom(s, dd),
+        dd.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb")))
+      base
+    }
+  }
+
   /** The NIGHTLY MAINTENANCE PLANNER (VERDICT r11 #7) — the
     * reference's scheduler idea applied to index maintenance: every
     * maintained artifact now has its consult verbs (drift, imbalance,
@@ -949,40 +1021,248 @@ object Similarity {
     * artifact-derived aggregates — zero training jobs), and the
     * oracle replicates every consult chain and the escalation rule,
     * so the whole decision table is hash-exact, not policy-trusted. */
-  def maintenancePlan(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val ivfBase = stagedIvfIncIndex(s, dir)
-    val pqBase = stagedIvfPqIncIndex(s, dir)
-    val lexBase = TextAnalysis.stagedBm25IncIndex(s, dir)
-    val skewBase = stagedIvfSkewedIndex(s, dir)
-    val skewCorpus = driftedEmbeddings(s, dir).filter(col("vec_id") >= 10)
+  /** One consult row of the nightly decision table: the artifact, the
+    * verb this consult ESCALATES to when fired (the family's heavy
+    * verb for the quality/skew/staleness consults, `compact` for the
+    * small-files one), the consult name, and its verdict. */
+  private[graft] final case class ConsultRow(artifact: String,
+      escalateTo: String, consult: String, fired: Boolean)
+
+  /** Verb strength: heavy (retrain/restat/…) > compact > append. */
+  private def verbRank(v: String): Int =
+    v match { case "append" => 0; case "compact" => 1; case _ => 2 }
+
+  /** The escalation rule: per artifact, the STRONGEST fired consult's
+    * verb, else the nightly default `append`. */
+  private def verbsOf(rows: Seq[ConsultRow]): Map[String, String] =
+    rows.groupBy(_.artifact).view.mapValues { rs =>
+      rs.filter(_.fired).map(_.escalateTo)
+        .sortBy(verbRank).lastOption.getOrElse("append")
+    }.toMap
+
+  private def firedOf(df: DataFrame): Boolean =
+    df.head().getAs[Boolean]("retrain")
+
+  /** One declared artifact of a maintenance document: its table name,
+    * index family (`bm25` | `ivf` | `ivfpq`), which maintained index
+    * kind it is (`incremental` | `compacted` | `skewed`), and the
+    * consults to run — the unit the declarative Maintenance config
+    * (ConfigJson, VERDICT r12 #7) parses into. */
+  private[graft] final case class MaintArtifact(name: String,
+      family: String, index: String, consults: Seq[String])
+
+  /** The registry the declarative document draws from: (family, index)
+    * → the staged artifact path + the consult corpus override (the
+    * skewed artifact consults tonight's ACTUAL drifted arrivals).
+    * Unknown kinds fail loudly — the ConfigJson enum discipline. */
+  private def resolveMaintArtifact(s: SparkSession, dir: String,
+      family: String, index: String): (String, Option[DataFrame]) =
+    (family, index) match {
+      case ("bm25", "incremental") =>
+        (TextAnalysis.stagedBm25IncIndex(s, dir), None)
+      case ("bm25", "compacted") =>
+        (TextAnalysis.stagedBm25CompactIndex(s, dir), None)
+      case ("ivf", "incremental") => (stagedIvfIncIndex(s, dir), None)
+      case ("ivf", "compacted") => (stagedIvfCompactIndex(s, dir), None)
+      case ("ivf", "skewed") => (stagedIvfSkewedIndex(s, dir),
+        Some(skewConsultCorpus(s, dir)))
+      case ("ivfpq", "incremental") => (stagedIvfPqIncIndex(s, dir), None)
+      case ("ivfpq", "compacted") => (stagedIvfPqCompactIndex(s, dir), None)
+      // verb post-states the EXECUTOR re-consults (not declarable as
+      // plan inputs on the gate corpus, but the registry is one)
+      case ("bm25", "restat") =>
+        (TextAnalysis.stagedBm25RestatIndex(s, dir), None)
+      case ("ivf", "retrained") => (stagedIvfRetrainIndex(s, dir),
+        Some(skewConsultCorpus(s, dir)))
+      case ("ivf", "dedup_retrained") => (stagedIvfDedupRetrainIndex(s, dir),
+        Some(dedupedDriftedEmbeddings(s, dir).filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))))
+      case (f, i) => throw new IllegalArgumentException(
+        s"unknown maintenance artifact kind (Family '$f', Index '$i')")
+    }
+
+  /** One consult by NAME against a resolved artifact — each a bounded
+    * artifact-derived read (1-row aggregate collects, a ≤ terms-row
+    * staleness report, or a ≤ nlist driver directory listing), never a
+    * training job. Unknown names fail loudly. */
+  private def consultOne(s: SparkSession, dir: String, artifact: String,
+      family: String, base: String, corpusOpt: Option[DataFrame],
+      consult: String): ConsultRow = consult match {
+    case "coarse_drift" => ConsultRow(artifact, "retrain", consult,
+      firedOf(ivfIncDriftReportFrom(s, dir, base, corpusOpt)))
+    case "codebook_drift" =>
+      require(family == "ivfpq",
+        s"codebook_drift consults the PQ codebook — not a $family artifact")
+      ConsultRow(artifact, "retrain", consult,
+        firedOf(ivfPqIncDriftReportFrom(s, dir, base)))
+    case "list_imbalance" => ConsultRow(artifact, "retrain", consult,
+      firedOf(if (family == "ivfpq") ivfImbalanceFrom(s, base, PqPostingsSchema)
+        else ivfImbalanceFrom(s, base)))
+    case "df_staleness" =>
+      require(family == "bm25",
+        s"df_staleness consults the lexical dfs — not a $family artifact")
+      ConsultRow(artifact, "restat", consult,
+        TextAnalysis.bm25DriftFrom(s, base).collect()
+          .exists(_.getAs[Boolean]("retrain")))
+    case "small_files" => ConsultRow(artifact, "compact", consult,
+      fatLists(s, base,
+        if (family == "bm25") "bucket" else "cent_id").nonEmpty)
+    case c => throw new IllegalArgumentException(s"unknown consult '$c'")
+  }
+
+  /** The skewed-artifact consult corpus: tonight's ACTUAL (drifted)
+    * arrivals in (cand_id, c_emb) shape. */
+  private def skewConsultCorpus(s: SparkSession, dir: String): DataFrame =
+    driftedEmbeddings(s, dir).filter(col("vec_id") >= 10)
       .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
-    def fired(df: DataFrame): Boolean = df.head().getAs[Boolean]("retrain")
-    // (artifact, heavy verb, consult, fired) — each consult is a
-    // bounded artifact-derived report, collected 1 row at a time
-    val consults: Seq[(String, String, String, Boolean)] = Seq(
-      ("bm25_main", "restat", "df_staleness",
-        TextAnalysis.bm25DriftFrom(s, lexBase).collect()
-          .exists(_.getAs[Boolean]("retrain"))),
-      ("ivf_main", "retrain", "coarse_drift",
-        fired(ivfIncDriftReportFrom(s, dir, ivfBase))),
-      ("ivf_main", "retrain", "list_imbalance",
-        fired(ivfImbalanceFrom(s, ivfBase))),
-      ("ivf_skewed", "retrain", "coarse_drift",
-        fired(ivfIncDriftReportFrom(s, dir, skewBase, Some(skewCorpus)))),
-      ("ivf_skewed", "retrain", "list_imbalance",
-        fired(ivfImbalanceFrom(s, skewBase))),
-      ("ivfpq_main", "retrain", "coarse_drift",
-        fired(ivfIncDriftReportFrom(s, dir, pqBase))),
-      ("ivfpq_main", "retrain", "codebook_drift",
-        fired(ivfPqIncDriftReportFrom(s, dir, pqBase))),
-      ("ivfpq_main", "retrain", "list_imbalance",
-        fired(ivfImbalanceFrom(s, pqBase, PqPostingsSchema))))
-    val escalate = consults.groupBy(_._1).view
-      .mapValues(_.exists(_._4)).toMap
-    consults.map { case (artifact, heavy, consult, f) =>
-      (artifact, consult, f, if (escalate(artifact)) heavy else "append")
-    }.toDF("artifact", "consult", "fired", "verb")
+
+  /** The gate corpus's maintenance document — what the hand-built
+    * planner runs and what the declarative ConfigJson document must
+    * reproduce byte-for-byte. Five artifacts: the three maintained
+    * mains, the freshly compacted index (the verb's post-state,
+    * giving the table its healthy/append row), and the skewed
+    * pre-retrain artifact where the triggers disagree. */
+  private[graft] val DefaultMaintDoc: Seq[MaintArtifact] = Seq(
+    MaintArtifact("bm25_main", "bm25", "incremental",
+      Seq("df_staleness", "small_files")),
+    MaintArtifact("ivf_compacted", "ivf", "compacted",
+      Seq("coarse_drift", "list_imbalance", "small_files")),
+    MaintArtifact("ivf_main", "ivf", "incremental",
+      Seq("coarse_drift", "list_imbalance", "small_files")),
+    MaintArtifact("ivf_skewed", "ivf", "skewed",
+      Seq("coarse_drift", "list_imbalance", "small_files")),
+    MaintArtifact("ivfpq_main", "ivfpq", "incremental",
+      Seq("coarse_drift", "codebook_drift", "list_imbalance",
+        "small_files")))
+
+  /** Per-artifact fan-out for the consult sweep (the Pipeline.runAll
+    * idiom): artifacts are independent immutable trees, their stagings
+    * take independent cells, and each consult is a small bounded job —
+    * serializing 15+ of them through one driver thread is pure wasted
+    * wall clock under a FAIR scheduler. Order-preserving; the first
+    * failure rethrows after all settle. */
+  private def perArtifact[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(
+      math.max(1, math.min(items.size, 8)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = items.map(a => Future(f(a)))
+      val settled = futures.map(fu => Await.ready(fu, Duration.Inf).value.get)
+      settled.collectFirst { case scala.util.Failure(e) => throw e }
+      settled.map(_.get)
+    } finally pool.shutdown()
+  }
+
+  private[graft] def planConsultsFor(s: SparkSession, dir: String,
+      doc: Seq[MaintArtifact]): Seq[ConsultRow] =
+    perArtifact(doc) { a =>
+      val (base, corpusOpt) = resolveMaintArtifact(s, dir, a.family, a.index)
+      a.consults.map(c =>
+        consultOne(s, dir, a.name, a.family, base, corpusOpt, c))
+    }.flatten
+
+  private def planConsults(s: SparkSession, dir: String): Seq[ConsultRow] =
+    planConsultsFor(s, dir, DefaultMaintDoc)
+
+  /** The decision table for an ARBITRARY maintenance document — the
+    * declarative entry point ConfigJson drives. */
+  private[graft] def maintenancePlanFor(s: SparkSession, dir: String,
+      doc: Seq[MaintArtifact]): DataFrame = {
+    import s.implicits._
+    val rows = planConsultsFor(s, dir, doc)
+    val verbs = verbsOf(rows)
+    rows.map(r => (r.artifact, r.consult, r.fired, verbs(r.artifact)))
+      .toDF("artifact", "consult", "fired", "verb")
+  }
+
+  def maintenancePlan(s: SparkSession, dir: String): DataFrame =
+    maintenancePlanFor(s, dir, DefaultMaintDoc)
+
+  /** The NIGHTLY EXECUTOR (VERDICT r12 #3) — the reference's
+    * scheduler LOOP (run the decided work, don't just list it)
+    * applied to index maintenance: take tonight's decision table,
+    * APPLY each artifact's verb, re-consult the maintained artifact,
+    * and — when a heavy verb provably cannot clear its own trigger —
+    * take the documented escalation, until every artifact reads
+    * healthy (all-append). Two contracts make this honest:
+    *
+    *  - verbs are never executed IN PLACE: each verb's post-state is
+    *    its own staged artifact (compact → the compacted index,
+    *    retrain → the retrained one), because the maintained mains
+    *    are shared immutable artifacts other gates are serving —
+    *    content-equality of the staged post-state to an in-place
+    *    execution is what the per-verb lifecycle gates already pin
+    *    (compaction serves hash-equal, retrain equals the
+    *    from-scratch rebuild);
+    *  - the escalation ladder is CLOSED and loud: retrain that leaves
+    *    the imbalance trigger fired (inherent when the pile-up is
+    *    identical vectors — no quantizer can split them; measured
+    *    2.9–5.0× vs the 2× bar across SFs) escalates exactly once, to
+    *    the dedup-family routing ([[stagedIvfDedupRetrainIndex]]);
+    *    any other verb that fails to clear its consults throws.
+    *
+    * Output: one row per (artifact, consult) with the planned verb,
+    * the verdict after applying it, the final verb, and the final
+    * verdict — all FALSE, enforced by a loud require, and the whole
+    * table hash-exact against an oracle that recomputes every consult
+    * chain at each of the three stages. */
+  def maintenanceApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val doc = DefaultMaintDoc.map(a => a.name -> a).toMap
+    val plan = planConsults(s, dir)
+    val planVerbs = verbsOf(plan)
+    // a verb's post-state is an index KIND in the same registry the
+    // plan resolves artifacts from — applying a verb = re-consulting
+    // the artifact under its post-verb kind
+    def postIndexOf(current: String, verb: String): String = verb match {
+      case "append" => current // accept tonight's batch — already in
+      case "compact" => "compacted"
+      case "restat" => "restat"
+      case "retrain" => "retrained"
+      case "dedup_retrain" => "dedup_retrained"
+      case v => throw new IllegalStateException(
+        s"maintenanceApply: no post-state mapping for verb $v")
+    }
+    def applyVerb(artifact: String, verb: String): Seq[ConsultRow] = {
+      val a = doc(artifact)
+      // append = accept tonight's batch, which the maintained artifact
+      // already holds — the artifact is UNCHANGED, so re-consulting it
+      // would recompute the exact plan-time reads; reuse them
+      if (verb == "append") plan.filter(_.artifact == artifact)
+      else planConsultsFor(s, dir, Seq(
+        a.copy(index = postIndexOf(a.index, verb))))
+    }
+    def escalationOf(artifact: String, verb: String): String =
+      verb match {
+        case "retrain" => "dedup_retrain" // duplicate pile-up routing
+        case v => throw new IllegalStateException(
+          s"maintenanceApply: verb $v on $artifact did not clear its " +
+            "consults and has no escalation")
+      }
+    val resolved: Map[String, (Seq[ConsultRow], String, Seq[ConsultRow])] =
+      perArtifact(planVerbs.toSeq) { case (artifact, verb) =>
+        val after = applyVerb(artifact, verb)
+        if (verbsOf(after)(artifact) == "append")
+          artifact -> ((after, verb, after))
+        else {
+          val verb2 = escalationOf(artifact, verb)
+          val after2 = applyVerb(artifact, verb2)
+          require(verbsOf(after2)(artifact) == "append",
+            s"maintenanceApply: escalated verb $verb2 on $artifact did " +
+              "not restore health")
+          artifact -> ((after, verb2, after2))
+        }
+      }.toMap
+    plan.map { r =>
+      val (after, verbFinal, after2) = resolved(r.artifact)
+      def f(rs: Seq[ConsultRow]) = rs.find(_.consult == r.consult).get.fired
+      (r.artifact, r.consult, r.fired, planVerbs(r.artifact),
+        f(after), verbFinal, f(after2))
+    }.toDF("artifact", "consult", "fired", "verb",
+      "fired_applied", "verb_final", "fired_final")
   }
 
   /** Spec hook: serve the gate query slice from an arbitrary index
@@ -1421,6 +1701,10 @@ object Similarity {
         array((0 until PqSubspaces).map(m =>
           pqBest(book, "c_emb", m, sub).getField("cid")): _*).as("codes"),
         col("cent_id"))
+      // one file per code list on a full write — the [[writeIvfIndex]]
+      // layout contract (see its scaladoc; the small-files consult
+      // reads it)
+      .repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id")
       .parquet(s"$base/postings")
   }

@@ -349,6 +349,70 @@ object ConfigJson {
     ParsedTransfer(spec, target, par, freq)
   }
 
+  /** Declarative INDEX-MAINTENANCE document (VERDICT r12 #7) — the
+    * reference's config-file UX (config.go:15: a JSON document declares
+    * the work, the engine runs it) applied to the nightly maintenance
+    * planner: `Maintenance.Artifacts` declares (Name, Family, Index,
+    * Consults) rows that resolve through Similarity's artifact
+    * registry into the same decision table the hand-built
+    * [[graft.operators.Similarity.maintenancePlan]] produces —
+    * byte-parity spec-pinned. Key discipline matches the Transfers
+    * parser: missing required keys, empty arrays, wrong shapes, and
+    * UNKNOWN keys all fail loudly with a ConfigError naming the
+    * offender (unknown Family/Index/Consult values fail inside the
+    * registry with the same loudness). */
+  def maintenancePlan(s: SparkSession, dir: String,
+      json: String): org.apache.spark.sql.DataFrame =
+    graft.operators.Similarity.maintenancePlanFor(s, dir,
+      parseMaintenance(json))
+
+  private[graft] def parseMaintenance(json: String)
+      : Seq[graft.operators.Similarity.MaintArtifact] = {
+    val root = obj(parse(json), "config root")
+    val m = obj(root.getOrElse("Maintenance",
+      throw new ConfigError("config missing Maintenance")), "Maintenance")
+    val unknownTop = m.keySet.diff(Set("Artifacts"))
+    if (unknownTop.nonEmpty) throw new ConfigError(
+      s"unknown Maintenance keys: ${unknownTop.toSeq.sorted.mkString(", ")}")
+    m.getOrElse("Artifacts",
+      throw new ConfigError("Maintenance missing Artifacts")) match {
+      case JArr(as) if as.nonEmpty => as.map { av =>
+        val am = obj(av, "Artifact")
+        val unknown = am.keySet.diff(Set("Name", "Family", "Index", "Consults"))
+        if (unknown.nonEmpty) throw new ConfigError(
+          s"unknown Artifact keys: ${unknown.toSeq.sorted.mkString(", ")}")
+        graft.operators.Similarity.MaintArtifact(
+          str(am.getOrElse("Name",
+            throw new ConfigError("Artifact missing Name")), "Name"),
+          str(am.getOrElse("Family",
+            throw new ConfigError("Artifact missing Family")), "Family"),
+          str(am.getOrElse("Index", JStr("incremental")), "Index"),
+          am.getOrElse("Consults",
+            throw new ConfigError("Artifact missing Consults")) match {
+            case JArr(cs) if cs.nonEmpty => cs.map(str(_, "Consults entry"))
+            case JArr(_) => throw new ConfigError("Consults is empty")
+            case other =>
+              throw new ConfigError(s"Consults must be an array, got $other")
+          })
+      }
+      case JArr(_) => throw new ConfigError("Artifacts is empty")
+      case other =>
+        throw new ConfigError(s"Artifacts must be an array, got $other")
+    }
+  }
+
+  /** Serialize a maintenance document — the gate feeds the DEFAULT
+    * document through serialize → parse → plan so the config path is
+    * structurally incapable of drifting from the hand-built one. */
+  def maintenanceJson(
+      doc: Seq[graft.operators.Similarity.MaintArtifact]): String = {
+    def arr(vs: Seq[String]) = vs.map(v => s""""$v"""").mkString("[", ",", "]")
+    doc.map(a =>
+      s"""{"Name":"${a.name}","Family":"${a.family}",""" +
+        s""""Index":"${a.index}","Consults":${arr(a.consults)}}""")
+      .mkString("""{"Maintenance":{"Artifacts":[""", ",", "]}}")
+  }
+
   /** Parse a config document into (spec, expanded target) pairs. */
   def parseTransfers(json: String): Seq[(Pipeline.TransferSpec, String)] =
     parsed(json).map(p => (p.spec, p.target))

@@ -1731,4 +1731,90 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       "arm top-depth must be TakeOrdered, not a global sort")
   }
+
+  test("nightly planner exercises all three verb strengths (VERDICT r12 #4)") {
+    val rows = Similarity.maintenancePlan(spark, sf).collect()
+    assert(rows.length == 15, s"5 artifacts x consult sets: ${rows.length}")
+    val verbs = rows.groupBy(_.getAs[String]("artifact"))
+      .map { case (a, rs) => a -> rs.map(_.getAs[String]("verb")).distinct }
+    verbs.foreach { case (a, vs) =>
+      assert(vs.length == 1, s"$a must decide ONE verb, got $vs") }
+    val verb = verbs.map { case (a, vs) => a -> vs.head }
+    // the compacted artifact is the healthy/append row; the mains read
+    // compact (tonight's append fattened their lists under the
+    // one-file-per-list full-write contract); the skewed artifact's
+    // imbalance escalates past compact to retrain
+    assert(verb == Map("bm25_main" -> "compact", "ivf_compacted" -> "append",
+      "ivf_main" -> "compact", "ivf_skewed" -> "retrain",
+      "ivfpq_main" -> "compact"), verb.toString)
+    val small = rows.filter(_.getAs[String]("consult") == "small_files")
+    assert(small.length == 5, "every artifact carries the small-files consult")
+    assert(small.count(_.getAs[Boolean]("fired")) == 4,
+      "all but the freshly compacted artifact must read fat lists")
+    CacheScope.releaseAll(spark)
+  }
+
+  test("nightly executor closes the loop: verbs applied, ladder taken, all-append (VERDICT r12 #3)") {
+    // pre-stage every verb post-state the PLAN can reach, so the
+    // odometer below isolates what the executor itself may train: at
+    // most the escalation's rebuild (the dedup-routed retrain), and
+    // nothing at all on the second nightly run
+    graft.operators.TextAnalysis.stagedBm25IncIndex(spark, sf)
+    graft.operators.TextAnalysis.stagedBm25CompactIndex(spark, sf)
+    Similarity.stagedIvfIncIndex(spark, sf)
+    Similarity.stagedIvfCompactIndex(spark, sf)
+    Similarity.stagedIvfPqIncIndex(spark, sf)
+    Similarity.stagedIvfPqCompactIndex(spark, sf)
+    Similarity.stagedIvfSkewedIndex(spark, sf)
+    Similarity.stagedIvfRetrainIndex(spark, sf)
+    val trained = Similarity.trainingBuilds.get()
+    val out = Similarity.maintenanceApply(spark, sf).collect()
+    val delta = Similarity.trainingBuilds.get() - trained
+    assert(delta <= 1,
+      s"the executor may train at most the escalated rebuild, ticked $delta")
+    val t2 = Similarity.trainingBuilds.get()
+    Similarity.maintenanceApply(spark, sf).collect()
+    assert(Similarity.trainingBuilds.get() == t2,
+      "the second nightly run must consume artifacts only — zero training")
+    assert(out.length == 15)
+    val verb = out.groupBy(_.getAs[String]("artifact")).map { case (a, rs) =>
+      val vs = rs.map(r => (r.getAs[String]("verb"),
+        r.getAs[String]("verb_final"))).distinct
+      assert(vs.length == 1, s"$a decided $vs"); a -> vs.head
+    }
+    assert(verb == Map(
+      "bm25_main" -> (("compact", "compact")),
+      "ivf_compacted" -> (("append", "append")),
+      "ivf_main" -> (("compact", "compact")),
+      "ivf_skewed" -> (("retrain", "dedup_retrain")),
+      "ivfpq_main" -> (("compact", "compact"))), verb.toString)
+    // the ladder is real: the planned retrain did NOT clear the
+    // imbalance (identical-vector pile-up), the dedup routing did
+    val skewImb = out.find(r => r.getAs[String]("artifact") == "ivf_skewed"
+      && r.getAs[String]("consult") == "list_imbalance").get
+    assert(skewImb.getAs[Boolean]("fired"), "skew imbalance fires at plan")
+    assert(skewImb.getAs[Boolean]("fired_applied"),
+      "retrain cannot split identical vectors — imbalance must survive it")
+    assert(!skewImb.getAs[Boolean]("fired_final"),
+      "the dedup routing must clear the imbalance")
+    // the loop closes healthy: every consult on every final artifact
+    assert(out.forall(!_.getAs[Boolean]("fired_final")),
+      "executor must re-consult to an all-healthy table")
+    CacheScope.releaseAll(spark)
+  }
+
+  test("dedup-routed retrain keeps one representative and serves a balanced index") {
+    val dd = Similarity.dedupedDriftedEmbeddings(spark, sf)
+    val batchPred = Similarity.IvfIncBatchPred
+    val nBatch = dd.filter(org.apache.spark.sql.functions.expr(batchPred)).count()
+    assert(nBatch == 1L,
+      s"the spiked batch is identical vectors — exactly one survives dedup, got $nBatch")
+    val base = Similarity.stagedIvfDedupRetrainIndex(spark, sf)
+    val rep = Similarity.ivfImbalanceFrom(spark, base).head()
+    assert(!rep.getAs[Boolean]("retrain"),
+      s"the dedup-rebuilt index must read balanced: $rep")
+    assert(Similarity.fatLists(spark, base).isEmpty,
+      "a full rewrite leaves one file per list")
+    CacheScope.releaseAll(spark)
+  }
 }

@@ -1117,4 +1117,65 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("TimeWindow"),
       s"refusal must name the ignored constraint: ${e.getMessage}")
   }
+
+  test("Maintenance document parses to the hand-built planner doc, loud on unknowns (VERDICT r12 #7)") {
+    import graft.operators.Similarity
+    import graft.plans.ConfigJson
+    // byte-parity of the PARSE: a hand-authored document (not the
+    // serializer's output) must land on the default doc exactly
+    val handJson = """{"Maintenance": {"Artifacts": [
+      |{"Name": "bm25_main", "Family": "bm25", "Index": "incremental",
+      | "Consults": ["df_staleness", "small_files"]},
+      |{"Name": "ivf_compacted", "Family": "ivf", "Index": "compacted",
+      | "Consults": ["coarse_drift", "list_imbalance", "small_files"]},
+      |{"Name": "ivf_main", "Family": "ivf",
+      | "Consults": ["coarse_drift", "list_imbalance", "small_files"]},
+      |{"Name": "ivf_skewed", "Family": "ivf", "Index": "skewed",
+      | "Consults": ["coarse_drift", "list_imbalance", "small_files"]},
+      |{"Name": "ivfpq_main", "Family": "ivfpq",
+      | "Consults": ["coarse_drift", "codebook_drift", "list_imbalance",
+      |  "small_files"]}]}}""".stripMargin
+    assert(ConfigJson.parseMaintenance(handJson) == Similarity.DefaultMaintDoc,
+      "hand-authored document must parse to the default doc (Index " +
+        "defaulting to incremental included)")
+    // the serializer round-trips
+    assert(ConfigJson.parseMaintenance(
+      ConfigJson.maintenanceJson(Similarity.DefaultMaintDoc))
+      == Similarity.DefaultMaintDoc)
+    // loud-error discipline: unknown KEYS name themselves
+    val badTop = intercept[ConfigJson.ConfigError] {
+      ConfigJson.parseMaintenance(
+        """{"Maintenance":{"Artifacts":[{"Name":"a","Family":"ivf",
+          |"Consults":["small_files"]}],"Schedule":"nightly"}}""".stripMargin)
+    }
+    assert(badTop.getMessage.contains("Schedule"), badTop.getMessage)
+    val badArt = intercept[ConfigJson.ConfigError] {
+      ConfigJson.parseMaintenance(
+        """{"Maintenance":{"Artifacts":[{"Name":"a","Family":"ivf",
+          |"Consults":["small_files"],"Bar":2}]}}""".stripMargin)
+    }
+    assert(badArt.getMessage.contains("Bar"), badArt.getMessage)
+    intercept[ConfigJson.ConfigError] {
+      ConfigJson.parseMaintenance("""{"Maintenance":{"Artifacts":[]}}""")
+    }
+    intercept[ConfigJson.ConfigError] {
+      ConfigJson.parseMaintenance(
+        """{"Maintenance":{"Artifacts":[{"Family":"ivf",
+          |"Consults":["small_files"]}]}}""".stripMargin)
+    }
+    // unknown VALUES fail loudly in the registry (family/index/consult)
+    val badKind = intercept[IllegalArgumentException] {
+      Similarity.maintenancePlanFor(spark, sf, Seq(
+        Similarity.MaintArtifact("x", "hnsw", "incremental",
+          Seq("small_files"))))
+    }
+    assert(badKind.getMessage.contains("hnsw"), badKind.getMessage)
+    val badConsult = intercept[IllegalArgumentException] {
+      Similarity.maintenancePlanFor(spark, sf, Seq(
+        Similarity.MaintArtifact("x", "ivf", "incremental",
+          Seq("entropy_drift"))))
+    }
+    assert(badConsult.getMessage.contains("entropy_drift"),
+      badConsult.getMessage)
+  }
 }
