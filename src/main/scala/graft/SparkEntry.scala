@@ -156,6 +156,7 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.simhashAudit _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_lsh_verified" -> (Dedup.lshVerified _),
+    "dedup_cascade" -> (Dedup.cascade _),
     "dedup_embedding" -> (Dedup.embedding _),
     "dedup_embedding_lsh" -> (Dedup.embeddingLsh _),
     "dedup_embedding_lsh_capped" -> (Dedup.embeddingLshCapped _),
@@ -2985,6 +2986,44 @@ object SparkEntry {
         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
         | FROM s a, s b WHERE a.doc_id < b.doc_id) t
         |WHERE jaccard >= 0.7""".stripMargin,
+    // exact→near cascade: text-grouped election over the re-crawl
+    // corpus, all-pairs Jaccard truth over REPRESENTATIVES (the
+    // lshVerified recall discipline), recursive-CTE components, and
+    // the verdict expansion — every stage the Spark side runs,
+    // recomputed from the tables
+    "dedup_cascade" ->
+      """WITH RECURSIVE corpus AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text
+        | FROM documents WHERE doc_id % 7 = 2),
+        |rp AS (SELECT text, MIN(doc_id) AS rep FROM corpus GROUP BY text),
+        |dr AS (SELECT c.doc_id, rp.rep FROM corpus c JOIN rp ON c.text = rp.text),
+        |s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   range(1, len(string_split(text, ' ')) - 1),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM corpus WHERE doc_id IN (SELECT rep FROM rp)),
+        |p AS (SELECT doc_a, doc_b FROM (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        | FROM s a, s b WHERE a.doc_id < b.doc_id) t
+        | WHERE jaccard >= 0.7),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+        |r(a, b) AS (
+        | SELECT a, b FROM e
+        | UNION
+        | SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+        |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp FROM r GROUP BY a),
+        |k AS (SELECT rp.rep, COALESCE(c2.comp, rp.rep) AS keeper
+        | FROM rp LEFT JOIN comp c2 ON c2.doc_id = rp.rep)
+        |SELECT dr.doc_id, dr.rep, k.keeper,
+        | CASE WHEN dr.doc_id = k.keeper THEN 'kept'
+        |      WHEN dr.doc_id <> dr.rep THEN 'exact_dup'
+        |      ELSE 'near_dup' END AS verdict
+        |FROM dr JOIN k ON k.rep = dr.rep""".stripMargin,
     "dedup_prefix_join" ->
       """WITH s AS (
         | SELECT doc_id, list_distinct(list_transform(

@@ -175,8 +175,13 @@ object Dedup {
 
   /** doc_id + shingle array, with the word split materialized. */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documentsParallel(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    shinglesOf(Tables.documentsParallel(s, dir))
+
+  /** The shingle frame over an ARBITRARY (doc_id, text) corpus — the
+    * cascade runs the identical chain over exact-dedup representatives
+    * instead of raw documents. */
+  private def shinglesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), shinglesFromWords(col("w")).as("sh"))
 
   val MinhashK = 64          // signature length
@@ -200,7 +205,15 @@ object Dedup {
   /** MinHash LSH candidate pairs: band the signature, equi-join on
     * (band index, band hash), estimate jaccard from signature overlap. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(s, dir).cache()
+    graft.functions.GraftFunctions.register(s)
+    minhashLshOver(docShingles(s, dir))
+  }
+
+  /** The candidate chain over an arbitrary (doc_id, sh) frame. */
+  private def minhashLshOver(d: DataFrame): DataFrame = {
+    val sigs = d.selectExpr("doc_id",
+      s"graft_minhash(transform(sh, x -> xxhash64(x)), $MinhashK) AS sig")
+      .cache()
     // band join carries ONLY (band, bucket, doc_id) — the 512-byte
     // signature arrays are joined back per distinct pair afterwards,
     // not shuffled through the candidate-pair explosion.
@@ -255,8 +268,15 @@ object Dedup {
     * DedupSimilaritySpec full-recall test. A recall break therefore
     * fails loudly in the gate rather than silently dropping pairs. */
   def lshVerified(s: SparkSession, dir: String): DataFrame = {
-    val cands = minhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
-    val d = docShingles(s, dir)
+    graft.functions.GraftFunctions.register(s)
+    lshVerifiedOver(docShingles(s, dir))
+  }
+
+  /** The verified near-dup chain over an arbitrary (doc_id, sh)
+    * frame — candidates from [[minhashLshOver]], exact-Jaccard
+    * verification, ≥ 0.7. */
+  private def lshVerifiedOver(d: DataFrame): DataFrame = {
+    val cands = minhashLshOver(d).select(col("doc_a"), col("doc_b"))
     cands
       .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -267,6 +287,85 @@ object Dedup {
         (col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.7)
+  }
+
+  /** Tonight's corpus as a re-crawl sees it: every 7th document
+    * re-fetched under a fresh id (ids offset past the current max — a
+    * bounded 1-row collect), text byte-identical. The deterministic
+    * duplication stress the sf~1 replicated-upscale probe measured on
+    * the flat candidate stages, embedded in the gate so the cascade's
+    * robustness claim is exercised at EVERY SF (the driver corpus has
+    * no exact duplicates below sf0.1). */
+  private def recrawlCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsParallel(s, dir)
+      .select(col("doc_id"), col("text"))
+    val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    docs.unionByName(docs.filter(col("doc_id") % 7 === 2)
+      .select((col("doc_id") + off).as("doc_id"), col("text")))
+  }
+
+  /** Exact→near dedup CASCADE — the duplication-robust production
+    * topology the sf~1 probe's flagged growers call for
+    * (SCALING_r13_sf1.json: the LSH candidate stages were the only
+    * >3× growers under 10× EXACT-copy replication, because exact
+    * duplicates share every band bucket and candidate PAIRS grow
+    * quadratically in copy count). The cascade makes near-dup cost a
+    * function of DISTINCT texts only:
+    *  1. exact stage — md5-fingerprint hash-groupBy elects the lowest
+    *     doc_id per distinct text (16-byte fps across the exchange,
+    *     never text; a collision hash-fails the gate since the oracle
+    *     groups by raw text);
+    *  2. near stage — the standard MinHash-LSH + exact-Jaccard verify
+    *     chain over REPRESENTATIVES ONLY, so bucket sizes and pair
+    *     counts are invariant to duplicate multiplicity
+    *     (spec-pinned: the candidate count over the duplicated corpus
+    *     equals the distinct-corpus count, while the non-cascaded
+    *     chain's grows);
+    *  3. components + expansion — near-dup clusters collapse to their
+    *     minimum representative, and every document inherits its
+    *     representative's fate: `kept` (the cluster keeper),
+    *     `exact_dup` (removed by stage 1), `near_dup` (its text
+    *     survived stage 1 but lost stage 3's election).
+    * Runs over the re-crawl corpus ([[recrawlCorpus]]) so stage 1 has
+    * real work at every SF. Hash-exact oracle: text-grouped election,
+    * all-pairs Jaccard truth over representatives, the recursive-CTE
+    * components, and the same CASE expansion. */
+  def cascade(s: SparkSession, dir: String): DataFrame = {
+    val corpus = recrawlCorpus(s, dir)
+    val fps = corpus.select(col("doc_id"), unhex(md5(col("text"))).as("fp"))
+    val reps = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("rep"))
+    val docRep = fps.join(reps, "fp").select(col("doc_id"), col("rep"))
+    val repDocs = corpus.join(reps.select(col("rep").as("doc_id")), "doc_id")
+    graft.functions.GraftFunctions.register(s)
+    val pairs = lshVerifiedOver(shinglesOf(repDocs))
+      .select(col("doc_a"), col("doc_b"))
+    val labels = connectedComponents(pairs)
+    val keeper = reps
+      .join(labels.select(col("doc_id").as("rep"), col("comp")),
+        Seq("rep"), "left")
+      .select(col("rep"), coalesce(col("comp"), col("rep")).as("keeper"))
+    docRep.join(keeper, "rep")
+      .select(col("doc_id"), col("rep"), col("keeper"),
+        when(col("doc_id") === col("keeper"), lit("kept"))
+          .when(col("doc_id") =!= col("rep"), lit("exact_dup"))
+          .otherwise(lit("near_dup")).as("verdict"))
+  }
+
+  /** Spec hook: near-stage candidate-pair counts with and without the
+    * exact stage, over the duplicated re-crawl corpus — the cascade's
+    * scale claim as a measurable number. */
+  private[graft] def cascadeCandidateCounts(s: SparkSession,
+      dir: String): (Long, Long, Long) = {
+    graft.functions.GraftFunctions.register(s)
+    val corpus = recrawlCorpus(s, dir)
+    val reps = corpus.select(col("doc_id"), unhex(md5(col("text"))).as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("rep"))
+    val repDocs = corpus.join(reps.select(col("rep").as("doc_id")), "doc_id")
+    val overReps = minhashLshOver(shinglesOf(repDocs)).count()
+    val overDups = minhashLshOver(shinglesOf(corpus)).count()
+    val distinctOnly =
+      minhashLshOver(docShingles(s, dir)).count()
+    (overReps, overDups, distinctOnly)
   }
 
   /** Prefix-filter (AllPairs-style) EXACT similarity self-join at

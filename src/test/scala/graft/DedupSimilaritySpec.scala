@@ -1803,6 +1803,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     CacheScope.releaseAll(spark)
   }
 
+  test("cascade: near-dup candidate cost is invariant to duplicate multiplicity") {
+    val (overReps, overDups, distinctOnly) =
+      Dedup.cascadeCandidateCounts(spark, sf)
+    // the scale claim: running LSH over exact-dedup REPRESENTATIVES
+    // keeps the candidate count at the distinct-corpus level, while
+    // the non-cascaded chain pays for every copy (each re-crawled doc
+    // shares all its bands with its original AND its original's
+    // neighbors)
+    assert(overReps <= distinctOnly,
+      s"rep candidates $overReps must not exceed distinct-corpus $distinctOnly")
+    assert(overDups > overReps,
+      s"duplicated-corpus candidates $overDups must exceed rep candidates $overReps")
+    // verdict bookkeeping: every re-crawled doc is an exact_dup of its
+    // original; keepers are kept; no doc escapes a verdict
+    val out = Dedup.cascade(spark, sf).collect()
+    val byVerdict = out.groupBy(_.getAs[String]("verdict"))
+      .view.mapValues(_.length).toMap
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(out.length > nDocs, "the re-crawl corpus must be larger than documents")
+    assert(byVerdict.getOrElse("exact_dup", 0) >= (out.length - nDocs).toInt,
+      s"every re-crawled copy must read exact_dup: $byVerdict")
+    out.foreach { r =>
+      val (d, rep, keeper) = (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rep"), r.getAs[Long]("keeper"))
+      assert(rep <= d && keeper <= rep, s"election order broken: $r")
+      r.getAs[String]("verdict") match {
+        case "kept" => assert(d == keeper)
+        case "exact_dup" => assert(d != rep)
+        case "near_dup" => assert(d == rep && d != keeper)
+        case v => fail(s"unknown verdict $v")
+      }
+    }
+    CacheScope.releaseAll(spark)
+  }
+
   test("dedup-routed retrain keeps one representative and serves a balanced index") {
     val dd = Similarity.dedupedDriftedEmbeddings(spark, sf)
     val batchPred = Similarity.IvfIncBatchPred
