@@ -69,6 +69,13 @@ object SparkEntry {
     "etl_maintenance_config" -> ((s: SparkSession, dir: String) =>
       graft.plans.ConfigJson.maintenancePlan(s, dir,
         graft.plans.ConfigJson.maintenanceJson(Similarity.DefaultMaintDoc))),
+    // Apply: true — the document as an EXECUTION order (the
+    // reference's scheduler runs the decided work): the config path
+    // lands on the executor's full three-stage table
+    "etl_maintenance_config_apply" -> ((s: SparkSession, dir: String) =>
+      graft.plans.ConfigJson.maintenancePlan(s, dir,
+        graft.plans.ConfigJson.maintenanceJson(Similarity.DefaultMaintDoc,
+          apply = true))),
     // query engine
     "q1_agg" -> (Analytics.q1Agg _),
     "q3_join" -> (Analytics.q3Join _),
@@ -3449,6 +3456,7 @@ object SparkEntry {
     "sim_maintenance_apply" -> simMaintenanceApplySql,
     // the parsed document resolves to the identical decision table
     "etl_maintenance_config" -> simMaintenancePlanSql,
+    "etl_maintenance_config_apply" -> simMaintenanceApplySql,
     "sim_ivf_lifecycle_retrain" -> simIvfRetrainSql,
     "sim_ivf_pq_lifecycle_retrain" -> simIvfPqRetrainSql,
     // stateless per-vector assignment + additive appends: micro-batch

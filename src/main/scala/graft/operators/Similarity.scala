@@ -1209,10 +1209,16 @@ object Similarity {
     * verdict — all FALSE, enforced by a loud require, and the whole
     * table hash-exact against an oracle that recomputes every consult
     * chain at each of the three stages. */
-  def maintenanceApply(s: SparkSession, dir: String): DataFrame = {
+  def maintenanceApply(s: SparkSession, dir: String): DataFrame =
+    maintenanceApplyFor(s, dir, DefaultMaintDoc)
+
+  /** The executor for an ARBITRARY maintenance document — the
+    * `Apply: true` form of the declarative ConfigJson entry point. */
+  private[graft] def maintenanceApplyFor(s: SparkSession, dir: String,
+      docSeq: Seq[MaintArtifact]): DataFrame = {
     import s.implicits._
-    val doc = DefaultMaintDoc.map(a => a.name -> a).toMap
-    val plan = planConsults(s, dir)
+    val doc = docSeq.map(a => a.name -> a).toMap
+    val plan = planConsultsFor(s, dir, docSeq)
     val planVerbs = verbsOf(plan)
     // a verb's post-state is an index KIND in the same registry the
     // plan resolves artifacts from — applying a verb = re-consulting

@@ -362,19 +362,35 @@ object ConfigJson {
     * offender (unknown Family/Index/Consult values fail inside the
     * registry with the same loudness). */
   def maintenancePlan(s: SparkSession, dir: String,
-      json: String): org.apache.spark.sql.DataFrame =
-    graft.operators.Similarity.maintenancePlanFor(s, dir,
-      parseMaintenance(json))
+      json: String): org.apache.spark.sql.DataFrame = {
+    val (arts, apply) = parseMaintenanceDoc(json)
+    if (apply) graft.operators.Similarity.maintenanceApplyFor(s, dir, arts)
+    else graft.operators.Similarity.maintenancePlanFor(s, dir, arts)
+  }
 
   private[graft] def parseMaintenance(json: String)
-      : Seq[graft.operators.Similarity.MaintArtifact] = {
+      : Seq[graft.operators.Similarity.MaintArtifact] =
+    parseMaintenanceDoc(json)._1
+
+  /** (artifacts, apply): `Apply: true` makes the document an EXECUTION
+    * order (the reference's scheduler runs the decided transfers, it
+    * doesn't list them — service.go:131); default false returns the
+    * decision table only. */
+  private[graft] def parseMaintenanceDoc(json: String)
+      : (Seq[graft.operators.Similarity.MaintArtifact], Boolean) = {
     val root = obj(parse(json), "config root")
     val m = obj(root.getOrElse("Maintenance",
       throw new ConfigError("config missing Maintenance")), "Maintenance")
-    val unknownTop = m.keySet.diff(Set("Artifacts"))
+    val unknownTop = m.keySet.diff(Set("Artifacts", "Apply"))
     if (unknownTop.nonEmpty) throw new ConfigError(
       s"unknown Maintenance keys: ${unknownTop.toSeq.sorted.mkString(", ")}")
-    m.getOrElse("Artifacts",
+    val apply = m.get("Apply") match {
+      case None => false
+      case Some(JBool(b)) => b
+      case Some(other) =>
+        throw new ConfigError(s"Apply must be a boolean, got $other")
+    }
+    val arts = m.getOrElse("Artifacts",
       throw new ConfigError("Maintenance missing Artifacts")) match {
       case JArr(as) if as.nonEmpty => as.map { av =>
         val am = obj(av, "Artifact")
@@ -399,18 +415,21 @@ object ConfigJson {
       case other =>
         throw new ConfigError(s"Artifacts must be an array, got $other")
     }
+    (arts, apply)
   }
 
   /** Serialize a maintenance document — the gate feeds the DEFAULT
     * document through serialize → parse → plan so the config path is
     * structurally incapable of drifting from the hand-built one. */
   def maintenanceJson(
-      doc: Seq[graft.operators.Similarity.MaintArtifact]): String = {
+      doc: Seq[graft.operators.Similarity.MaintArtifact],
+      apply: Boolean = false): String = {
     def arr(vs: Seq[String]) = vs.map(v => s""""$v"""").mkString("[", ",", "]")
     doc.map(a =>
       s"""{"Name":"${a.name}","Family":"${a.family}",""" +
         s""""Index":"${a.index}","Consults":${arr(a.consults)}}""")
-      .mkString("""{"Maintenance":{"Artifacts":[""", ",", "]}}")
+      .mkString("""{"Maintenance":{"Apply":""" + apply +
+        ""","Artifacts":[""", ",", "]}}")
   }
 
   /** Parse a config document into (spec, expanded target) pairs. */

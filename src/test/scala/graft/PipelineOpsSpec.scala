@@ -1138,10 +1138,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ConfigJson.parseMaintenance(handJson) == Similarity.DefaultMaintDoc,
       "hand-authored document must parse to the default doc (Index " +
         "defaulting to incremental included)")
-    // the serializer round-trips
+    // the serializer round-trips, including the Apply execution flag
     assert(ConfigJson.parseMaintenance(
       ConfigJson.maintenanceJson(Similarity.DefaultMaintDoc))
       == Similarity.DefaultMaintDoc)
+    assert(ConfigJson.parseMaintenanceDoc(
+      ConfigJson.maintenanceJson(Similarity.DefaultMaintDoc, apply = true))
+      == ((Similarity.DefaultMaintDoc, true)))
+    assert(!ConfigJson.parseMaintenanceDoc(handJson)._2,
+      "Apply defaults to false — a document is a plan unless it says otherwise")
+    val badApply = intercept[ConfigJson.ConfigError] {
+      ConfigJson.parseMaintenanceDoc(
+        """{"Maintenance":{"Apply":"yes","Artifacts":[{"Name":"a",
+          |"Family":"ivf","Consults":["small_files"]}]}}""".stripMargin)
+    }
+    assert(badApply.getMessage.contains("Apply"), badApply.getMessage)
     // loud-error discipline: unknown KEYS name themselves
     val badTop = intercept[ConfigJson.ConfigError] {
       ConfigJson.parseMaintenance(
