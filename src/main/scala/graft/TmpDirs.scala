@@ -29,7 +29,16 @@ object TmpDirs {
   // being deleted) stays closed by the in-flight set: unregister WAITS
   // until its specific path has no delete in flight before returning.
   private val lock = new Object
-  private val inFlight = scala.collection.mutable.Set.empty[String]
+  // in-flight delete REFCOUNT per path (ADVICE r13 #1): a Set loses
+  // multiplicity when the same path holds two queue entries (or two
+  // sweeps overlap on it) — the first completed rm would remove the
+  // membership and wake unregister while a second delete of that very
+  // path is still running. Decrement per completed rm; wake at zero.
+  private val inFlight = scala.collection.mutable.Map.empty[String, Int]
+  // bounded unregister wait (ADVICE r13 #1): a sweep thread dying
+  // between the dequeue and its per-path cleanup would otherwise park
+  // unregister forever; fail loudly instead of hanging the rebuild.
+  private val UnregisterWaitMs = 120000L
 
   /** Mark a per-call directory for deferred deletion. */
   def register(path: String): Unit =
@@ -48,7 +57,14 @@ object TmpDirs {
     // a sweep may have already dequeued this path and be rm'ing it
     // right now — returning early would let the rebuild write into a
     // directory being deleted (the ADVICE r11 #2 race)
-    while (inFlight.contains(path)) lock.wait()
+    val deadline = System.nanoTime() + UnregisterWaitMs * 1000000L
+    while (inFlight.getOrElse(path, 0) > 0) {
+      val leftMs = (deadline - System.nanoTime()) / 1000000L
+      if (leftMs <= 0) throw new IllegalStateException(
+        s"TmpDirs.unregister: delete of $path still in flight after " +
+          s"${UnregisterWaitMs}ms — a sweep thread likely died mid-delete")
+      lock.wait(leftMs)
+    }
   }
 
   private def rm(f: java.io.File): Unit = {
@@ -71,12 +87,16 @@ object TmpDirs {
         val (dg, p) = it.next()
         if (dg < g) { it.remove(); out += p }
       }
-      inFlight ++= out
+      out.foreach(p => inFlight(p) = inFlight.getOrElse(p, 0) + 1)
       out
     }
     doomed.foreach { p =>
       try rm(new java.io.File(p)) catch { case _: Throwable => () }
-      lock.synchronized { inFlight -= p; lock.notifyAll() }
+      finally lock.synchronized {
+        val left = inFlight.getOrElse(p, 1) - 1
+        if (left <= 0) inFlight -= p else inFlight(p) = left
+        lock.notifyAll()
+      }
     }
   }
 }
