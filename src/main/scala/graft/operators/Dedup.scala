@@ -209,18 +209,28 @@ object Dedup {
     minhashLshOver(docShingles(s, dir))
   }
 
+  /** (band, bucket, id) triples of a (doc_id, sig) signature frame —
+    * the shared 21×3 banding every MinHash band join in this file
+    * uses (identical banding ⇒ identical candidate sets, which is what
+    * the incremental paths' exactness arguments rest on). */
+  private def bandedSigs(sigs: DataFrame, idAs: String): DataFrame =
+    sigs.select(col("doc_id").as(idAs),
+        posexplode(transform(sequence(lit(0), lit(LshBands - 1)),
+          b => hash(slice(col("sig"), b * LshRows + 1, lit(LshRows))))))
+      .select(col(idAs), col("pos").as("band"), col("col").as("bucket"))
+
+  /** Minhash signatures of an arbitrary (doc_id, sh) shingle frame. */
+  private def sigsOf(d: DataFrame): DataFrame =
+    d.selectExpr("doc_id",
+      s"graft_minhash(transform(sh, x -> xxhash64(x)), $MinhashK) AS sig")
+
   /** The candidate chain over an arbitrary (doc_id, sh) frame. */
   private def minhashLshOver(d: DataFrame): DataFrame = {
-    val sigs = d.selectExpr("doc_id",
-      s"graft_minhash(transform(sh, x -> xxhash64(x)), $MinhashK) AS sig")
-      .cache()
+    val sigs = sigsOf(d).cache()
     // band join carries ONLY (band, bucket, doc_id) — the 512-byte
     // signature arrays are joined back per distinct pair afterwards,
     // not shuffled through the candidate-pair explosion.
-    val banded = sigs.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(LshBands - 1)),
-          b => hash(slice(col("sig"), b * LshRows + 1, lit(LshRows))))))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+    val banded = bandedSigs(sigs, "doc_id")
     val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
     val pairs = a.join(b, Seq("band", "bucket"))
@@ -299,9 +309,19 @@ object Dedup {
   private def recrawlCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documentsParallel(s, dir)
       .select(col("doc_id"), col("text"))
-    val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val off = maxDocIdPlusOne(s, dir)
     docs.unionByName(docs.filter(col("doc_id") % 7 === 2)
       .select((col("doc_id") + off).as("doc_id"), col("text")))
+  }
+
+  /** The fresh-id offset for planted re-crawl ids — a bounded 1-row
+    * collect, guarded so an EMPTY documents table fails with a named
+    * error instead of an opaque NPE (ADVICE r13 #4). */
+  private def maxDocIdPlusOne(s: SparkSession, dir: String): Long = {
+    val row = Tables.documents(s, dir).agg(max(col("doc_id"))).head()
+    require(!row.isNullAt(0),
+      "recrawl corpus: documents table is empty — no corpus to re-crawl")
+    row.getLong(0) + 1
   }
 
   /** Exact→near dedup CASCADE — the duplication-robust production
@@ -329,18 +349,64 @@ object Dedup {
     * Runs over the re-crawl corpus ([[recrawlCorpus]]) so stage 1 has
     * real work at every SF. Hash-exact oracle: text-grouped election,
     * all-pairs Jaccard truth over representatives, the recursive-CTE
-    * components, and the same CASE expansion. */
+    * components, and the same CASE expansion.
+    *
+    * STAGED (VERDICT r13 #1): the election + LSH/verify/components
+    * chain runs ONCE per (session, corpus version) under the
+    * stagedPairLineage contract ([[stagedCascadeLineage]]) — exactly
+    * like the kNN edges and the dedup pair lineage; the gate is a
+    * derivation-only read of the staged (doc_rep, rep_labels) tables
+    * plus the keeper join and CASE expansion. At 100 TB the rep-pair
+    * list is built once and consumed by the cascade verdicts, the
+    * survivor policy, and the splits; [[cascadeBuilds]] is the
+    * odometer the one-LSH-pass spec counts. */
   def cascade(s: SparkSession, dir: String): DataFrame = {
+    val base = stagedCascadeLineage(s, dir)
+    cascadeVerdictsFrom(
+      s.read.parquet(s"$base/doc_rep"),
+      s.read.parquet(s"$base/rep_labels"))
+  }
+
+  /** Spec-counted odometer: how many times the cascade's full
+    * election + LSH/verify/components chain actually ran. */
+  private[graft] val cascadeBuilds =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** One cascade corpus build: stage the doc→rep election and the
+    * rep-graph component labels; every consumer derives. */
+  def buildCascadeLineage(s: SparkSession, dir: String,
+      base: String): Unit = {
+    cascadeBuilds.incrementAndGet()
+    graft.functions.GraftFunctions.register(s)
     val corpus = recrawlCorpus(s, dir)
     val fps = corpus.select(col("doc_id"), unhex(md5(col("text"))).as("fp"))
     val reps = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("rep"))
-    val docRep = fps.join(reps, "fp").select(col("doc_id"), col("rep"))
+    fps.join(reps, "fp").select(col("doc_id"), col("rep"))
+      .write.mode("overwrite").parquet(s"$base/doc_rep")
     val repDocs = corpus.join(reps.select(col("rep").as("doc_id")), "doc_id")
-    graft.functions.GraftFunctions.register(s)
     val pairs = lshVerifiedOver(shinglesOf(repDocs))
       .select(col("doc_a"), col("doc_b"))
-    val labels = connectedComponents(pairs)
-    val keeper = reps
+    connectedComponents(pairs)
+      .write.mode("overwrite").parquet(s"$base/rep_labels")
+  }
+
+  /** One cascade build per (session, corpus version) — the
+    * [[stagedPairLineage]] discipline applied to the re-crawl corpus
+    * (its own staging key: the re-crawl is a deterministic function of
+    * the documents version, so the documents vkey pins it). */
+  def stagedCascadeLineage(s: SparkSession, dir: String): String = {
+    val vkey = Tables.versionedKey(s, dir, "documents")
+    Tables.stagedArtifact("cascade", dir, vkey) { b =>
+      buildCascadeLineage(s, dir, b); b
+    }
+  }
+
+  /** The derivation: verdict expansion from a (doc_id, rep) election
+    * table and the rep-graph component labels — id-only joins + one
+    * CASE, zero signature work. */
+  private[graft] def cascadeVerdictsFrom(docRep: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val keeper = docRep.select(col("rep")).distinct()
       .join(labels.select(col("doc_id").as("rep"), col("comp")),
         Seq("rep"), "left")
       .select(col("rep"), coalesce(col("comp"), col("rep")).as("keeper"))
@@ -350,6 +416,26 @@ object Dedup {
           .when(col("doc_id") =!= col("rep"), lit("exact_dup"))
           .otherwise(lit("near_dup")).as("verdict"))
   }
+
+  /** From-scratch cascade over an ARBITRARY (doc_id, text) corpus —
+    * the recompute twin the staging parity spec and the incremental
+    * cascade's exactness spec compare against. */
+  private[graft] def cascadeRecomputeOver(s: SparkSession,
+      corpus: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val fps = corpus.select(col("doc_id"), unhex(md5(col("text"))).as("fp"))
+    val reps = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("rep"))
+    val docRep = fps.join(reps, "fp").select(col("doc_id"), col("rep"))
+    val repDocs = corpus.join(reps.select(col("rep").as("doc_id")), "doc_id")
+    val pairs = lshVerifiedOver(shinglesOf(repDocs))
+      .select(col("doc_a"), col("doc_b"))
+    cascadeVerdictsFrom(docRep, connectedComponents(pairs))
+  }
+
+  /** Recompute twin of the staged [[cascade]] gate (parity spec). */
+  private[graft] def cascadeRecompute(s: SparkSession,
+      dir: String): DataFrame =
+    cascadeRecomputeOver(s, recrawlCorpus(s, dir))
 
   /** Spec hook: near-stage candidate-pair counts with and without the
     * exact stage, over the duplicated re-crawl corpus — the cascade's
@@ -366,6 +452,190 @@ object Dedup {
     val distinctOnly =
       minhashLshOver(docShingles(s, dir)).count()
     (overReps, overDups, distinctOnly)
+  }
+
+  // -------------------------------------------------------------------
+  // Incremental cascade — the nightly-crawl form of [[cascade]]
+  // (VERDICT r13 #4): the composition a production pipeline actually
+  // runs every night. Snapshot = the already-cascaded corpus with its
+  // staged election/signature/pair/label state; batch = tonight's
+  // crawl. Per-night cost ∝ batch: the exact stage is the ids-only
+  // fp anti-join of [[incremental]], the near stage bands only the
+  // batch's NEW-text representatives against the staged signature
+  // index ([[incrementalNear]]'s band join), and components update
+  // through [[mergeComponents]]' exact rep-graph contraction. Output
+  // is hash-exact to the from-scratch cascade on snapshot ∪ batch
+  // (the dedup_components_incremental oracle discipline).
+  // -------------------------------------------------------------------
+
+  /** The incremental-cascade corpus: snapshot = every non-src0 doc
+    * under its own id (last night's corpus); batch = tonight's crawl —
+    * the src0 docs arriving under fresh ids past the snapshot id space
+    * (so exact-stage minima provably stay in the snapshot), plus the
+    * planted re-deliveries the incremental gates all use: every 7th
+    * snapshot doc re-fetched byte-identical (dropped by the fp join)
+    * and every 11th batch doc double-delivered (collapsed by the
+    * in-batch election). */
+  private[graft] def cascadeSnapshotAndBatch(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documentsParallel(s, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+    val b = maxDocIdPlusOne(s, dir)
+    val snap = docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("text"))
+    val src0 = docs.filter(col("source") === "src0")
+    val batch = src0.select((col("doc_id") + b).as("doc_id"), col("text"))
+      .unionByName(snap.filter(col("doc_id") % 7 === 2)
+        .select((col("doc_id") + 2 * b).as("doc_id"), col("text")))
+      .unionByName(src0.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 3 * b).as("doc_id"), col("text")))
+    (snap, batch)
+  }
+
+  /** Stage the snapshot's cascade state once per corpus version — the
+    * four tables last night's run persists and tonight's job reads:
+    * the fp→rep exact index, the doc→rep election, the rep signature
+    * index (what the batch bands against), and the rep-graph component
+    * labels ([[mergeComponents]]' snapshot side). */
+  def buildCascadeSnapshot(s: SparkSession, dir: String,
+      base: String): Unit = {
+    cascadeBuilds.incrementAndGet()
+    graft.functions.GraftFunctions.register(s)
+    val (snap, _) = cascadeSnapshotAndBatch(s, dir)
+    val fps = snap.select(col("doc_id"), unhex(md5(col("text"))).as("fp"))
+    val fpRep = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("rep"))
+    fpRep.write.mode("overwrite").parquet(s"$base/fp_rep")
+    fps.join(fpRep, "fp").select(col("doc_id"), col("rep"))
+      .write.mode("overwrite").parquet(s"$base/doc_rep")
+    val repSh = shinglesOf(
+      snap.join(fpRep.select(col("rep").as("doc_id")), "doc_id"))
+    sigsOf(repSh).write.mode("overwrite").parquet(s"$base/rep_sigs")
+    val pairs = lshVerifiedOver(repSh).select(col("doc_a"), col("doc_b"))
+    connectedComponents(pairs)
+      .withColumnRenamed("comp", "snap_comp")
+      .write.mode("overwrite").parquet(s"$base/rep_labels")
+  }
+
+  private[graft] def stagedCascadeSnapshot(s: SparkSession,
+      dir: String): String = {
+    val vkey = Tables.versionedKey(s, dir, "documents")
+    Tables.stagedArtifact("cascsnap", dir, vkey) { b =>
+      buildCascadeSnapshot(s, dir, b); b
+    }
+  }
+
+  /** Tonight's cascade: exact stage (batch fps against the staged fp
+    * index — matched docs inherit the snapshot rep, new texts elect
+    * the minimum batch id), near stage (new reps only: band against
+    * the staged signature index ∪ tonight's new-rep signatures, the
+    * same est-Jaccard ≥ 0.15 prefilter and exact ≥ 0.7 verify as the
+    * from-scratch chain — identical banding ⇒ identical candidate
+    * set restricted to pairs touching a new rep, which is exactly the
+    * from-scratch pair delta), then [[mergeComponents]] and the same
+    * verdict expansion. Snapshot text is touched only to verify the
+    * bounded candidate set. Hash-exact oracle: the from-scratch
+    * cascade SQL over snapshot ∪ batch. */
+  def cascadeIncremental(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val base = stagedCascadeSnapshot(s, dir)
+    val (snap, batch) = cascadeSnapshotAndBatch(s, dir)
+    val fpRep = s.read.parquet(s"$base/fp_rep")
+    val snapDocRep = s.read.parquet(s"$base/doc_rep")
+    val snapSigs = s.read.parquet(s"$base/rep_sigs")
+    val snapLabels = s.read.parquet(s"$base/rep_labels")
+    // exact stage — ids and 16-byte fps only across the exchange
+    val bfps = batch.select(col("doc_id"), unhex(md5(col("text"))).as("fp"))
+    val joined = bfps
+      .join(fpRep.withColumnRenamed("rep", "snap_rep"), Seq("fp"), "left")
+      .localCheckpoint() // consumed by the election, the docRep union,
+                         // and (via newReps) the whole near stage
+    val newElect = joined.filter(col("snap_rep").isNull)
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("new_rep"))
+    val batchDocRep = joined.join(newElect, Seq("fp"), "left")
+      .select(col("doc_id"),
+        coalesce(col("snap_rep"), col("new_rep")).as("rep"))
+    val newReps = newElect.select(col("new_rep").as("doc_id"))
+    // near stage over NEW reps only
+    val newSh = shinglesOf(batch.join(newReps, "doc_id")).cache()
+    val newSigs = sigsOf(newSh).cache()
+    val unionSigs = snapSigs.unionByName(newSigs)
+    val rawPairs = bandedSigs(newSigs, "n_id")
+      .join(bandedSigs(unionSigs, "o_id"), Seq("band", "bucket"))
+      .filter(col("n_id") =!= col("o_id"))
+      .select(least(col("n_id"), col("o_id")).as("doc_a"),
+        greatest(col("n_id"), col("o_id")).as("doc_b"))
+      .distinct()
+    val cands = rawPairs
+      .join(unionSigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(unionSigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .filter((seqSumInt(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => (x === y).cast("int"))).cast("double") / MinhashK) >= 0.15)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint() // feeds the shingle lookup AND the verify join
+    // verify: snapshot shingles recomputed NARROW for candidate ids
+    // only (production reads the staged shingle store); batch-side
+    // shingles are already at hand
+    val candIds = cands.select(col("doc_a").as("doc_id"))
+      .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val shAll = shinglesOf(snap.join(candIds, "doc_id")).unionByName(newSh)
+    val newPairs = cands
+      .join(shAll.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shAll.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_inter"),
+        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
+      .filter(col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")) >= 0.7)
+      .select(col("doc_a"), col("doc_b"))
+    val merged = mergeComponents(snapLabels, newPairs)
+    val docRep = snapDocRep.unionByName(batchDocRep)
+    cascadeVerdictsFrom(docRep, merged)
+  }
+
+  /** Spec hook for the ∝-batch claim: the incremental near stage's
+    * candidate count vs the from-scratch chain's candidates that touch
+    * a new batch rep — the two sets must be EQUAL (same banding, same
+    * est prefilter), pinning both completeness (nothing missed) and
+    * boundedness (nothing beyond the batch delta recomputed). Also
+    * returns the from-scratch TOTAL so the spec can show the delta is
+    * a strict subset. */
+  private[graft] def cascadeIncCandidateCounts(s: SparkSession,
+      dir: String): (Long, Long, Long) = {
+    graft.functions.GraftFunctions.register(s)
+    val (snap, batch) = cascadeSnapshotAndBatch(s, dir)
+    val union = snap.unionByName(batch)
+    val fps = union.select(col("doc_id"), unhex(md5(col("text"))).as("fp"))
+    val reps = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("rep"))
+    val repDocs = union.join(reps.select(col("rep").as("doc_id")), "doc_id")
+    val full = minhashLshOver(shinglesOf(repDocs))
+      .select(col("doc_a"), col("doc_b")).cache()
+    val snapFps = snap.select(unhex(md5(col("text"))).as("fp")).distinct()
+    val newRepIds = batch.select(col("doc_id"), unhex(md5(col("text"))).as("fp"))
+      .join(snapFps, Seq("fp"), "left_anti")
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val fullTouchingNew = full
+      .join(newRepIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+      .unionByName(full.join(newRepIds.withColumnRenamed("doc_id", "doc_b"),
+        Seq("doc_b"), "left_semi").select(col("doc_a"), col("doc_b")))
+      .distinct().count()
+    // the incremental path's own candidate set (pre-verify)
+    val base = stagedCascadeSnapshot(s, dir)
+    val snapSigs = s.read.parquet(s"$base/rep_sigs")
+    val newSigs = sigsOf(shinglesOf(batch.join(newRepIds, "doc_id")))
+    val unionSigs = snapSigs.unionByName(newSigs)
+    val incCands = bandedSigs(newSigs, "n_id")
+      .join(bandedSigs(unionSigs, "o_id"), Seq("band", "bucket"))
+      .filter(col("n_id") =!= col("o_id"))
+      .select(least(col("n_id"), col("o_id")).as("doc_a"),
+        greatest(col("n_id"), col("o_id")).as("doc_b"))
+      .distinct()
+      .join(unionSigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(unionSigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .filter((seqSumInt(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => (x === y).cast("int"))).cast("double") / MinhashK) >= 0.15)
+      .count()
+    (incCands, fullTouchingNew, full.count())
   }
 
   /** Prefix-filter (AllPairs-style) EXACT similarity self-join at

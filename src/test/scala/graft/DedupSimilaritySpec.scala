@@ -1838,6 +1838,90 @@ class DedupSimilaritySpec extends AnyFunSuite {
     CacheScope.releaseAll(spark)
   }
 
+  test("cascade stages once per (session, corpus); the gate is derivation-only (VERDICT r13 #1)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rep"),
+        r.getAs[Long]("keeper"), r.getAs[String]("verdict"))).toSet
+    val expected = rows(Dedup.cascadeRecompute(spark, sf))
+    val first = rows(Dedup.cascade(spark, sf))
+    assert(first == expected, "staged cascade must equal the recompute twin")
+    val built = Dedup.cascadeBuilds.get()
+    assert(rows(Dedup.cascade(spark, sf)) == expected)
+    assert(Dedup.cascadeBuilds.get() == built,
+      "a second cascade call must be a derivation-only read — no new LSH pass")
+    CacheScope.releaseAll(spark)
+  }
+
+  test("incremental cascade equals the from-scratch cascade on snapshot ∪ batch (VERDICT r13 #4)") {
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("rep"),
+        r.getAs[Long]("keeper"), r.getAs[String]("verdict"))
+    val (snap, batch) = Dedup.cascadeSnapshotAndBatch(spark, sf)
+    val expected = Dedup.cascadeRecomputeOver(spark, snap.unionByName(batch))
+      .collect().map(keyOf).toSet
+    val got = Dedup.cascadeIncremental(spark, sf).collect().map(keyOf).toSet
+    assert(got == expected,
+      s"incremental cascade drifted from the from-scratch union cascade " +
+        s"(${(got -- expected).take(3)} vs ${(expected -- got).take(3)})")
+    // the planted families do what the construction says: re-delivered
+    // snapshot docs read exact_dup, double-delivered batch docs collapse
+    val exactDups = got.count(_._4 == "exact_dup")
+    assert(exactDups > 0, "the planted re-deliveries must surface as exact_dups")
+    CacheScope.releaseAll(spark)
+  }
+
+  test("incremental cascade near stage recomputes exactly the batch delta (VERDICT r13 #4)") {
+    val (inc, fullNew, fullTotal) = Dedup.cascadeIncCandidateCounts(spark, sf)
+    // completeness AND boundedness in one pin: the incremental band
+    // join (new reps vs staged index) finds exactly the from-scratch
+    // chain's candidates that touch a new rep — nothing missed, and
+    // nothing beyond the delta recomputed
+    assert(inc == fullNew,
+      s"incremental candidates $inc must equal the from-scratch delta $fullNew")
+    assert(fullNew <= fullTotal,
+      s"delta $fullNew cannot exceed the full candidate set $fullTotal")
+    CacheScope.releaseAll(spark)
+  }
+
+  test("escalation ladder: one rung, loud otherwise (VERDICT r13 #6)") {
+    assert(Similarity.escalationLadder("ivf_skewed", "retrain") == "dedup_retrain")
+    for (verb <- Seq("compact", "restat", "append", "dedup_retrain")) {
+      val e = intercept[IllegalStateException] {
+        Similarity.escalationLadder("some_artifact", verb)
+      }
+      assert(e.getMessage.contains("no escalation") && e.getMessage.contains(verb),
+        s"the throw must name the verb and the missing rung: ${e.getMessage}")
+    }
+  }
+
+  test("two-night executor: promotion serving equals the one-shot frozen build per night (VERDICT r13 #5)") {
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Double]("cosine"), r.getAs[Long]("rank"))
+    val out = Similarity.ivfTwoNightTopK(spark, sf).collect()
+    def night(n: Long) =
+      out.filter(_.getAs[Long]("night") == n).map(keyOf).toSet
+    // night 2 = the full incremental corpus — must serve row-identical
+    // to the plain incremental gate
+    val incRows = Similarity.ivfIncTopK(spark, sf).collect().map(keyOf).toSet
+    assert(night(2L) == incRows,
+      "night-2 serving must equal the one-shot incremental build")
+    // night 1: one-shot frozen build over snapshot + night-1 arrivals,
+    // UNCOMPACTED — equality also pins compaction row-preservation
+    val oneShotBase =
+      java.nio.file.Files.createTempDirectory("twonight").toString
+    Similarity.buildIvfIncSnapshot(spark, sf, oneShotBase)
+    Similarity.appendIvfIncVectors(spark, oneShotBase,
+      Tables.embeddings(spark, sf)
+        .filter(expr(Similarity.IvfNight1Pred))
+        .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb")))
+    val oneShot = Similarity.ivfServeForSpec(spark, oneShotBase, sf)
+      .collect().map(keyOf).toSet
+    assert(night(1L) == oneShot,
+      "night-1 promotion serving must equal the one-shot build over snapshot+night1")
+    CacheScope.releaseAll(spark)
+  }
+
   test("dedup-routed retrain keeps one representative and serves a balanced index") {
     val dd = Similarity.dedupedDriftedEmbeddings(spark, sf)
     val batchPred = Similarity.IvfIncBatchPred
