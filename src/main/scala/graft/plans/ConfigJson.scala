@@ -197,6 +197,10 @@ object ConfigJson {
     case JNum(x) if x == x.toLong => x.toLong
     case other => throw new ConfigError(s"$what must be an integer, got $other")
   }
+  private def num(v: JValue, what: String): Double = v match {
+    case JNum(x) => x
+    case other => throw new ConfigError(s"$what must be a number, got $other")
+  }
 
   /** Duration object → milliseconds (reference Duration units,
     * util.go Get: milli/sec/min/hour). */
@@ -394,22 +398,38 @@ object ConfigJson {
       throw new ConfigError("Maintenance missing Artifacts")) match {
       case JArr(as) if as.nonEmpty => as.map { av =>
         val am = obj(av, "Artifact")
-        val unknown = am.keySet.diff(Set("Name", "Family", "Index", "Consults"))
+        val unknown = am.keySet.diff(
+          Set("Name", "Family", "Index", "Consults", "Bars"))
         if (unknown.nonEmpty) throw new ConfigError(
           s"unknown Artifact keys: ${unknown.toSeq.sorted.mkString(", ")}")
+        val consults = am.getOrElse("Consults",
+          throw new ConfigError("Artifact missing Consults")) match {
+          case JArr(cs) if cs.nonEmpty => cs.map(str(_, "Consults entry"))
+          case JArr(_) => throw new ConfigError("Consults is empty")
+          case other =>
+            throw new ConfigError(s"Consults must be an array, got $other")
+        }
+        // per-consult bar overrides (VERDICT r13 #7): keys must name a
+        // consult THIS artifact declares (a bar for a consult that
+        // never runs is a config typo, not a latent default), values
+        // must be numbers — both fail loudly
+        val bars = am.get("Bars").map {
+          case JObj(bm) =>
+            val unknownBars = bm.keySet.diff(consults.toSet)
+            if (unknownBars.nonEmpty) throw new ConfigError(
+              "Bars keys must name declared Consults; unknown: " +
+                unknownBars.toSeq.sorted.mkString(", "))
+            bm.map { case (k, v) => k -> num(v, s"Bars.$k") }
+          case other =>
+            throw new ConfigError(s"Bars must be an object, got $other")
+        }.getOrElse(Map.empty[String, Double])
         graft.operators.Similarity.MaintArtifact(
           str(am.getOrElse("Name",
             throw new ConfigError("Artifact missing Name")), "Name"),
           str(am.getOrElse("Family",
             throw new ConfigError("Artifact missing Family")), "Family"),
           str(am.getOrElse("Index", JStr("incremental")), "Index"),
-          am.getOrElse("Consults",
-            throw new ConfigError("Artifact missing Consults")) match {
-            case JArr(cs) if cs.nonEmpty => cs.map(str(_, "Consults entry"))
-            case JArr(_) => throw new ConfigError("Consults is empty")
-            case other =>
-              throw new ConfigError(s"Consults must be an array, got $other")
-          })
+          consults, bars)
       }
       case JArr(_) => throw new ConfigError("Artifacts is empty")
       case other =>
@@ -424,10 +444,28 @@ object ConfigJson {
   def maintenanceJson(
       doc: Seq[graft.operators.Similarity.MaintArtifact],
       apply: Boolean = false): String = {
-    def arr(vs: Seq[String]) = vs.map(v => s""""$v"""").mkString("[", ",", "]")
+    // escape string values (ADVICE r13 #3): an artifact name carrying a
+    // quote/backslash/control char would otherwise emit invalid JSON
+    // and break the serialize → parse → plan round-trip this gate
+    // depends on
+    def jstr(v: String): String = "\"" + v.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def arr(vs: Seq[String]) = vs.map(jstr).mkString("[", ",", "]")
+    def jnum(d: Double): String =
+      if (d == d.toLong) d.toLong.toString else d.toString
+    def barsOf(a: graft.operators.Similarity.MaintArtifact): String =
+      if (a.bars.isEmpty) ""
+      else a.bars.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }
+        .mkString(""","Bars":{""", ",", "}")
     doc.map(a =>
-      s"""{"Name":"${a.name}","Family":"${a.family}",""" +
-        s""""Index":"${a.index}","Consults":${arr(a.consults)}}""")
+      s"""{"Name":${jstr(a.name)},"Family":${jstr(a.family)},""" +
+        s""""Index":${jstr(a.index)},"Consults":${arr(a.consults)}""" +
+        barsOf(a) + "}")
       .mkString("""{"Maintenance":{"Apply":""" + apply +
         ""","Artifacts":[""", ",", "]}}")
   }

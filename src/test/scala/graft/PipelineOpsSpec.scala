@@ -1189,4 +1189,63 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(badConsult.getMessage.contains("entropy_drift"),
       badConsult.getMessage)
   }
+
+  test("declarative bars override consult thresholds, loud on unknown keys/values (VERDICT r13 #7)") {
+    import graft.operators.Similarity
+    import graft.plans.ConfigJson
+    def planOf(json: String): Map[(String, String), Boolean] =
+      ConfigJson.maintenancePlan(spark, sf, json).collect()
+        .map(r => (r.getAs[String]("artifact"), r.getAs[String]("consult"))
+          -> r.getAs[Boolean]("fired")).toMap
+    // the balanced main does NOT fire under the registry default…
+    val defJson = """{"Maintenance":{"Artifacts":[
+      |{"Name":"ivf_main","Family":"ivf","Consults":["list_imbalance"]}]}}""".stripMargin
+    assert(!planOf(defJson)(("ivf_main", "list_imbalance")),
+      "registry default must not fire on the balanced main")
+    // …but a declared 0.5× bar must (max·n_lists ≥ n_rows > 0.5·n_rows
+    // on any non-degenerate layout)
+    val fireJson = """{"Maintenance":{"Artifacts":[
+      |{"Name":"ivf_main","Family":"ivf","Consults":["list_imbalance"],
+      | "Bars":{"list_imbalance":0.5}}]}}""".stripMargin
+    assert(planOf(fireJson)(("ivf_main", "list_imbalance")),
+      "a 0.5x bar must fire on any layout")
+    // the skewed artifact fires by default; a declared huge bar silences it
+    val defSkew = """{"Maintenance":{"Artifacts":[
+      |{"Name":"ivf_skewed","Family":"ivf","Index":"skewed",
+      | "Consults":["list_imbalance"]}]}}""".stripMargin
+    assert(planOf(defSkew)(("ivf_skewed", "list_imbalance")),
+      "the skewed artifact must fire under the default 2x bar")
+    val quietSkew = """{"Maintenance":{"Artifacts":[
+      |{"Name":"ivf_skewed","Family":"ivf","Index":"skewed",
+      | "Consults":["list_imbalance"],"Bars":{"list_imbalance":1000000}}]}}""".stripMargin
+    assert(!planOf(quietSkew)(("ivf_skewed", "list_imbalance")),
+      "a declared bar above the measured ratio must silence the consult")
+    // round-trip with bars AND a hostile name (ADVICE r13 #3 escaping)
+    val doc = Seq(Similarity.MaintArtifact("we\"ird\\name", "ivf",
+      "incremental", Seq("small_files", "list_imbalance"),
+      Map("small_files" -> 2.0, "list_imbalance" -> 2.5)))
+    assert(ConfigJson.parseMaintenance(ConfigJson.maintenanceJson(doc)) == doc,
+      "serialize → parse must round-trip bars and escaped names")
+    // loud: a bar for a consult the artifact does not declare
+    val badKey = intercept[ConfigJson.ConfigError] {
+      ConfigJson.parseMaintenance("""{"Maintenance":{"Artifacts":[
+        |{"Name":"a","Family":"ivf","Consults":["small_files"],
+        | "Bars":{"coarse_drift":0.5}}]}}""".stripMargin)
+    }
+    assert(badKey.getMessage.contains("coarse_drift"), badKey.getMessage)
+    // loud: a non-numeric bar
+    val badVal = intercept[ConfigJson.ConfigError] {
+      ConfigJson.parseMaintenance("""{"Maintenance":{"Artifacts":[
+        |{"Name":"a","Family":"ivf","Consults":["small_files"],
+        | "Bars":{"small_files":"two"}}]}}""".stripMargin)
+    }
+    assert(badVal.getMessage.contains("small_files"), badVal.getMessage)
+    // loud: small_files bars must be whole file counts
+    val badFrac = intercept[IllegalArgumentException] {
+      Similarity.maintenancePlanFor(spark, sf, Seq(
+        Similarity.MaintArtifact("a", "ivf", "incremental",
+          Seq("small_files"), Map("small_files" -> 1.5))))
+    }
+    assert(badFrac.getMessage.contains("whole"), badFrac.getMessage)
+  }
 }
