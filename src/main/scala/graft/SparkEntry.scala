@@ -164,6 +164,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_lsh_verified" -> (Dedup.lshVerified _),
     "dedup_cascade" -> (Dedup.cascade _),
+    "dedup_cascade_incremental" -> (Dedup.cascadeIncremental _),
     "dedup_embedding" -> (Dedup.embedding _),
     "dedup_embedding_lsh" -> (Dedup.embeddingLsh _),
     "dedup_embedding_lsh_capped" -> (Dedup.embeddingLshCapped _),
@@ -209,6 +210,7 @@ object SparkEntry {
     "sim_ivf_pq_index_imbalance" -> (Similarity.ivfPqIncImbalanceReport _),
     "sim_maintenance_plan" -> (Similarity.maintenancePlan _),
     "sim_maintenance_apply" -> (Similarity.maintenanceApply _),
+    "sim_maintenance_nightly" -> (Similarity.ivfTwoNightTopK _),
     "sim_ivf_lifecycle_retrain" -> (Similarity.ivfRetrainTopK _),
     "sim_ivf_pq_lifecycle_retrain" -> (Similarity.ivfPqRetrainTopK _),
     "sim_ivf_pq_index_compact" -> (Similarity.ivfPqCompactTopK _),
@@ -1619,6 +1621,17 @@ object SparkEntry {
     val pqBook = one(simIvfPqIncDriftSql)
     val F = "FALSE"
     Seq(
+      // CORPUS-PINNED (ADVICE r13 #2): the applied/final chains reuse
+      // the PLAN chain (bm25Fired) — valid only because df_staleness
+      // does NOT fire on the gate corpus, so bm25_main's applied verb
+      // is compact (small_files), which moves rows between files and
+      // preserves the dfs the consult reads. If df_staleness ever
+      // fired here, restat would clear it on the Spark side while this
+      // oracle still claimed fired and routed verb_final into the
+      // dedup_retrain ladder (a verb the executor throws on for bm25);
+      // the hash gate would fail LOUDLY, which is the desired failure
+      // mode — but the fix is then to model the post-restat chain
+      // (df_frozen := df_now) explicitly, not to widen the ladder.
       PlanRowSql("bm25_main", "restat", "df_staleness",
         bm25Fired, bm25Fired, bm25Fired),
       PlanRowSql("bm25_main", "restat", "small_files",
@@ -1963,6 +1976,105 @@ object SparkEntry {
   private val decSum = (c: String) => s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
   private val revenue =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+
+  /** The cascade oracle chain over an arbitrary corpus CTE body
+    * (shared by `dedup_cascade` and `dedup_cascade_incremental` — the
+    * incremental gate's contract IS "hash-exact to the from-scratch
+    * cascade on snapshot ∪ batch", so both keys run the identical
+    * election → all-pairs-over-reps truth → recursive-CTE components →
+    * verdict chain, differing only in the corpus construction). */
+  private def dedupCascadeSqlOver(corpusSql: String): String =
+    s"""WITH RECURSIVE corpus AS (
+      |$corpusSql),
+      |rp AS (SELECT text, MIN(doc_id) AS rep FROM corpus GROUP BY text),
+      |dr AS (SELECT c.doc_id, rp.rep FROM corpus c JOIN rp ON c.text = rp.text),
+      |s AS (
+      | SELECT doc_id, list_distinct(list_transform(
+      |   range(1, len(string_split(text, ' ')) - 1),
+      |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+      |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+      | FROM corpus WHERE doc_id IN (SELECT rep FROM rp)),
+      |p AS (SELECT doc_a, doc_b FROM (
+      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      | FROM s a, s b WHERE a.doc_id < b.doc_id) t
+      | WHERE jaccard >= 0.7),
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+      |r(a, b) AS (
+      | SELECT a, b FROM e
+      | UNION
+      | SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+      |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp FROM r GROUP BY a),
+      |k AS (SELECT rp.rep, COALESCE(c2.comp, rp.rep) AS keeper
+      | FROM rp LEFT JOIN comp c2 ON c2.doc_id = rp.rep)
+      |SELECT dr.doc_id, dr.rep, k.keeper,
+      | CASE WHEN dr.doc_id = k.keeper THEN 'kept'
+      |      WHEN dr.doc_id <> dr.rep THEN 'exact_dup'
+      |      ELSE 'near_dup' END AS verdict
+      |FROM dr JOIN k ON k.rep = dr.rep""".stripMargin
+
+  /** dedup_cascade's corpus: the re-crawl (every 7th doc re-fetched
+    * byte-identical under a fresh id). */
+  private def recrawlCorpusSql: String =
+    """ SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text
+      | FROM documents WHERE doc_id % 7 = 2""".stripMargin
+
+  /** dedup_cascade_incremental's corpus: snapshot (non-src0 docs) ∪
+    * tonight's batch — src0 docs under fresh ids past the snapshot id
+    * space, every 7th snapshot doc re-delivered byte-identical, every
+    * 11th batch doc double-delivered (Dedup.cascadeSnapshotAndBatch's
+    * construction, recomputed from the tables). */
+  private def cascadeUnionCorpusSql: String =
+    """ SELECT doc_id, text FROM documents WHERE source <> 'src0'
+      | UNION ALL
+      | SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text
+      | FROM documents WHERE source = 'src0'
+      | UNION ALL
+      | SELECT doc_id + 2 * (SELECT MAX(doc_id) + 1 FROM documents), text
+      | FROM documents WHERE source <> 'src0' AND doc_id % 7 = 2
+      | UNION ALL
+      | SELECT doc_id + 3 * (SELECT MAX(doc_id) + 1 FROM documents), text
+      | FROM documents WHERE source = 'src0' AND doc_id % 11 = 0""".stripMargin
+
+  /** Two-night executor oracle (VERDICT r13 #5): each promotion
+    * point's serving recomputed as the one-shot frozen-quantizer build
+    * over exactly the vectors arrived by that night — the incremental
+    * IVF oracle with the postings side restricted to the night's
+    * corpus (night 2 = everything, so its rows equal
+    * `sim_ivf_index_incremental`'s with the night column prepended).
+    * CTE scopes are per-subquery, so the two unrolled Lloyd chains
+    * cannot collide. */
+  private def simIvfTwoNightSql: String = {
+    def night(n: Int, corpusPred: String): String = {
+      val (parts, cc, fc) = lloydCtes(Some(a =>
+        s"NOT (${Similarity.IvfIncBatchPred.replace("vec_id", a + "vec_id")})"))
+      parts += s"""probes AS (
+        |  SELECT query_id, q_demb, q_nsq, cent_id FROM (
+        |    SELECT v.vec_id AS query_id, v.demb AS q_demb, v.nsq AS q_nsq, c.cent_id,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY $cc DESC, c.cent_id) AS rn
+        |    FROM e v, $fc c WHERE v.vec_id < 10) t WHERE rn <= ${Similarity.IvfProbes})""".stripMargin
+      parts += s"""assigned AS (
+        |  SELECT cand_id, c_demb, c_nsq, cent_id FROM (
+        |    SELECT v.vec_id AS cand_id, v.demb AS c_demb, v.nsq AS c_nsq, c.cent_id,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY $cc DESC, c.cent_id) AS rn
+        |    FROM e v, $fc c WHERE v.vec_id >= 10 AND ($corpusPred)) t WHERE rn = 1)""".stripMargin
+      val sc = cosineSql("p.q_demb", "p.q_nsq", "a.c_demb", "a.c_nsq")
+      s"""SELECT * FROM (WITH ${parts.mkString(",\n")}
+        |SELECT CAST($n AS BIGINT) AS night, query_id, cand_id, cosine, rank FROM (
+        |  SELECT p.query_id, a.cand_id, $sc AS cosine,
+        |    CAST(row_number() OVER (PARTITION BY p.query_id
+        |      ORDER BY $sc DESC, a.cand_id) AS BIGINT) AS rank
+        |  FROM probes p JOIN assigned a USING (cent_id)) t
+        |WHERE rank <= ${Similarity.K})""".stripMargin
+    }
+    night(1, "NOT (v.vec_id % 10 = 3 AND (v.vec_id // 10) % 2 = 1)") +
+      "\nUNION ALL\n" + night(2, "TRUE")
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -2998,39 +3110,11 @@ object SparkEntry {
     // lshVerified recall discipline), recursive-CTE components, and
     // the verdict expansion — every stage the Spark side runs,
     // recomputed from the tables
-    "dedup_cascade" ->
-      """WITH RECURSIVE corpus AS (
-        | SELECT doc_id, text FROM documents
-        | UNION ALL
-        | SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text
-        | FROM documents WHERE doc_id % 7 = 2),
-        |rp AS (SELECT text, MIN(doc_id) AS rep FROM corpus GROUP BY text),
-        |dr AS (SELECT c.doc_id, rp.rep FROM corpus c JOIN rp ON c.text = rp.text),
-        |s AS (
-        | SELECT doc_id, list_distinct(list_transform(
-        |   range(1, len(string_split(text, ' ')) - 1),
-        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
-        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
-        | FROM corpus WHERE doc_id IN (SELECT rep FROM rp)),
-        |p AS (SELECT doc_a, doc_b FROM (
-        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-        | FROM s a, s b WHERE a.doc_id < b.doc_id) t
-        | WHERE jaccard >= 0.7),
-        |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
-        |r(a, b) AS (
-        | SELECT a, b FROM e
-        | UNION
-        | SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
-        |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp FROM r GROUP BY a),
-        |k AS (SELECT rp.rep, COALESCE(c2.comp, rp.rep) AS keeper
-        | FROM rp LEFT JOIN comp c2 ON c2.doc_id = rp.rep)
-        |SELECT dr.doc_id, dr.rep, k.keeper,
-        | CASE WHEN dr.doc_id = k.keeper THEN 'kept'
-        |      WHEN dr.doc_id <> dr.rep THEN 'exact_dup'
-        |      ELSE 'near_dup' END AS verdict
-        |FROM dr JOIN k ON k.rep = dr.rep""".stripMargin,
+    "dedup_cascade" -> dedupCascadeSqlOver(recrawlCorpusSql),
+    // the nightly form's contract IS from-scratch equality on
+    // snapshot ∪ batch — the same chain over the union corpus
+    "dedup_cascade_incremental" ->
+      dedupCascadeSqlOver(cascadeUnionCorpusSql),
     "dedup_prefix_join" ->
       """WITH s AS (
         | SELECT doc_id, list_distinct(list_transform(
@@ -3439,6 +3523,7 @@ object SparkEntry {
     // snapshot postings + appended batch under the frozen quantizer ≡
     // one-shot build that trains without the batch, assigns everything
     "sim_ivf_index_incremental" -> simIvfIncTopkSql,
+    "sim_maintenance_nightly" -> simIvfTwoNightSql,
     "sim_ivf_index_drift" -> simIvfIncDriftSql,
     // compaction moves rows between files, never changes them — the
     // compacted index shares the incremental gate's oracle verbatim
