@@ -245,6 +245,7 @@ object SparkEntry {
     "mm_dedup" -> (Multimodal.payloadDedup _),
     "mm_frame_dedup" -> (Multimodal.frameDedup _),
     "mm_overlap_dedup" -> (Multimodal.overlapDedup _),
+    "mm_overlap_dedup_capped" -> (Multimodal.overlapDedupCapped _),
     "mm_phash_dedup" -> (Multimodal.phashDedup _),
     "mm_clip_filter" -> (Multimodal.clipFilter _),
     "mm_phash_dedup_capped" -> (Multimodal.phashDedupCapped _),
@@ -2970,6 +2971,34 @@ object SparkEntry {
         |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(COUNT(*) AS BIGINT) AS n_shared
         | FROM f a JOIN f b ON a.frame_fp = b.frame_fp AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared, x.n AS n_a, y.n AS n_b,
+        | n_shared / (x.n + y.n - n_shared) AS jaccard
+        |FROM sh JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+        |WHERE n_shared / (x.n + y.n - n_shared) >= ${Multimodal.OverlapTau}""".stripMargin,
+    // the stop-frame cap over the planted identical-payload clique:
+    // candidates from under-cap fingerprint buckets (HAVING), verify
+    // recomputes exact shared counts over the FULL frame sets
+    "mm_overlap_dedup_capped" ->
+      s"""WITH base AS (SELECT d.doc_id, s.text || s.text AS txt2,
+        |  CAST(2 * LENGTH(s.text) AS BIGINT) AS n_bytes
+        | FROM documents d JOIN (SELECT doc_id AS src_id, text FROM documents) s
+        |  ON s.src_id = CASE WHEN d.doc_id % 5 = 0 THEN 0 ELSE d.doc_id END),
+        |m AS (SELECT doc_id, txt2, n_bytes FROM base WHERE n_bytes >= 64),
+        |f0 AS (SELECT doc_id,
+        | (${(0 until 8).map(j => s"CAST(ascii(substr(txt2, CAST(off AS BIGINT) + 1 + $j, 1)) AS BIGINT) * ${math.pow(131, 7 - j).toLong}").mkString(" + ")})
+        |   % 2147483647 AS frame_fp
+        | FROM (SELECT doc_id, txt2, unnest(range(0, n_bytes - 63, 128)) AS off FROM m) t),
+        |f AS (SELECT DISTINCT doc_id, frame_fp FROM f0),
+        |ok AS (SELECT frame_fp FROM f GROUP BY 1
+        |  HAVING COUNT(*) <= ${Multimodal.OverlapMaxBucket}),
+        |kf AS (SELECT f.doc_id, f.frame_fp FROM f JOIN ok USING (frame_fp)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM kf a JOIN kf b ON a.frame_fp = b.frame_fp AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY doc_id),
+        |sh AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        | FROM cand c JOIN f a ON a.doc_id = c.doc_a
+        | JOIN f b ON b.doc_id = c.doc_b AND b.frame_fp = a.frame_fp
         | GROUP BY 1, 2)
         |SELECT doc_a, doc_b, n_shared, x.n AS n_a, y.n AS n_b,
         | n_shared / (x.n + y.n - n_shared) AS jaccard

@@ -497,6 +497,32 @@ class TextMultimodalSpec extends AnyFunSuite {
       s"ALL clique pairs must drop: dropped ${dropped.size} of $cliquePairs")
   }
 
+  test("overlap stop-frame cap: clique loses all reachability, survivors keep exact numbers") {
+    // ground truth: the uncapped chain over the SAME planted corpus
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("n_shared"), r.getAs[Long]("n_a"),
+          r.getAs[Long]("n_b"), r.getAs[Double]("jaccard"))).toMap
+    val uncapped = pairsOf(Multimodal.overlapDedupPlantedUncapped(spark, sf))
+    val capped = pairsOf(Multimodal.overlapDedupCapped(spark, sf))
+    assert(capped.keySet.subsetOf(uncapped.keySet),
+      "cap can only remove candidate reachability")
+    // surviving pairs carry the UNCAPPED numbers (verify runs over the
+    // full frame sets — the cap is reachability-only, like phash)
+    capped.foreach { case (k, v) =>
+      assert(uncapped(k) == v, s"capped pair $k drifted from exact verify: $v vs ${uncapped(k)}")
+    }
+    // every clique-internal pair drops: identical payloads → identical
+    // frame sets → every shared fingerprint bucket exceeds the cap
+    val cliquePairs = uncapped.keySet.filter { case (a, b) => a % 5 == 0 && b % 5 == 0 }
+    assert(cliquePairs.nonEmpty, "the planted clique must produce uncapped pairs")
+    assert(cliquePairs.forall(!capped.contains(_)),
+      "clique pairs must lose all reachability under the cap")
+    // and the cap is a scalpel: some organic near-dup pair survives
+    assert(capped.nonEmpty, "organic pairs must stay reachable through small buckets")
+    CacheScope.releaseAll(spark)
+  }
+
   test("lm score: invariants hold, model join broadcasts, en slice self-fits") {
     val df = TextAnalysis.lmScore(spark, sf)
     // bounded model must cross as a broadcast, never a shuffle join
