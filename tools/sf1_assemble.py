@@ -1,0 +1,145 @@
+#!/usr/bin/env python3
+"""Assemble SCALING_r{N}_sf1.json from the committed sf0.1 sweep and
+the TWO sf~1 probe runs (VERDICT r13 #1/#2): the exact-copy
+construction (the r13 duplication stress — a pessimistic bound for the
+dedup candidate stages) and the perturbed-replica construction
+(organic growth: replicas are neither exact nor near dups, so LSH
+buckets grow ~linearly like real 10x data). Both constructions run the
+same key set, which since r14 includes the mm_* family (payload-byte-
+proportional work — historically the steepest 3-SF growers).
+
+Usage: sf1_assemble.py out.json <sf0.1_full_bench.json> \
+          <bench_sf1_exact.txt> <bench_sf1_perturbed.txt>
+"""
+import json
+import re
+import sys
+
+
+def load_full_line(path):
+    full = None
+    with open(path, encoding="utf-8", errors="replace") as f:
+        for line in f:
+            line = re.sub(r"^\[info\] ", "", line.strip())
+            if '"metric"' not in line:
+                continue
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if d.get("metric") == "per_query":
+                full = d
+    if full is None:
+        raise SystemExit(f"no per_query bench line in {path}")
+    return full
+
+
+def main():
+    out, base_path, exact_path, pert_path = sys.argv[1:5]
+    base = json.load(open(base_path)) if base_path.endswith(".json") \
+        else load_full_line(base_path)
+    exact = load_full_line(exact_path)
+    pert = load_full_line(pert_path)
+    keys = sorted(set(exact["queries"]) | set(pert["queries"]))
+    per_q = {}
+    ratios_e, ratios_p = [], []
+    flagged_e, flagged_p = {}, {}
+    for q in keys:
+        b = base["queries"].get(q)
+        e = exact["queries"].get(q)
+        p = pert["queries"].get(q)
+        row = {"sf0.1": b, "sf1_exact": e, "sf1_perturbed": p}
+        if b and e:
+            row["ratio_exact"] = round(e / b, 3)
+            ratios_e.append(row["ratio_exact"])
+            if row["ratio_exact"] > 3.0:
+                flagged_e[q] = row["ratio_exact"]
+        if b and p:
+            row["ratio_perturbed"] = round(p / b, 3)
+            ratios_p.append(row["ratio_perturbed"])
+            if row["ratio_perturbed"] > 3.0:
+                flagged_p[q] = row["ratio_perturbed"]
+        per_q[q] = row
+
+    def med(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        return round((xs[n // 2] + xs[(n - 1) // 2]) / 2, 3) if xs else None
+
+    doc = {
+        "construction": {
+            "tool": "tools/upscale_replicate.py",
+            "source": "/root/testdata/sf0.1",
+            "copies": 10,
+            "modes": {
+                "exact": "replicas are EXACT copies under offset keys "
+                         "(the r13 construction) - a 10x duplication "
+                         "STRESS for the dedup/near-dup candidate "
+                         "stages: copies share every band bucket, so "
+                         "candidate PAIRS grow quadratically in copy "
+                         "count. A pessimistic BOUND, kept as the "
+                         "cascade's stress case.",
+                "perturbed": "ORGANIC construction (VERDICT r13 #1): "
+                             "replica k inserts token 'r<k>' after "
+                             "every 3rd word (cross-copy shingle "
+                             "Jaccard ~0.17 - below the 0.7 near-dup "
+                             "bar and mostly below LSH collision "
+                             "range) and circularly shifts embeddings "
+                             "by k dims (cross-copy cosine ~0; "
+                             "planted-pair cosines invariant within "
+                             "each copy, so near-dup DENSITY is "
+                             "preserved without cross-copy collapse). "
+                             "LSH buckets grow ~linearly, as organic "
+                             "10x data would. n_chars recomputed; "
+                             "multimodal payloads derive from text so "
+                             "mm_* inherits the construction.",
+            },
+            "id_spaces": "documents/embeddings offsets are the table "
+                         "cardinality rounded to a multiple of 10, "
+                         "keeping ids DENSE (0..n-1) and nightly-batch "
+                         "mod-10 residues intact; the vec_id<10 query "
+                         "slice stays 10 queries. TPC-H join keys keep "
+                         "power-of-10 offsets (no policy reads their "
+                         "residues). TPC-H tables and events are "
+                         "identical between modes.",
+            "caveat": "a measurement harness, not test data: "
+                      "correctness gates never read these trees; the "
+                      "oracle never ran on them (rows-only).",
+        },
+        "runs": {
+            "sf0.1_base": base_path,
+            "key_set": "the r13 probe families (TPC-H shapes, q_*, "
+                       "dedup_*, sim_*, text_*, maintenance-config "
+                       "gates) PLUS the mm_* family (VERDICT r13 #2) "
+                       "and the r14 gates; min-of-3 warm, local[32], "
+                       "final r14 tree for all runs",
+        },
+        "n_queries": {"exact": len(exact["queries"]),
+                      "perturbed": len(pert["queries"])},
+        "n_errors": {"exact": exact["n_errors"],
+                     "perturbed": pert["n_errors"]},
+        "errors": {"exact": exact.get("errors", {}),
+                   "perturbed": pert.get("errors", {})},
+        "totals": {
+            "sf1_exact_warm": exact["total"],
+            "sf1_exact_cold": exact["cold_total"],
+            "sf1_perturbed_warm": pert["total"],
+            "sf1_perturbed_cold": pert["cold_total"],
+        },
+        "median_ratio_sf0.1_to_sf1": {"exact": med(ratios_e),
+                                      "perturbed": med(ratios_p)},
+        "flagged_over_3x": {"exact": dict(sorted(flagged_e.items(),
+                                                 key=lambda kv: -kv[1])),
+                            "perturbed": dict(sorted(flagged_p.items(),
+                                                     key=lambda kv: -kv[1]))},
+        "queries": per_q,
+    }
+    with open(out, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(f"wrote {out}: exact {len(exact['queries'])} queries "
+          f"({exact['n_errors']} errors), perturbed "
+          f"{len(pert['queries'])} ({pert['n_errors']} errors)")
+
+
+if __name__ == "__main__":
+    main()

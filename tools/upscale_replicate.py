@@ -1,17 +1,41 @@
 #!/usr/bin/env python3
 """Replicated upscale of driver testdata for the sf~1 SCALING probe
-(VERDICT r11 #5): the driver generates sf0.001/0.01/0.1 only, so the
-fourth scaling point is built by REPLICATING sf0.1 10x with key
-offsets — the same mechanism TPC-H itself scales by (disjoint key
-ranges, unchanged value distributions, fixed dims). This is a
-MEASUREMENT harness, not test data: correctness gates never read it,
-and the artifact that consumes it (SCALING_r13_sf1.json) discloses the
-construction.
+(VERDICT r11 #5; perturbed mode added per VERDICT r13 #1): the driver
+generates sf0.001/0.01/0.1 only, so the fourth scaling point is built
+by REPLICATING sf0.1 10x with key offsets — the same mechanism TPC-H
+itself scales by (disjoint key ranges, unchanged value distributions,
+fixed dims). This is a MEASUREMENT harness, not test data: correctness
+gates never read it, and the artifact that consumes it
+(SCALING_r14_sf1.json) discloses the construction.
+
+Two replica constructions:
+
+ - mode=exact (default, the r13 construction): replicas are EXACT
+   copies under offset keys. Dedup/near-dup candidate stages see a 10x
+   duplication stress — a PESSIMISTIC bound for that family (every
+   copy shares every band bucket, candidate PAIRS grow quadratically
+   in copy count). This is the cascade's stress case.
+
+ - mode=perturbed (the ORGANIC construction): replicas are
+   deterministically perturbed so they are neither exact dups nor
+   near-dups of their originals — the way organic 10x data grows:
+    * documents: replica k inserts a replica-indexed token 'r<k>'
+      after every 3rd word. Shared 3-gram shingles with the original
+      (and across replicas) drop to ~1/5 of the union → Jaccard ≈ 0.2,
+      far below the 0.7 near-dup bar and mostly below LSH collision
+      range, so minhash band buckets grow ~linearly with corpus size
+      instead of quadratically in copy count. n_chars is recomputed
+      from the rewritten text. Multimodal payloads derive from the
+      text, so the mm_* families inherit the organic construction.
+    * embeddings: replica k is the original vector circularly shifted
+      by k dimensions — norm and per-dim distribution preserved, but
+      cosine to the original (and to other replicas) is ~0 for these
+      unstructured vectors, while WITHIN a replica set every planted
+      pair's cosine is invariant (cos(shift_k(a), shift_k(b)) =
+      cos(a, b)), so near-dup structure replicates at constant density
+      per copy without cross-copy collapse — exactly organic growth.
 
 Honesty notes, disclosed in the artifact:
- - replicas are EXACT copies under offset keys, so dedup/near-dup
-   candidate stages see a 10x duplication stress — a PESSIMISTIC bound
-   for that family (denser candidate buckets than organic 10x data);
  - documents/embeddings offsets are the table CARDINALITY rounded up
    to a multiple of 10: the id space stays DENSE (the stride-sample
    seed/codebook policies assume dense 0..n-1 ids — a power-of-10
@@ -21,12 +45,14 @@ Honesty notes, disclosed in the artifact:
    the vec_id<10 query slice stays 10 queries — replicas land in the
    corpus side;
  - TPC-H keys keep power-of-10 offsets (join keys only — no policy
-   reads their residues or density);
+   reads their residues or density); TPC-H tables and events are
+   identical between the two modes (perturbation only changes the
+   text/embedding payloads the dedup/sim/text/mm families read);
  - nation/region stay fixed (dims), timestamps are cast to
    TIMESTAMPTZ so parquet carries isAdjustedToUTC=true like the
    driver's MICROS-UTC vintage.
 
-Usage: upscale_replicate.py <src_sf_dir> <dst_dir> [copies=10]
+Usage: upscale_replicate.py <src_sf_dir> <dst_dir> [copies=10] [mode=exact|perturbed]
 """
 import math
 import os
@@ -43,6 +69,8 @@ def off(con, expr_max):
 def main():
     src, dst = sys.argv[1], sys.argv[2]
     copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    mode = sys.argv[4] if len(sys.argv) > 4 else "exact"
+    assert mode in ("exact", "perturbed"), f"unknown mode {mode}"
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     con.sql("SET timezone='UTC'")
@@ -98,10 +126,38 @@ def main():
         p_brand, p_type, p_size, p_retailprice FROM part, {reps}""")
     emit("nation", "SELECT * FROM nation")
     emit("region", "SELECT * FROM region")
-    emit("documents", f"""SELECT doc_id + k*{d_off} AS doc_id, text,
-        lang, source, n_chars FROM documents, {reps}""")
-    emit("embeddings", f"""SELECT vec_id + k*{v_off} AS vec_id,
-        embedding, label FROM embeddings, {reps}""")
+    if mode == "exact":
+        emit("documents", f"""SELECT doc_id + k*{d_off} AS doc_id, text,
+            lang, source, n_chars FROM documents, {reps}""")
+        emit("embeddings", f"""SELECT vec_id + k*{v_off} AS vec_id,
+            embedding, label FROM embeddings, {reps}""")
+    else:
+        # perturbed replicas: insert 'r<k>' after every 3rd word (k=0
+        # stays the original row, byte-identical)
+        emit("documents", f"""
+            WITH w AS (SELECT doc_id, text, lang, source, n_chars,
+                         string_split(text, ' ') AS wl
+                       FROM documents)
+            SELECT doc_id + k*{d_off} AS doc_id,
+              CASE WHEN k = 0 THEN text ELSE
+                array_to_string(flatten(list_transform(
+                  range(0, CAST(ceil(len(wl) / 3.0) AS INT)),
+                  j -> list_append(wl[j*3+1 : j*3+3], 'r' || k))), ' ')
+              END AS text,
+              lang, source,
+              CASE WHEN k = 0 THEN n_chars ELSE
+                CAST(length(array_to_string(flatten(list_transform(
+                  range(0, CAST(ceil(len(wl) / 3.0) AS INT)),
+                  j -> list_append(wl[j*3+1 : j*3+3], 'r' || k))), ' '))
+                  AS BIGINT)
+              END AS n_chars
+            FROM w, {reps}""")
+        # circular dimension shift by k (k=0 stays the original bits)
+        emit("embeddings", f"""SELECT vec_id + k*{v_off} AS vec_id,
+            CASE WHEN k = 0 THEN embedding ELSE
+              CAST(embedding[k+1:] || embedding[1:k] AS REAL[])
+            END AS embedding, label
+            FROM embeddings, {reps}""")
     emit("events", f"""SELECT event_id + k*{e_off} AS event_id,
         CAST(ts AS TIMESTAMPTZ) AS ts, user_id + k*{u_off} AS user_id,
         event_type, value, props FROM events, {reps}""")
