@@ -31,7 +31,9 @@ object ExplainAudit {
         "dedup_survivors_list", "etl_config_scheduled", "mm_phash_dedup_unicode",
         "sim_hybrid_index_batch_topk", "sim_hybrid_lifecycle_topk",
         "sim_ivf_index_imbalance", "sim_ivf_lifecycle_retrain",
-        "sim_ivf_pq_lifecycle_retrain", "text_bm25_index_restat")
+        "sim_ivf_pq_lifecycle_retrain", "text_bm25_index_restat",
+        "dedup_cascade", "dedup_cascade_incremental",
+        "sim_maintenance_nightly", "mm_overlap_dedup_capped")
     targets.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       df.count() // materialize so AQE finalizes
