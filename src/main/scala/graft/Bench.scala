@@ -13,13 +13,28 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
-    // min-of-N timed runs per query (N ≥ 3, VERDICT r2 #8): one
-    // loaded/GC-noisy run can no longer distort the committed artifact;
-    // the min is the steady-state figure (JIT/codegen-compile noise
+    // min-of-N timed runs per query (VERDICT r2 #8): one loaded/
+    // GC-noisy run can no longer distort the committed artifact; the
+    // min is the steady-state figure (JIT/codegen-compile noise
     // otherwise dominates small SFs). A crashing query is NOT reported
     // as a fast success (VERDICT r1 item 4) — it lands in "errors" and
     // is excluded from the total.
-    val runs = math.max(3, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    //
+    // ADAPTIVE PASS COUNT under a WALL BUDGET (VERDICT r14 #1c): the
+    // r14 driver bench timed out (rc=124 — zero independent numbers)
+    // because 1 cold + 2 warm full passes outgrew the driver's fixed
+    // wall in a slow host window. Passes 1–2 (the cold pass and one
+    // warm pass) ALWAYS run — min-of-2 is the floor the artifact
+    // never goes below; each FURTHER pass runs only if the elapsed
+    // time plus the previous pass's duration fits the wall budget
+    // (SPARK_GRAFT_BENCH_WALL seconds, default 700). A fast window
+    // still produces min-of-3; a constrained one degrades to min-of-2
+    // and COMPLETES — a slightly noisier artifact beats a killed one.
+    // The artifact discloses `runs_completed` so cross-round compares
+    // know which semantics they are reading.
+    val runs = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    val wallSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL", "700").toDouble
+    val benchT0 = System.nanoTime()
     // dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q1_agg,mm_phash_dedup
     // times just those queries (the committed artifact never sets it)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -54,8 +69,20 @@ object Bench {
     // makes the min robust to stalls shorter than a sweep. Pass 0
     // remains every query's cold run, exactly as before.
     val acc = collection.mutable.LinkedHashMap[String, Vector[Either[String, Double]]]()
-    for (_ <- 0 until runs; (name, fn) <- fns)
-      acc(name) = acc.getOrElse(name, Vector.empty) :+ once(fn)
+    var passesRun = 0
+    var lastPassSec = 0.0
+    var pass = 0
+    while (pass < runs && (pass < 2 || {
+        val elapsed = (System.nanoTime() - benchT0) / 1e9
+        elapsed + lastPassSec <= wallSec
+      })) {
+      val p0 = System.nanoTime()
+      for ((name, fn) <- fns)
+        acc(name) = acc.getOrElse(name, Vector.empty) :+ once(fn)
+      lastPassSec = (System.nanoTime() - p0) / 1e9
+      passesRun += 1
+      pass += 1
+    }
     val timed = fns.map { case (name, _) => name -> acc(name) }
     val results = timed.collect {
       case (n, rs) if rs.forall(_.isRight) =>
@@ -106,7 +133,8 @@ object Bench {
     // previous rep's in-memory cache. Artifacts carry the semantics so
     // cross-round comparisons are apples-to-apples (BENCH_r09 is the
     // comparison floor for this semantics).
-    val warmSem = """"warm_semantics":"per-rep cache release""""
+    val warmSem = """"warm_semantics":"per-rep cache release"""" +
+      s""","runs_completed":$passesRun,"wall_budget_sec":$wallSec"""
     val fullLine = s"""{"metric":"per_query","value":$total,"unit":"sec",$warmSem,"queries":$qs,"cold":$cold,"errors":$es,"sf":"$sfDir","n_queries":${results.size},"cold_total":$coldTotal,"n_errors":${errors.size},"total":$total}"""
     val headline = s"""{"metric":"total","value":$total,"unit":"sec",$warmSem,"slowest_top5":$slowest,"errors":$esShort,"cold_total":$coldTotal,"n_errors":${errors.size},"n_queries":${results.size},"sf":"$sfDir","full_artifact":"BENCH_full_local.json"}"""
     try {

@@ -211,6 +211,8 @@ object SparkEntry {
     "sim_maintenance_plan" -> (Similarity.maintenancePlan _),
     "sim_maintenance_apply" -> (Similarity.maintenanceApply _),
     "sim_maintenance_nightly" -> (Similarity.ivfTwoNightTopK _),
+    "sim_pq_maintenance_nightly" -> (Similarity.ivfPqTwoNightTopK _),
+    "text_bm25_maintenance_nightly" -> (TextAnalysis.bm25TwoNightTopK _),
     "sim_ivf_lifecycle_retrain" -> (Similarity.ivfRetrainTopK _),
     "sim_ivf_pq_lifecycle_retrain" -> (Similarity.ivfPqRetrainTopK _),
     "sim_ivf_pq_index_compact" -> (Similarity.ivfPqCompactTopK _),
@@ -1024,11 +1026,22 @@ object SparkEntry {
   private def textBm25IncSql: String =
     textBm25SqlFrom(Some(s"NOT (${TextAnalysis.Bm25IncBatchPred})"))
 
-  private def textBm25SqlFrom(statsPred: Option[String]): String = {
+  /** `corpusPred` restricts the POSTINGS side (docs arrived so far —
+    * the two-night promotion points); `statsPred` restricts the
+    * statistics contract (frozen vs restatted); `nightTag` wraps the
+    * query as one UNION-able night row set. */
+  private def textBm25SqlFrom(statsPred: Option[String],
+      corpusPred: Option[String] = None,
+      nightTag: Option[Int] = None): String = {
     val k = TextAnalysis.Bm25K
     val nq = TextAnalysis.Bm25QueryTerms
     val sw = statsPred.map(p => s" WHERE $p").getOrElse("")
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    val cw = corpusPred.map(p => s" WHERE $p").getOrElse("")
+    val nightCol = nightTag.map(n => s"CAST($n AS BIGINT) AS night, ")
+      .getOrElse("")
+    val (open, close) = nightTag.map(_ => ("SELECT * FROM (", ")"))
+      .getOrElse(("", ""))
+    s"""${open}WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents$cw),
       |lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS len FROM d),
       |stats AS (SELECT COUNT(*) AS n_docs, SUM(len) AS total_len FROM lens$sw),
       |post AS (SELECT doc_id, unnest(w) AS term FROM d),
@@ -1045,11 +1058,21 @@ object SparkEntry {
       |  FROM tfs t JOIN q USING (term) JOIN lens l ON l.doc_id = t.doc_id, stats s),
       |agg AS (SELECT doc_id, COUNT(*) AS n_terms_hit, SUM(qv) AS score_q
       |  FROM scored GROUP BY doc_id)
-      |SELECT doc_id, n_terms_hit, score, rank FROM (
+      |SELECT ${nightCol}doc_id, n_terms_hit, score, rank FROM (
       |  SELECT doc_id, n_terms_hit, CAST(score_q AS DOUBLE) / 10000000 AS score,
       |    CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS BIGINT) AS rank
-      |  FROM agg) t WHERE rank <= $k""".stripMargin
+      |  FROM agg) t WHERE rank <= $k$close""".stripMargin
   }
+
+  /** Two-night lexical oracle: night 1 = frozen snapshot statistics
+    * over snapshot ∪ night-1 postings; night 2 = restatted FULL
+    * statistics over the whole corpus (the preds partition it) — each
+    * night exactly the one-shot build under its statistics contract. */
+  private def textBm25TwoNightSql: String =
+    textBm25SqlFrom(Some(TextAnalysis.Bm25NightSnapPred),
+      Some(s"(${TextAnalysis.Bm25NightSnapPred}) OR " +
+        s"(${TextAnalysis.Bm25Night1Pred})"), Some(1)) +
+      "\nUNION ALL\n" + textBm25SqlFrom(None, None, Some(2))
 
   /** Hybrid RRF oracle: both arms replicated exactly — the BM25 arm
     * reuses the [[textBm25Sql]] rational/fixed-point arithmetic with
@@ -1860,9 +1883,15 @@ object SparkEntry {
       |FROM m""".stripMargin
   }
 
-  private def simIvfPqTopkSqlFrom(trainPred: Option[String => String]): String = {
+  /** `candPred` restricts the CANDIDATE side (vectors arrived so far —
+    * the two-night promotion points); `nightTag` wraps the query as
+    * one UNION-able night row set (the simIvfTwoNightSql shape). */
+  private def simIvfPqTopkSqlFrom(trainPred: Option[String => String],
+      candPred: Option[String] = None,
+      nightTag: Option[Int] = None): String = {
     import graft.functions.Planes.cosineSql
     val (parts, cc, fc) = lloydCtes(trainPred)
+    val cp = candPred.map(p => s" AND ($p)").getOrElse("")
     parts += s"""probes AS (
       |  SELECT query_id, cent_id FROM (
       |    SELECT v.vec_id AS query_id, c.cent_id,
@@ -1874,7 +1903,7 @@ object SparkEntry {
       |    SELECT v.vec_id AS cand_id, c.cent_id,
       |      row_number() OVER (PARTITION BY v.vec_id
       |        ORDER BY $cc DESC, c.cent_id) AS rn
-      |    FROM e v, $fc c WHERE v.vec_id >= 10) t WHERE rn = 1)""".stripMargin
+      |    FROM e v, $fc c WHERE v.vec_id >= 10$cp) t WHERE rn = 1)""".stripMargin
     parts ++= pqReconCtes(trainPred)
     val pqCos = cosineSql("eq.demb", "eq.nsq", "r.remb", "r.rnsq")
     parts += s"""coarse AS (SELECT p.query_id, a.cand_id, $pqCos AS pq_cos
@@ -1886,14 +1915,32 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY query_id ORDER BY pq_cos DESC, cand_id) AS crn
       |  FROM coarse) t WHERE crn <= ${Similarity.RerankCoarse})""".stripMargin
     val sc = cosineSql("eq.demb", "eq.nsq", "ec.demb", "ec.nsq")
-    s"""WITH ${parts.mkString(",\n")}
-      |SELECT query_id, cand_id, cosine, rank FROM (
+    val nightCol = nightTag.map(n => s"CAST($n AS BIGINT) AS night, ")
+      .getOrElse("")
+    val (open, close) = nightTag.map(_ => ("SELECT * FROM (", ")"))
+      .getOrElse(("", ""))
+    s"""${open}WITH ${parts.mkString(",\n")}
+      |SELECT ${nightCol}query_id, cand_id, cosine, rank FROM (
       |  SELECT query_id, cand_id, $sc AS cosine,
       |    CAST(row_number() OVER (PARTITION BY query_id
       |      ORDER BY $sc DESC, cand_id) AS BIGINT) AS rank
       |  FROM topc JOIN e eq ON eq.vec_id = query_id
       |  JOIN e ec ON ec.vec_id = cand_id) t
-      |WHERE rank <= ${Similarity.K}""".stripMargin
+      |WHERE rank <= ${Similarity.K}$close""".stripMargin
+  }
+
+  /** Two-night compressed oracle: the incremental-IVFPQ oracle (frozen
+    * quantizer AND codebook — trained without the full batch) with the
+    * candidate side restricted to the vectors arrived by each night,
+    * UNION'd under night tags — each night exactly the one-shot
+    * frozen-codebook build over that night's corpus. */
+  private def simPqTwoNightSql: String = {
+    val frozen: Option[String => String] = Some(a =>
+      s"NOT (${Similarity.IvfIncBatchPred.replace("vec_id", a + "vec_id")})")
+    simIvfPqTopkSqlFrom(frozen,
+      Some("NOT (v.vec_id % 10 = 3 AND (v.vec_id // 10) % 2 = 1)"),
+      Some(1)) +
+      "\nUNION ALL\n" + simIvfPqTopkSqlFrom(frozen, None, Some(2))
   }
 
   /** Perceptual-hash near-dup oracle (both forms): 64 proportional
@@ -1926,8 +1973,11 @@ object SparkEntry {
           |      FROM documents d JOIN src s ON s.src_id =
           |        CASE WHEN d.doc_id % 13 = 0 THEN 0 ELSE d.doc_id - d.doc_id % 7 END),""".stripMargin
       case "unicode" =>
-        """m AS (SELECT d.doc_id,
-          |  CASE WHEN d.doc_id % 17 = 0 THEN ''
+        // the empty-payload clique is bounded at a fixed absolute size
+        // (VERDICT r14 #4) — see Multimodal.PhashUnicodeEmptyBound
+        s"""m AS (SELECT d.doc_id,
+          |  CASE WHEN d.doc_id % 17 = 0
+          |        AND d.doc_id < ${Multimodal.PhashUnicodeEmptyBound} THEN ''
           |       ELSE s.text || '§λ漢' || CAST(d.doc_id % 7 AS VARCHAR) END AS p
           |      FROM documents d JOIN src s ON s.src_id = d.doc_id - d.doc_id % 7),""".stripMargin
       case _ =>
@@ -3553,6 +3603,13 @@ object SparkEntry {
     // one-shot build that trains without the batch, assigns everything
     "sim_ivf_index_incremental" -> simIvfIncTopkSql,
     "sim_maintenance_nightly" -> simIvfTwoNightSql,
+    // the two-night loop generalized beyond IVF (VERDICT r14 #4): the
+    // compressed artifact's nightly cycle (frozen-codebook append →
+    // codebook-drift consult → compact → promote) and the lexical
+    // artifact's (frozen-stats append → df-staleness consult →
+    // re-stat on night 2 → compact → promote)
+    "sim_pq_maintenance_nightly" -> simPqTwoNightSql,
+    "text_bm25_maintenance_nightly" -> textBm25TwoNightSql,
     "sim_ivf_index_drift" -> simIvfIncDriftSql,
     // compaction moves rows between files, never changes them — the
     // compacted index shares the incremental gate's oracle verbatim

@@ -38,7 +38,15 @@ object TmpDirs {
   // bounded unregister wait (ADVICE r13 #1): a sweep thread dying
   // between the dequeue and its per-path cleanup would otherwise park
   // unregister forever; fail loudly instead of hanging the rebuild.
+  // PROGRESS-AWARE (ADVICE r14 #2): a healthy rm of a very large
+  // per-call directory can legitimately exceed any fixed deadline, so
+  // the timeout fires only when no delete progress is observed for a
+  // full window — [[rm]] heartbeats once per filesystem entry it
+  // removes, and unregister resets its deadline whenever the heartbeat
+  // advanced. A dead sweep thread stops heartbeating and still fails
+  // loudly within one window.
   private val UnregisterWaitMs = 120000L
+  private val deleteHeartbeat = new java.util.concurrent.atomic.AtomicLong
 
   /** Mark a per-call directory for deferred deletion. */
   def register(path: String): Unit =
@@ -57,19 +65,30 @@ object TmpDirs {
     // a sweep may have already dequeued this path and be rm'ing it
     // right now — returning early would let the rebuild write into a
     // directory being deleted (the ADVICE r11 #2 race)
-    val deadline = System.nanoTime() + UnregisterWaitMs * 1000000L
+    var lastBeat = deleteHeartbeat.get()
+    var deadline = System.nanoTime() + UnregisterWaitMs * 1000000L
     while (inFlight.getOrElse(path, 0) > 0) {
+      val beat = deleteHeartbeat.get()
+      if (beat != lastBeat) { // deletes are advancing: reset the window
+        lastBeat = beat
+        deadline = System.nanoTime() + UnregisterWaitMs * 1000000L
+      }
       val leftMs = (deadline - System.nanoTime()) / 1000000L
       if (leftMs <= 0) throw new IllegalStateException(
-        s"TmpDirs.unregister: delete of $path still in flight after " +
-          s"${UnregisterWaitMs}ms — a sweep thread likely died mid-delete")
-      lock.wait(leftMs)
+        s"TmpDirs.unregister: delete of $path still in flight with no " +
+          s"progress for ${UnregisterWaitMs}ms — a sweep thread likely " +
+          "died mid-delete")
+      // wake periodically even without a notify: a single long rm of
+      // one huge file heartbeats without completing any path, and the
+      // waiter must observe that progress to extend its deadline
+      lock.wait(math.min(leftMs, 5000L))
     }
   }
 
   private def rm(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-    f.delete(); ()
+    f.delete()
+    deleteHeartbeat.incrementAndGet(); ()
   }
 
   /** Boundary sweep: delete everything registered before the previous

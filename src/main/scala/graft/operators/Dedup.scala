@@ -493,10 +493,11 @@ object Dedup {
   }
 
   /** Stage the snapshot's cascade state once per corpus version — the
-    * four tables last night's run persists and tonight's job reads:
+    * five tables last night's run persists and tonight's job reads:
     * the fp→rep exact index, the doc→rep election, the rep signature
-    * index (what the batch bands against), and the rep-graph component
-    * labels ([[mergeComponents]]' snapshot side). */
+    * index (the est-prefilter's sig lookup side), the BANDED signature
+    * index (what the batch probes — VERDICT r14 #2), and the rep-graph
+    * component labels ([[mergeComponents]]' snapshot side). */
   def buildCascadeSnapshot(s: SparkSession, dir: String,
       base: String): Unit = {
     cascadeBuilds.incrementAndGet()
@@ -510,6 +511,19 @@ object Dedup {
     val repSh = shinglesOf(
       snap.join(fpRep.select(col("rep").as("doc_id")), "doc_id"))
     sigsOf(repSh).write.mode("overwrite").parquet(s"$base/rep_sigs")
+    // the BANDED index is itself part of the snapshot artifact
+    // (VERDICT r14 #2): (band, bucket, rep) persisted at build time,
+    // partitioned by band with bucket-sorted row groups — the
+    // text_bm25_index_topk postings discipline applied to the LSH
+    // signature index, so the nightly probe reads a three-column
+    // columnar artifact (ids + buckets, never signatures) instead of
+    // re-banding the whole rep signature index per call. Derived from
+    // the just-written rep_sigs so the two artifacts cannot drift.
+    bandedSigs(s.read.parquet(s"$base/rep_sigs"), "o_id")
+      .repartition(col("band"))
+      .sortWithinPartitions(col("bucket"))
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$base/rep_banded")
     val pairs = lshVerifiedOver(repSh).select(col("doc_a"), col("doc_b"))
     connectedComponents(pairs)
       .withColumnRenamed("comp", "snap_comp")
@@ -524,24 +538,61 @@ object Dedup {
     }
   }
 
-  /** Tonight's cascade: exact stage (batch fps against the staged fp
-    * index — matched docs inherit the snapshot rep, new texts elect
-    * the minimum batch id), near stage (new reps only: band against
-    * the staged signature index ∪ tonight's new-rep signatures, the
-    * same est-Jaccard ≥ 0.15 prefilter and exact ≥ 0.7 verify as the
-    * from-scratch chain — identical banding ⇒ identical candidate
-    * set restricted to pairs touching a new rep, which is exactly the
-    * from-scratch pair delta), then [[mergeComponents]] and the same
-    * verdict expansion. Snapshot text is touched only to verify the
-    * bounded candidate set. Hash-exact oracle: the from-scratch
+  /** Spec-counted odometer: how many times tonight's full incremental
+    * chain (exact stage → banded probe → verify → component merge)
+    * actually ran — one per (session, corpus version) under
+    * [[stagedCascadeIncNightly]]. */
+  private[graft] val cascadeIncBuilds =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Tonight's verdict table is itself LINEAGE (VERDICT r14 #5): what
+    * tomorrow's snapshot state derives from, so it stages once per
+    * (session, corpus version) exactly like the snapshot tables it
+    * reads — repeat reads are derivation-only, the [[cascade]] gate's
+    * discipline applied to the nightly output. The staging closure is
+    * the one place the chain runs; [[cascadeIncBuilds]] is the
+    * odometer the spec counts. */
+  private[graft] def stagedCascadeIncNightly(s: SparkSession,
+      dir: String): String = {
+    val vkey = Tables.versionedKey(s, dir, "documents")
+    Tables.stagedArtifact("cascinc", dir, vkey) { b =>
+      cascadeIncBuilds.incrementAndGet()
+      cascadeIncrementalChain(s, dir)
+        .write.mode("overwrite").parquet(s"$b/verdicts")
+      b
+    }
+  }
+
+  /** Gate: tonight's cascade verdicts, served from the staged nightly
+    * lineage ([[stagedCascadeIncNightly]]) — a derivation-only read on
+    * every call after the first. Hash-exact oracle: the from-scratch
     * cascade SQL over snapshot ∪ batch. */
   def cascadeIncremental(s: SparkSession, dir: String): DataFrame = {
+    val base = stagedCascadeIncNightly(s, dir)
+    s.read.parquet(s"$base/verdicts")
+      .select(col("doc_id"), col("rep"), col("keeper"), col("verdict"))
+  }
+
+  /** Tonight's cascade, the CHAIN itself (the staging build and the
+    * parity spec's recompute twin): exact stage (batch fps against the
+    * staged fp index — matched docs inherit the snapshot rep, new
+    * texts elect the minimum batch id), near stage (new reps only:
+    * probe the STAGED BANDED signature index ∪ tonight's new-rep
+    * banding — VERDICT r14 #2: the snapshot side is a persisted
+    * (band, bucket, rep) artifact read columnar, never re-banded —
+    * with the same est-Jaccard ≥ 0.15 prefilter and exact ≥ 0.7
+    * verify as the from-scratch chain; identical banding arithmetic ⇒
+    * identical candidate set restricted to pairs touching a new rep,
+    * which is exactly the from-scratch pair delta), then
+    * [[mergeComponents]] and the same verdict expansion. Snapshot text
+    * is touched only to verify the bounded candidate set. */
+  private[graft] def cascadeIncrementalChain(s: SparkSession,
+      dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val base = stagedCascadeSnapshot(s, dir)
     val (snap, batch) = cascadeSnapshotAndBatch(s, dir)
     val fpRep = s.read.parquet(s"$base/fp_rep")
     val snapDocRep = s.read.parquet(s"$base/doc_rep")
-    val snapSigs = s.read.parquet(s"$base/rep_sigs")
     val snapLabels = s.read.parquet(s"$base/rep_labels")
     // exact stage — ids and 16-byte fps only across the exchange
     val bfps = batch.select(col("doc_id"), unhex(md5(col("text"))).as("fp"))
@@ -555,22 +606,11 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("snap_rep"), col("new_rep")).as("rep"))
     val newReps = newElect.select(col("new_rep").as("doc_id"))
-    // near stage over NEW reps only
+    // near stage over NEW reps only — the candidate generation probes
+    // the STAGED banded index (shared with the ∝-batch spec hook)
     val newSh = shinglesOf(batch.join(newReps, "doc_id")).cache()
     val newSigs = sigsOf(newSh).cache()
-    val unionSigs = snapSigs.unionByName(newSigs)
-    val rawPairs = bandedSigs(newSigs, "n_id")
-      .join(bandedSigs(unionSigs, "o_id"), Seq("band", "bucket"))
-      .filter(col("n_id") =!= col("o_id"))
-      .select(least(col("n_id"), col("o_id")).as("doc_a"),
-        greatest(col("n_id"), col("o_id")).as("doc_b"))
-      .distinct()
-    val cands = rawPairs
-      .join(unionSigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(unionSigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .filter((seqSumInt(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => (x === y).cast("int"))).cast("double") / MinhashK) >= 0.15)
-      .select(col("doc_a"), col("doc_b"))
+    val cands = incNearCandidates(s, base, newSigs)
       .localCheckpoint() // feeds the shingle lookup AND the verify join
     // verify: snapshot shingles recomputed NARROW for candidate ids
     // only (production reads the staged shingle store); batch-side
@@ -590,6 +630,44 @@ object Dedup {
     val merged = mergeComponents(snapLabels, newPairs)
     val docRep = snapDocRep.unionByName(batchDocRep)
     cascadeVerdictsFrom(docRep, merged)
+  }
+
+  /** The nightly near stage's candidate generation (VERDICT r14 #2):
+    * tonight's NEW-rep signatures band IN-PLAN (∝ batch — the only
+    * banding work of the night) and probe the persisted
+    * (band, bucket, rep) artifact, unioned with the new side's own
+    * banding for new-vs-new pairs; the est-Jaccard ≥ 0.15 prefilter
+    * reads signatures by id from the staged rep_sigs ∪ tonight's sigs.
+    * The snapshot side is READ, never recomputed: per-night snapshot
+    * cost is a three-column columnar scan (band-partitioned,
+    * bucket-sorted row groups — at 100 TB the probe's bucket set
+    * prunes at the row-group level, the BM25-postings discipline)
+    * instead of a full signature re-band. [[bandedSigs]] is
+    * deterministic row-wise arithmetic, so staged-probe candidates ==
+    * re-band-everything candidates — pinned by the plan spec (the
+    * executed plan scans rep_banded; the only Generate is the new
+    * side's) and the ∝-batch equality spec. */
+  private[graft] def incNearCandidates(s: SparkSession, base: String,
+      newSigs: DataFrame): DataFrame = {
+    val snapSigs = s.read.parquet(s"$base/rep_sigs")
+    val unionSigs = snapSigs.unionByName(newSigs)
+    val snapBanded = s.read.parquet(s"$base/rep_banded")
+      .select(col("band").cast("int").as("band"), col("bucket"),
+        col("o_id"))
+    val oSide = snapBanded.unionByName(
+      bandedSigs(newSigs, "o_id").select(col("band"), col("bucket"),
+        col("o_id")))
+    bandedSigs(newSigs, "n_id")
+      .join(oSide, Seq("band", "bucket"))
+      .filter(col("n_id") =!= col("o_id"))
+      .select(least(col("n_id"), col("o_id")).as("doc_a"),
+        greatest(col("n_id"), col("o_id")).as("doc_b"))
+      .distinct()
+      .join(unionSigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(unionSigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .filter((seqSumInt(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => (x === y).cast("int"))).cast("double") / MinhashK) >= 0.15)
+      .select(col("doc_a"), col("doc_b"))
   }
 
   /** Spec hook for the ∝-batch claim: the incremental near stage's
@@ -619,22 +697,12 @@ object Dedup {
       .unionByName(full.join(newRepIds.withColumnRenamed("doc_id", "doc_b"),
         Seq("doc_b"), "left_semi").select(col("doc_a"), col("doc_b")))
       .distinct().count()
-    // the incremental path's own candidate set (pre-verify)
+    // the incremental path's own candidate set (pre-verify) — the
+    // SAME code path the chain runs ([[incNearCandidates]]), so the
+    // spec pins the production probe, not a reimplementation of it
     val base = stagedCascadeSnapshot(s, dir)
-    val snapSigs = s.read.parquet(s"$base/rep_sigs")
     val newSigs = sigsOf(shinglesOf(batch.join(newRepIds, "doc_id")))
-    val unionSigs = snapSigs.unionByName(newSigs)
-    val incCands = bandedSigs(newSigs, "n_id")
-      .join(bandedSigs(unionSigs, "o_id"), Seq("band", "bucket"))
-      .filter(col("n_id") =!= col("o_id"))
-      .select(least(col("n_id"), col("o_id")).as("doc_a"),
-        greatest(col("n_id"), col("o_id")).as("doc_b"))
-      .distinct()
-      .join(unionSigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(unionSigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .filter((seqSumInt(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => (x === y).cast("int"))).cast("double") / MinhashK) >= 0.15)
-      .count()
+    val incCands = incNearCandidates(s, base, newSigs).count()
     (incCands, fullTouchingNew, full.count())
   }
 

@@ -148,8 +148,8 @@ object Multimodal {
     * held by more than this many documents drop at the CANDIDATE stage
     * (a black frame / station ident / silence shared corpus-wide fans
     * out |bucket|² pairs exactly like a hot LSH bucket — the r14 sf~1
-    * probe measured the uncapped inverted-index join at 12–14× on a
-    * 10× step). The planted clique (every doc_id % 5 == 0 carries doc
+    * probe measured the uncapped inverted-index join at ~11–12× on a
+    * 10× step: 11.97× exact / 11.02× perturbed, SCALING_r14_sf1.json). The planted clique (every doc_id % 5 == 0 carries doc
     * 0's payload — ≥10 members at every SF) always exceeds the cap, so
     * the knob provably binds on the gate corpus. */
   val OverlapMaxBucket = 9
@@ -173,7 +173,8 @@ object Multimodal {
   /** [[overlapDedup]] with the stop-frame cap the uncapped gate's
     * scaladoc prescribes, exercised end-to-end over the planted corpus
     * (VERDICT-r13-probe finding: the uncapped inverted-index join grew
-    * 12–14× on the 10× sf~1 step — hot fingerprints fan out
+    * ~11–12× on the 10× sf~1 step (11.97× exact / 11.02× perturbed,
+    * SCALING_r14_sf1.json) — hot fingerprints fan out
     * quadratically; this is the production shape that holds candidate
     * growth flat at 100 TB). Semantics mirror phashDedupCapped: the
     * cap affects REACHABILITY only — candidates generate from
@@ -328,19 +329,34 @@ object Multimodal {
     withBands.select(col("doc_id"), col("bands"))
   }
 
+  /** The empty-payload planting stops at this doc_id (VERDICT r14 #4):
+    * the degenerate clique exists to prove the all-bits-set hash path,
+    * which needs a HANDFUL of members, not a count that grows with SF
+    * — the clique's pairs are quadratic in its size through the
+    * UNCAPPED verify, and the sf~1 probe measured the SF-proportional
+    * planting at 97 s / 63× on the 10× step (pure probe cost, zero
+    * semantic value past a fixed clique). 16 × 17 = 272 bounds the
+    * clique at 16 docs at every SF ≥ the bound's id range (doc 0
+    * always qualifies, so the degenerate path is exercised at every
+    * SF). */
+  val PhashUnicodeEmptyBound = 272L
+
   /** Non-ASCII / empty-payload corpus for [[phashDedupUnicode]]:
     * every payload gains a multi-byte UTF-8 tail (Latin-1 supplement
     * + Greek + CJK — one, two, and three UTF-8 bytes per codepoint,
     * the classes where byte- and codepoint-indexing diverge) and every
-    * doc_id % 17 == 0 payload is the EMPTY string (the all-bits-set
-    * degenerate hash: 0 samples, mean 0, 0·64 ≥ 0 sets every bit). */
+    * doc_id % 17 == 0 payload below [[PhashUnicodeEmptyBound]] is the
+    * EMPTY string (the all-bits-set degenerate hash: 0 samples, mean
+    * 0, 0·64 ≥ 0 sets every bit) — a FIXED ≤16-doc clique at every
+    * SF. */
   private[graft] def phashTableUnicode(s: SparkSession, dir: String,
       fused: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val d = Tables.documents(s, dir).select(col("doc_id"))
       .withColumn("src_id", col("doc_id") - col("doc_id") % 7)
     val src = Tables.documents(s, dir).select(col("doc_id").as("src_id"), col("text"))
-    val payload = when(col("doc_id") % 17 === 0, lit(""))
+    val payload = when(col("doc_id") % 17 === 0 &&
+        col("doc_id") < PhashUnicodeEmptyBound, lit(""))
       .otherwise(concat(col("text"), lit("§λ漢"), (col("doc_id") % 7).cast("string")))
     withPhashBands(d.join(src, "src_id").withColumn("p", payload), fused)
   }

@@ -678,7 +678,9 @@ object Similarity {
   def stagedIvfIncIndex(s: SparkSession, dir: String): String = {
     val vkey = Tables.versionedKey(s, dir, "embeddings")
     Tables.stagedArtifact("ivfinc", dir, vkey) { base =>
-      buildIvfIncIndex(s, dir, base)
+      val b = buildIvfIncIndex(s, dir, base)
+      writeListCounts(s, b) // size header, from the FINAL postings state
+      b
     }
   }
 
@@ -909,6 +911,75 @@ object Similarity {
     night("night1", 1L).unionByName(night("night2", 2L))
   }
 
+  // -------------------------------------------------------------------
+  // Two-night loop, COMPRESSED family (VERDICT r14 #4): the same
+  // decide→execute→verify×2 discipline over the IVFPQ artifact —
+  // the maintained index whose nightly consult is the CODEBOOK
+  // (reconstruction drift), not the coarse quantizer. Night N: encode
+  // tonight's arrivals against the FROZEN codebook and append the
+  // (cand_id, codes) rows into the inverted lists → consult (codebook
+  // drift on tonight's arrivals only — in-distribution nights must
+  // take the append branch; small_files must fire, the append
+  // fattened the code lists) → compact → re-consult clears → PROMOTE
+  // (persist the promotion-point serving proof). Each promotion is
+  // hash-exact to the one-shot frozen-codebook build over exactly the
+  // vectors arrived by that night — the ivfTwoNightTopK recipe on the
+  // compressed artifact.
+  // -------------------------------------------------------------------
+
+  /** One night of the compressed-family executor loop: the
+    * [[stagedIvfTwoNightIndex]] night shape with the PQ verbs —
+    * frozen-codebook encode+append, codebook-drift consult baselined
+    * against the codebook's own training snapshot (the same ratchet
+    * argument as the IVF night: re-baselining on appended batches
+    * would let slow drift walk past the bar one night at a time),
+    * bucket compaction, promotion serving. */
+  private def runPqMaintenanceNight(s: SparkSession, dir: String,
+      base: String, nightPred: String, label: String): Unit = {
+    appendIvfPqIncVectors(s, base,
+      corpus(s, dir).filter(expr(nightPred)))
+    val retrain = ivfPqIncDriftReportFrom(s, dir, base,
+        Some(corpus(s, dir).filter(expr(nightPred))))
+      .head().getAs[Boolean]("retrain")
+    require(!retrain, s"PQ two-night loop: $label expected the " +
+      "in-distribution append branch; a drifted night must retrain")
+    require(fatLists(s, base).nonEmpty, s"PQ two-night loop: $label " +
+      "append left no fat lists — the small_files consult should fire")
+    compactIvfIncIndex(s, base, rowSchema = PqPostingsSchema)
+    require(fatLists(s, base).isEmpty, s"PQ two-night loop: $label " +
+      "compact did not clear the small_files consult")
+    ivfPqServeFrom(s, dir, base)
+      .write.mode("overwrite").parquet(s"$base/${label}_topk")
+  }
+
+  /** The compressed two-night artifact, staged once per corpus
+    * version: snapshot build (the only coarse-quantizer AND codebook
+    * training pass), then the nightly cycle twice. */
+  private[graft] def stagedIvfPqTwoNightIndex(s: SparkSession,
+      dir: String): String = {
+    val vkey = Tables.versionedKey(s, dir, "embeddings")
+    Tables.stagedArtifact("ivfpq2night", dir, vkey) { base =>
+      buildIvfPqIncSnapshot(s, dir, base)
+      runPqMaintenanceNight(s, dir, base, IvfNight1Pred, "night1")
+      runPqMaintenanceNight(s, dir, base, IvfNight2Pred, "night2")
+      base
+    }
+  }
+
+  /** Gate: both promotion points' compressed serving, each hash-equal
+    * to the one-shot frozen-quantizer-and-codebook build over the
+    * vectors arrived by that night (night 2 ≡ the full incremental
+    * corpus, so its rows equal `sim_ivf_pq_index_incremental`'s —
+    * spec-pinned). */
+  def ivfPqTwoNightTopK(s: SparkSession, dir: String): DataFrame = {
+    val base = stagedIvfPqTwoNightIndex(s, dir)
+    def night(label: String, n: Long) =
+      s.read.parquet(s"$base/${label}_topk")
+        .select(lit(n).as("night"), col("query_id"), col("cand_id"),
+          col("cosine"), col("rank"))
+    night("night1", 1L).unionByName(night("night2", 2L))
+  }
+
   /** The spike embedding — all energy on dimension 0. To the COARSE
     * quantizer a spike is in-distribution (best centroid cosine ≈ 0.24
     * on this corpus — any fixed direction scores ~max of nlist
@@ -968,17 +1039,46 @@ object Similarity {
   def ivfPqIncImbalanceReport(s: SparkSession, dir: String): DataFrame =
     ivfImbalanceFrom(s, stagedIvfPqIncIndex(s, dir), PqPostingsSchema)
 
+  /** Per-list row counts, persisted as part of the maintained-index
+    * artifact at staging time (VERDICT r14 #6) — the FAISS invlists
+    * size-array discipline: a production index carries its list sizes
+    * in the artifact header, so the imbalance consult reads ≤ nlist
+    * header rows instead of re-listing and footer-scanning the whole
+    * postings directory on every call (the listing overhead that
+    * jittered the two imbalance gates around the 3× scaling bar for
+    * two rounds). Written LAST in the staging closure from the FINAL
+    * postings state; the ivfinc/ivfpqinc artifacts are immutable once
+    * staged, so the header cannot go stale. Mid-maintenance bases
+    * (appended/compacted between consults) never carry one and keep
+    * the footer-scan truth path. */
+  private[graft] def writeListCounts(s: SparkSession, base: String,
+      rowSchema: String = "cand_id BIGINT, c_emb ARRAY<FLOAT>, cent_id BIGINT")
+      : Unit =
+    s.read.schema(rowSchema).parquet(s"$base/postings")
+      .groupBy(col("cent_id")).agg(count(lit(1)).as("c"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/list_counts")
+
   private[graft] def ivfImbalanceFrom(s: SparkSession, base: String,
       rowSchema: String = "cand_id BIGINT, c_emb ARRAY<FLOAT>, cent_id BIGINT")
-      : DataFrame =
-    s.read.schema(rowSchema)
-      .parquet(s"$base/postings")
-      .groupBy(col("cent_id")).agg(count(lit(1)).as("c"))
+      : DataFrame = {
+    // consult the artifact's own size header when it carries one (the
+    // staged immutable indexes); otherwise recount from the postings —
+    // identical (cent_id, c) rows either way (spec-pinned parity), so
+    // the aggregate and the retrain verdict cannot differ
+    val lc = new org.apache.hadoop.fs.Path(s"$base/list_counts")
+    val fs = lc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val counts =
+      if (fs.exists(lc))
+        s.read.schema("cent_id BIGINT, c BIGINT").parquet(lc.toString)
+      else s.read.schema(rowSchema).parquet(s"$base/postings")
+        .groupBy(col("cent_id")).agg(count(lit(1)).as("c"))
+    counts
       .agg(max(col("c")).as("max_list"), sum(col("c")).as("n_rows"),
         count(lit(1)).as("n_lists"))
       .select(col("max_list"), col("n_rows"), col("n_lists"),
         (col("max_list") * col("n_lists") >
           lit(IvfImbalanceBar) * col("n_rows")).as("retrain"))
+  }
 
   /** COMPOSITE IVF lifecycle, RETRAIN branch (VERDICT r10 #2 on the
     * uncompressed family): (1) the snapshot index builds; (2) tonight's
@@ -1991,7 +2091,9 @@ object Similarity {
   def stagedIvfPqIncIndex(s: SparkSession, dir: String): String = {
     val vkey = Tables.versionedKey(s, dir, "embeddings")
     Tables.stagedArtifact("ivfpqinc", dir, vkey) { base =>
-      buildIvfPqIncIndex(s, dir, base)
+      val b = buildIvfPqIncIndex(s, dir, base)
+      writeListCounts(s, b, PqPostingsSchema) // size header (final state)
+      b
     }
   }
 

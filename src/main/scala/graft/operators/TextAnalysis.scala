@@ -1593,6 +1593,98 @@ object TextAnalysis {
   def bm25IndexRestatTopK(s: SparkSession, dir: String): DataFrame =
     bm25TopKFrom(s, stagedBm25RestatIndex(s, dir))
 
+  // -------------------------------------------------------------------
+  // Two-night loop, LEXICAL family (VERDICT r14 #4): the
+  // decide→execute→verify×2 discipline over the BM25 postings — the
+  // maintained artifact whose heavy verb is the RE-STAT, not a
+  // retrain. Night N: tonight's docs tokenize in one narrow pass and
+  // their postings append into the term buckets under FROZEN
+  // collection statistics → consult (df staleness against the frozen
+  // dfs; small_files must fire — the append fattened the buckets) →
+  // the verb the consult decides: night 1's in-distribution append
+  // stays frozen, night 2's planted growth trips the 1.5× bar and
+  // RE-STATS (df/stats rebuilt from the postings, one vocab-bounded
+  // pass, postings untouched) → re-consult clears → compact →
+  // PROMOTE. Each promotion is hash-exact to the one-shot build under
+  // that night's statistics contract.
+  // -------------------------------------------------------------------
+
+  /** The two-night lexical split: the snapshot freezes statistics over
+    * HALF the corpus, night 1 appends a small in-distribution tenth
+    * (top-term df grows ~1.2× — under the 1.5× staleness bar with
+    * margin at every SF, because the query-policy terms are the
+    * top-df terms, whose df tracks doc count), and night 2 appends
+    * the remaining four tenths (~2.0× over frozen — decisively past
+    * the bar). The three preds partition the corpus, so night 2's
+    * post-restat index serves the FULL-corpus contract. */
+  private[graft] val Bm25NightSnapPred = "doc_id % 10 >= 5"
+  private[graft] val Bm25Night1Pred = "doc_id % 10 = 3"
+  private[graft] val Bm25Night2Pred = "doc_id % 10 IN (0, 1, 2, 4)"
+
+  /** One night of the lexical executor loop — append, consult, the
+    * consult-decided verb (frozen serve vs re-stat), compaction,
+    * promotion proof. `expectRestat` is the night's REQUIRED branch:
+    * the gate corpus plants which branch each night takes, and a
+    * consult disagreeing with its planting fails loudly rather than
+    * silently serving the wrong statistics contract. */
+  private def runBm25MaintenanceNight(s: SparkSession, dir: String,
+      base: String, nightPred: String, label: String,
+      expectRestat: Boolean): Unit = {
+    appendBm25Batch(s, dir, base, nightPred)
+    def stale() = bm25DriftFrom(s, base).collect()
+      .exists(_.getAs[Boolean]("retrain"))
+    if (expectRestat) {
+      require(stale(), s"lexical two-night loop: $label planted df " +
+        "growth must trip the staleness bar — a fresh-stats index " +
+        "must not re-stat")
+      restatBm25Index(s, base)
+      require(!stale(), s"lexical two-night loop: $label re-stat did " +
+        "not clear the staleness consult")
+    } else require(!stale(), s"lexical two-night loop: $label expected " +
+      "the in-distribution append branch; stale stats must re-stat")
+    require(Similarity.fatLists(s, base, "bucket").nonEmpty,
+      s"lexical two-night loop: $label append left no fat buckets — " +
+        "the small_files consult should fire")
+    Similarity.compactIvfIncIndex(s, base,
+      rowSchema = Bm25PostingsSchema, partitionCol = "bucket")
+    require(Similarity.fatLists(s, base, "bucket").isEmpty,
+      s"lexical two-night loop: $label compact did not clear the " +
+        "small_files consult")
+    bm25TopKFrom(s, base)
+      .write.mode("overwrite").parquet(s"$base/${label}_topk")
+  }
+
+  /** The lexical two-night artifact, staged once per corpus version:
+    * snapshot build (the only full-corpus tokenize of its half), then
+    * the nightly cycle twice — night 1 frozen-stats, night 2 re-stat. */
+  private[graft] def stagedBm25TwoNightIndex(s: SparkSession,
+      dir: String): String = {
+    val vkey = Tables.versionedKey(s, dir, "documents")
+    Tables.stagedArtifact("bm252night", dir, vkey) { base =>
+      buildBm25Index(s, dir, base, Some(Bm25NightSnapPred))
+      runBm25MaintenanceNight(s, dir, base, Bm25Night1Pred, "night1",
+        expectRestat = false)
+      runBm25MaintenanceNight(s, dir, base, Bm25Night2Pred, "night2",
+        expectRestat = true)
+      base
+    }
+  }
+
+  /** Gate: both promotion points' lexical serving — night 1 under the
+    * FROZEN snapshot statistics over snapshot ∪ night-1 postings,
+    * night 2 under RE-STATTED full statistics over the whole corpus
+    * (the preds partition it), each hash-exact to the one-shot build
+    * under that night's statistics contract (night 2 ≡ the full
+    * `text_bm25_topk` build — spec-pinned). */
+  def bm25TwoNightTopK(s: SparkSession, dir: String): DataFrame = {
+    val base = stagedBm25TwoNightIndex(s, dir)
+    def night(label: String, n: Long) =
+      s.read.parquet(s"$base/${label}_topk")
+        .select(lit(n).as("night"), col("doc_id"), col("n_terms_hit"),
+          col("score"), col("rank"))
+    night("night1", 1L).unionByName(night("night2", 2L))
+  }
+
   /** The per-(term, doc) BM25 fixed-point score over the joined
     * tf/len/df/n_docs/total_len columns — the scaladoc'd rational
     * saturation × log-free idf, quantized to 1e-7 longs. */

@@ -419,7 +419,15 @@ object ConfigJson {
             if (unknownBars.nonEmpty) throw new ConfigError(
               "Bars keys must name declared Consults; unknown: " +
                 unknownBars.toSeq.sorted.mkString(", "))
-            bm.map { case (k, v) => k -> num(v, s"Bars.$k") }
+            bm.map { case (k, v) =>
+              val d = num(v, s"Bars.$k")
+              // an overflowing literal (1e999) parses to Infinity —
+              // reject here so serialize/parse stay round-trip-closed
+              // on the same finite domain (ADVICE r14 #3)
+              if (d.isNaN || d.isInfinite) throw new ConfigError(
+                s"Bars.$k must be a finite number, got $v")
+              k -> d
+            }
           case other =>
             throw new ConfigError(s"Bars must be an object, got $other")
         }.getOrElse(Map.empty[String, Double])
@@ -455,8 +463,16 @@ object ConfigJson {
       case c => c.toString
     } + "\""
     def arr(vs: Seq[String]) = vs.map(jstr).mkString("[", ",", "]")
-    def jnum(d: Double): String =
+    // reject non-finite bars loudly (ADVICE r14 #3): JSON has no
+    // NaN/Infinity literal, so serializing one emits invalid JSON and
+    // breaks the serialize → parse → plan round-trip this gate relies
+    // on — fail at the serializer with the same ConfigError discipline
+    // every other malformed input gets
+    def jnum(d: Double): String = {
+      if (d.isNaN || d.isInfinite) throw new ConfigError(
+        s"Bars values must be finite numbers, got $d")
       if (d == d.toLong) d.toLong.toString else d.toString
+    }
     def barsOf(a: graft.operators.Similarity.MaintArtifact): String =
       if (a.bars.isEmpty) ""
       else a.bars.toSeq.sortBy(_._1)

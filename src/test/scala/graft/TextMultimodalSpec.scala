@@ -813,6 +813,33 @@ class TextMultimodalSpec extends AnyFunSuite {
     CacheScope.releaseAll(spark)
   }
 
+  test("lexical two-night executor: promotion serving equals the one-shot build under each night's statistics contract (VERDICT r14 #4)") {
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_terms_hit"),
+        r.getAs[Double]("score"), r.getAs[Long]("rank"))
+    val out = TextAnalysis.bm25TwoNightTopK(spark, sf).collect()
+    def night(n: Long) =
+      out.filter(_.getAs[Long]("night") == n).map(keyOf).toSet
+    // night 2: the preds partition the corpus, so the post-restat
+    // promotion must serve row-identical to the one-shot FULL build
+    val full = TextAnalysis.bm25TopK(spark, sf).collect().map(keyOf).toSet
+    assert(night(2L) == full,
+      "night-2 (post-restat) serving must equal the one-shot full-corpus build")
+    // night 1: one-shot frozen-stats build over snapshot + night-1
+    // postings, UNCOMPACTED — equality also pins bucket-compaction
+    // row preservation
+    val oneShotBase = s"${System.getProperty("java.io.tmpdir")}/graft_spec_bm2night_${System.nanoTime}"
+    TextAnalysis.buildBm25Index(spark, sf, oneShotBase,
+      Some(TextAnalysis.Bm25NightSnapPred))
+    TextAnalysis.appendBm25Batch(spark, sf, oneShotBase,
+      TextAnalysis.Bm25Night1Pred)
+    val oneShot = TextAnalysis.bm25TopKFrom(spark, oneShotBase)
+      .collect().map(keyOf).toSet
+    assert(night(1L) == oneShot,
+      "night-1 (frozen-stats) promotion serving must equal the one-shot build over snapshot+night1")
+    CacheScope.releaseAll(spark)
+  }
+
   test("BPE counts stage once across the budget and pack consumers (VERDICT r12 #5)") {
     // the one staged corpus encode (memo-warm or not — what matters is
     // the consumers below add NOTHING)

@@ -34,6 +34,12 @@ def load_full_line(path):
     return full
 
 
+def _flag_order(kv):
+    """Numeric flags sort descending; string flags (zero-base notes)
+    sort after them."""
+    return (0, -kv[1]) if isinstance(kv[1], (int, float)) else (1, 0)
+
+
 def main():
     out, base_path, exact_path, pert_path = sys.argv[1:5]
     base = json.load(open(base_path)) if base_path.endswith(".json") \
@@ -48,17 +54,27 @@ def main():
         b = base["queries"].get(q)
         e = exact["queries"].get(q)
         p = pert["queries"].get(q)
+        # explicit None checks (ADVICE r14 #4): truthiness silently
+        # dropped a legitimate 0.0 timing from ratios/flagging instead
+        # of reporting it; a 0 base now flags loudly instead of
+        # dividing by zero
         row = {"sf0.1": b, "sf1_exact": e, "sf1_perturbed": p}
-        if b and e:
-            row["ratio_exact"] = round(e / b, 3)
-            ratios_e.append(row["ratio_exact"])
-            if row["ratio_exact"] > 3.0:
-                flagged_e[q] = row["ratio_exact"]
-        if b and p:
-            row["ratio_perturbed"] = round(p / b, 3)
-            ratios_p.append(row["ratio_perturbed"])
-            if row["ratio_perturbed"] > 3.0:
-                flagged_p[q] = row["ratio_perturbed"]
+        if b is not None and e is not None:
+            if b == 0:
+                flagged_e[q] = f"zero sf0.1 base (sf1 {e}s) - no ratio"
+            else:
+                row["ratio_exact"] = round(e / b, 3)
+                ratios_e.append(row["ratio_exact"])
+                if row["ratio_exact"] > 3.0:
+                    flagged_e[q] = row["ratio_exact"]
+        if b is not None and p is not None:
+            if b == 0:
+                flagged_p[q] = f"zero sf0.1 base (sf1 {p}s) - no ratio"
+            else:
+                row["ratio_perturbed"] = round(p / b, 3)
+                ratios_p.append(row["ratio_perturbed"])
+                if row["ratio_perturbed"] > 3.0:
+                    flagged_p[q] = row["ratio_perturbed"]
         per_q[q] = row
 
     def med(xs):
@@ -129,9 +145,9 @@ def main():
         "median_ratio_sf0.1_to_sf1": {"exact": med(ratios_e),
                                       "perturbed": med(ratios_p)},
         "flagged_over_3x": {"exact": dict(sorted(flagged_e.items(),
-                                                 key=lambda kv: -kv[1])),
+                                                 key=_flag_order)),
                             "perturbed": dict(sorted(flagged_p.items(),
-                                                     key=lambda kv: -kv[1]))},
+                                                     key=_flag_order))},
         "queries": per_q,
     }
     with open(out, "w") as f:
