@@ -1,89 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // the bench session IS the product session (GraftSession wires the
-    // extensions + AQE/FAIR confs the engine is designed around) — the
-    // r3 hand-rolled builder measured a subtly different config
-    val spark = GraftSession.local(cpus.toInt)
-    spark.range(1000).selectExpr("sum(id)").collect() // session warmup
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    }
-    // min-of-N timed runs per query (VERDICT r2 #8): one loaded/
-    // GC-noisy run can no longer distort the committed artifact; the
-    // min is the steady-state figure (JIT/codegen-compile noise
-    // otherwise dominates small SFs). A crashing query is NOT reported
-    // as a fast success (VERDICT r1 item 4) — it lands in "errors" and
-    // is excluded from the total.
-    //
-    // ADAPTIVE PASS COUNT under a WALL BUDGET (VERDICT r14 #1c): the
-    // r14 driver bench timed out (rc=124 — zero independent numbers)
-    // because 1 cold + 2 warm full passes outgrew the driver's fixed
-    // wall in a slow host window. Passes 1–2 (the cold pass and one
-    // warm pass) ALWAYS run — min-of-2 is the floor the artifact
-    // never goes below; each FURTHER pass runs only if the elapsed
-    // time plus the previous pass's duration fits the wall budget
-    // (SPARK_GRAFT_BENCH_WALL seconds, default 700). A fast window
-    // still produces min-of-3; a constrained one degrades to min-of-2
-    // and COMPLETES — a slightly noisier artifact beats a killed one.
-    // The artifact discloses `runs_completed` so cross-round compares
-    // know which semantics they are reading.
-    val runs = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
-    val wallSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL", "700").toDouble
-    val benchT0 = System.nanoTime()
-    // dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q1_agg,mm_phash_dedup
-    // times just those queries (the committed artifact never sets it)
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only match {
-      case Some(names) => SparkEntry.benchQueries.filter(names)
-      case None => SparkEntry.benchQueries
-    }
-    // audits/tolerance checks bench their production shape instead
-    val fns = selected.map(name =>
-      name -> SparkEntry.benchOverrides.getOrElse(name, SparkEntry.queries(name)))
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Either[String, Double] = {
-      val t0 = System.nanoTime()
-      val r =
-        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
-        }
-      // boundary release OUTSIDE the timed region (VERDICT r8 #3): a
-      // rep must not serve a previous rep's in-memory cache (timings
-      // stay honest) nor stack 209 queries' caches across the sweep;
-      // staged parquet artifacts keep amortizing — that's the
-      // production contract being measured
-      CacheScope.releaseAll(spark)
-      r
-    }
-    // repetitions interleave ROUND-ROBIN across the query list
-    // (VERDICT r7 #6): back-to-back samples let one transient host
-    // stall land all N samples of a single query, which min-of-N can't
-    // absorb — spreading each query's samples ~a full sweep apart
-    // makes the min robust to stalls shorter than a sweep. Pass 0
-    // remains every query's cold run, exactly as before.
-    val acc = collection.mutable.LinkedHashMap[String, Vector[Either[String, Double]]]()
-    var passesRun = 0
-    var lastPassSec = 0.0
-    var pass = 0
-    while (pass < runs && (pass < 2 || {
-        val elapsed = (System.nanoTime() - benchT0) / 1e9
-        elapsed + lastPassSec <= wallSec
-      })) {
-      val p0 = System.nanoTime()
-      for ((name, fn) <- fns)
-        acc(name) = acc.getOrElse(name, Vector.empty) :+ once(fn)
-      lastPassSec = (System.nanoTime() - p0) / 1e9
-      passesRun += 1
-      pass += 1
-    }
-    val timed = fns.map { case (name, _) => name -> acc(name) }
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  }
+
+  /** The two artifact JSON lines (full per-query dict, compact
+    * headline) from the per-query sample vectors — shared by the
+    * end-of-run emit and the per-pass checkpoint (VERDICT r14 #1), so
+    * the checkpointed file is byte-compatible with the final one. */
+  private def artifactLines(
+      timed: Seq[(String, Vector[Either[String, Double]])],
+      sfDir: String, passesRun: Int, wallSec: Double)
+      : (String, String, Int) = {
     val results = timed.collect {
       case (n, rs) if rs.forall(_.isRight) =>
         n -> rs.collect { case Right(t) => t }.min
@@ -137,14 +67,111 @@ object Bench {
       s""","runs_completed":$passesRun,"wall_budget_sec":$wallSec"""
     val fullLine = s"""{"metric":"per_query","value":$total,"unit":"sec",$warmSem,"queries":$qs,"cold":$cold,"errors":$es,"sf":"$sfDir","n_queries":${results.size},"cold_total":$coldTotal,"n_errors":${errors.size},"total":$total}"""
     val headline = s"""{"metric":"total","value":$total,"unit":"sec",$warmSem,"slowest_top5":$slowest,"errors":$esShort,"cold_total":$coldTotal,"n_errors":${errors.size},"n_queries":${results.size},"sf":"$sfDir","full_artifact":"BENCH_full_local.json"}"""
+    (fullLine, headline, errors.size)
+  }
+
+  private def writeArtifact(fullLine: String): Unit =
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_full_local.json"),
         (fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // stdout lines still carry the data
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // the bench session IS the product session (GraftSession wires the
+    // extensions + AQE/FAIR confs the engine is designed around) — the
+    // r3 hand-rolled builder measured a subtly different config
+    val spark = GraftSession.local(cpus.toInt)
+    spark.range(1000).selectExpr("sum(id)").collect() // session warmup
+    // min-of-N timed runs per query (VERDICT r2 #8): one loaded/
+    // GC-noisy run can no longer distort the committed artifact; the
+    // min is the steady-state figure (JIT/codegen-compile noise
+    // otherwise dominates small SFs). A crashing query is NOT reported
+    // as a fast success (VERDICT r1 item 4) — it lands in "errors" and
+    // is excluded from the total.
+    //
+    // ADAPTIVE PASS COUNT under a WALL BUDGET (VERDICT r14 #1c): the
+    // r14 driver bench timed out (rc=124 — zero independent numbers)
+    // because 1 cold + 2 warm full passes outgrew the driver's fixed
+    // wall in a slow host window. Passes 1–2 (the cold pass and one
+    // warm pass) ALWAYS run — min-of-2 is the floor the artifact
+    // never goes below; each FURTHER pass runs only if the elapsed
+    // time plus the previous pass's duration fits the wall budget
+    // (SPARK_GRAFT_BENCH_WALL seconds, default 700). A fast window
+    // still produces min-of-3; a constrained one degrades to min-of-2
+    // and COMPLETES — a slightly noisier artifact beats a killed one.
+    // The artifact discloses `runs_completed` so cross-round compares
+    // know which semantics they are reading. Committed sweeps raise
+    // the wall (tools/sweep_r15.sh) so the repo artifacts keep the
+    // min-of-3 semantics every committed sweep since r9 has used.
+    val runs = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    val wallSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL", "700").toDouble
+    val benchT0 = System.nanoTime()
+    // dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q1_agg,mm_phash_dedup
+    // times just those queries (the committed artifact never sets it)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.benchQueries.filter(names)
+      case None => SparkEntry.benchQueries
+    }
+    // audits/tolerance checks bench their production shape instead
+    val fns = selected.map(name =>
+      name -> SparkEntry.benchOverrides.getOrElse(name, SparkEntry.queries(name)))
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
+      val t0 = System.nanoTime()
+      val r =
+        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+        }
+      // boundary release OUTSIDE the timed region (VERDICT r8 #3): a
+      // rep must not serve a previous rep's in-memory cache (timings
+      // stay honest) nor stack 209 queries' caches across the sweep;
+      // staged parquet artifacts keep amortizing — that's the
+      // production contract being measured
+      CacheScope.releaseAll(spark)
+      r
+    }
+    // repetitions interleave ROUND-ROBIN across the query list
+    // (VERDICT r7 #6): back-to-back samples let one transient host
+    // stall land all N samples of a single query, which min-of-N can't
+    // absorb — spreading each query's samples ~a full sweep apart
+    // makes the min robust to stalls shorter than a sweep. Pass 0
+    // remains every query's cold run, exactly as before.
+    val acc = collection.mutable.LinkedHashMap[String, Vector[Either[String, Double]]]()
+    var passesRun = 0
+    var lastPassSec = 0.0
+    while (passesRun < runs && (passesRun < 2 || {
+        val elapsed = (System.nanoTime() - benchT0) / 1e9
+        elapsed + lastPassSec <= wallSec
+      })) {
+      val p0 = System.nanoTime()
+      for ((name, fn) <- fns)
+        acc(name) = acc.getOrElse(name, Vector.empty) :+ once(fn)
+      lastPassSec = (System.nanoTime() - p0) / 1e9
+      passesRun += 1
+      // CHECKPOINT the artifact file after every completed pass with
+      // ≥ 2 samples (VERDICT r14 #1): r14's driver run was killed at
+      // its wall limit and the round had ZERO independent numbers
+      // because the artifact wrote only at the very end. A kill
+      // mid-pass now still leaves a complete, valid min-of-(N-1)
+      // artifact on disk (the end-of-round snapshot commit picks it
+      // up), runs_completed disclosing which semantics it holds.
+      if (passesRun >= 2)
+        writeArtifact(artifactLines(
+          fns.map { case (n, _) => n -> acc(n) }, sfDir, passesRun,
+          wallSec)._1)
+    }
+    val (fullLine, headline, nErrors) = artifactLines(
+      fns.map { case (n, _) => n -> acc(n) }, sfDir, passesRun, wallSec)
+    writeArtifact(fullLine)
     println(fullLine)
     println(headline)
     spark.stop()
-    if (errors.nonEmpty) sys.exit(1)
+    if (nErrors > 0) sys.exit(1)
   }
 }

@@ -1065,14 +1065,15 @@ object SparkEntry {
   }
 
   /** Two-night lexical oracle: night 1 = frozen snapshot statistics
-    * over snapshot ∪ night-1 postings; night 2 = restatted FULL
-    * statistics over the whole corpus (the preds partition it) — each
-    * night exactly the one-shot build under its statistics contract. */
+    * over snapshot ∪ night-1 postings; night 2 = restatted statistics
+    * over the whole gate slice (the preds partition it) — each night
+    * exactly the one-shot build under its statistics contract. */
   private def textBm25TwoNightSql: String =
     textBm25SqlFrom(Some(TextAnalysis.Bm25NightSnapPred),
       Some(s"(${TextAnalysis.Bm25NightSnapPred}) OR " +
         s"(${TextAnalysis.Bm25Night1Pred})"), Some(1)) +
-      "\nUNION ALL\n" + textBm25SqlFrom(None, None, Some(2))
+      "\nUNION ALL\n" +
+      textBm25SqlFrom(None, Some(TextAnalysis.Bm25NightCorpusPred), Some(2))
 
   /** Hybrid RRF oracle: both arms replicated exactly — the BM25 arm
     * reuses the [[textBm25Sql]] rational/fixed-point arithmetic with

@@ -820,11 +820,16 @@ class TextMultimodalSpec extends AnyFunSuite {
     val out = TextAnalysis.bm25TwoNightTopK(spark, sf).collect()
     def night(n: Long) =
       out.filter(_.getAs[Long]("night") == n).map(keyOf).toSet
-    // night 2: the preds partition the corpus, so the post-restat
-    // promotion must serve row-identical to the one-shot FULL build
-    val full = TextAnalysis.bm25TopK(spark, sf).collect().map(keyOf).toSet
+    // night 2: the preds partition the gate slice, so the post-restat
+    // promotion must serve row-identical to the one-shot full-slice
+    // build (fresh stats over everything arrived)
+    val fullBase = s"${System.getProperty("java.io.tmpdir")}/graft_spec_bm2night_full_${System.nanoTime}"
+    TextAnalysis.buildBm25Index(spark, sf, fullBase,
+      Some(TextAnalysis.Bm25NightCorpusPred))
+    val full = TextAnalysis.bm25TopKFrom(spark, fullBase)
+      .collect().map(keyOf).toSet
     assert(night(2L) == full,
-      "night-2 (post-restat) serving must equal the one-shot full-corpus build")
+      "night-2 (post-restat) serving must equal the one-shot full-slice build")
     // night 1: one-shot frozen-stats build over snapshot + night-1
     // postings, UNCOMPACTED — equality also pins bucket-compaction
     // row preservation
