@@ -33,7 +33,8 @@ object ExplainAudit {
         "sim_ivf_index_imbalance", "sim_ivf_lifecycle_retrain",
         "sim_ivf_pq_lifecycle_retrain", "text_bm25_index_restat",
         "dedup_cascade", "dedup_cascade_incremental",
-        "sim_maintenance_nightly", "mm_overlap_dedup_capped")
+        "sim_maintenance_nightly", "mm_overlap_dedup_capped",
+        "sim_pq_maintenance_nightly", "text_bm25_maintenance_nightly")
     targets.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       df.count() // materialize so AQE finalizes
