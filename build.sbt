@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output passes through RAW (VERDICT r15 #3): sbt's
+// default logger prefixes every stdout line with "[info] ", which broke
+// the driver's parse of graft.Bench's artifact JSON lines (BENCH_r15
+// parsed=null). StdoutOutput hands the forked JVM's streams straight
+// through, so the two artifact lines reach the driver unprefixed.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

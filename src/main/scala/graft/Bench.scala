@@ -12,7 +12,7 @@ object Bench {
     * the checkpointed file is byte-compatible with the final one. */
   private def artifactLines(
       timed: Seq[(String, Vector[Either[String, Double]])],
-      sfDir: String, passesRun: Int, wallSec: Double)
+      sfDir: String, passesRun: Int, wallSec: Double, fullPath: String)
       : (String, String, Int) = {
     val results = timed.collect {
       case (n, rs) if rs.forall(_.isRight) =>
@@ -66,14 +66,30 @@ object Bench {
     val warmSem = """"warm_semantics":"per-rep cache release"""" +
       s""","runs_completed":$passesRun,"wall_budget_sec":$wallSec"""
     val fullLine = s"""{"metric":"per_query","value":$total,"unit":"sec",$warmSem,"queries":$qs,"cold":$cold,"errors":$es,"sf":"$sfDir","n_queries":${results.size},"cold_total":$coldTotal,"n_errors":${errors.size},"total":$total}"""
-    val headline = s"""{"metric":"total","value":$total,"unit":"sec",$warmSem,"slowest_top5":$slowest,"errors":$esShort,"cold_total":$coldTotal,"n_errors":${errors.size},"n_queries":${results.size},"sf":"$sfDir","full_artifact":"BENCH_full_local.json"}"""
+    val headline = s"""{"metric":"total","value":$total,"unit":"sec",$warmSem,"slowest_top5":$slowest,"errors":$esShort,"cold_total":$coldTotal,"n_errors":${errors.size},"n_queries":${results.size},"sf":"$sfDir","full_artifact":"$fullPath"}"""
     (fullLine, headline, errors.size)
   }
 
-  private def writeArtifact(fullLine: String): Unit =
+  /** Where the full per-query artifact lands. `BENCH_full_local.json`
+    * is RESERVED for the committed-artifact shape — the full-key-set
+    * run over the default sf0.1 tree (ADVICE r15 #1: the r15 sf~1
+    * probe ran after the sweep in the same cwd and clobbered the
+    * committed sweep snapshot, shipping a 183-key probe under the
+    * sweep's description). Any filtered run (SPARK_GRAFT_BENCH_ONLY)
+    * or non-default SF dir now writes `BENCH_full_scratch.json`
+    * instead, and SPARK_GRAFT_BENCH_FULL_OUT names an explicit path
+    * for probe scripts that want per-run files. The headline line
+    * discloses which file the run actually wrote. */
+  private[graft] def fullArtifactPath(sfDir: String,
+      filtered: Boolean): String =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL_OUT",
+      if (filtered || sfDir != "/root/testdata/sf0.1") "BENCH_full_scratch.json"
+      else "BENCH_full_local.json")
+
+  private def writeArtifact(path: String, fullLine: String): Unit =
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_full_local.json"),
+        java.nio.file.Paths.get(path),
         (fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // stdout lines still carry the data
 
@@ -110,7 +126,13 @@ object Bench {
     // know which semantics they are reading. Committed sweeps raise
     // the wall (tools/sweep_r15.sh) so the repo artifacts keep the
     // min-of-3 semantics every committed sweep since r9 has used.
-    val runs = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    // SPARK_GRAFT_BENCH_RUNS=1 IS honored (ADVICE r15 #4): a dev loop
+    // may want a single cold pass; runs_completed=1 in the artifact
+    // discloses the weaker semantics, and the per-pass checkpoint
+    // machinery simply never fires. Committed artifacts use the
+    // default (3 under the wall budget, min-of-2 floor enforced by the
+    // loop condition below, which only consults the wall from pass 3).
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val wallSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL", "900").toDouble
     val benchT0 = System.nanoTime()
     // dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q1_agg,mm_phash_dedup
@@ -121,6 +143,7 @@ object Bench {
       case Some(names) => SparkEntry.benchQueries.filter(names)
       case None => SparkEntry.benchQueries
     }
+    val fullPath = fullArtifactPath(sfDir, filtered = only.nonEmpty)
     // audits/tolerance checks bench their production shape instead
     val fns = selected.map(name =>
       name -> SparkEntry.benchOverrides.getOrElse(name, SparkEntry.queries(name)))
@@ -166,13 +189,14 @@ object Bench {
       // artifact on disk (the end-of-round snapshot commit picks it
       // up), runs_completed disclosing which semantics it holds.
       if (passesRun >= 2)
-        writeArtifact(artifactLines(
+        writeArtifact(fullPath, artifactLines(
           fns.map { case (n, _) => n -> acc(n) }, sfDir, passesRun,
-          wallSec)._1)
+          wallSec, fullPath)._1)
     }
     val (fullLine, headline, nErrors) = artifactLines(
-      fns.map { case (n, _) => n -> acc(n) }, sfDir, passesRun, wallSec)
-    writeArtifact(fullLine)
+      fns.map { case (n, _) => n -> acc(n) }, sfDir, passesRun, wallSec,
+      fullPath)
+    writeArtifact(fullPath, fullLine)
     println(fullLine)
     println(headline)
     spark.stop()

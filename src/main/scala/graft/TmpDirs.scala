@@ -42,11 +42,26 @@ object TmpDirs {
   // per-call directory can legitimately exceed any fixed deadline, so
   // the timeout fires only when no delete progress is observed for a
   // full window — [[rm]] heartbeats once per filesystem entry it
-  // removes, and unregister resets its deadline whenever the heartbeat
-  // advanced. A dead sweep thread stops heartbeating and still fails
-  // loudly within one window.
+  // removes on THE AWAITED PATH's own counter (see pathBeats below),
+  // and unregister resets its deadline only when that counter
+  // advances. A dead sweep thread stops heartbeating and still fails
+  // loudly within one window even while other deletes progress.
   private val UnregisterWaitMs = 120000L
-  private val deleteHeartbeat = new java.util.concurrent.atomic.AtomicLong
+  // heartbeats are PER PATH (ADVICE r15 #3): a single global counter
+  // let progress by any sweep thread on any OTHER path reset a
+  // waiter's no-progress deadline — if the thread deleting the awaited
+  // path died while unrelated deletes kept progressing, the bounded
+  // wait regressed to an indefinite hang. Each in-flight path gets its
+  // own counter, bumped once per filesystem entry removed from THAT
+  // path's tree; unregister extends its deadline only when the awaited
+  // path's own counter advances. Entries are created under the sweep
+  // monitor alongside the refcount and removed when it reaches zero.
+  private val pathBeats = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]
+  private def beatOf(path: String): Long = {
+    val b = pathBeats.get(path)
+    if (b == null) 0L else b.get()
+  }
 
   /** Mark a per-call directory for deferred deletion. */
   def register(path: String): Unit =
@@ -65,11 +80,11 @@ object TmpDirs {
     // a sweep may have already dequeued this path and be rm'ing it
     // right now — returning early would let the rebuild write into a
     // directory being deleted (the ADVICE r11 #2 race)
-    var lastBeat = deleteHeartbeat.get()
+    var lastBeat = beatOf(path)
     var deadline = System.nanoTime() + UnregisterWaitMs * 1000000L
     while (inFlight.getOrElse(path, 0) > 0) {
-      val beat = deleteHeartbeat.get()
-      if (beat != lastBeat) { // deletes are advancing: reset the window
+      val beat = beatOf(path)
+      if (beat != lastBeat) { // THIS path's delete is advancing: reset
         lastBeat = beat
         deadline = System.nanoTime() + UnregisterWaitMs * 1000000L
       }
@@ -78,17 +93,19 @@ object TmpDirs {
         s"TmpDirs.unregister: delete of $path still in flight with no " +
           s"progress for ${UnregisterWaitMs}ms — a sweep thread likely " +
           "died mid-delete")
-      // wake periodically even without a notify: a single long rm of
-      // one huge file heartbeats without completing any path, and the
-      // waiter must observe that progress to extend its deadline
+      // wake periodically even without a notify: a long rm of this
+      // path's large tree heartbeats per entry without completing, and
+      // the waiter must observe that progress to extend its deadline
       lock.wait(math.min(leftMs, 5000L))
     }
   }
 
-  private def rm(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+  private def rm(beat: java.util.concurrent.atomic.AtomicLong)(
+      f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm(beat))
     f.delete()
-    deleteHeartbeat.incrementAndGet(); ()
+    beat.incrementAndGet(); ()
   }
 
   /** Boundary sweep: delete everything registered before the previous
@@ -106,14 +123,20 @@ object TmpDirs {
         val (dg, p) = it.next()
         if (dg < g) { it.remove(); out += p }
       }
-      out.foreach(p => inFlight(p) = inFlight.getOrElse(p, 0) + 1)
+      out.foreach { p =>
+        inFlight(p) = inFlight.getOrElse(p, 0) + 1
+        pathBeats.computeIfAbsent(p,
+          _ => new java.util.concurrent.atomic.AtomicLong)
+      }
       out
     }
     doomed.foreach { p =>
-      try rm(new java.io.File(p)) catch { case _: Throwable => () }
+      val beat = pathBeats.get(p) // created under the monitor above
+      try rm(beat)(new java.io.File(p)) catch { case _: Throwable => () }
       finally lock.synchronized {
         val left = inFlight.getOrElse(p, 1) - 1
-        if (left <= 0) inFlight -= p else inFlight(p) = left
+        if (left <= 0) { inFlight -= p; pathBeats.remove(p) }
+        else inFlight(p) = left
         lock.notifyAll()
       }
     }

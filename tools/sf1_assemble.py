@@ -9,7 +9,20 @@ same key set, which since r14 includes the mm_* family (payload-byte-
 proportional work — historically the steepest 3-SF growers).
 
 Usage: sf1_assemble.py out.json <sf0.1_full_bench.json> \
-          <bench_sf1_exact.txt> <bench_sf1_perturbed.txt>
+          <bench_sf1_exact.txt> <bench_sf1_perturbed.txt> \
+          [--keyset-desc TEXT] [--prior-base SCALING_rP.json]
+
+--keyset-desc (ADVICE r15 #2): the provenance text for runs.key_set is
+  a CLI argument supplied by the probe script for the round being
+  measured — the r15 artifact shipped a hard-coded r14 description.
+--prior-base (VERDICT r15 #6): point at the PREVIOUS round's committed
+  SCALING_r{P}.json to emit window-normalized ratios alongside the raw
+  ones: the raw ratio divides this round's sf~1 time by this round's
+  sf0.1 base, so a fast base WINDOW inflates every ratio uniformly;
+  the normalized ratio multiplies by the base-window factor W =
+  median_q(base_now[q] / base_prior[q]), separating structural growers
+  (flagged_over_3x_window_normalized) from queries pushed over the raw
+  bar purely by the base window (listed under window_only_flags).
 """
 import json
 import re
@@ -41,7 +54,18 @@ def _flag_order(kv):
 
 
 def main():
-    out, base_path, exact_path, pert_path = sys.argv[1:5]
+    args = sys.argv[1:]
+    keyset_desc = None
+    prior_base_path = None
+    if "--keyset-desc" in args:
+        i = args.index("--keyset-desc")
+        keyset_desc = args[i + 1]
+        del args[i:i + 2]
+    if "--prior-base" in args:
+        i = args.index("--prior-base")
+        prior_base_path = args[i + 1]
+        del args[i:i + 2]
+    out, base_path, exact_path, pert_path = args[:4]
     base = json.load(open(base_path)) if base_path.endswith(".json") \
         else load_full_line(base_path)
     exact = load_full_line(exact_path)
@@ -81,6 +105,43 @@ def main():
         xs = sorted(xs)
         n = len(xs)
         return round((xs[n // 2] + xs[(n - 1) // 2]) / 2, 3) if xs else None
+
+    # window normalization (VERDICT r15 #6): W = this base window vs
+    # the prior committed base, median over shared keys
+    window = None
+    if prior_base_path:
+        prior = json.load(open(prior_base_path))
+        prior_q = {q: row.get("sf0.1") for q, row in
+                   prior.get("queries", {}).items()}
+        factors = [base["queries"][q] / prior_q[q]
+                   for q in base["queries"]
+                   if prior_q.get(q) and base["queries"][q] is not None
+                   and base["queries"][q] > 0]
+        W = med([round(f, 6) for f in factors])
+        def norm_flags(flagged):
+            structural, window_only = {}, {}
+            for q, r in flagged.items():
+                if not isinstance(r, (int, float)):
+                    structural[q] = r  # zero-base notes pass through
+                    continue
+                rn = round(r * W, 3)
+                (structural if rn > 3.0 else window_only)[q] = \
+                    {"raw": r, "window_normalized": rn}
+            return structural, window_only
+        se, we = norm_flags(flagged_e)
+        sp, wp = norm_flags(flagged_p)
+        window = {
+            "prior_base": prior_base_path,
+            "base_window_factor_vs_prior": W,
+            "n_shared_keys": len(factors),
+            "note": "normalized ratio = raw ratio x W; W < 1 means "
+                    "this round's sf0.1 base landed in a faster "
+                    "window than the prior committed sweep, which "
+                    "inflates every raw sf~1 ratio uniformly",
+            "flagged_over_3x_window_normalized": {"exact": se,
+                                                  "perturbed": sp},
+            "window_only_flags": {"exact": we, "perturbed": wp},
+        }
 
     doc = {
         "construction": {
@@ -124,11 +185,9 @@ def main():
         },
         "runs": {
             "sf0.1_base": base_path,
-            "key_set": "the r13 probe families (TPC-H shapes, q_*, "
-                       "dedup_*, sim_*, text_*, maintenance-config "
-                       "gates) PLUS the mm_* family (VERDICT r13 #2) "
-                       "and the r14 gates; min-of-3 warm, local[32], "
-                       "final r14 tree for all runs",
+            "key_set": keyset_desc or "(probe script passed no "
+                       "--keyset-desc; see the round's SURVEY section "
+                       "for provenance)",
         },
         "n_queries": {"exact": len(exact["queries"]),
                       "perturbed": len(pert["queries"])},
@@ -148,6 +207,7 @@ def main():
                                                  key=_flag_order)),
                             "perturbed": dict(sorted(flagged_p.items(),
                                                      key=_flag_order))},
+        "window_normalization": window,
         "queries": per_q,
     }
     with open(out, "w") as f:
