@@ -335,6 +335,7 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.simhash _),                 // 4×16 candidates, not the audit
     "q_approx_distinct" -> (Analytics.qApproxDistinct _), // HLL only, not the ±2% check
     "pat_bucketed_join" -> (Patterns.bucketedJoinWarm _), // amortized-setup join (see scaladoc)
+    "pat_zorder_skip" -> (Patterns.zorderSkipWarm _),     // amortized-rewrite skip-read (see scaladoc)
     "q_approx_percentile" -> ((s: SparkSession, dir: String) =>
       graft.sources.Tables.lineitem(s, dir)
         .groupBy(org.apache.spark.sql.functions.col("l_returnflag"))
@@ -2279,22 +2280,34 @@ object SparkEntry {
         | COUNT(DISTINCT o_custkey) AS exact_distinct FROM orders""".stripMargin,
     // the SAME recursive SQL both engines execute (Spark 4 WITH
     // RECURSIVE ≡ DuckDB's) — integer month keys keep it hash-exact
+    // the same log-depth interval-splitting recursion the Spark side
+    // runs (Analytics3.qRecursiveCte): grouped (m, last_m) pairs carry
+    // order multiplicity, each level halves open intervals, leaves
+    // (lo = hi) are the per-month rows
     "q_recursive_cte" ->
       """WITH RECURSIVE mx AS (
         |  SELECT l_orderkey, MAX(l_shipdate) AS r
-        |  FROM lineitem GROUP BY l_orderkey),
-        |base AS (
-        |  SELECT o.o_orderkey,
-        |    (year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1) AS m,
-        |    (year(mx.r) * 12 + month(mx.r) - 1) AS last_m
+        |  FROM lineitem WHERE l_orderkey % 11 = 0
+        |  GROUP BY l_orderkey),
+        |raw AS (
+        |  SELECT
+        |    CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1 AS BIGINT) AS m,
+        |    CAST(year(mx.r) * 12 + month(mx.r) - 1 AS BIGINT) AS last_m
         |  FROM orders o JOIN mx ON mx.l_orderkey = o.o_orderkey
         |  WHERE o.o_orderkey % 11 = 0),
-        |span(o_orderkey, m, last_m) AS (
-        |  SELECT o_orderkey, m, last_m FROM base
+        |base AS (
+        |  SELECT m, GREATEST(last_m, m) AS last_m, COUNT(*) AS c
+        |  FROM raw GROUP BY 1, 2),
+        |split(lo, hi, c) AS (
+        |  SELECT m, last_m, c FROM base
         |  UNION ALL
-        |  SELECT o_orderkey, m + 1, last_m FROM span WHERE m < last_m)
-        |SELECT CAST(m AS BIGINT) AS month_key, COUNT(*) AS n_open
-        |FROM span GROUP BY m""".stripMargin,
+        |  SELECT
+        |    CASE WHEN h.side = 0 THEN s.lo ELSE (s.lo + s.hi) // 2 + 1 END,
+        |    CASE WHEN h.side = 0 THEN (s.lo + s.hi) // 2 ELSE s.hi END,
+        |    s.c
+        |  FROM split s JOIN (VALUES (0), (1)) AS h(side) ON s.lo < s.hi)
+        |SELECT lo AS month_key, CAST(SUM(c) AS BIGINT) AS n_open
+        |FROM split WHERE lo = hi GROUP BY lo""".stripMargin,
     // every REAL hour window closes via the sentinel-driven watermark
     // and emits its final top-3 (count desc, type asc); the sentinel's
     // own window never emits — mirror of the open current hour
