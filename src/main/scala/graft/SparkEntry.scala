@@ -252,6 +252,7 @@ object SparkEntry {
     "mm_clip_filter" -> (Multimodal.clipFilter _),
     "mm_phash_dedup_capped" -> (Multimodal.phashDedupCapped _),
     "mm_phash_dedup_unicode" -> (Multimodal.phashDedupUnicode _),
+    "mm_phash_dedup_incremental" -> (Multimodal.phashDedupIncremental _),
     // declarative pipeline config + real structured streaming
     "etl_pipeline_config" -> ((s, dir) => {
       import graft.plans.Pipeline._
@@ -1956,15 +1957,21 @@ object SparkEntry {
     * based exactly like the fused kernel's codepoint scan, so the row
     * stays hash-exact). */
   private def mmPhashSql(variant: String): String = {
-    val capped = variant == "capped"
-    val candSrc = if (capped) "keptb" else "bands"
-    val cappedCtes = if (capped)
+    // both the planted-ASCII gate and the unicode gate are CAPPED
+    // (VERDICT r15 #2): over-cap band buckets drop at the candidate
+    // stage, HAVING-replicated here so the row stays hash-exact
+    val maxBucket = variant match {
+      case "capped" => Some(Multimodal.PhashMaxBucket)
+      case "unicode" => Some(Multimodal.PhashUnicodeMaxBucket)
+      case _ => None
+    }
+    val candSrc = if (maxBucket.isDefined) "keptb" else "bands"
+    val cappedCtes = maxBucket.map(cap =>
       s"""okb AS (SELECT band, band_val FROM bands GROUP BY 1, 2
-        |  HAVING COUNT(*) <= ${Multimodal.PhashMaxBucket}),
+        |  HAVING COUNT(*) <= $cap),
         |keptb AS (SELECT b.doc_id, b.band, b.band_val
         |  FROM bands b JOIN okb USING (band, band_val)),
-        |""".stripMargin
-    else ""
+        |""".stripMargin).getOrElse("")
     // the capped gate runs over the PLANTED corpus: doc_id % 13 = 0
     // docs all carry doc 0's text verbatim (one degenerate clique)
     val mCte = variant match {
@@ -1975,13 +1982,20 @@ object SparkEntry {
           |      FROM documents d JOIN src s ON s.src_id =
           |        CASE WHEN d.doc_id % 13 = 0 THEN 0 ELSE d.doc_id - d.doc_id % 7 END),""".stripMargin
       case "unicode" =>
-        // the empty-payload clique is bounded at a fixed absolute size
-        // (VERDICT r14 #4) — see Multimodal.PhashUnicodeEmptyBound
+        // empty-payload clique bounded at a fixed absolute size
+        // (VERDICT r14 #4 — Multimodal.PhashUnicodeEmptyBound); the
+        // remaining doc_id % 7 = 3 docs carry doc 0's text DOUBLED
+        // plus the fixed tail — the planted over-cap clique the
+        // stop-bucket cap provably drops (VERDICT r15 #2)
         s"""m AS (SELECT d.doc_id,
           |  CASE WHEN d.doc_id % 17 = 0
           |        AND d.doc_id < ${Multimodal.PhashUnicodeEmptyBound} THEN ''
+          |       WHEN d.doc_id % 7 = 3 THEN s.text || s.text || '§λ漢'
           |       ELSE s.text || '§λ漢' || CAST(d.doc_id % 7 AS VARCHAR) END AS p
-          |      FROM documents d JOIN src s ON s.src_id = d.doc_id - d.doc_id % 7),""".stripMargin
+          |      FROM documents d JOIN src s ON s.src_id =
+          |        CASE WHEN d.doc_id % 7 = 3 AND NOT (d.doc_id % 17 = 0
+          |          AND d.doc_id < ${Multimodal.PhashUnicodeEmptyBound}) THEN 0
+          |        ELSE d.doc_id - d.doc_id % 7 END),""".stripMargin
       case _ =>
         """m AS (SELECT d.doc_id, s.text || '#' || CAST(d.doc_id % 7 AS VARCHAR) AS p
           |      FROM documents d JOIN src s ON s.src_id = d.doc_id - d.doc_id % 7),""".stripMargin
@@ -2009,6 +2023,44 @@ object SparkEntry {
       |  JOIN pb pbb ON pbb.doc_id = c.doc_b) t
       |WHERE hamming <= ${Multimodal.PhashMaxHamming}""".stripMargin
   }
+
+  /** Full recompute of [[graft.operators.Multimodal.phashDedupIncremental]]:
+    * the same per-doc aHash band vectors as mmPhashSql's plain corpus,
+    * split into snapshot (source <> 'src0') and batch (source =
+    * 'src0') sides, the snapshot-side stop-bucket cap replicated as a
+    * HAVING CTE, candidates = batch×snapshot band-bucket matches, then
+    * the exact hamming verify. The Spark side probes a persisted index
+    * instead of recomputing — identical rows, which is the gate. */
+  private def mmPhashIncSql: String =
+    s"""WITH src AS (SELECT doc_id AS src_id, text FROM documents),
+      |m AS (SELECT d.doc_id, d.source,
+      |    s.text || '#' || CAST(d.doc_id % 7 AS VARCHAR) AS p
+      |  FROM documents d JOIN src s ON s.src_id = d.doc_id - d.doc_id % 7),
+      |samp AS (SELECT doc_id, source,
+      |  list_transform(range(0, 64), j -> ascii(substr(p, CAST((j * len(p)) // 64 AS INT) + 1, 1))) AS b
+      | FROM m),
+      |h AS (SELECT doc_id, source, b, list_sum(b) AS s FROM samp),
+      |bands AS (SELECT doc_id, source, bd.bd AS band,
+      |   CAST(list_sum(list_transform(range(0, ${Multimodal.PhashBandBits}),
+      |     i -> CASE WHEN b[CAST(bd.bd*${Multimodal.PhashBandBits} + i + 1 AS INT)] * 64 >= s
+      |          THEN (1 << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS band_val
+      |  FROM h, range(0, ${Multimodal.PhashBands}) bd(bd)),
+      |snapb AS (SELECT doc_id, band, band_val FROM bands WHERE source <> 'src0'),
+      |okb AS (SELECT band, band_val FROM snapb GROUP BY 1, 2
+      |  HAVING COUNT(*) <= ${Multimodal.PhashMaxBucket}),
+      |keptb AS (SELECT s2.doc_id, s2.band, s2.band_val
+      |  FROM snapb s2 JOIN okb USING (band, band_val)),
+      |batchb AS (SELECT doc_id, band, band_val FROM bands WHERE source = 'src0'),
+      |cand AS (SELECT DISTINCT b2.doc_id AS doc_new, k.doc_id AS doc_old
+      |  FROM batchb b2 JOIN keptb k ON b2.band = k.band AND b2.band_val = k.band_val),
+      |pb AS (SELECT doc_id, list(band_val ORDER BY band) AS bv FROM bands GROUP BY doc_id)
+      |SELECT doc_new, doc_old, hamming FROM (
+      |  SELECT c.doc_new, c.doc_old,
+      |    CAST(list_sum(list_transform(list_zip(pa.bv, pbb.bv),
+      |      x -> bit_count(xor(x[1], x[2])))) AS BIGINT) AS hamming
+      |  FROM cand c JOIN pb pa ON pa.doc_id = c.doc_new
+      |  JOIN pb pbb ON pbb.doc_id = c.doc_old) t
+      |WHERE hamming <= ${Multimodal.PhashMaxHamming}""".stripMargin
 
   /** Shared by the exact and Bloom-pruned incremental-dedup gates
     * (both produce bit-identical output — the Bloom path exact-verifies
@@ -3088,6 +3140,9 @@ object SparkEntry {
     // multi-byte + empty payloads: codepoint-indexing bit-parity of
     // the fused kernel as a gate row (VERDICT r7 #7)
     "mm_phash_dedup_unicode" -> mmPhashSql("unicode"),
+    // full recompute of the incremental probe: snapshot-side band
+    // buckets capped via HAVING, batch = source 'src0' uploads
+    "mm_phash_dedup_incremental" -> mmPhashIncSql,
     "mm_resize_meta" ->
       """SELECT doc_id,
         | CAST(32 + (doc_id % 8) * 16 AS INTEGER) AS width,

@@ -344,31 +344,63 @@ object Multimodal {
   /** Non-ASCII / empty-payload corpus for [[phashDedupUnicode]]:
     * every payload gains a multi-byte UTF-8 tail (Latin-1 supplement
     * + Greek + CJK — one, two, and three UTF-8 bytes per codepoint,
-    * the classes where byte- and codepoint-indexing diverge) and every
+    * the classes where byte- and codepoint-indexing diverge), every
     * doc_id % 17 == 0 payload below [[PhashUnicodeEmptyBound]] is the
     * EMPTY string (the all-bits-set degenerate hash: 0 samples, mean
     * 0, 0·64 ≥ 0 sets every bit) — a FIXED ≤16-doc clique at every
-    * SF. */
+    * SF — and every remaining doc_id % 7 == 3 payload is doc 0's text
+    * DOUBLED plus the fixed tail (VERDICT r15 #2): one identical-
+    * payload clique of ~n/7 docs whose four band buckets blow past
+    * [[PhashUnicodeMaxBucket]] at every SF (68 members at the spec's
+    * sf0.001 vs the 54-doc largest organic bucket), so the stop-bucket
+    * cap provably binds on planted data while the doubling keeps the
+    * clique's sample lattice disjoint from every organic variant's. */
   private[graft] def phashTableUnicode(s: SparkSession, dir: String,
       fused: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    val isEmpty = col("doc_id") % 17 === 0 &&
+      col("doc_id") < PhashUnicodeEmptyBound
+    val isClique = col("doc_id") % 7 === 3 && !isEmpty
     val d = Tables.documents(s, dir).select(col("doc_id"))
-      .withColumn("src_id", col("doc_id") - col("doc_id") % 7)
+      .withColumn("src_id",
+        when(isClique, lit(0L)).otherwise(col("doc_id") - col("doc_id") % 7))
     val src = Tables.documents(s, dir).select(col("doc_id").as("src_id"), col("text"))
-    val payload = when(col("doc_id") % 17 === 0 &&
-        col("doc_id") < PhashUnicodeEmptyBound, lit(""))
+    val payload = when(isEmpty, lit(""))
+      .when(isClique, concat(col("text"), col("text"), lit("§λ漢")))
       .otherwise(concat(col("text"), lit("§λ漢"), (col("doc_id") % 7).cast("string")))
     withPhashBands(d.join(src, "src_id").withColumn("p", payload), fused)
   }
+
+  /** Stop-bucket cap for [[phashDedupUnicode]] (VERDICT r15 #2): the
+    * unicode corpus's organic near-identical payload groups hash to
+    * band buckets that grow with duplication density (688 docs in one
+    * bucket at sf0.1; the sf~1 probe measured the uncapped verify at
+    * 54× on the 10× step — |bucket|² growth), so the gate's own
+    * candidate stage now drops over-cap buckets exactly like
+    * [[phashDedupCapped]]. 64 sits above every organic bucket at the
+    * correctness SFs (54 max at sf0.001/0.01) and above the ≤16-doc
+    * empty-payload clique — whose all-bits degenerate hash therefore
+    * still rides the full candidate → hamming path there — while the
+    * planted doubled-text clique (68 docs at sf0.001) exceeds it at
+    * every SF, so the cap provably binds and the oracle replicates it
+    * as a HAVING CTE. At corpus scale candidate growth is bounded at
+    * cap²·#buckets — linear — regardless of duplication density. */
+  val PhashUnicodeMaxBucket = 64
 
   /** [[phashDedup]] over the non-ASCII/empty corpus — the gate-row
     * (hash-exact, oracle-replicated) form of what was previously a
     * spec-only edge of the hand-written graft_phash_bands codegen
     * kernel (VERDICT r7 #7): multi-byte codepoints must sample
     * identically in both engines, and the empty-payload clique rides
-    * the normal banded-candidate → hamming-verify path. */
+    * the normal banded-candidate → hamming-verify path. CAPPED since
+    * r16 (VERDICT r15 #2): see [[PhashUnicodeMaxBucket]] — the planted
+    * over-cap clique and any organic bucket past the cap drop at the
+    * candidate stage, the oracle replicates the cap, and the spec pins
+    * that at the spec SF the dropped pairs are EXACTLY the planted
+    * clique's while the empty clique's pairs survive. */
   def phashDedupUnicode(s: SparkSession, dir: String): DataFrame =
-    phashPairs(phashTableUnicode(s, dir).localCheckpoint(), capped = false)
+    phashPairs(phashTableUnicode(s, dir).localCheckpoint(), capped = true,
+      maxBucket = PhashUnicodeMaxBucket)
 
   /** Perceptual near-dup pairs: banded candidate equi-join on
     * (band, band_val) carrying ids only — bucket-wise, never O(n²),
@@ -385,13 +417,14 @@ object Multimodal {
     * `capped` drops over-[[PhashMaxBucket]] band buckets at the
     * candidate stage (the stop-bucket knob). The localCheckpoint'd
     * table is the one hash pass, reused by every join below. */
-  private def phashPairs(t: DataFrame, capped: Boolean): DataFrame = {
+  private def phashPairs(t: DataFrame, capped: Boolean,
+      maxBucket: Int = PhashMaxBucket): DataFrame = {
     val bands = t.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "band_val")))
     val candBands =
       if (!capped) bands
       else bands.join(
         bands.groupBy(col("band"), col("band_val"))
-          .agg(count(lit(1)).as("n")).filter(col("n") <= PhashMaxBucket)
+          .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
           .select(col("band"), col("band_val")),
         Seq("band", "band_val"))
     val cands = candBands
@@ -429,6 +462,90 @@ object Multimodal {
     * and cap, keeping the row hash-exact. */
   def phashDedupCapped(s: SparkSession, dir: String): DataFrame =
     phashPairs(phashTableFrom(s, dir, planted = true).localCheckpoint(), capped = true)
+
+  // ------------------------------------------------------------------
+  // Incremental perceptual dedup (r16): the dedup-cascade nightly
+  // discipline (Dedup.scala buildCascadeSnapshot/rep_banded) applied to
+  // the media corpus — nightly uploads probe a PERSISTED band index
+  // instead of re-hashing and re-banding the snapshot per batch.
+
+  /** Spec-counted odometer: persisted-index builds per (session,
+    * corpus version) — repeat gate calls must be derivation-only. */
+  private[graft] val phashIndexBuilds =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** The media corpus split: tonight's BATCH is the `source = 'src0'`
+    * uploads (the dedup_incremental split discipline), the SNAPSHOT is
+    * everything else. Both sides hash with the same fused kernel as
+    * [[phashDedup]] — payload variants of one source text straddle the
+    * split, so the probe finds genuine cross-split near-dups. */
+  private def phashTableWithSource(s: SparkSession, dir: String): DataFrame =
+    phashTable(s, dir).join(
+      Tables.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
+
+  /** Persist the snapshot side once per corpus version: the hash table
+    * (doc_id, bands — n rows × 4 longs, payloads never persisted) and
+    * the banded index (band, band_val, doc_id) PARTITIONED BY band
+    * with value-sorted row groups, so a probe reads only the matching
+    * band partitions and row-group stats prune within them — the
+    * rep_banded / bm25 postings discipline applied to media hashes. */
+  private[graft] def buildPhashIndex(s: SparkSession, dir: String,
+      base: String): Unit = {
+    phashIndexBuilds.incrementAndGet()
+    val snap = phashTableWithSource(s, dir)
+      .filter(col("source") =!= "src0").select(col("doc_id"), col("bands"))
+    snap.write.mode("overwrite").parquet(s"$base/snap_hashes")
+    s.read.parquet(s"$base/snap_hashes")
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "band_val")))
+      .repartition(col("band"))
+      .sortWithinPartitions(col("band_val"))
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$base/band_index")
+  }
+
+  private[graft] def stagedPhashIndex(s: SparkSession, dir: String): String = {
+    val vkey = Tables.versionedKey(s, dir, "documents")
+    Tables.stagedArtifact("mmphidx", dir, vkey) { b =>
+      buildPhashIndex(s, dir, b); b
+    }
+  }
+
+  /** Nightly incremental probe: hash ONLY the batch (one fused-kernel
+    * pass over tonight's uploads), explode to (band, band_val), and
+    * equi-join the persisted index — with the [[PhashMaxBucket]]
+    * stop-bucket cap applied to the INDEX side (a degenerate snapshot
+    * bucket — the black frame uploaded thousands of times — would
+    * otherwise fan every matching upload into it), then exact hamming
+    * verify against the persisted snapshot hashes. At 100 TB the
+    * nightly cost is |batch| hashing + bounded bucket probes against a
+    * band-partitioned artifact; the snapshot is never re-hashed,
+    * re-banded, or re-paired. Output (doc_new, doc_old, hamming) is
+    * hash-exact against the full-recompute oracle (cap HAVING-
+    * replicated). */
+  def phashDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val base = stagedPhashIndex(s, dir)
+    val index = s.read.parquet(s"$base/band_index")
+    val ok = index.groupBy(col("band"), col("band_val"))
+      .agg(count(lit(1)).as("n")).filter(col("n") <= PhashMaxBucket)
+      .select(col("band"), col("band_val"))
+    val kept = index.join(ok, Seq("band", "band_val"))
+    val batch = phashTableWithSource(s, dir)
+      .filter(col("source") === "src0").select(col("doc_id"), col("bands"))
+      .localCheckpoint() // one hash pass serves both the probe and the verify
+    val cands = batch
+      .select(col("doc_id").as("doc_new"), posexplode(col("bands")).as(Seq("band", "band_val")))
+      .join(kept.select(col("band"), col("band_val"), col("doc_id").as("doc_old")),
+        Seq("band", "band_val"))
+      .select(col("doc_new"), col("doc_old")).distinct()
+    cands
+      .join(batch.select(col("doc_id").as("doc_new"), col("bands").as("bands_new")), "doc_new")
+      .join(s.read.parquet(s"$base/snap_hashes")
+        .select(col("doc_id").as("doc_old"), col("bands").as("bands_old")), "doc_old")
+      .select(col("doc_new"), col("doc_old"),
+        expr("aggregate(zip_with(bands_new, bands_old, (x, y) -> bit_count(x ^ y)), 0L, (acc, v) -> acc + CAST(v AS BIGINT))")
+          .as("hamming"))
+      .filter(col("hamming") <= PhashMaxHamming)
+  }
 
   /** Case classes for the typed decode path. */
   final case class MediaRow(doc_id: Long, payload: Array[Byte])

@@ -34,7 +34,8 @@ object ExplainAudit {
         "sim_ivf_pq_lifecycle_retrain", "text_bm25_index_restat",
         "dedup_cascade", "dedup_cascade_incremental",
         "sim_maintenance_nightly", "mm_overlap_dedup_capped",
-        "sim_pq_maintenance_nightly", "text_bm25_maintenance_nightly")
+        "sim_pq_maintenance_nightly", "text_bm25_maintenance_nightly",
+        "mm_phash_dedup_incremental", "q_recursive_cte")
     targets.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       df.count() // materialize so AQE finalizes

@@ -497,6 +497,82 @@ class TextMultimodalSpec extends AnyFunSuite {
       s"ALL clique pairs must drop: dropped ${dropped.size} of $cliquePairs")
   }
 
+  test("unicode stop-bucket cap: doubled-text clique drops, empty clique keeps riding the candidate path") {
+    // VERDICT r15 #2: the unicode gate's own candidate stage is now
+    // capped. Ground truth = brute-force hamming over the SAME corpus
+    // (pigeonhole: hamming ≤ 3 < 4 bands ⇒ banded-uncapped == brute);
+    // the cap must drop EXACTLY the planted doubled-text clique's
+    // pairs (its ~68-doc buckets exceed PhashUnicodeMaxBucket = 64 at
+    // the spec SF, every organic bucket stays under) while the ≤16-doc
+    // empty-payload clique — the all-bits degenerate hash the gate
+    // exists to exercise — stays fully reachable under the cap.
+    val isEmpty = (d: Long) =>
+      d % 17 == 0 && d < Multimodal.PhashUnicodeEmptyBound
+    val isClique = (d: Long) => d % 7 == 3 && !isEmpty(d)
+    val t = Multimodal.phashTableUnicode(spark, sf).localCheckpoint()
+    val hashes = t.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1)
+    val uncapped = (for {
+      i <- hashes.indices; j <- (i + 1) until hashes.length
+      h = hashes(i)._2.zip(hashes(j)._2)
+        .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum
+      if h <= Multimodal.PhashMaxHamming
+    } yield (hashes(i)._1, hashes(j)._1)).toSet
+    val capped = Multimodal.phashDedupUnicode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped), "cap can only remove candidate reachability")
+    val dropped = uncapped -- capped
+    assert(dropped.nonEmpty, "the planted clique must bind the cap")
+    assert(dropped.forall { case (a, b) => isClique(a) && isClique(b) },
+      s"only planted-clique pairs may drop, got ${dropped.filterNot { case (a, b) => isClique(a) && isClique(b) }.take(3)}")
+    val cliquePairs = uncapped.count { case (a, b) => isClique(a) && isClique(b) }
+    assert(dropped.size == cliquePairs,
+      s"ALL planted-clique pairs must drop: dropped ${dropped.size} of $cliquePairs")
+    val emptyPairs = capped.count { case (a, b) => isEmpty(a) && isEmpty(b) }
+    assert(emptyPairs == 16 * 15 / 2,
+      s"the empty-payload clique must stay fully reachable under the cap, got $emptyPairs pairs")
+  }
+
+  test("incremental phash probe equals the full recompute; the persisted index stages once (r16)") {
+    // ground truth built directly from the hash table: snapshot-side
+    // band buckets over the cap drop, candidates = batch×snapshot
+    // bucket matches, exact hamming verify — the probe against the
+    // persisted band index must produce the identical pair set
+    val t = Multimodal.phashTable(spark, sf)
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("source")), "doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[scala.collection.Seq[Long]]("bands").toVector,
+        r.getAs[String]("source")))
+    val snap = t.filter(_._3 != "src0")
+    val batch = t.filter(_._3 == "src0")
+    val snapBuckets = snap.flatMap { case (id, bands, _) =>
+      bands.zipWithIndex.map { case (v, b) => (b, v) -> id }
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val kept = snapBuckets.filter(_._2.size <= Multimodal.PhashMaxBucket)
+    val snapHash = snap.map(x => x._1 -> x._2).toMap
+    val expected = (for {
+      (id, bands, _) <- batch
+      (v, b) <- bands.zipWithIndex
+      old <- kept.getOrElse((b, v), Set.empty[Long])
+      h = bands.zip(snapHash(old))
+        .map { case (a, c) => java.lang.Long.bitCount(a ^ c) }.sum
+      if h <= Multimodal.PhashMaxHamming
+    } yield (id, old, h.toLong)).toSet
+    val got = Multimodal.phashDedupIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"probe vs recompute: missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    assert(expected.nonEmpty, "the split corpus should contain cross-split near-dups")
+    // derivation-only on repeat (the staged-artifact contract): the
+    // first call above staged the index; a second call must not rebuild
+    val built = Multimodal.phashIndexBuilds.get()
+    assert(built >= 1, "the first gate call must have staged the index")
+    assert(Multimodal.phashDedupIncremental(spark, sf).count() == got.size.toLong)
+    assert(Multimodal.phashIndexBuilds.get() == built,
+      "a second probe call must be a derivation-only read — no index rebuild")
+    CacheScope.releaseAll(spark)
+  }
+
   test("overlap stop-frame cap: clique loses all reachability, survivors keep exact numbers") {
     // ground truth: the uncapped chain over the SAME planted corpus
     def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
