@@ -871,36 +871,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val expStats = rows(Dedup.clusterStats(spark, sf))
     val expSurv = rows(Dedup.survivors(spark, sf))
     val expSplit = rows(TextAnalysis.leakageFreeSplit(spark, sf))
-    // staged build + derivations under a minhash-counting listener
-    val minhashRuns = new java.util.concurrent.atomic.AtomicInteger(0)
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      override def onSuccess(f: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
-        if (qe.executedPlan.toString.toLowerCase.contains("minhash"))
-          minhashRuns.incrementAndGet()
-      override def onFailure(f: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
-    }
+    // staged build + derivations under a marker-windowed minhash
+    // counter (SharedSpark.countExecutions — the async bus leaked a
+    // recompute twin's in-flight event into the old raw listener)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_spec_lineage_${System.nanoTime}"
-    spark.listenerManager.register(listener)
-    val (labels, stats, surv, split) =
-      try {
+    val ((labels, stats, surv, split), minhashRuns) =
+      SharedSpark.countExecutions(spark)(_.toLowerCase.contains("minhash")) {
         val (_, labelsPath) = Dedup.buildPairLineage(spark, sf, base)
         val staged = spark.read.parquet(labelsPath)
-        val r = (rows(staged),
+        (rows(staged),
           rows(Dedup.clusterStatsFromLabels(staged)),
           rows(Dedup.survivorsFromLabels(spark, sf, staged)),
           rows(TextAnalysis.leakageFreeSplitFromLabels(spark, sf, staged)))
-        var waited = 0 // execution-listener bus is async — drain
-        while (minhashRuns.get() == 0 && waited < 5000) { Thread.sleep(50); waited += 50 }
-        Thread.sleep(300)
-        r
-      } finally spark.listenerManager.unregister(listener)
+      }
     assert(labels == expLabels, "staged labels must equal recompute labels")
     assert(stats == expStats && surv == expSurv && split == expSplit,
       "every lineage derivation must equal its recompute twin")
-    assert(minhashRuns.get() == 1,
-      s"a corpus build must run the minhash/verify pass exactly once, ran ${minhashRuns.get()}")
+    assert(minhashRuns == 1,
+      s"a corpus build must run the minhash/verify pass exactly once, ran $minhashRuns")
   }
 
   test("kNN graph lineage: ONE signature/verify pass; derivations hash-equal recompute") {
@@ -917,34 +905,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val expGraph = rows(Similarity.knnGraph(spark, sf))
     val expLpa = rows(Similarity.labelProp(spark, sf))
     val expPr = rows(Similarity.pagerank(spark, sf))
-    val sigRuns = new java.util.concurrent.atomic.AtomicInteger(0)
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      override def onSuccess(f: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
-        if (qe.executedPlan.toString.toLowerCase.contains("lsh_sigs"))
-          sigRuns.incrementAndGet()
-      override def onFailure(f: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
-    }
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_spec_knng_${System.nanoTime}"
-    spark.listenerManager.register(listener)
-    val (graph, lpa, pr) =
-      try {
+    val ((graph, lpa, pr), sigRuns) =
+      SharedSpark.countExecutions(spark)(_.toLowerCase.contains("lsh_sigs")) {
         val edgesPath = Similarity.buildKnnGraphLineage(spark, sf, base)
         val staged = spark.read.parquet(edgesPath)
-        val r = (rows(staged),
+        (rows(staged),
           rows(Similarity.labelPropFromEdges(spark, sf, staged)),
           rows(Similarity.pagerankFromEdges(spark, sf, staged)))
-        var waited = 0 // execution-listener bus is async — drain
-        while (sigRuns.get() == 0 && waited < 5000) { Thread.sleep(50); waited += 50 }
-        Thread.sleep(300)
-        r
-      } finally spark.listenerManager.unregister(listener)
+      }
     assert(graph == expGraph, "staged edges must equal the recompute graph")
     assert(lpa == expLpa && pr == expPr,
       "every graph derivation must equal its recompute twin")
-    assert(sigRuns.get() == 1,
-      s"a graph build must run the signature/verify pass exactly once, ran ${sigRuns.get()}")
+    assert(sigRuns == 1,
+      s"a graph build must run the signature/verify pass exactly once, ran $sigRuns")
   }
 
   test("persisted IVF index: bit-equal serving, inverted lists pruned as partitions") {

@@ -55,34 +55,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     // source pass. Now one partitioned staging write feeds both sinks
     // via FS renames. Proof: exactly one executed write command scans
     // the source.
-    val writeScans = new java.util.concurrent.atomic.AtomicInteger(0)
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
-        val p = qe.executedPlan.toString
-        if (p.contains("orders.parquet") &&
-            qe.logical.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command])
-          writeScans.incrementAndGet()
-      }
-      override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
-    }
     val target = tmp("onepass"); val q = tmp("onepass_q")
     val spec = TransferSpec(
       source = SourceSpec(s"$sf/orders.parquet", Parquet),
       validExpr = Some("o_orderkey % 7 != 0"),
       policy = ErrorPolicy(maxErrors = Long.MaxValue, onError = RouteQuarantine(q)))
-    spark.listenerManager.register(listener)
-    val (written, errs) =
-      try {
-        val r = Pipeline.run(spark, spec, target)
-        var waited = 0 // the execution-listener bus is async — drain it
-        while (writeScans.get() == 0 && waited < 5000) { Thread.sleep(50); waited += 50 }
-        Thread.sleep(300)
-        r
-      } finally spark.listenerManager.unregister(listener)
-    assert(writeScans.get() == 1,
-      s"quarantine routing must write from ONE source scan, saw ${writeScans.get()}")
+    // marker-windowed write-scan counter (SharedSpark helper): the old
+    // raw listener raced the async execution-listener bus
+    val ((written, errs), writeScans) =
+      SharedSpark.countQueryExecutions(spark)(qe =>
+        qe.executedPlan.toString.contains("orders.parquet") &&
+          qe.logical.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command]) {
+        Pipeline.run(spark, spec, target)
+      }
+    assert(writeScans == 1,
+      s"quarantine routing must write from ONE source scan, saw $writeScans")
     // and the split is still exact
     val bad = Tables.orders(spark, sf).filter(col("o_orderkey") % 7 === 0).count()
     val all = Tables.orders(spark, sf).count()
