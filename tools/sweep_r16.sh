@@ -33,7 +33,14 @@ for sf in 0.001 0.01 0.1; do
     /root/testdata/sf$sf "$EXPECT_N" 3
 done
 cp /tmp/bench_full_sf0.1.json BENCH_full_local.json
+# IMMUTABLE round-named copy: the driver's independent bench rewrites
+# BENCH_full_local.json after the snapshot commit (by design — it is
+# "the latest full default-tree run"), so SURVEY's sweep figures point
+# at this name, which graft.Bench never writes.
+cp /tmp/bench_full_sf0.1.json BENCH_full_r16_sweep.json
 python3 tools/check_bench_artifact.py BENCH_full_local.json \
+  /root/testdata/sf0.1 "$EXPECT_N" 3
+python3 tools/check_bench_artifact.py BENCH_full_r16_sweep.json \
   /root/testdata/sf0.1 "$EXPECT_N" 3
 python3 tools/scaling_assemble.py SCALING_r16.json \
   /tmp/bench_sf0.001.txt /tmp/bench_sf0.01.txt /tmp/bench_sf0.1.txt
