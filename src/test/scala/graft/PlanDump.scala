@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.execution.QueryExecution
+
+/** Plan-evidence dumper (`sbt "Test/runMain graft.PlanDump <outDir> <sfDir> <tag> <q1> [<q2> ...]"`):
+  * writes `<outDir>/<query>_<tag>.txt` holding the `.explain("formatted")`
+  * output of each named gate — the artifact the optimization rounds
+  * commit under plans/r<N>/ so plan-shape claims are checkable without
+  * running Spark. Gates that materialize internally and return a local
+  * relation (e.g. q_recursive_cte collects the bounded month rows
+  * inside a scoped conf) would otherwise dump a bare LocalTableScan,
+  * so a QueryExecutionListener also captures every INNER execution the
+  * gate ran and the file appends the interesting ones (recursion /
+  * join / aggregate plans), largest first. Bench-override twins are
+  * dumped with the override when one exists — that is the shape the
+  * bench times. Not a test — kept in the test tree to stay out of the
+  * library jar.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 4, "usage: PlanDump <outDir> <sfDir> <tag> <query>...")
+    val outDir = java.nio.file.Paths.get(args(0))
+    java.nio.file.Files.createDirectories(outDir)
+    val dir = args(1)
+    val tag = args(2)
+    val names = args.drop(3).toSeq
+    val spark = GraftSession.local(8)
+    val inner = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit = {
+        inner.add(qe.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        ()
+      }
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    names.foreach { name =>
+      val fn = SparkEntry.benchOverrides.getOrElse(name, SparkEntry.queries(name))
+      inner.clear()
+      spark.listenerManager.register(listener)
+      val df =
+        try {
+          val d = fn(spark, dir)
+          d.count() // materialize so AQE finalizes the executed plan
+          d
+        } finally {
+          // the listener bus is async: drain it via the end-marker
+          // trick (bus delivers in order) before unregistering
+          val nonce = java.util.UUID.randomUUID.toString.replace("-", "")
+          @volatile var closed = false
+          val end = new org.apache.spark.sql.util.QueryExecutionListener {
+            override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+              if (qe.executedPlan.toString.contains(s"graft_pd_end_$nonce")) closed = true
+            override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+          }
+          spark.listenerManager.register(end)
+          spark.range(1).selectExpr(s"id AS graft_pd_end_$nonce").collect()
+          var waited = 0
+          while (!closed && waited < 30000) { Thread.sleep(25); waited += 25 }
+          spark.listenerManager.unregister(end)
+          spark.listenerManager.unregister(listener)
+        }
+      val main = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val sb = new StringBuilder
+      sb ++= s"===== $name ($tag) — returned DataFrame, explain(formatted) =====\n"
+      sb ++= main
+      // a local relation means the gate materialized internally: the
+      // captured inner executions carry the real plans
+      if (main.contains("LocalTableScan") || main.length < 400) {
+        import scala.jdk.CollectionConverters._
+        val plans = inner.asScala.toSeq
+          .filterNot(p => p.contains("graft_pd_end_"))
+          .filter(p => p.contains("Join") || p.contains("Aggregate") ||
+            p.contains("UnionLoop") || p.contains("Recursi"))
+          .sortBy(-_.length)
+        plans.zipWithIndex.foreach { case (p, i) =>
+          sb ++= s"\n===== $name ($tag) — inner execution ${i + 1}/${plans.size} =====\n"
+          sb ++= p
+        }
+      }
+      java.nio.file.Files.write(outDir.resolve(s"${name}_$tag.txt"),
+        sb.toString.getBytes("UTF-8"))
+      println(s"wrote ${name}_$tag.txt (${sb.length} chars)")
+    }
+    spark.stop()
+  }
+}
