@@ -38,21 +38,27 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val coldTotal = if (firstRun.nonEmpty) firstRun.values.sum else 0.0
-    // Truncation-proof artifact (VERDICT r4 #1, r6 #4): the driver
-    // keeps only the last ~2000 chars of stdout, so a single huge JSON
-    // line ALWAYS loses data — r6's tail was all error map, zero
-    // per-query timings. Three-part fix:
+    // Truncation-proof artifact (VERDICT r4 #1, r6 #4) with the FULL
+    // line LAST (VERDICT r16 #1): the driver parses the LAST JSON line
+    // of stdout for its round-over-round per-query comparison, and r16
+    // printed the compact headline last — PERF_r16 came back with
+    // per_query {} / n_common 0 / null geomean because the headline
+    // carries no "queries" map. Current layout:
     //  (a) the complete artifact is WRITTEN TO A FILE in the working
     //      directory (driver runs from the repo; the end-of-round
     //      snapshot commit picks it up) — per-query timings are always
     //      recoverable regardless of stdout capture;
-    //  (b) the full per-query line prints FIRST, tagged
-    //      "metric":"per_query" so it can never be mistaken for the
-    //      headline;
-    //  (c) the compact headline — total / cold_total / n_queries /
+    //  (b) the compact headline — total / cold_total / n_queries /
     //      n_errors / top-5 slowest / 80-char-truncated errors — prints
-    //      LAST (< ~1500 chars), so a tail capture always preserves the
-    //      whole summary AND it satisfies the one-line driver contract.
+    //      FIRST (< ~1500 chars), a human-readable summary;
+    //  (c) the full per-query line, tagged "metric":"per_query" (the
+    //      tag tools/scaling_assemble.py and tools/sf1_assemble.py key
+    //      on) and carrying the "queries" AND "cold" maps, prints LAST
+    //      so the driver's last-JSON-line parse gets the per-query map
+    //      directly. It satisfies the one-line driver contract
+    //      ({"metric",...,"value",N,"unit","sec","queries",{...},"sf"})
+    //      verbatim. The driver's ~2000-char stored TAIL may clip the
+    //      line's front, but (a) keeps the complete artifact on disk.
     val slowest = results.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val esShort = errors.map { case (k, v) =>
@@ -65,7 +71,7 @@ object Bench {
     // comparison floor for this semantics).
     val warmSem = """"warm_semantics":"per-rep cache release"""" +
       s""","runs_completed":$passesRun,"wall_budget_sec":$wallSec"""
-    val fullLine = s"""{"metric":"per_query","value":$total,"unit":"sec",$warmSem,"queries":$qs,"cold":$cold,"errors":$es,"sf":"$sfDir","n_queries":${results.size},"cold_total":$coldTotal,"n_errors":${errors.size},"total":$total}"""
+    val fullLine = s"""{"metric":"per_query","value":$total,"unit":"sec",$warmSem,"queries":$qs,"cold":$cold,"errors":$es,"sf":"$sfDir","n_queries":${results.size},"cold_total":$coldTotal,"n_errors":${errors.size},"total":$total,"full_artifact":"$fullPath"}"""
     val headline = s"""{"metric":"total","value":$total,"unit":"sec",$warmSem,"slowest_top5":$slowest,"errors":$esShort,"cold_total":$coldTotal,"n_errors":${errors.size},"n_queries":${results.size},"sf":"$sfDir","full_artifact":"$fullPath"}"""
     (fullLine, headline, errors.size)
   }
@@ -197,8 +203,8 @@ object Bench {
       fns.map { case (n, _) => n -> acc(n) }, sfDir, passesRun, wallSec,
       fullPath)
     writeArtifact(fullPath, fullLine)
-    println(fullLine)
     println(headline)
+    println(fullLine) // LAST: the driver parses the final JSON line (VERDICT r16 #1)
     spark.stop()
     if (nErrors > 0) sys.exit(1)
   }

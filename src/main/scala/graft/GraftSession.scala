@@ -26,6 +26,18 @@ object GraftSession {
       .config("spark.scheduler.mode", "FAIR")
       // hash-mixing expressions (minhash/simhash) use wrapping int64 math
       .config("spark.sql.ansi.enabled", "false")
+      // list bounded partitioned artifacts DRIVER-side (r17, guide §6):
+      // every partitioned artifact this engine reads bounds its
+      // partition count BY CONSTRUCTION (≤256 IVF/IVFPQ inverted lists
+      // via IvfMaxNlist, 64 BM25 term buckets, ≤32 LSH/phash bands),
+      // but the default parallel-discovery threshold (32) pushes their
+      // listings into a 2-stage Spark job — ~100-170 ms of scheduler
+      // fixed cost PER LISTING for ≤256 directory stats, re-paid on
+      // every serve/consult of every artifact. 1024 keeps those bounded
+      // listings on the driver (itself multi-threaded via HadoopFSUtils)
+      // while genuinely wide tables — a 100 TB fact table's thousands
+      // of date partitions — still cross the threshold and fan out.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
     master.map(b.master).getOrElse(b)
   }
 

@@ -501,6 +501,19 @@ object Multimodal {
       .sortWithinPartitions(col("band_val"))
       .write.mode("overwrite").partitionBy("band")
       .parquet(s"$base/band_index")
+    // the STOP-BUCKET LIST is part of the snapshot artifact (r17,
+    // VERDICT r16 #4 / the list_counts discipline): the over-cap
+    // (band, band_val) buckets are a property of the snapshot decided
+    // at build time, so the nightly probe reads this ≤#degenerate-
+    // buckets file instead of re-aggregating the whole band index per
+    // call. Derived from the just-written index so the two cannot
+    // drift.
+    s.read.schema("doc_id BIGINT, band_val BIGINT, band INT")
+      .parquet(s"$base/band_index")
+      .groupBy(col("band"), col("band_val"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > PhashMaxBucket)
+      .select(col("band"), col("band_val"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/stop_buckets")
   }
 
   private[graft] def stagedPhashIndex(s: SparkSession, dir: String): String = {
@@ -524,17 +537,24 @@ object Multimodal {
     * replicated). */
   def phashDedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val base = stagedPhashIndex(s, dir)
-    val index = s.read.parquet(s"$base/band_index")
-    val ok = index.groupBy(col("band"), col("band_val"))
-      .agg(count(lit(1)).as("n")).filter(col("n") <= PhashMaxBucket)
-      .select(col("band"), col("band_val"))
-    val kept = index.join(ok, Seq("band", "band_val"))
+    val index = s.read.schema("doc_id BIGINT, band_val BIGINT, band INT")
+      .parquet(s"$base/band_index")
+    // the stop-bucket set comes from the SNAPSHOT ARTIFACT (r17,
+    // VERDICT r16 #4): a ≤#degenerate-buckets file written at build
+    // time, broadcast-anti-joined against tonight's probe side — the
+    // per-probe COUNT over the whole persisted index is gone. Dropping
+    // a stop bucket from the probe side removes exactly the candidates
+    // the old index-side cap removed (a candidate needs the bucket on
+    // BOTH sides), so the result is row-identical.
+    val stop = s.read.schema("band INT, band_val BIGINT")
+      .parquet(s"$base/stop_buckets")
     val batch = phashTableWithSource(s, dir)
       .filter(col("source") === "src0").select(col("doc_id"), col("bands"))
       .localCheckpoint() // one hash pass serves both the probe and the verify
     val cands = batch
       .select(col("doc_id").as("doc_new"), posexplode(col("bands")).as(Seq("band", "band_val")))
-      .join(kept.select(col("band"), col("band_val"), col("doc_id").as("doc_old")),
+      .join(broadcast(stop), Seq("band", "band_val"), "left_anti")
+      .join(index.select(col("band"), col("band_val"), col("doc_id").as("doc_old")),
         Seq("band", "band_val"))
       .select(col("doc_new"), col("doc_old")).distinct()
     cands

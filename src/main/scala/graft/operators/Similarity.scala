@@ -501,11 +501,29 @@ object Similarity {
     topKPerQuery(scored)
   }
 
+  /** Artifact-header read, memoized driver-side with file-signature
+    * revalidation (r17; see [[graft.sources.ArtifactHeaders]]): the
+    * serving and nightly-append paths re-collect the same immutable
+    * ≤nlist-row centroid file once per call — per-micro-batch in the
+    * streaming appends — and each collect is 1-2 scheduler round trips
+    * of pure fixed cost. */
   private def readCentroids(s: SparkSession, path: String): Seq[(Long, Seq[Float])] =
-    s.read.parquet(path)
-      .collect() // bounded: ≤ IvfMaxNlist rows
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
-      .sortBy(_._1).toSeq
+    graft.sources.ArtifactHeaders.cached(s, path) {
+      s.read.parquet(path)
+        .collect() // bounded: ≤ IvfMaxNlist rows
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .sortBy(_._1).toSeq
+    }
+
+  /** The PQ codebook header (≤ PqCodebookK rows), same memo discipline
+    * as [[readCentroids]]. */
+  private def readCodebook(s: SparkSession, path: String): Seq[(Long, Seq[Float])] =
+    graft.sources.ArtifactHeaders.cached(s, path) {
+      s.read.parquet(path)
+        .collect() // bounded: ≤ codebook K rows
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .sortBy(_._1).toSeq
+    }
 
   // -------------------------------------------------------------------
   // Incremental maintenance of the PERSISTED IVF index (VERDICT r8 #6)
@@ -628,11 +646,23 @@ object Similarity {
     * snapshot while appending into its own per-call dir). */
   private[graft] def appendIvfIncVectorsIdempotent(s: SparkSession,
       base: String, vecs: DataFrame, bid: Long,
-      artifactBase: String = null): Unit =
+      artifactBase: String = null): Unit = {
+    val art = Option(artifactBase).getOrElse(base)
+    // parallelize the ≤nlist-file staged write (r17, guide §2.6/§6.2):
+    // the micro-batch arrives as ONE source partition, so the dynamic
+    // partitionBy write was a single task serially opening/closing one
+    // parquet writer per touched inverted list (~nlist writer cycles ≈
+    // the whole micro-batch wall). An EXPLICIT-width repartition (AQE
+    // never coalesces a user-fixed width, unlike repartition(col))
+    // spreads the lists across tasks; one file per touched list per
+    // bid either way — the publish/rename layout contract unchanged.
+    val nlist = math.max(1, readCentroids(s, s"$art/centroids").size)
     publishStagedAppend(s, base, bid) { stage =>
-      ivfIncAssigned(s, Option(artifactBase).getOrElse(base), vecs)
+      ivfIncAssigned(s, art, vecs)
+        .repartition(nlist, col("cent_id"))
         .write.mode("overwrite").partitionBy("cent_id").parquet(stage)
     }
+  }
 
   /** The IMMUTABLE snapshot half of the incremental index, staged once
     * per corpus version — the per-call streaming gates append into
@@ -1993,12 +2023,8 @@ object Similarity {
       // index's corpus is the DRIFTED relation, not the raw table
       refineCorpus: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val cents = s.read.parquet(s"$artifactBase/centroids")
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-      .sortBy(_._1).toSeq
-    val book = s.read.parquet(s"$artifactBase/codebook")
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-      .sortBy(_._1).toSeq
+    val cents = readCentroids(s, s"$artifactBase/centroids")
+    val book = readCodebook(s, s"$artifactBase/codebook")
     require(book.zipWithIndex.forall { case ((cid, _), i) => cid == i.toLong },
       "codebook ids must be dense 0..K-1 for positional reconstruction")
     val sub = book.head._2.length / PqSubspaces
@@ -2059,9 +2085,7 @@ object Similarity {
       vecs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val frozen = readCentroids(s, s"$base/centroids")
-    val book = s.read.parquet(s"$base/codebook")
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-      .sortBy(_._1).toSeq
+    val book = readCodebook(s, s"$base/codebook")
     val sub = book.head._2.length / PqSubspaces
     assignNearestNarrow(vecs, frozen, "cand_id", "c_emb")
       .select(col("cand_id"),
@@ -2082,11 +2106,17 @@ object Similarity {
     * shared snapshot). */
   private[graft] def appendIvfPqIncVectorsIdempotent(s: SparkSession,
       base: String, vecs: DataFrame, bid: Long,
-      artifactBase: String = null): Unit =
+      artifactBase: String = null): Unit = {
+    val art = Option(artifactBase).getOrElse(base)
+    // explicit-width repartition for the same single-task-write reason
+    // as [[appendIvfIncVectorsIdempotent]] (r17, guide §2.6/§6.2)
+    val nlist = math.max(1, readCentroids(s, s"$art/centroids").size)
     publishStagedAppend(s, base, bid) { stage =>
-      ivfPqIncEncoded(s, Option(artifactBase).getOrElse(base), vecs)
+      ivfPqIncEncoded(s, art, vecs)
+        .repartition(nlist, col("cent_id"))
         .write.mode("overwrite").partitionBy("cent_id").parquet(stage)
     }
+  }
 
   def stagedIvfPqIncIndex(s: SparkSession, dir: String): String = {
     val vkey = Tables.versionedKey(s, dir, "embeddings")
@@ -2250,8 +2280,7 @@ object Similarity {
   private[graft] def ivfPqIncDriftReportFrom(s: SparkSession, dir: String,
       base: String, batchVecs: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val book = s.read.parquet(s"$base/codebook").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    val book = readCodebook(s, s"$base/codebook")
     val sub = book.head._2.length / PqSubspaces
     def meanQ(df: DataFrame): DataFrame = {
       val recon = concat((0 until PqSubspaces).map(m =>

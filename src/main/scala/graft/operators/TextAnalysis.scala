@@ -1213,6 +1213,13 @@ object TextAnalysis {
       docs: DataFrame, bid: Long): Unit =
     Similarity.publishStagedAppend(s, base, bid, "bucket") { stage =>
       bm25PostingsOf(bm25TfsOf(docs))
+        // explicit-width repartition (r17, guide §2.6/§6.2): AQE
+        // coalesces the tf groupBy's tiny shuffle to ~1 partition, so
+        // the dynamic partitionBy write was one task serially opening
+        // ~Bm25Buckets parquet writers; a user-fixed width is exempt
+        // from coalescing and spreads the buckets across tasks. One
+        // file per touched bucket per bid either way.
+        .repartition(Bm25Buckets, col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(stage)
     }
 
@@ -1285,9 +1292,8 @@ object TextAnalysis {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .toSeq.toDF("term", "df", "bucket")
     // bounded collect #3: the 1-row corpus stats → literals (no 1-row
-    // cross-join combine in the serving plan)
-    val st = s.read.schema("n_docs BIGINT, total_len BIGINT")
-      .parquet(s"$base/stats").collect().head
+    // cross-join combine in the serving plan); header-memoized (r17)
+    val (stNDocs, stTotalLen) = bm25CorpusStats(s, base)
     // the streamed-maintenance topology serves snapshot ∪ per-call
     // delta postings (frozen df/stats stay on the snapshot side) —
     // row-identical to one merged dir
@@ -1295,8 +1301,8 @@ object TextAnalysis {
       .parquet(s"$b/postings").filter(col("bucket").isInCollection(buckets))
     deltaBase.foldLeft(posts(base))((p, d) => p.unionByName(posts(d)))
       .join(broadcast(query), Seq("bucket", "term"))
-      .withColumn("n_docs", lit(st.getLong(0)))
-      .withColumn("total_len", lit(st.getLong(1)))
+      .withColumn("n_docs", lit(stNDocs))
+      .withColumn("total_len", lit(stTotalLen))
       .select(col("doc_id"), bm25Qv.as("qv"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms_hit"), sum(col("qv")).as("score_q"))
@@ -1319,13 +1325,16 @@ object TextAnalysis {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
   }
 
-  /** The 1-row corpus stats of an index artifact, as driver values. */
+  /** The 1-row corpus stats of an index artifact, as driver values —
+    * header-memoized with file-signature revalidation (r17; see
+    * [[graft.sources.ArtifactHeaders]]). */
   private[operators] def bm25CorpusStats(s: SparkSession,
-      base: String): (Long, Long) = {
-    val r = s.read.schema("n_docs BIGINT, total_len BIGINT")
-      .parquet(s"$base/stats").collect().head
-    (r.getLong(0), r.getLong(1))
-  }
+      base: String): (Long, Long) =
+    graft.sources.ArtifactHeaders.cached(s, s"$base/stats") {
+      val r = s.read.schema("n_docs BIGINT, total_len BIGINT")
+        .parquet(s"$base/stats").collect().head
+      (r.getLong(0), r.getLong(1))
+    }
 
   /** The postings frame statically pruned to a bounded bucket set. */
   private[operators] def bm25PostingsPruned(s: SparkSession, base: String,

@@ -36,12 +36,26 @@ object PlanDump {
     }
     names.foreach { name =>
       val fn = SparkEntry.benchOverrides.getOrElse(name, SparkEntry.queries(name))
+      // GRAFT_PD_WARMUP=1 runs the gate once BEFORE the capture so
+      // one-time staging builds (snapshot indexes, pair lineage) don't
+      // flood the inner-execution evidence — the captured pass is the
+      // steady-state per-call shape the bench times (r17)
+      if (sys.env.get("GRAFT_PD_WARMUP").contains("1")) {
+        fn(spark, dir).count()
+        CacheScope.releaseAll(spark)
+      }
       inner.clear()
       spark.listenerManager.register(listener)
+      // the materializing action is NONCE-TAGGED so it can be filtered
+      // from the captured inner executions (ADVICE r16 #2: the dumper's
+      // own count was committed as a spurious "inner execution" in the
+      // r16 evidence files, inflating Exchange tallies)
+      val countNonce = java.util.UUID.randomUUID.toString.replace("-", "")
       val df =
         try {
           val d = fn(spark, dir)
-          d.count() // materialize so AQE finalizes the executed plan
+          // materialize so AQE finalizes and inner executions run
+          d.selectExpr(s"count(*) AS graft_pd_count_$countNonce").collect()
           d
         } finally {
           // the listener bus is async: drain it via the end-marker
@@ -67,17 +81,37 @@ object PlanDump {
       sb ++= main
       // a local relation means the gate materialized internally: the
       // captured inner executions carry the real plans
-      if (main.contains("LocalTableScan") || main.length < 400) {
+      // GRAFT_PD_INNER=1 appends ALL inner executions unconditionally —
+      // gates whose optimized work is an INNER action (the streaming
+      // micro-batch appends, whose write plans carry no Join/Aggregate)
+      // return a real serve plan, so the LocalTableScan heuristic plus
+      // the interest filter would hide the evidence (r17)
+      val allInner = sys.env.get("GRAFT_PD_INNER").contains("1")
+      if (allInner || main.contains("LocalTableScan") || main.length < 400) {
         import scala.jdk.CollectionConverters._
-        val plans = inner.asScala.toSeq
-          .filterNot(p => p.contains("graft_pd_end_"))
-          .filter(p => p.contains("Join") || p.contains("Aggregate") ||
-            p.contains("UnionLoop") || p.contains("Recursi"))
+        val captured = inner.asScala.toSeq
+          .filterNot(p => p.contains("graft_pd_end_") ||
+            p.contains("graft_pd_count_")) // the dumper's own actions
+        val interesting = (if (allInner) captured
+          else captured
+            .filter(p => p.contains("Join") || p.contains("Aggregate") ||
+              p.contains("UnionLoop") || p.contains("Recursi")))
           .sortBy(-_.length)
+        // GRAFT_PD_MAX_INNER caps the appended plans (largest first) so
+        // a many-consult gate doesn't commit megabytes of evidence; the
+        // footer discloses exactly what was dropped (ADVICE r16 #3)
+        val maxInner = sys.env.get("GRAFT_PD_MAX_INNER").map(_.toInt)
+          .getOrElse(Int.MaxValue)
+        val plans = interesting.take(maxInner)
         plans.zipWithIndex.foreach { case (p, i) =>
           sb ++= s"\n===== $name ($tag) — inner execution ${i + 1}/${plans.size} =====\n"
           sb ++= p
         }
+        // disclose truncation (ADVICE r16 #3): readers must know how
+        // many captured inner plans the filters dropped
+        sb ++= s"\n===== $name ($tag) — ${captured.size} inner executions captured, " +
+          s"${captured.size - interesting.size} dropped by the Join/Aggregate/recursion filter, " +
+          s"${interesting.size - plans.size} dropped by the GRAFT_PD_MAX_INNER cap =====\n"
       }
       java.nio.file.Files.write(outDir.resolve(s"${name}_$tag.txt"),
         sb.toString.getBytes("UTF-8"))

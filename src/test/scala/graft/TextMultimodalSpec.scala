@@ -573,6 +573,28 @@ class TextMultimodalSpec extends AnyFunSuite {
     CacheScope.releaseAll(spark)
   }
 
+  test("the phash stop-bucket list lives in the snapshot artifact and equals the over-cap buckets (r17)") {
+    // r17 (VERDICT r16 #4): the probe no longer aggregates the persisted
+    // band index per call — it anti-joins a stop list written at build
+    // time. The list must be exactly the over-cap buckets of the index
+    // it was derived from, or the probe's candidate set drifts.
+    val base = Multimodal.stagedPhashIndex(spark, sf)
+    val overCap = spark.read
+      .schema("doc_id BIGINT, band_val BIGINT, band INT")
+      .parquet(s"$base/band_index")
+      .groupBy(col("band"), col("band_val"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > Multimodal.PhashMaxBucket)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val stop = spark.read.schema("band INT, band_val BIGINT")
+      .parquet(s"$base/stop_buckets")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(stop == overCap,
+      s"stop list drifted from the index: missing=${(overCap -- stop).take(3)} " +
+        s"extra=${(stop -- overCap).take(3)}")
+    CacheScope.releaseAll(spark)
+  }
+
   test("overlap stop-frame cap: clique loses all reachability, survivors keep exact numbers") {
     // ground truth: the uncapped chain over the SAME planted corpus
     def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
