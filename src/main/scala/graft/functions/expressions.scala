@@ -343,10 +343,149 @@ case class PhashBands(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fused kernel for the PQ per-subspace codeword argmin (r17, guide
+  * §4) — the native form of Similarity.pqBest's HOF pipeline, which
+  * cost ~K allocated zip_with arrays + interpreted struct array_min
+  * per row per subspace. Bit-identical by construction:
+  *  - l2(k) = Σ_i ((double)emb[m·sub+i] − (double)book[k][m·sub+i])²,
+  *    accumulated in element order — the exact sequence the zip_with +
+  *    sequential-fold (seqSum) reference evaluates;
+  *  - the winner is min by (l2, cid): the scan runs in ascending-cid
+  *    order (callers sort the book) keeping strictly-smaller l2, which
+  *    is precisely array_min's lexicographic (l2, cid) struct order.
+  * Reconstruction returns the winning codeword SLICES (original
+  * floats), concatenated across subspaces — byte-equal to concat of
+  * the reference struct's `sub` fields. */
+object PqKernel {
+  /** argmin codeword index per subspace; -1 never escapes (book
+    * non-empty is require'd at every build site). */
+  private def bestIdx(emb: ArrayData, book: Array[Array[Float]],
+      m: Int, sub: Int): Int = {
+    val base = m * sub
+    var bestL2 = 0.0; var best = -1; var k = 0
+    while (k < book.length) {
+      var l2 = 0.0; var i = 0
+      val cw = book(k)
+      while (i < sub) {
+        val d = emb.getFloat(base + i).toDouble - cw(base + i).toDouble
+        l2 += d * d; i += 1
+      }
+      if (best < 0 || l2 < bestL2) { bestL2 = l2; best = k }
+      k += 1
+    }
+    best
+  }
+
+  def codes(emb: ArrayData, cids: Array[Long], book: Array[Array[Float]],
+      nSub: Int): ArrayData = {
+    val sub = book(0).length / nSub
+    val out = new Array[Long](nSub)
+    var m = 0
+    while (m < nSub) { out(m) = cids(bestIdx(emb, book, m, sub)); m += 1 }
+    new GenericArrayData(out)
+  }
+
+  def recon(emb: ArrayData, book: Array[Array[Float]],
+      nSub: Int): ArrayData = {
+    val sub = book(0).length / nSub
+    val out = new Array[Float](nSub * sub)
+    var m = 0
+    while (m < nSub) {
+      val cw = book(bestIdx(emb, book, m, sub))
+      System.arraycopy(cw, m * sub, out, m * sub, sub)
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Shared shape of the two PQ expressions: the codebook rides in the
+  * expression as data (converted once from the builder's literal
+  * args), emb is the only runtime child. */
+trait PqExpression extends UnaryExpression {
+  def cids: IndexedSeq[Long]
+  def book: IndexedSeq[IndexedSeq[Float]]
+  def nSub: Int
+  @transient protected lazy val bookArr: Array[Array[Float]] =
+    book.map(_.toArray).toArray
+  @transient protected lazy val cidArr: Array[Long] = cids.toArray
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<float>, got $other")
+    }
+}
+
+/** graft_pq_codes(emb, book, cids, nSub): per-subspace argmin codeword
+  * ids as array<long> — the fused form of
+  * array(pqBest(m).getField("cid") for m). */
+case class PqCodes(child: Expression, cids: IndexedSeq[Long],
+    book: IndexedSeq[IndexedSeq[Float]], nSub: Int) extends PqExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_pq_codes"
+  override def nullSafeEval(input: Any): Any =
+    PqKernel.codes(input.asInstanceOf[ArrayData], cidArr, bookArr, nSub)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bookRef = ctx.addReferenceObj("pqBook", bookArr, "float[][]")
+    val cidsRef = ctx.addReferenceObj("pqCids", cidArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PqKernel.codes($c, $cidsRef, $bookRef, $nSub);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** graft_pq_recon(emb, book, nSub): the PQ reconstruction (concat of
+  * the winning codeword slices, original floats) as array<float> —
+  * the fused form of concat(pqBest(m).getField("sub") for m). */
+case class PqRecon(child: Expression, cids: IndexedSeq[Long],
+    book: IndexedSeq[IndexedSeq[Float]], nSub: Int) extends PqExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "graft_pq_recon"
+  override def nullSafeEval(input: Any): Any =
+    PqKernel.recon(input.asInstanceOf[ArrayData], bookArr, nSub)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bookRef = ctx.addReferenceObj("pqBook", bookArr, "float[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PqKernel.recon($c, $bookRef, $nSub);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Registration: via extensions (GraftExtensions) or imperatively on a
   * live session (registry is idempotent — re-register overwrites). */
 object GraftFunctions {
   type Builder = Seq[Expression] => Expression
+
+  /** Builder-time literal decoding for the PQ functions: the codebook
+    * is a typedLit the caller inlines, decoded ONCE here into plain
+    * arrays so the per-row kernel never touches Catalyst array data
+    * for the book side. */
+  private def litFloatMatrix(e: Expression, fn: String): IndexedSeq[IndexedSeq[Float]] =
+    e match {
+      case l: Literal if l.value != null =>
+        val ad = l.value.asInstanceOf[ArrayData]
+        (0 until ad.numElements()).map { i =>
+          val row = ad.getArray(i)
+          (0 until row.numElements()).map(row.getFloat).toIndexedSeq
+        }.toIndexedSeq
+      case other => throw new IllegalArgumentException(
+        s"$fn book must be an array<array<float>> literal, got $other")
+    }
+  private def litLongs(e: Expression, fn: String): IndexedSeq[Long] = e match {
+    case l: Literal if l.value != null =>
+      l.value.asInstanceOf[ArrayData].toLongArray().toIndexedSeq
+    case other => throw new IllegalArgumentException(
+      s"$fn cids must be an array<long> literal, got $other")
+  }
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case Literal(n: Int, IntegerType) => n
+    case other => throw new IllegalArgumentException(
+      s"$fn nSub must be an int literal, got $other")
+  }
+
   val all: Seq[(String, Builder)] = Seq(
     "graft_cosine" -> ((args: Seq[Expression]) => CosineSim(args(0), args(1))),
     "graft_minhash" -> ((args: Seq[Expression]) => args(1) match {
@@ -373,7 +512,16 @@ object GraftFunctions {
         args(0), args(1), args(2)).toAggregateExpression()),
     "graft_bloom_contains" -> ((args: Seq[Expression]) =>
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        args(0), args(1))))
+        args(0), args(1))),
+    // args: (emb, book literal, cids literal, nSub literal)
+    "graft_pq_codes" -> ((args: Seq[Expression]) =>
+      PqCodes(args(0), litLongs(args(2), "graft_pq_codes"),
+        litFloatMatrix(args(1), "graft_pq_codes"),
+        litInt(args(3), "graft_pq_codes"))),
+    "graft_pq_recon" -> ((args: Seq[Expression]) =>
+      PqRecon(args(0), litLongs(args(2), "graft_pq_recon"),
+        litFloatMatrix(args(1), "graft_pq_recon"),
+        litInt(args(3), "graft_pq_recon"))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.registerFunction(

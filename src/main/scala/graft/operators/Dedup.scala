@@ -520,7 +520,10 @@ object Dedup {
     // re-banding the whole rep signature index per call. Derived from
     // the just-written rep_sigs so the two artifacts cannot drift.
     bandedSigs(s.read.parquet(s"$base/rep_sigs"), "o_id")
-      .repartition(col("band"))
+      // explicit width (r17 — see Similarity.writeIvfIndex):
+      // repartition(col) is AQE-coalescible and a coalesced write
+      // opens all LshBands parquet writers serially in one task
+      .repartition(LshBands, col("band"))
       .sortWithinPartitions(col("bucket"))
       .write.mode("overwrite").partitionBy("band")
       .parquet(s"$base/rep_banded")

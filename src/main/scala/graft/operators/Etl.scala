@@ -334,7 +334,10 @@ object Etl {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_retain_${ProcessHandle.current().pid()}"
     Tables.events(s, dir)
       .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
-      .repartition(col("dt"))
+      // explicit width (r17 — see Similarity.writeIvfIndex): exempt
+      // from AQE coalescing; each dt still lands whole in one task, so
+      // the one-file-per-day layout is unchanged
+      .repartition(s.sparkContext.defaultParallelism, col("dt"))
       .write.mode("overwrite").partitionBy("dt").parquet(base)
     def del(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(del)
@@ -354,7 +357,8 @@ object Etl {
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_prune_${ProcessHandle.current().pid()}"
     Tables.events(s, dir)
       .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
-      .repartition(col("dt"))
+      // explicit width (r17): exempt from AQE coalescing — see above
+      .repartition(s.sparkContext.defaultParallelism, col("dt"))
       .write.mode("overwrite").partitionBy("dt").parquet(tmp)
     s.read.parquet(tmp)
       .filter(col("dt") === "2024-01-03")
@@ -702,7 +706,7 @@ object Etl {
       .withColumn("shard", pmod(col("user_id"), lit(4)).cast("int"))
       // co-locate rows with their partition dir: 1 file per (dt, shard)
       // instead of tasks × dirs small files
-      .repartition(col("dt"), col("shard"))
+      .repartition(s.sparkContext.defaultParallelism, col("dt"), col("shard"))
       .write.mode("overwrite").partitionBy("dt", "shard").parquet(tmp)
     s.read.parquet(tmp)
       .groupBy(col("dt").cast("string").as("dt"), col("shard").cast("int").as("shard"))
@@ -764,7 +768,8 @@ object Etl {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_incagg_${ProcessHandle.current().pid()}"
     Tables.events(s, dir)
       .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
-      .repartition(col("dt"))
+      // explicit width (r17): exempt from AQE coalescing — see above
+      .repartition(s.sparkContext.defaultParallelism, col("dt"))
       .write.mode("overwrite").partitionBy("dt").parquet(s"$base/events")
     val staged = s.read.parquet(s"$base/events")
     // bounded driver set: one dt string per staged day
@@ -825,7 +830,9 @@ object Etl {
     Tables.documents(s, dir)
       .filter(col("doc_id") < 100)
       .select(col("doc_id"), col("text"))
-      .repartition(col("doc_id"))
+      // explicit width (r17): exempt from AQE coalescing — 100 doc
+      // dirs written from one task otherwise
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .write.mode("overwrite").partitionBy("doc_id").text(staged)
     staged
   }
@@ -909,7 +916,8 @@ object Etl {
     val ev = Tables.events(s, dir)
       .withColumn("dt", to_date(col("ts")))
       .select(col("dt"), col("event_type"), col("value"))
-    ev.repartition(col("dt"))
+    // explicit width (r17): exempt from AQE coalescing — see above
+    ev.repartition(s.sparkContext.defaultParallelism, col("dt"))
       .write.mode("overwrite").partitionBy("dt").parquet(tgt)
     val maxDt = ev.agg(max(col("dt"))).head().getDate(0)
     val restated = ev.filter(col("dt") === lit(maxDt) && col("event_type") === "click")
@@ -921,7 +929,7 @@ object Etl {
         "dynamic overwrite would be a no-op")
     graft.GraftSession.withSqlConfs(s,
       "spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
-      restated.repartition(col("dt"))
+      restated.repartition(s.sparkContext.defaultParallelism, col("dt"))
         .write.mode("overwrite").partitionBy("dt").parquet(tgt)
     }
     s.read.parquet(tgt)

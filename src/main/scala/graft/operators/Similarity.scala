@@ -454,7 +454,13 @@ object Similarity {
       .toDF("cent_id", "cent_emb")
       .coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
     assignNearestNarrow(vecs, cents, "cand_id", "c_emb")
-      .repartition(col("cent_id"))
+      // EXPLICIT width (r17, guide §2.6/§6.2): repartition(col) is
+      // AQE-coalescible, and a coalesced-to-one write opens all ≤nlist
+      // parquet writers serially in one task — the dominant wall of
+      // every index staging. A user-fixed width is exempt; each list
+      // still lands whole in one task, so the one-file-per-list layout
+      // contract is unchanged.
+      .repartition(math.max(1, cents.size), col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id")
       .parquet(s"$base/postings")
   }
@@ -758,12 +764,16 @@ object Similarity {
     // entry means a prior publish crashed — finish it before anything
     // else (the postings may be half-replaced, the stage is whole).
     val stage = new org.apache.hadoop.fs.Path(s"$base/postings_compact_stage")
+    // explicit repartition width (r17 — see writeIvfIndex): an
+    // AQE-coalesced single task would serialize one parquet writer per
+    // rewritten list; a fixed width keeps each list whole in one task
+    // (one output file per rewritten dir, the layout contract) while
+    // spreading lists across the cluster
     def publishStage(): Unit =
       graft.GraftSession.withSqlConfs(s,
           "spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
         s.read.schema(rowSchema).parquet(stage.toString)
-          // one task per list → exactly one output file per rewritten dir
-          .repartition(col(partitionCol))
+          .repartition(s.sparkContext.defaultParallelism, col(partitionCol))
           .write.mode("overwrite").partitionBy(partitionCol)
           .parquet(s"$base/postings")
       }
@@ -782,7 +792,7 @@ object Similarity {
     if (fat.nonEmpty) {
       s.read.schema(rowSchema).parquet(s"$base/postings")
         .filter(col(partitionCol).isInCollection(fat))
-        .repartition(col(partitionCol))
+        .repartition(math.max(1, fat.size), col(partitionCol))
         .write.mode("overwrite").partitionBy(partitionCol)
         .parquet(stage.toString)
       publishStage()
@@ -1844,7 +1854,24 @@ object Similarity {
     * the sequential zip_with fold both engines share. The struct also
     * carries the codeword subvector so encode and reconstruct are the
     * same projection — zero shuffle, zero join. */
-  private def pqBest(book: Seq[(Long, Seq[Float])], embCol: String, m: Int,
+  /** Fused-kernel forms of the encode / reconstruct projections (r17,
+    * guide §4): ONE native expression per row instead of nSub × K
+    * allocated zip_with arrays and interpreted struct array_mins —
+    * bit-identical to [[pqBest]] by construction (see
+    * [[graft.functions.PqKernel]]; parity is spec-gated). */
+  private def pqCodesCol(book: Seq[(Long, Seq[Float])], embCol: String): Column =
+    call_function("graft_pq_codes", col(embCol),
+      typedLit(book.map(_._2.toSeq)), typedLit(book.map(_._1)),
+      lit(PqSubspaces))
+
+  private def pqReconCol(book: Seq[(Long, Seq[Float])], embCol: String): Column =
+    call_function("graft_pq_recon", col(embCol),
+      typedLit(book.map(_._2.toSeq)), typedLit(book.map(_._1)),
+      lit(PqSubspaces))
+
+  /** The HOF reference form of the per-subspace argmin — kept as the
+    * executable spec twin the fused kernel is pinned against. */
+  private[graft] def pqBest(book: Seq[(Long, Seq[Float])], embCol: String, m: Int,
       sub: Int): Column = {
     val subBook = book.map { case (cid, cw) => (cid, cw.slice(m * sub, (m + 1) * sub)) }
     val vSlice = transform(slice(col(embCol), m * sub + 1, sub), x => x.cast("double"))
@@ -1864,9 +1891,7 @@ object Similarity {
     require(book.nonEmpty, "empty PQ codebook")
     val sub = book.head._2.length / PqSubspaces
     Tables.embeddingsParallel(s, dir)
-      .select(col("vec_id"),
-        array((0 until PqSubspaces).map(m =>
-          pqBest(book, "embedding", m, sub).getField("cid")): _*).as("codes"))
+      .select(col("vec_id"), pqCodesCol(book, "embedding").as("codes"))
   }
 
   /** PQ-compressed retrieval: candidates are scored as the cosine
@@ -1885,8 +1910,7 @@ object Similarity {
     require(book.nonEmpty, "empty PQ codebook")
     val sub = book.head._2.length / PqSubspaces
     val recon = corpus(s, dir).select(col("cand_id"),
-      concat((0 until PqSubspaces).map(m =>
-        pqBest(book, "c_emb", m, sub).getField("sub")): _*).as("recon"))
+      pqReconCol(book, "c_emb").as("recon"))
     val scored = broadcast(queries(s, dir)).crossJoin(recon)
       .select(col("query_id"), col("cand_id"),
         expr("graft_cosine(q_emb, recon)").as("cosine"))
@@ -1917,8 +1941,7 @@ object Similarity {
     val sub = book.head._2.length / PqSubspaces
     val assigned = assignNearestNarrow(corpus(s, dir), cents, "cand_id", "c_emb")
     val recon = assigned.select(col("cent_id"), col("cand_id"),
-      concat((0 until PqSubspaces).map(m =>
-        pqBest(book, "c_emb", m, sub).getField("sub")): _*).as("recon"))
+      pqReconCol(book, "c_emb").as("recon"))
     val probes = probeTopCentroids(queries(s, dir), cents)
     val coarse = broadcast(probes).join(recon, Seq("cent_id"))
       .select(col("query_id"), col("cand_id"),
@@ -1966,14 +1989,13 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$base/codebook")
     val sub = book.head._2.length / PqSubspaces
     assignNearestNarrow(vecs, cents, "cand_id", "c_emb")
-      .select(col("cand_id"),
-        array((0 until PqSubspaces).map(m =>
-          pqBest(book, "c_emb", m, sub).getField("cid")): _*).as("codes"),
+      .select(col("cand_id"), pqCodesCol(book, "c_emb").as("codes"),
         col("cent_id"))
       // one file per code list on a full write — the [[writeIvfIndex]]
       // layout contract (see its scaladoc; the small-files consult
-      // reads it)
-      .repartition(col("cent_id"))
+      // reads it); explicit width so AQE can't serialize the write
+      // into one task (r17 — see writeIvfIndex)
+      .repartition(math.max(1, cents.size), col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id")
       .parquet(s"$base/postings")
   }
@@ -2088,9 +2110,7 @@ object Similarity {
     val book = readCodebook(s, s"$base/codebook")
     val sub = book.head._2.length / PqSubspaces
     assignNearestNarrow(vecs, frozen, "cand_id", "c_emb")
-      .select(col("cand_id"),
-        array((0 until PqSubspaces).map(m =>
-          pqBest(book, "c_emb", m, sub).getField("cid")): _*).as("codes"),
+      .select(col("cand_id"), pqCodesCol(book, "c_emb").as("codes"),
         col("cent_id"))
   }
 
@@ -2283,8 +2303,7 @@ object Similarity {
     val book = readCodebook(s, s"$base/codebook")
     val sub = book.head._2.length / PqSubspaces
     def meanQ(df: DataFrame): DataFrame = {
-      val recon = concat((0 until PqSubspaces).map(m =>
-        pqBest(book, "c_emb", m, sub).getField("sub")): _*)
+      val recon = pqReconCol(book, "c_emb")
       df.select(floor(call_function("graft_cosine", col("c_emb"), recon)
           * lit(1e7) + lit(0.5)).cast("long").as("q"))
         .agg((sum(col("q")).cast("double") / lit(1e7) / count(lit(1))).as("m"))
@@ -2309,8 +2328,7 @@ object Similarity {
     val book = pqCodebookFiltered(s, dir, s"NOT ($IvfIncBatchPred)")
     val sub = book.head._2.length / PqSubspaces
     def meanRecon(df: DataFrame): Double = {
-      val recon = concat((0 until PqSubspaces).map(m =>
-        pqBest(book, "c_emb", m, sub).getField("sub")): _*)
+      val recon = pqReconCol(book, "c_emb")
       df.select(call_function("graft_cosine", col("c_emb"), recon).as("c"))
         .agg(avg(col("c"))).head().getDouble(0)
     }

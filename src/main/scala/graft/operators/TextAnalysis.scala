@@ -1234,12 +1234,17 @@ object TextAnalysis {
     tfs.groupBy(col("doc_id")).agg(first(col("len")).as("len"))
       .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_len"))
       .coalesce(1).write.mode("overwrite").parquet(s"$base/stats")
+    // explicit repartition widths (r17 — see Similarity.writeIvfIndex):
+    // repartition(col) is AQE-coalescible and a coalesced write opens
+    // all ≤Bm25Buckets parquet writers serially in one task; the fixed
+    // width is exempt and keeps one file per bucket (each bucket whole
+    // in one task)
     tfs.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .withColumn("bucket", termBucket(col("term")))
-      .repartition(col("bucket"))
+      .repartition(Bm25Buckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$base/dfs")
     bm25PostingsOf(tfs)
-      .repartition(col("bucket"))
+      .repartition(Bm25Buckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$base/postings")
     base
   }
@@ -1564,7 +1569,9 @@ object TextAnalysis {
       .parquet(s"$base/stats_restat_stage")
     posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .withColumn("bucket", termBucket(col("term")))
-      .repartition(col("bucket"))
+      // explicit width (r17): exempt from AQE coalescing — see
+      // buildBm25Index
+      .repartition(Bm25Buckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$base/dfs_restat_stage")
     publish("stats_restat_stage", "stats")

@@ -202,7 +202,13 @@ object Tables {
           // the janitor deletes the LIVE artifact within two sweeps
           // (ADVICE r10 #1)
           graft.TmpDirs.unregister(base)
+          val t0 = System.nanoTime()
           val built = build(base)
+          // stderr staging log (r17): one line per artifact build so a
+          // cold pass decomposes by tag without instrumenting callers
+          // (stdout stays reserved for the bench's JSON contract)
+          System.err.println(
+            f"[staged] $tag%-10s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $dir")
           cell.state = Some((vkey, built))
           prev.foreach { case (_, old) =>
             if (old != built) graft.TmpDirs.register(old)

@@ -777,6 +777,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(wide.isEmpty, s"vector payloads crossed a hash exchange: $wide")
   }
 
+  test("fused PQ kernel is bit-identical to the HOF reference over the whole corpus (r17)") {
+    // the encode/reconstruct projections now run through the native
+    // graft_pq_codes / graft_pq_recon kernel; pqBest stays as the
+    // executable reference — every row's codes AND reconstruction must
+    // match bit-for-bit (same fold order, same (l2, cid) tie-break)
+    graft.functions.GraftFunctions.register(spark)
+    val book = Similarity.pqCodebook(spark, sf)
+    val sub = book.head._2.length / Similarity.PqSubspaces
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val ref = emb.select(col("vec_id"),
+      array((0 until Similarity.PqSubspaces).map(m =>
+        Similarity.pqBest(book, "embedding", m, sub).getField("cid")): _*).as("codes"),
+      concat((0 until Similarity.PqSubspaces).map(m =>
+        Similarity.pqBest(book, "embedding", m, sub).getField("sub")): _*).as("recon"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1).toVector, r.getSeq[Float](2).toVector))).toMap
+    val fused = emb.select(col("vec_id"),
+      call_function("graft_pq_codes", col("embedding"),
+        typedLit(book.map(_._2.toSeq)), typedLit(book.map(_._1)),
+        lit(Similarity.PqSubspaces)).as("codes"),
+      call_function("graft_pq_recon", col("embedding"),
+        typedLit(book.map(_._2.toSeq)), typedLit(book.map(_._1)),
+        lit(Similarity.PqSubspaces)).as("recon"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1).toVector, r.getSeq[Float](2).toVector))).toMap
+    assert(fused.keySet == ref.keySet)
+    fused.foreach { case (id, (codes, recon)) =>
+      assert(codes == ref(id)._1, s"codes drifted for vec $id")
+      assert(recon.map(java.lang.Float.floatToRawIntBits) ==
+        ref(id)._2.map(java.lang.Float.floatToRawIntBits),
+        s"reconstruction drifted for vec $id")
+    }
+    CacheScope.releaseAll(spark)
+  }
+
   test("PQ encode: codes are the true per-subspace argmin (driver recompute)") {
     val book = Similarity.pqCodebook(spark, sf)
     assert(book.size <= Similarity.PqCodewords)
