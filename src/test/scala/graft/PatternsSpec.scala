@@ -55,6 +55,25 @@ class PatternsSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("bucketed join is an exchange-free SortMergeJoin once broadcast is off (ADVICE r16 #1)") {
+    // at the spec SF the orders side fits under the broadcast threshold,
+    // so the default plan is a BroadcastHashJoin and the no-shuffle
+    // assertion above is vacuous for the SMJ claim; forcing broadcast
+    // OFF must surface the co-located SortMergeJoin with NO shuffle
+    // exchange on either join input — the property bucketing exists for
+    graft.GraftSession.withSqlConfs(spark,
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = Patterns.bucketedJoin(spark, sf)
+      df.count() // finalize the adaptive plan under the pinned conf
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"),
+        s"expected a SortMergeJoin with broadcast disabled:\n$plan")
+      val joinSection = plan.split("HashAggregate").last
+      assert(!joinSection.contains("Exchange hashpartitioning"),
+        s"bucketed SMJ must read co-located buckets, no exchange on either input:\n$plan")
+    }
+  }
+
   test("typed aggregator matches untyped decimal math") {
     val typed = Patterns.typedAgg(spark, sf)
       .collect().map(r => (r.getString(0), r.getDouble(1))).toMap

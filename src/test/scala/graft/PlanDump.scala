@@ -25,6 +25,14 @@ object PlanDump {
     val tag = args(2)
     val names = args.drop(3).toSeq
     val spark = GraftSession.local(8)
+    // GRAFT_PD_CONF="k=v;k=v" pins SQL confs for the dump — e.g.
+    // spark.sql.autoBroadcastJoinThreshold=-1 to capture the
+    // SortMergeJoin shape a small-SF broadcast would hide (ADVICE r16 #1)
+    sys.env.get("GRAFT_PD_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     val inner = new java.util.concurrent.ConcurrentLinkedQueue[String]
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit = {

@@ -47,6 +47,67 @@ def load_full_line(path):
     return full
 
 
+# Documented-flag registry (VERDICT r16 #6): every KNOWN >3x key on the
+# 10x step, with its by-construction bound or linear-range argument.
+# Keys listed here move from flagged_over_3x into the
+# flagged_documented section (ratios preserved, note attached);
+# flagged_over_3x itself then contains ONLY undocumented entries —
+# anything new that appears there is an action item, not background.
+STRESS_NOTE = ("deliberately-UNCAPPED stress twin: exact-copy "
+               "replication makes every shared band/fingerprint bucket "
+               "grow with copy count, so candidate PAIRS grow "
+               "quadratically BY CONSTRUCTION - this gate exists to "
+               "measure that uncapped slope; the named production twin "
+               "bounds candidates at cap^2 x #buckets (or probes a "
+               "staged artifact) and stays under ~3x")
+LINEAR_NOTE = ("linear-range: a 3-4.5x wall ratio on a 10x data step "
+               "at fixed core count is at-or-below per-byte linear "
+               "scaling (the 3x bar flags would-be structural growers; "
+               "these rows' plans are partial-agg/join shapes with no "
+               "pair fan-out)")
+DOCUMENTED_FLAGS = {
+    "mm_overlap_dedup": f"{STRESS_NOTE}; production twin: mm_overlap_dedup_capped",
+    "mm_phash_dedup": f"{STRESS_NOTE}; production twins: mm_phash_dedup_capped / _unicode / _incremental (stop-bucket cap, persisted band index)",
+    "mm_frame_dedup": ("exact-duplication stress on the frame-fingerprint "
+                       "election: the operator is ONE partial-agg min-struct "
+                       "election (no pair fan-out - linear by construction); "
+                       "the >3x is replicated-fingerprint group skew under "
+                       "the 10x exact-copy stress, not candidate growth"),
+    "dedup_simhash": f"{STRESS_NOTE}; production path: banded+verified LSH with caps (dedup_embedding_lsh_capped) and the staged pair lineage",
+    "dedup_lsh_verified": f"{STRESS_NOTE}; production path: staged pair lineage (dedup_components_lineage) / cascade banded probe",
+    "dedup_minhash_lsh": f"{STRESS_NOTE}; candidate-COUNT observability row over the uncapped LSH stage",
+    "dedup_embedding_lsh": f"{STRESS_NOTE}; production twin: dedup_embedding_lsh_capped",
+    "dedup_components": ("recompute twin consuming the uncapped verify "
+                         "(stress class above); staged production twin: "
+                         "dedup_components_lineage"),
+    "dedup_components_incremental": ("consumes the uncapped verify for its "
+                                     "snapshot labeling at probe time in this "
+                                     "harness; production reads last night's "
+                                     "persisted labels - per-night cost is "
+                                     "bounded by the crawl delta"),
+    "mm_overlap_dedup_capped": ("capped production twin steady at ~3.3x on "
+                                "this construction since r14: candidates are "
+                                "bounded at cap^2 x #buckets; the residual "
+                                "ratio is the linear frame expansion"),
+    "sim_ivf_topk": ("in-memory twin of the persisted-index gate "
+                     "(sim_ivf_index_topk stays <3x): nlist grows ~sqrt(n), "
+                     "so assignment cost/row grows ~sqrt(10) on the step - "
+                     "bounded by the IvfMaxNlist=256 cap"),
+    "sim_ivf_pq_topk": ("same sqrt(n) nlist argument as sim_ivf_topk; "
+                        "persisted-index twin sim_ivf_pq_index_topk stays <3x"),
+    "sim_knn_graph": ("kNN over LSH candidates: bucket growth under "
+                      "replication; staged/banded twins "
+                      "(sim_knn_graph_incremental) probe persisted artifacts"),
+    "q_gap_fill": LINEAR_NOTE + "; output rows grow with event density (gap fill emits per-gap rows)",
+    "q12_priority_mix": LINEAR_NOTE,
+    "q21_late_suppliers": LINEAR_NOTE,
+    "q8_market_share": LINEAR_NOTE,
+    "text_lang_topk_native": LINEAR_NOTE,
+    "dedup_semantic_apply": LINEAR_NOTE,
+    "dedup_substring": LINEAR_NOTE,
+}
+
+
 def _flag_order(kv):
     """Numeric flags sort descending; string flags (zero-base notes)
     sort after them."""
@@ -128,8 +189,13 @@ def main():
                 (structural if rn > 3.0 else window_only)[q] = \
                     {"raw": r, "window_normalized": rn}
             return structural, window_only
-        se, we = norm_flags(flagged_e)
-        sp, wp = norm_flags(flagged_p)
+        # normalize only the UNDOCUMENTED flags — documented stress /
+        # linear-range entries carry their own bound note and are no
+        # longer flags (VERDICT r16 #6)
+        se, we = norm_flags({q: r for q, r in flagged_e.items()
+                             if q not in DOCUMENTED_FLAGS})
+        sp, wp = norm_flags({q: r for q, r in flagged_p.items()
+                             if q not in DOCUMENTED_FLAGS})
         window = {
             "prior_base": prior_base_path,
             "base_window_factor_vs_prior": W,
@@ -203,10 +269,25 @@ def main():
         },
         "median_ratio_sf0.1_to_sf1": {"exact": med(ratios_e),
                                       "perturbed": med(ratios_p)},
-        "flagged_over_3x": {"exact": dict(sorted(flagged_e.items(),
-                                                 key=_flag_order)),
-                            "perturbed": dict(sorted(flagged_p.items(),
-                                                     key=_flag_order))},
+        # flagged_over_3x = UNDOCUMENTED entries only (VERDICT r16 #6):
+        # a key here has no registered by-construction bound and is an
+        # action item. Documented stress twins / linear-range rows keep
+        # their ratios under flagged_documented with the bound note.
+        "flagged_over_3x": {
+            "exact": dict(sorted(((q, r) for q, r in flagged_e.items()
+                                  if q not in DOCUMENTED_FLAGS),
+                                 key=_flag_order)),
+            "perturbed": dict(sorted(((q, r) for q, r in flagged_p.items()
+                                      if q not in DOCUMENTED_FLAGS),
+                                     key=_flag_order))},
+        "flagged_documented": {
+            "exact": {q: {"ratio": r, "why": DOCUMENTED_FLAGS[q]}
+                      for q, r in sorted(flagged_e.items(), key=_flag_order)
+                      if q in DOCUMENTED_FLAGS},
+            "perturbed": {q: {"ratio": r, "why": DOCUMENTED_FLAGS[q]}
+                          for q, r in sorted(flagged_p.items(),
+                                             key=_flag_order)
+                          if q in DOCUMENTED_FLAGS}},
         "window_normalization": window,
         "queries": per_q,
     }
