@@ -555,7 +555,12 @@ object Multimodal {
       .localCheckpoint() // one hash pass serves both the probe and the verify
     val cands = batch
       .select(col("doc_id").as("doc_new"), posexplode(col("bands")).as(Seq("band", "band_val")))
-      .join(broadcast(stop), Seq("band", "band_val"), "left_anti")
+      // no explicit broadcast hint (AllQueriesSpec forbids hints on
+      // relation-backed subtrees): the stop file is a few rows, so the
+      // planner auto-broadcasts it — and if a pathological corpus ever
+      // grew it past the threshold, a shuffled anti-join is the safe
+      // fallback a forced hint would have overridden
+      .join(stop, Seq("band", "band_val"), "left_anti")
       .join(index.select(col("band"), col("band_val"), col("doc_id").as("doc_old")),
         Seq("band", "band_val"))
       .select(col("doc_new"), col("doc_old")).distinct()
